@@ -1,0 +1,154 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Core relational exemplars for the driver's oracle harness.
+  *
+  * Each method mirrors an operator family from SURVEY.md §2 (aggregations
+  * A2/A3/A6, joins J1–J6, windows W2/W5/W6) expressed over the synthetic
+  * star schema. Outputs are oracle-stable: money aggregates accumulate in
+  * DECIMAL (the source doubles are exact 2-decimal values, so the cast is
+  * lossless and the sum is order-independent — double summation noise at
+  * 1e7 magnitudes reaches the penny and would flip a hash compare),
+  * every result carries a deterministic total order, and computed columns
+  * are aliased identically to the DuckDB SQL.
+  *
+  * Scale notes: all aggregates are partial+final hash aggregates (one
+  * shuffle on the group keys); dimension joins broadcast; window queries
+  * shuffle once on the partition key. No driver-side collection anywhere.
+  */
+object CoreQueries {
+
+  /** Lossless money cast: inputs are exact 2-decimal doubles. */
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact, order-independent money sum surfaced as double. */
+  private def moneySum(c: Column): Column =
+    round(sum(money(c)), 2).cast("double")
+
+  /** A2-style pricing summary (cf. reference silver_case_summaries.sql:7-21
+    * groupBy+multi-agg shape). One shuffle; partial aggregation map-side. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) - money(col("l_discount")))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 4)
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A3 conditional-count pivot (reference silver_case_summaries.sql:23-33:
+    * COUNT(CASE WHEN role=… THEN 1 END) per group). */
+  def orderPriorityPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("finished_count"),
+        count(when(col("o_orderstatus") === "O", 1)).as("open_count"),
+        count(when(col("o_orderstatus") === "P", 1)).as("pending_count"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** J3 broadcast dimension chain (reference gold_speaker_analytics.sql:31-37
+    * small-dim join): customer → nation → region, both dims broadcast. */
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    val region   = Tables.region(spark, dir)
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        moneySum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** J4 inner equi-join + A6-style derived metrics: order revenue by
+    * status × month. Lineitem is pre-aggregated per order key BEFORE the
+    * join so the join input shrinks (at 100 TB this is the difference
+    * between shuffling 6B rows and 1.5B). */
+  def revenueByStatusMonth(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(4, 2)) - money(col("l_discount")))).as("revenue"))
+    orders
+      .join(perOrder, orders("o_orderkey") === perOrder("l_orderkey"))
+      // to_date: DuckDB's date_trunc('month') yields DATE — match it.
+      .groupBy(col("o_orderstatus"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("order_month"))
+      .agg(
+        round(sum(col("revenue")), 2).cast("double").as("sum_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"), col("order_month"))
+  }
+
+  /** J5 anti-join (reference incremental skip, ingest/main.py:198-201):
+    * customers with no urgent order, rolled up by segment. The urgency
+    * filter is applied on the right side BEFORE the join (pushdown). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** J6 semi-join (reference representative lookup, viz helpers.py:164-186). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).select(col("o_custkey"))
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** W5 rank-based top-k per group (reference top-5 neighbors,
+    * clustering/helpers.py:185-226): top-3 lineitems per supplier by
+    * price, deterministic tie-break. One shuffle on l_suppkey. */
+  def top3PerSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** W2 running total (reference running char offsets,
+    * transformers/helpers.py:164-175): cumulative order value per
+    * customer in date order. DECIMAL accumulation keeps the running sum
+    * independent of the engine's window-aggregation association order. */
+  def runningOrderTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(money(col("o_totalprice"))).over(w), 2).cast("double")
+          .as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+}
