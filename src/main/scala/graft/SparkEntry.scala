@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.CoreQueries
+import graft.analytics.{CoreQueries, ScalarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,16 @@ object SparkEntry {
     "q6_semi_join"          -> (CoreQueries.customersWithOrders _),
     "q7_topk_per_group"     -> (CoreQueries.top3PerSupplier _),
     "q8_running_total"      -> (CoreQueries.runningOrderTotal _),
+    "p1_word_filter"        -> (ScalarQueries.wordFilter _),
+    "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
+    "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
+    "p5_null_guard"         -> (ScalarQueries.nullGuardedMetrics _),
+    "f1_priority_parse"     -> (ScalarQueries.priorityParse _),
+    "f3_key_extract"        -> (ScalarQueries.customerKeyParse _),
+    "f5_text_projections"   -> (ScalarQueries.textProjections _),
+    "f8_math"               -> (ScalarQueries.mathProjections _),
+    "f10_json_extract"      -> (ScalarQueries.jsonExtract _),
+    "f11_daily_rollup"      -> (ScalarQueries.dailyEventRollup _),
   )
 
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
@@ -34,8 +44,8 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
-        |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  floor((sum(l_quantity) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+        |  floor((CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -100,5 +110,74 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "p1_word_filter" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+        |FROM documents
+        |WHERE len(regexp_split_to_array(trim(text), '\s+')) > 3
+        |ORDER BY doc_id""".stripMargin,
+    "p3_range_filter" ->
+      """SELECT doc_id, source
+        |FROM documents
+        |WHERE source BETWEEN 'src2' AND 'src5'
+        |ORDER BY doc_id""".stripMargin,
+    "p4_type_classifier" ->
+      """SELECT part_class, count(*) AS n_parts FROM (
+        |  SELECT CASE
+        |    WHEN upper(p_name) LIKE '%WIDGET%' THEN 'Widget'
+        |    WHEN upper(p_name) LIKE '%RED WIDGET%' THEN 'RedWidget'
+        |    WHEN upper(p_name) LIKE '%BOLT%' THEN 'Bolt'
+        |    ELSE 'Other' END AS part_class
+        |  FROM part)
+        |GROUP BY part_class
+        |ORDER BY part_class""".stripMargin,
+    "p5_null_guard" ->
+      """SELECT event_id,
+        |  CASE WHEN value IS NOT NULL AND value > 100
+        |    THEN floor(((value - 100.0) / 1000.0) * 1000000 + 0.5) / 1000000 END AS duration_s,
+        |  floor((value / nullif(CAST(user_id AS DOUBLE), 0.0)) * 10000 + 0.5) / 10000 AS value_per_user
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "f1_priority_parse" ->
+      """SELECT split_part(o_orderpriority, '-', 1) AS priority_code,
+        |  replace(substring(o_orderpriority, position('-' IN o_orderpriority) + 1),
+        |    ' ', '_') AS priority_name,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY priority_code""".stripMargin,
+    "f3_key_extract" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) AS name_key,
+        |  CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) = c_custkey AS key_matches
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "f5_text_projections" ->
+      """SELECT doc_id, length(text) AS text_len,
+        |  lang || ':' || source AS label,
+        |  split_part(text, ' ', 1) AS first_word
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "f8_math" ->
+      """SELECT p_partkey,
+        |  floor(sqrt(p_retailprice) * 1000000 + 0.5) / 1000000 AS sqrt_price,
+        |  floor((p_retailprice * p_retailprice) * 10000 + 0.5) / 10000 AS price_sq,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  p_partkey % 7 AS key_mod7
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "f10_json_extract" ->
+      """SELECT event_type,
+        |  sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS sum_k,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "f11_daily_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the synthetic star schema (TESTDATA.md).
   *
@@ -23,7 +24,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 only
+    * reads via spark.sql.legacy.parquet.nanosAsLong (set in every session
+    * builder here). Normalize to a proper TimestampType column (µs,
+    * truncating sub-µs) so downstream code sees a timestamp. */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

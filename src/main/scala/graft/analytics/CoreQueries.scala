@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import graft.functions.Rounding.exactRound
 
 /** Core relational exemplars for the driver's oracle harness.
   *
@@ -41,8 +42,8 @@ object CoreQueries {
         round(sum(money(col("l_extendedprice")) *
           (lit(1).cast(DecimalType(4, 2)) - money(col("l_discount")))), 2)
           .cast("double").as("sum_disc_price"),
-        round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
-        round(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 4)
+        exactRound(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        exactRound(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 4)
           .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
