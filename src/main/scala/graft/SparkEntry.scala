@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, ScalarQueries}
+import graft.analytics.{CoreQueries, ScalarQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,8 @@ object SparkEntry {
     "f8_math"               -> (ScalarQueries.mathProjections _),
     "f10_json_extract"      -> (ScalarQueries.jsonExtract _),
     "f11_daily_rollup"      -> (ScalarQueries.dailyEventRollup _),
+    "a1_weighted_vec_mean"  -> (VectorQueries.weightedMeanByLabel _),
+    "v1_cosine_top5"        -> (VectorQueries.cosineTop5 _),
   )
 
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
@@ -179,5 +181,33 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY day""".stripMargin,
+    "a1_weighted_vec_mean" ->
+      """SELECT label, dim,
+        |  floor((sum(x * w) / sum(w)) * 100000 + 0.5) / 100000 AS wmean_val
+        |FROM (
+        |  SELECT label,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(vec_id % 7 + 1 AS DOUBLE) AS w
+        |  FROM embeddings)
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+    "v1_cosine_top5" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_dot_product(p.v, c.v) /
+        |      nullif(sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)), 0.0) AS sim_raw
+        |  FROM e p JOIN e c ON c.vec_id != p.vec_id
+        |  WHERE p.vec_id < 5)
+        |SELECT probe_id, cand_id,
+        |  floor(sim_raw * 1000000 + 0.5) / 1000000 AS sim, rn
+        |FROM (
+        |  SELECT probe_id, cand_id, sim_raw,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY sim_raw DESC, cand_id) AS rn
+        |  FROM sims)
+        |WHERE rn <= 5
+        |ORDER BY probe_id, rn""".stripMargin,
   )
 }
