@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, ScalarQueries, VectorQueries}
+import graft.analytics.{CoreQueries, NestedQueries, ScalarQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,9 @@ object SparkEntry {
     "f11_daily_rollup"      -> (ScalarQueries.dailyEventRollup _),
     "a1_weighted_vec_mean"  -> (VectorQueries.weightedMeanByLabel _),
     "v1_cosine_top5"        -> (VectorQueries.cosineTop5 _),
+    "g1_word_explode"       -> (NestedQueries.wordExplode _),
+    "g2_ordered_reassembly" -> (NestedQueries.orderedReassembly _),
+    "w1_event_index"        -> (NestedQueries.eventIndex _),
   )
 
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
@@ -209,5 +212,31 @@ object SparkEntry {
         |  FROM sims)
         |WHERE rn <= 5
         |ORDER BY probe_id, rn""".stripMargin,
+    "g1_word_explode" ->
+      """SELECT doc_id,
+        |  generate_subscripts(string_split(text, ' '), 1) AS word_pos,
+        |  unnest(string_split(text, ' ')) AS word
+        |FROM documents
+        |WHERE doc_id < 100
+        |ORDER BY doc_id, word_pos""".stripMargin,
+    "g2_ordered_reassembly" ->
+      """SELECT doc_id, count(*) AS n_words,
+        |  min(word_pos) - 1 AS min_pos,
+        |  max(word_pos) - 1 AS max_pos,
+        |  string_agg(word, ' ' ORDER BY word_pos) = any_value(text) AS roundtrip_ok
+        |FROM (
+        |  SELECT doc_id, text,
+        |    generate_subscripts(string_split(text, ' '), 1) AS word_pos,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 100)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "w1_event_index" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS event_idx
+        |FROM events
+        |WHERE user_id < 20
+        |ORDER BY user_id, event_idx""".stripMargin,
   )
 }

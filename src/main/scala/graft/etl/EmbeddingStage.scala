@@ -1,0 +1,92 @@
+package graft.etl
+
+import org.apache.spark.ml.feature.{HashingTF, Normalizer, RegexTokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** U3 — pluggable embedding stage (SURVEY.md §2.10).
+  *
+  * The reference runs SentenceTransformer(bge-m3) batch inference on
+  * GPU (transformers/helpers.py:210-220). Offline, the engine ships a
+  * deterministic stand-in with the same pipeline semantics — same
+  * column contract (text in, fixed-dim float vector out), same
+  * distributed shape (per-partition batched transform, no driver
+  * round-trip) — swappable for an ONNX/JNI model.
+  */
+trait EmbeddingStage {
+  def dim: Int
+  /** Adds `outCol: array<float>` of length [[dim]] computed from `textCol`. */
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame
+}
+
+/** Deterministic hashing featurizer: tokenize → murmur3 HashingTF →
+  * L2 normalize → array<float>. Entirely MLlib built-ins, so the
+  * transform is columnar, reproducible, and cluster-scalable; the
+  * fixed-dim L2-normalized output behaves like a (bad but shaped-right)
+  * embedding for downstream cosine/clustering operators. */
+final class HashingEmbedder(override val dim: Int = 1024) extends EmbeddingStage {
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val tmpTok = s"__${outCol}_tokens"
+    val tmpTf = s"__${outCol}_tf"
+    val tmpNorm = s"__${outCol}_norm"
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol(tmpTok)
+      .setPattern("\\W+").setToLowercase(true)
+    val tf = new HashingTF()
+      .setInputCol(tmpTok).setOutputCol(tmpTf).setNumFeatures(dim)
+    val norm = new Normalizer().setInputCol(tmpTf).setOutputCol(tmpNorm).setP(2.0)
+    norm.transform(tf.transform(tok.transform(df)))
+      .withColumn(outCol, vector_to_array(col(tmpNorm), "float32"))
+      .drop(tmpTok, tmpTf, tmpNorm)
+  }
+}
+
+/** The mapPartitions batch-inference shape the reference's GPU stage
+  * would plug into: batches rows per partition (BATCH_SIZE 4/16/24,
+  * transformers-stack.ts:174,207,291) and calls a model function per
+  * batch. The default model is a STUB — a deterministic per-text hash
+  * fingerprint — marked clearly; swap `model` for a real ONNX session.
+  * Kept separate from HashingEmbedder so the UDF-free path stays the
+  * default. */
+final class BatchInferenceEmbedder(
+    override val dim: Int = 1024,
+    batchSize: Int = 24,
+    model: (Seq[String], Int) => Seq[Array[Float]] = BatchInferenceEmbedder.stubModel)
+  extends EmbeddingStage with Serializable {
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val d = dim; val bs = batchSize; val m = model
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val vecs = m(batch.map(r => Option(r.getString(textIdx)).getOrElse("")), d)
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
+
+object BatchInferenceEmbedder {
+  /** STUB model: deterministic token-hash featurizer standing in for
+    * SentenceTransformer.encode — replace with a real inference call. */
+  def stubModel(texts: Seq[String], dim: Int): Seq[Array[Float]] =
+    texts.map { t =>
+      val v = new Array[Float](dim)
+      t.toLowerCase.split("\\W+").filter(_.nonEmpty).foreach { tok =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(tok)
+        v(math.floorMod(h, dim)) += 1f
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+}

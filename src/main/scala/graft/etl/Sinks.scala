@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Sink operators (SURVEY.md §2.1 K1–K5, K7, J5-incremental).
+  *
+  * The reference's "idempotent insert" is a per-row INSERT that catches
+  * unique-key violations (helpers.py:250-346). Spark has no upsert into
+  * parquet, so the equivalent is anti-join-then-append: left_anti the
+  * incoming batch against the sink's existing keys, then append only the
+  * novel rows. At scale the existing-key read prunes to the key columns
+  * only (columnar scan), and the anti-join shuffles just the key.
+  * Concurrent writers are out of scope (so were they for the reference —
+  * its uniqueness came from a Postgres constraint).
+  */
+object Sinks {
+
+  /** K3/K4 — insert-if-absent append keyed on `keys`. Returns the number
+    * of rows actually appended. */
+  def idempotentAppend(df: DataFrame, path: String, keys: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val novel =
+      if (Files.exists(Paths.get(path))) {
+        val existing = spark.read.parquet(path).select(keys.map(col): _*).distinct()
+        df.join(existing, keys, "left_anti")
+      } else df
+    // cache: counted AND written — one materialization
+    novel.cache()
+    val n = novel.count()
+    if (n > 0) novel.write.mode(SaveMode.Append).parquet(path)
+    novel.unpersist()
+    n
+  }
+
+  /** K1 — partitioned JSON sink (ingest/main.py:299-310 writes
+    * raw/oral_arguments/term_{t}/...). */
+  def partitionedJson(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).json(path)
+
+  /** K2 — junk / dead-letter sink with context (ingest/main.py:96-119). */
+  def writeJunk(junk: DataFrame, path: String): Unit =
+    junk
+      .withColumn("junked_at", current_timestamp())
+      .write.mode(SaveMode.Append).json(path)
+
+  /** K5 — single-file CSV export + driver-side metadata JSON
+    * (clustering/helpers.py:261-315). coalesce(1) is deliberate: the
+    * export is a small, final, human-facing artifact (the reference
+    * uploads one CSV); never use this for large outputs. */
+  def csvWithMetadata(df: DataFrame, dir: String, metadataJson: String): Unit = {
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$dir/results")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/metadata.json"), metadataJson)
+  }
+
+  /** K7 — run summary metrics as a driver-side JSON write; counts come
+    * from `observe()` metrics or cheap aggregates upstream. */
+  def runSummary(path: String, metrics: Map[String, Any]): Unit = {
+    val body = metrics.map {
+      case (k, v: String) => s""""$k": "$v""""
+      case (k, v) => s""""$k": $v"""
+    }.mkString("{", ", ", "}")
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), body)
+  }
+}

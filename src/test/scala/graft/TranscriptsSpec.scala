@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Sinks, Transcripts, HashingEmbedder, BatchInferenceEmbedder}
+
+class TranscriptsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtures = getClass.getResource("/transcripts").getPath
+  private lazy val raw = Transcripts.readRaw(spark, s"$fixtures/*.json")
+
+  test("PERMISSIVE read splits valid docs from junk") {
+    assert(raw.count() == 5)
+    assert(Transcripts.valid(raw).count() == 2)
+    assert(Transcripts.junk(raw).count() == 3)
+  }
+
+  test("case keys derive from source filename, splitting at FIRST underscore") {
+    val keys = Transcripts.withCaseKeys(Transcripts.valid(raw))
+      .select("case_term", "case_name", "doc_case_id")
+      .as[(String, String, String)].collect().toSet
+    assert(keys.contains(("1981", "plyler-v-doe", "1981_plyler-v-doe")))
+    // later underscores must stay in the case name
+    assert(keys.contains(("1990", "united-states_v_nixon", "1990_united-states_v_nixon")))
+  }
+
+  lazy val utterances = Transcripts.flatten(Transcripts.valid(raw))
+
+  test("flatten: filters short blocks and assigns contiguous indexes") {
+    val plyler = utterances.filter($"case_id" === "1981_plyler-v-doe")
+      .orderBy("utterance_index")
+    val idx = plyler.select("utterance_index").as[Int].collect()
+    assert(idx.toSeq == Seq(0, 1, 2, 3)) // "Thank you." (2 words) dropped
+    val texts = plyler.select("text").as[String].collect()
+    assert(!texts.exists(_ == "Thank you."))
+    assert(texts(0).startsWith("We will hear arguments"))
+  }
+
+  test("flatten: char offsets are contiguous and consistent with text length") {
+    val rows = utterances.filter($"case_id" === "1981_plyler-v-doe")
+      .orderBy("utterance_index")
+      .select("char_start_offset", "char_end_offset", "text")
+      .as[(Long, Long, String)].collect()
+    rows.foreach { case (s, e, t) => assert(e - s == t.length) }
+    rows.sliding(2).foreach {
+      case Array((_, e1, _), (s2, _, _)) => assert(s2 == e1 + 1)
+      case _ =>
+    }
+    assert(rows.head._1 == 0)
+  }
+
+  test("flatten: speaker fields come from the parent turn") {
+    val bySpeaker = utterances.filter($"case_id" === "1981_plyler-v-doe")
+      .select("utterance_index", "speaker_name").as[(Int, String)].collect().toMap
+    assert(bySpeaker(0) == "Warren E. Burger")
+    assert(bySpeaker(1) == "Warren E. Burger")
+    assert(bySpeaker(2) == "John Smith")
+    assert(bySpeaker(3) == "Thurgood Marshall")
+  }
+
+  test("flatten: deterministic utterance ids and ms timings") {
+    val r = utterances.filter($"case_id" === "1981_plyler-v-doe" && $"utterance_index" === 1)
+      .select("id", "start_time_ms", "end_time_ms").as[(String, Long, Long)].head()
+    assert(r._1 == "1981_plyler-v-doe_utterance_1")
+    assert(r._2 == 18500 && r._3 == 20000)
+  }
+
+  test("chunks: ordered speaker-prefixed lines joined by newline") {
+    val chunk = Transcripts.sectionChunks(utterances)
+      .filter($"case_id" === "1981_plyler-v-doe" && $"section_id" === 0)
+      .select("chunk_text", "start_utterance_index", "end_utterance_index",
+        "utterance_count", "id")
+      .as[(String, Long, Long, Long, String)].head()
+    val lines = chunk._1.split("\n")
+    assert(lines(0) == "Warren E. Burger: We will hear arguments first this morning in Plyler against Doe.")
+    assert(lines(1) == "Warren E. Burger: Mr. Smith you may.")
+    assert(lines(2).startsWith("John Smith: May it please the Court"))
+    assert(chunk._2 == 0 && chunk._3 == 2 && chunk._4 == 3)
+    assert(chunk._5 == "1981_plyler-v-doe_section_0")
+  }
+
+  test("chunks: token cap truncates") {
+    val capped = Transcripts.sectionChunks(utterances, maxTokens = 5)
+      .select("token_count").as[Int].collect()
+    assert(capped.forall(_ <= 5))
+  }
+
+  test("xml: escaped serialization matches reference shape") {
+    val xml = Transcripts.toXml(utterances)
+      .filter($"case_id" === "1981_plyler-v-doe")
+      .select("xml").as[String].head()
+    assert(xml.startsWith("<transcript>\n"))
+    assert(xml.endsWith("\n</transcript>"))
+    assert(xml.contains("<utterance speaker=\"Thurgood Marshall\">"))
+    assert(xml.contains("education &amp; &lt;rights&gt; of children"))
+  }
+
+  test("idempotent sink: second append inserts zero rows") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/utt"
+    val n1 = Sinks.idempotentAppend(utterances, dir, Seq("id"))
+    val n2 = Sinks.idempotentAppend(utterances, dir, Seq("id"))
+    assert(n1 == utterances.count() && n2 == 0)
+    assert(spark.read.parquet(dir).count() == n1)
+  }
+
+  test("embedding stages produce unit-norm fixed-dim vectors") {
+    val docs = Tables.documents(spark, sfDir).limit(10)
+    Seq(new HashingEmbedder(64), new BatchInferenceEmbedder(64, 4)).foreach { st =>
+      val out = st.embed(docs, "text", "vec")
+        .select(size($"vec").as("d"),
+          sqrt(aggregate(transform($"vec", x => x.cast("double") * x),
+            lit(0.0), (a, x) => a + x)).as("n"))
+        .as[(Int, Double)].collect()
+      out.foreach { case (d, n) =>
+        assert(d == 64, s"$st dim")
+        assert(math.abs(n - 1.0) < 1e-5, s"$st norm $n")
+      }
+    }
+  }
+
+  test("dbt-style invariants: positive durations, unique non-null keys") {
+    val u = utterances
+    assert(u.filter($"end_time_ms" < $"start_time_ms").count() == 0)
+    assert(u.filter($"id".isNull || $"case_id".isNull || $"text".isNull).count() == 0)
+    assert(u.select("id").distinct().count() == u.count())
+    assert(u.filter(size(graft.functions.TextFunctions.tokens($"text")) === 0).count() == 0)
+  }
+}
