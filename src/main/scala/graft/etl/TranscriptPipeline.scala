@@ -48,6 +48,41 @@ object TranscriptPipeline {
     Transcripts.toXml(utterances)
       .select("case_id", "xml") // text sink: one value column + partition col
       .write.mode("overwrite").partitionBy("case_id").text(s"$outDir/xml")
+
+    // Legacy transcript-level embedding table (schema.sql:12-26): one row
+    // per (case, oa) with the token-weighted mean of its chunk vectors
+    // (A1) and the speaker list as a JSON column.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecWeightedMean
+    val transcriptEmbeddings = embedded
+      .groupBy(col("case_id"), col("oa_id"), col("source_key"))
+      .agg(
+        concat_ws("\n", transform(
+          sort_array(collect_list(struct(col("section_id").as("s"), col("chunk_text").as("t")))),
+          x => x.getField("t"))).as("text"),
+        VecWeightedMean(col("vector"), col("token_count").cast("double")).as("vector"))
+      .join(utterances.groupBy(col("case_id"))
+        .agg(to_json(sort_array(collect_set(col("speaker_name")))).as("speaker_list")),
+        Seq("case_id"))
+      .select(
+        concat(col("case_id"), lit("_te")).as("id"), col("text"), col("vector"),
+        expr("substring(case_id, instr(case_id, '_') + 1)").as("case_name"),
+        substring_index(col("case_id"), "_", 1).as("term"),
+        col("case_id"), col("oa_id"), col("source_key"),
+        lit(null).cast("string").as("xml_uri"), col("speaker_list"))
+    transcriptEmbeddings.write.mode("overwrite")
+      .parquet(s"$outDir/transcript_embeddings")
+
+    // dbt medallion (SURVEY §3.2): bronze/silver inline, gold persisted.
+    import graft.analytics.Medallion
+    val bronzeOa = Medallion.bronzeOaText(
+      spark.read.parquet(s"$outDir/oa_text"))
+    val bronzeTe = Medallion.bronzeTranscriptEmbeddings(transcriptEmbeddings)
+    val silver = Medallion.silverCaseSummaries(bronzeOa, bronzeTe)
+    Medallion.goldSpeakerAnalytics(bronzeOa, bronzeTe)
+      .write.mode("overwrite").parquet(s"$outDir/gold_speaker_analytics")
+    Medallion.goldOralArgumentsAnalytics(silver, bronzeTe)
+      .write.mode("overwrite").parquet(s"$outDir/gold_oral_arguments_analytics")
     Sinks.runSummary(s"$outDir/ingestion_summary/summary.json", Map(
       "raw_documents" -> raw.count(),
       "valid_documents" -> valid.count(),
