@@ -37,6 +37,8 @@ object SparkEntry {
     "f11_daily_rollup"      -> (ScalarQueries.dailyEventRollup _),
     "a1_weighted_vec_mean"  -> (VectorQueries.weightedMeanByLabel _),
     "v1_cosine_top5"        -> (VectorQueries.cosineTop5 _),
+    "w4_centroid_rep"       -> (VectorQueries.centroidRepresentative _),
+    "a7_label_stats"        -> (VectorQueries.labelStats _),
     "g1_word_explode"       -> (NestedQueries.wordExplode _),
     "g2_ordered_reassembly" -> (NestedQueries.orderedReassembly _),
     "w1_event_index"        -> (NestedQueries.eventIndex _),
@@ -212,6 +214,30 @@ object SparkEntry {
         |  FROM sims)
         |WHERE rn <= 5
         |ORDER BY probe_id, rn""".stripMargin,
+    "w4_centroid_rep" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY label, dim),
+        |dist AS (
+        |  SELECT ex.label, vec_id, sum((x - c) * (x - c)) AS d
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+        |  GROUP BY ex.label, vec_id)
+        |SELECT label, vec_id, floor(d * 1000000 + 0.5) / 1000000 AS dist
+        |FROM (SELECT label, vec_id, d,
+        |        row_number() OVER (PARTITION BY label ORDER BY d, vec_id) AS rn
+        |      FROM dist)
+        |WHERE rn = 1
+        |ORDER BY label""".stripMargin,
+    "a7_label_stats" ->
+      """SELECT label, count(*) AS cluster_size,
+        |  floor(avg(CAST(embedding[1] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_x,
+        |  floor(stddev_samp(CAST(embedding[1] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS std_x
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
     "g1_word_explode" ->
       """SELECT doc_id,
         |  generate_subscripts(string_split(text, ' '), 1) AS word_pos,

@@ -26,6 +26,41 @@ object VectorQueries {
         exactRound(col("col"), 5).as("wmean_val"))
       .orderBy(col("label"), col("dim"))
 
+  /** W4 — centroid representative per label (reference argmin-distance
+    * representative selection, clustering/helpers.py:177-183): explode
+    * to (label, dim, x), average to centroids, squared-distance join,
+    * rank-1 per label with case-id tie-break. All columnar — mirrors
+    * the oracle SQL structurally so float noise stays below rounding. */
+  def centroidRepresentative(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("label"), col("vec_id"), (col("pos") + 1).as("dim"),
+        col("col").as("x"))
+    val cent = ex.groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
+    val dist = ex.join(cent, Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    val w = Window.partitionBy(col("label")).orderBy(col("d"), col("vec_id"))
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("label"), col("vec_id"), exactRound(col("d"), 6).as("dist"))
+      .orderBy(col("label"))
+  }
+
+  /** A7/A8 — per-cluster stats histogram (size, mean/std of the first
+    * embedding component — reference cluster token stats,
+    * clustering/helpers.py:246-252). */
+  def labelStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        element_at(col("embedding"), 1).cast("double").as("x"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        exactRound(avg(col("x")), 6).as("mean_x"),
+        exactRound(stddev_samp(col("x")), 6).as("std_x"))
+      .orderBy(col("label"))
+
   /** U5/F9 + W5 — cosine top-5 neighbors for the first 5 vectors
     * (reference: top-5 nearest neighbors per cluster,
     * clustering/helpers.py:185-226). The probe side is tiny and

@@ -1,0 +1,59 @@
+package graft.clustering
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.etl.Sinks
+
+/** Clustering analysis entry point (reference services/clustering/main.py
+  * run_analysis, SURVEY.md §3.3): chunk table → case embeddings →
+  * scale → project → cluster → representatives + neighbors → CSV/JSON
+  * export (K5).
+  *
+  * Usage: runMain graft.clustering.ClusteringPipeline <chunkParquet> <outDir>
+  */
+object ClusteringPipeline {
+  def main(args: Array[String]): Unit = {
+    val chunkPath = args(0)
+    val outDir = args(1)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-clustering")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val chunks = spark.read.parquet(chunkPath)
+    val cases = CaseClustering.caseEmbeddings(chunks).cache()
+    val n = cases.count()
+    require(n > 0, "no case embeddings")
+
+    val scaled = CaseClustering.scale(cases)
+    val projected = new CaseClustering.PcaProjector().project(scaled, "scaled")
+    val clustered = new CaseClustering.KMeansClusterer()
+      .cluster(projected, "scaled").cache()
+    val reps = CaseClustering.representatives(clustered).cache()
+    val neighbors = CaseClustering.topNeighbors(clustered, reps)
+    val stats = CaseClustering.clusterStats(clustered)
+
+    Sinks.csvWithMetadata(
+      clustered.select(col("case_id"), col("term_year"), col("docket_name"),
+        col("total_tokens"), col("section_count"), col("x"), col("y"), col("cluster")),
+      outDir,
+      s"""{"n_cases": $n, "seed": 42,
+         |"perplexity_clamped": ${CaseClustering.clampPerplexity(30.0, n)},
+         |"min_cluster_size_clamped": ${CaseClustering.clampMinClusterSize(5, n)},
+         |"n_clusters": ${stats.count()}}""".stripMargin)
+    reps.select(col("cluster"), col("case_id"), col("dist"))
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$outDir/representatives")
+    neighbors.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$outDir/neighbors")
+    println(s"[clustering] cases=$n clusters=${stats.count()} " +
+      s"reps=${reps.count()} neighbors=${neighbors.count()} -> $outDir")
+    spark.stop()
+  }
+}

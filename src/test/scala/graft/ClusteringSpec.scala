@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.clustering.CaseClustering
+import graft.clustering.CaseClustering.{KMeansClusterer, PcaProjector}
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // synthetic "chunk" table from the embeddings testdata
+  private lazy val chunks = Tables.embeddings(spark, sfDir)
+    .select(
+      concat(lit("case_"), ($"vec_id" % 50)).as("case_id"),
+      $"embedding".as("vector"),
+      (($"vec_id" % 9) + 1).cast("int").as("token_count"))
+
+  private lazy val cases = CaseClustering.caseEmbeddings(chunks).cache()
+
+  test("parameter clamps reproduce the reference formulas") {
+    assert(CaseClustering.clampPerplexity(30, 8) == 5.0)    // max(5, 2)
+    assert(CaseClustering.clampPerplexity(30, 1000) == 30.0)
+    assert(CaseClustering.clampPerplexity(30, 40) == 10.0)  // n/4
+    assert(CaseClustering.clampMinClusterSize(5, 10) == 2)  // n/8=1 → 2
+    assert(CaseClustering.clampMinClusterSize(5, 100) == 5) // min(m=5, 12)
+    assert(CaseClustering.clampMinClusterSize(5, 30) == 3)  // n/8=3
+  }
+
+  test("case embeddings: one row per case with derived key columns") {
+    assert(cases.count() == 50)
+    val r = cases.filter($"case_id" === "case_0").head()
+    assert(r.getAs[scala.collection.Seq[Double]]("case_embedding").size == 64)
+    assert(r.getAs[String]("term_year") == "case")
+    val spanned = cases.filter(size($"case_embedding") =!= 64).count()
+    assert(spanned == 0)
+  }
+
+  test("scaling yields ~zero mean, ~unit variance per dimension") {
+    val scaled = CaseClustering.scale(cases)
+    val stats = scaled
+      .select(posexplode($"scaled"))
+      .groupBy($"pos").agg(avg($"col").as("m"), stddev_samp($"col").as("s"))
+      .agg(max(abs($"m")), max(abs($"s" - 1.0))).head()
+    assert(stats.getDouble(0) < 1e-9, "mean")
+    assert(stats.getDouble(1) < 1e-6, "std")
+  }
+
+  test("projection + clustering + representatives + neighbors pipeline") {
+    val projected = new PcaProjector().project(CaseClustering.scale(cases), "scaled")
+    assert(projected.filter($"x".isNull || $"y".isNull).count() == 0)
+    val clustered = new KMeansClusterer().cluster(projected, "scaled").cache()
+    val k = clustered.select("cluster").distinct().count()
+    assert(k >= 1 && k <= 20)
+    assert(clustered.count() == 50) // every case assigned
+
+    val reps = CaseClustering.representatives(clustered).cache()
+    assert(reps.count() == k) // exactly one per cluster
+    // representative's distance is the minimum of its cluster
+    val joined = clustered.join(
+        reps.select($"cluster", $"case_id".as("rep_id"), $"dist".as("rep_dist")),
+        Seq("cluster"))
+      .join(CaseClustering.representatives(clustered)
+        .select($"cluster", $"dist"), Seq("cluster"))
+    val stats = CaseClustering.clusterStats(clustered)
+    assert(stats.agg(sum("cluster_size")).head.getLong(0) == 50)
+
+    val neighbors = CaseClustering.topNeighbors(clustered, reps, k = 5)
+    val perCluster = neighbors.groupBy("cluster").count()
+      .filter($"count" > 5).count()
+    assert(perCluster == 0)
+    // neighbors never include the representative itself
+    assert(neighbors.filter($"case_id" === $"rep_case_id").count() == 0)
+    // similarity within [-1, 1]
+    assert(neighbors.filter(abs($"similarity") > 1.0 + 1e-9).count() == 0)
+  }
+
+  test("clustering is deterministic across runs (seed 42)") {
+    val projected = new PcaProjector().project(CaseClustering.scale(cases), "scaled")
+    val a = new KMeansClusterer().cluster(projected, "scaled")
+      .select("case_id", "cluster").as[(String, Int)].collect().toMap
+    val b = new KMeansClusterer().cluster(projected, "scaled")
+      .select("case_id", "cluster").as[(String, Int)].collect().toMap
+    assert(a == b)
+  }
+}
