@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, NestedQueries, ScalarQueries, VectorQueries}
+import graft.analytics.{CoreQueries, DedupQueries, NestedQueries, ScalarQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,15 @@ object SparkEntry {
     "g1_word_explode"       -> (NestedQueries.wordExplode _),
     "g2_ordered_reassembly" -> (NestedQueries.orderedReassembly _),
     "w1_event_index"        -> (NestedQueries.eventIndex _),
+    "d1_exact_dedup"        -> (DedupQueries.exactDedup _),
+    "d2_minhash_neardup"    -> (DedupQueries.minhashNearDups _),
+    "d3_simhash_neardup"    -> (DedupQueries.simhashNearDups _),
+    "d4_ngram_jaccard"      -> (DedupQueries.ngramJaccard _),
+    "d5_embedding_neardup"  -> (DedupQueries.embeddingNearDups _),
+    "t1_lang_id"            -> (TextQueries.langId _),
+    "t2_quality_score"      -> (TextQueries.quality _),
+    "t3_token_count"        -> (TextQueries.tokenCount _),
+    "t4_fingerprint"        -> (TextQueries.fingerprint _),
   )
 
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
@@ -264,5 +273,105 @@ object SparkEntry {
         |FROM events
         |WHERE user_id < 20
         |ORDER BY user_id, event_idx""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100)
+        |GROUP BY text
+        |HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "d2_minhash_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor((len(list_intersect(a.s, b.s))::DOUBLE
+        |         / len(list_distinct(a.s || b.s))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents WHERE doc_id < 300)
+        |  WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor((len(list_intersect(a.s, b.s))::DOUBLE
+        |         / len(list_distinct(a.s || b.s))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d5_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  floor((list_dot_product(a.v, b.v) /
+        |    nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0))
+        |    * 1000000 + 0.5) / 1000000 AS cosine
+        |FROM e a JOIN e b ON b.vec_id > a.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0)
+        |  >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t1_lang_id" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(ws, w -> list_contains(['the','a','of','and','to'], w))) AS score_en,
+        |    len(list_filter(ws, w -> list_contains(['el','la','de','y','en'], w))) AS score_es,
+        |    len(list_filter(ws, w -> list_contains(['der','die','das','und','zu'], w))) AS score_de
+        |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents))
+        |SELECT lang,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+        |       WHEN score_es >= score_de THEN 'es'
+        |       ELSE 'de' END AS predicted_lang,
+        |  count(*) AS n_docs, sum(score_en) AS sum_score_en
+        |FROM s
+        |GROUP BY 1, 2
+        |ORDER BY lang, predicted_lang""".stripMargin,
+    "t2_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    length(text) AS n_chars,
+        |    (length(text) - (len(ws) - 1))::DOUBLE / len(ws) AS avg_word_len,
+        |    len(list_filter(ws, w -> list_contains(
+        |      ['the','a','of','and','to','el','la','de','y','en','der','die','das','und','zu'], w)))::DOUBLE
+        |      / len(ws) AS stopword_ratio,
+        |    len(list_filter(ws, w -> length(w) <= 2))::DOUBLE / len(ws) AS short_word_ratio
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents WHERE doc_id < 200))
+        |SELECT doc_id, n_words, n_chars,
+        |  floor(avg_word_len * 10000 + 0.5) / 10000 AS avg_word_len,
+        |  floor(stopword_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+        |  floor((stopword_ratio * 0.4 + (1.0 - short_word_ratio) * 0.4 +
+        |         least(avg_word_len / 10.0, 1.0) * 0.2) * 10000 + 0.5) / 10000
+        |    AS quality_score
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9_'']+|[^A-Za-z0-9_''\s]')) AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), w -> CAST(length(w) + 1 AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

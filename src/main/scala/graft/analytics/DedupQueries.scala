@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Dedup
+import graft.functions.Rounding.exactRound
+
+/** Dedup exemplars over the documents/embeddings tables. */
+object DedupQueries {
+
+  /** Exact dedup — documents unioned with a shifted copy of the first
+    * 100 so the duplicate groups are non-trivial; output the surviving
+    * id per duplicated text. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dup = docs.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    Dedup.exact(docs.unionByName(dup), "doc_id", "text")
+      .filter(col("n_dups") > 1)
+      .orderBy(col("keep_id"))
+  }
+
+  /** MinHash+LSH near-dups, exact-verified at Jaccard ≥ 0.8. The oracle
+    * is the brute-force pair scan — banding at 32/8 has ~1-1e-6 recall
+    * at J ≥ 0.9 and the corpus's planted near-dups sit at J ≥ 0.95
+    * with a cliff to ≤ 0.1, so LSH+verify equals brute force. */
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDups(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+      .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force n-gram Jaccard pairs (id-windowed) — the dedup
+    * verification baseline, oracle-identical by construction. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 300),
+      "doc_id", "text", 0.8)
+      .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup candidates (Hamming ≤ 3 via 16-bit band join).
+    * Rows-only check: xxhash64 is not portable to the oracle engine. */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs, brute force. */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
+      .select(col("id_a"), col("id_b"), exactRound(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+}

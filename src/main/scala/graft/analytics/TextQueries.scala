@@ -1,0 +1,57 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextAnalysis
+import graft.functions.Rounding.exactRound
+
+/** Text-analysis exemplars over the documents table. */
+object TextQueries {
+
+  /** t1 — language-ID heuristic: per-doc marker scores + argmax with
+    * fixed tie precedence; rolled up per (actual, predicted) pair. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.langScores(col("text"))
+      .foldLeft(Tables.documents(spark, dir)) {
+        case (d, (l, c)) => d.withColumn(s"score_$l", c)
+      }
+    scored
+      .withColumn("predicted_lang",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de"), "en")
+          .when(col("score_es") >= col("score_de"), "es")
+          .otherwise("de"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_en")).as("sum_score_en"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  /** t2 — quality scoring: ratio features + composite score. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val withFeatures = TextAnalysis.qualityFeatures(col("text"))
+      .foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
+    withFeatures.select(
+      col("doc_id"), col("n_words"), col("n_chars"),
+      exactRound(col("avg_word_len"), 4).as("avg_word_len"),
+      exactRound(col("stopword_ratio"), 4).as("stopword_ratio"),
+      exactRound(TextAnalysis.qualityScore(col("text")), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t3 — token counting: BPE-ish regex tokens vs whitespace words. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        graft.functions.TextFunctions.wordCount(col("text")).as("n_words"))
+      .orderBy(col("doc_id"))
+
+  /** t4 — rolling-hash fingerprint; duplicate-shape groups surface as
+    * shared fingerprints. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+}

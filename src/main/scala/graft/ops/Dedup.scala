@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (beyond-reference surface, BASELINE.json north star).
+  *
+  * All operators are pure column expressions + joins — no UDFs — so
+  * they scale as ordinary shuffles:
+  *  - exact: one hash aggregation on the text (or a digest of it).
+  *  - MinHash LSH: per-row signature (map-side), explode to bands
+  *    (×B rows), self-join on (band, hash) — the classic
+  *    shingle→minhash→band→bucket-join; candidates are then verified
+  *    with exact Jaccard so false positives never escape. At 100 TB the
+  *    only quadratic work is within buckets.
+  *  - SimHash: 64-bit signature via bit-vote aggregation; candidate
+  *    pairs via 16-bit band join (Hamming ≤ 3 guarantee by pigeonhole).
+  *  - embedding near-dup: brute-force cosine within blocks (see
+  *    Similarity for the LSH-bucketed variant).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles; empty array when the text is too
+    * short (guards Spark's descending `sequence` when stop < start). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = split(text, " ")
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
+  }
+
+  /** Exact Jaccard over two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact dedup: one row per distinct text with the surviving id
+    * (min) and the duplicate count. Hash aggregation on text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .drop("__text")
+
+  /** Per-hash-function affine permutation constants (odd multipliers,
+    * fixed seed — deterministic across runs). Both constants and the
+    * reduced hash stay below 2^31 so `h*a + b` never overflows a Long
+    * (Spark 4 runs ANSI mode: overflow THROWS, it doesn't wrap). */
+  private val MinHashPrime = 2147483647L // 2^31 - 1
+  private def permA(i: Int): Long = ((0x9E3779B97F4A7C15L * (i + 1) >>> 33) | 1L) % MinHashPrime
+  private def permB(i: Int): Long = (0xC2B2AE3D27D4EB4FL * (i + 7) >>> 33) % MinHashPrime
+
+  /** MinHash signatures via explode + codegen'd hash aggregation:
+    * each shingle is hashed ONCE (xxhash64), then the `numHashes`
+    * signature slots are `min((a_i*h + b_i) mod p)` aggregate columns.
+    * Higher-order functions stay out of the hot path — array lambdas
+    * are interpreted in Spark, and 32 interpreted passes per document
+    * dominated the runtime; min() aggregates run in whole-stage
+    * codegen with map-side partial aggregation.
+    * Returns (idCol, m0..m{n-1}). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleN: Int): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleN)).as("__s"))
+      .select(col("__id"), pmod(xxhash64(col("__s")), lit(MinHashPrime)).as("__h"))
+    def slot(i: Int) =
+      min(pmod(col("__h") * permA(i) + permB(i), lit(MinHashPrime))).as(s"m$i")
+    hashed.groupBy(col("__id"))
+      .agg(slot(0), (1 until numHashes).map(slot): _*)
+  }
+
+  /** LSH band rows from signature columns: (band_idx, band_hash). */
+  private def bandRowsFromCols(numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", (0 until r).map(j =>
+          col(s"m${b * r + j}")): _*)).as("band_hash"))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold,
+    * id_a < id_b. False positives are eliminated by the verify step;
+    * false negatives are bounded by the banding curve
+    * (1-(1-s^r)^b ≈ 1 for s ≥ 0.9 at 32/8). */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, numHashes: Int = 32,
+                      bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    // Shingle sets are big (one string per word); keep them OUT of the
+    // band self-join — join ids only, dedupe candidate pairs, then
+    // re-join the shingle sets for just those pairs. At scale this is
+    // the difference between shuffling ids and shuffling the corpus.
+    val withSh = df
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val banded = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+      .select(col("__id"),
+        explode(bandRowsFromCols(numHashes, bands)).as("__band"))
+      .select(col("__id"), col("__band.band").as("band"),
+        col("__band.band_hash").as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can collide in >1 band
+    candidates
+      .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash signatures via explode + codegen'd aggregation:
+    * tokens hash once, each of the 64 bits is a sum() vote aggregate
+    * (interpreted array lambdas stay out of the hot path, as in
+    * [[minHashSignatures]]); the signature assembles from the vote
+    * signs. Returns (__id, __sig). */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__w"))
+      .select(col("__id"), xxhash64(col("__w")).as("__h"))
+    val votes = hashed.groupBy(col("__id")).agg(
+      sum(when(shiftright(col("__h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
+      (1 until 64).map(i =>
+        sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"v$i")): _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("__id"), sig.as("__sig"))
+  }
+
+  /** SimHash candidate pairs: 4 bands of 16 bits — any pair within
+    * Hamming distance 3 shares at least one exact band (pigeonhole);
+    * verified with the true Hamming distance. */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(df, idCol, textCol)
+    val banded = sigs.withColumn("__b", explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+      }: _*)))
+      .select(col("__id"), col("__sig"),
+        col("__b.band").as("band"), col("__b.band_val").as("band_val"))
+    val a = banded.select(col("band"), col("band_val"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Brute-force n-gram Jaccard pairs within an id window — the
+    * verification baseline for the LSH variants. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 3): DataFrame = {
+    val withSh = df
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val a = withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val b = withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicates, brute force all-pairs. Norms
+    * are computed ONCE per row before the pair join (the naive
+    * per-pair cosine recomputes both norms n times each); the pair
+    * expression is a single dot product + scalar division, matching
+    * the oracle's dot/(na*nb) op-for-op. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val e = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", VF.norm(col("__v")))
+    val a = e.select(col("__id").as("id_a"), col("__v").as("v_a"), col("__n").as("n_a"))
+    val b = e.select(col("__id").as("id_b"), col("__v").as("v_b"), col("__n").as("n_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VF.dot(col("v_a"), col("v_b")) / nullif(col("n_a") * col("n_b"), lit(0.0)))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

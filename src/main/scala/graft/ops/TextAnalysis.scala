@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions — one scan, whole-stage codegen, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Marker word sets for the n-gram/stopword language heuristic. A
+    * real system swaps in per-language frequency profiles; the
+    * heuristic structure (per-language evidence score → argmax with
+    * deterministic tie-break) is what the operator contract fixes. */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "zu"))
+
+  /** Evidence score: number of words present in the marker set. */
+  def markerScore(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => w.isin(markers: _*)))
+
+  /** Language-ID heuristic: argmax of marker scores with a fixed
+    * precedence (en > es > de) on ties. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val ws = split(text, " ")
+    Seq("en", "es", "de").map(l => l -> markerScore(ws, Markers(l)))
+  }
+
+  /** Quality-score features (length / stopword / word-shape ratios —
+    * the standard pre-training quality signals). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val ws = split(text, " ")
+    val nWords = size(ws)
+    val nChars = length(text)
+    val stopwords = Markers.values.flatten.toSeq
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+    val nLong = size(filter(ws, w => length(w) >= 7))
+    val nShort = size(filter(ws, w => length(w) <= 2))
+    Seq(
+      "n_words" -> nWords,
+      "n_chars" -> nChars,
+      // mean word length: (chars - separators) / words
+      "avg_word_len" -> (nChars - (nWords - 1)).cast("double") / nWords,
+      "stopword_ratio" -> nStop.cast("double") / nWords,
+      "long_word_ratio" -> nLong.cast("double") / nWords,
+      "short_word_ratio" -> nShort.cast("double") / nWords)
+  }
+
+  /** Composite quality score in [0, 1]-ish: rewards stopword presence
+    * and moderate word lengths, penalizes very short tokens. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    f("stopword_ratio") * 0.4 +
+      (lit(1.0) - f("short_word_ratio")) * 0.4 +
+      least(f("avg_word_len") / 10.0, lit(1.0)) * 0.2
+  }
+
+  /** BPE-ish token count (TextFunctions.tokens: word runs + single
+    * symbols) next to the plain whitespace count. */
+  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> TextFunctions.tokenCount(text),
+    "n_words" -> TextFunctions.wordCount(text))
+
+  /** Rolling-hash document fingerprint over word lengths:
+    * acc = (acc*31 + len(word)+1) mod 1e9+7, starting at 0. Uses word
+    * SHAPE, not content hashes, so the oracle engine can reproduce it
+    * exactly (no portable string-hash exists across engines); content
+    * sensitivity comes from Dedup.simHash64 instead. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, " "), lit(0L),
+      (acc, w) => pmod(acc * 31 + length(w) + 1, lit(1000000007L)))
+
+  /** Convenience: attach all text-analysis columns to a DataFrame. */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scores = langScores(t)
+    val scored = scores.foldLeft(df) { case (d, (l, c)) => d.withColumn(s"score_$l", c) }
+    scored
+      .withColumn("predicted_lang",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de"), "en")
+          .when(col("score_es") >= col("score_de"), "es")
+          .otherwise("de"))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("n_tokens", TextFunctions.tokenCount(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("shingles: short texts yield empty arrays, others distinct n-grams") {
+    val df = Seq((1, "one two"), (2, "a b c d"), (3, "x x x x x")).toDF("id", "t")
+    val got = df.select($"id", Dedup.shingles($"t", 3).as("sh"))
+      .select($"id", size($"sh")).as[(Int, Int)].collect().toMap
+    assert(got(1) == 0)      // too short
+    assert(got(2) == 2)      // "a b c", "b c d"
+    assert(got(3) == 1)      // all identical → distinct
+  }
+
+  test("LSH near-dups match brute force on the planted duplicates") {
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"LSH=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // planted near-dups exist at sf0.001
+  }
+
+  test("simhash: identical texts collide at hamming 0") {
+    val df = docs.limit(5).select($"doc_id", $"text")
+      .unionByName(docs.limit(5).select(($"doc_id" + 500000).as("doc_id"), $"text"))
+    val pairs = Dedup.simHashNearDups(df, "doc_id", "text", 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.count { case (a, b, h) => b - a == 500000 && h == 0 } == 5)
+  }
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("embedding near-dups are symmetric-free and thresholded") {
+    val pairs = Dedup.embeddingNearDups(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.45)
+      .as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, c) => assert(a < b); assert(c >= 0.45 && c <= 1.0) }
+  }
+}
