@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, DedupQueries, NestedQueries, ScalarQueries, TextQueries, VectorQueries}
+import graft.analytics.{CoreQueries, DedupQueries, NestedQueries, ScalarQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,6 +51,9 @@ object SparkEntry {
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
+    "s1_ann_topk"           -> (VectorQueries.annTopK _),
+    "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
+    "st2_user_sessions"     -> (StreamQueries.userSessions _),
   )
 
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
@@ -322,6 +325,34 @@ object SparkEntry {
         |    nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0)
         |  >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "st1_hourly_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "st2_user_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN CAST(ts AS TIMESTAMP)
+        |           - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+        |         >= INTERVAL 2 HOUR OR
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "t1_lang_id" ->
       """WITH s AS (
         |  SELECT lang,

@@ -26,6 +26,19 @@ object VectorQueries {
         exactRound(col("col"), 5).as("wmean_val"))
       .orderBy(col("label"), col("dim"))
 
+  /** ANN top-10 via sign-random-projection LSH (rows-only check:
+    * approximate results have no SQL oracle; determinism and recall
+    * are covered by SimilaritySpec). Exercises the bucketed path at
+    * bench scale. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    new graft.ops.Similarity.SignRandomProjectionLsh(dim = 64, nBits = 10)
+      .annTopK(corpus, queries, 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** W4 — centroid representative per label (reference argmin-distance
     * representative selection, clustering/helpers.py:177-183): explode
     * to (label, dim, x), average to centroids, squared-distance join,

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, one contract (query_id, corpus id, cosine, rank):
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set
+  *    against the full corpus; per-row norms precomputed; one window
+  *    per query for the top-k. The baseline, and the verifier for the
+  *    approximate paths.
+  *  - [[SignRandomProjectionLsh]] — the scale path: bucket the corpus
+  *    by an n-bit sign-random-projection signature; queries probe
+  *    their own bucket plus all 1-bit-flip neighbors (multi-probe), so
+  *    the candidate set is ~corpus/2^bits × (bits+1) instead of the
+  *    whole corpus. Hyperplanes derive from a fixed seed —
+  *    deterministic across runs.
+  *
+  * At 100 TB the corpus side stays partitioned by signature (a join
+  * key), queries broadcast, and only candidate buckets are read —
+  * bucket pruning composes with parquet partition pruning if the
+  * corpus is written partitioned by signature.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every query row against every corpus row. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", VF.norm(col("__cv")))
+    val q = queries.select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", VF.norm(col("__qv")))
+    val sims = c.join(broadcast(q), col("cand_id") =!= col(queryIdCol))
+      .withColumn("cosine",
+        VF.dot(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  /** Sign-random-projection LSH index parameters. Hyperplane
+    * components come from a seeded generator — same seed, same
+    * signatures, every run, every engine. */
+  final class SignRandomProjectionLsh(dim: Int, nBits: Int = 12, seed: Long = 42L) {
+    require(nBits <= 30, "signature must fit an Int")
+
+    /** hyperplanes(bit)(dim) in [-1, 1). */
+    val hyperplanes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nBits, dim)(rnd.nextDouble() * 2 - 1)
+    }
+
+    /** Signature column: bit i set iff dot(v, h_i) > 0. Each hyperplane
+      * dot is one zip_with/aggregate against an array literal — compact
+      * plans (an unrolled per-dimension sum of dim×nBits terms blows up
+      * codegen and planning memory). */
+    def signature(vec: Column): Column = {
+      val v = vec.cast("array<double>")
+      val bits = (0 until nBits).map { i =>
+        val h = typedLit(hyperplanes(i).toSeq)
+        val dot = aggregate(zip_with(v, h, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+        when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+
+    /** The signature plus its `nBits` 1-bit-flip neighbors (multi-probe). */
+    def probeSignatures(vec: Column): Column = {
+      val sig = signature(vec)
+      array(sig +: (0 until nBits).map(i => sig.bitwiseXOR(lit(1 << i))): _*)
+    }
+
+    /** Approximate cosine top-k: candidates share a (probed) bucket. */
+    def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                queryIdCol: String = "query_id"): DataFrame = {
+      val c = corpus.select(col(idCol).as("cand_id"),
+          col(vecCol).cast("array<double>").as("__cv"))
+        .withColumn("__sig", signature(col("__cv")))
+        .withColumn("__cn", VF.norm(col("__cv")))
+      val q = queries.select(col(queryIdCol),
+          col(vecCol).cast("array<double>").as("__qv"))
+        .withColumn("__sig", explode(probeSignatures(col("__qv"))))
+        .withColumn("__qn", VF.norm(col("__qv")))
+      val sims = c.join(broadcast(q), Seq("__sig"))
+        .filter(col("cand_id") =!= col(queryIdCol))
+        .dropDuplicates(queryIdCol, "cand_id") // multi-probe can re-find
+        .withColumn("cosine",
+          VF.dot(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)))
+      val w = Window.partitionBy(col(queryIdCol))
+        .orderBy(col("cosine").desc, col("cand_id"))
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col("cand_id"), col("cosine"), col("rank"))
+    }
+  }
+
+  /** IVF-style ANN: corpus assigned to KMeans centroids; queries search
+    * the `nProbe` nearest inverted lists. The coarse quantizer is tiny
+    * and broadcast; the corpus shuffles once at index build. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
+              nProbe: Int = 3, idCol: String = "vec_id",
+              vecCol: String = "embedding", queryIdCol: String = "query_id",
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c0 = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val km = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("list_id")
+      .fit(c0.withColumn("__vec", array_to_vector(col("__cv"))))
+    val assigned = km.transform(c0.withColumn("__vec", array_to_vector(col("__cv"))))
+      .select(col("cand_id"), col("__cv"), col("list_id"))
+      .withColumn("__cn", VF.norm(col("__cv")))
+    val centroids = km.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val centDf = corpus.sparkSession.createDataFrame(centroids)
+      .toDF("list_id", "centroid")
+    val q0 = queries.select(col(queryIdCol), col(vecCol).cast("array<double>").as("__qv"))
+    // nProbe nearest centroids per query
+    val qLists = q0.crossJoin(broadcast(centDf))
+      .withColumn("cdist", VF.sqDist(col("__qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("cdist"), col("list_id"))))
+      .filter(col("crank") <= nProbe)
+      .select(col(queryIdCol), col("__qv"), col("list_id"))
+      .withColumn("__qn", VF.norm(col("__qv")))
+    val sims = assigned.join(broadcast(qLists), Seq("list_id"))
+      .filter(col("cand_id") =!= col(queryIdCol))
+      .withColumn("cosine",
+        VF.dot(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("cand_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the events stream (SURVEY.md
+  * §2.9 — the reference is batch-only with scheduled-incremental
+  * semantics; this module supplies the streaming surface a Spark-native
+  * engine is expected to have: event-time windows + watermarks,
+  * session windows, and custom state via flatMapGroupsWithState).
+  *
+  * Every transform takes a DataFrame that may be batch OR streaming —
+  * watermarks apply only on streaming inputs, so batch runs of the
+  * same code produce the oracle-checkable equivalents.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate (count + value sum per
+    * event_type). With a streaming input, a 10-minute watermark bounds
+    * state; with a batch input the same plan is a plain window groupBy. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "10 minutes")
+             else events
+    in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Session windows per user: events within `gap` of each other fuse
+    * into one session (Spark's native session_window). */
+  def userSessions(events: DataFrame, gap: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "10 minutes")
+             else events
+    in.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+                         last_seen: Timestamp)
+
+  /** Custom state: running per-user totals via flatMapGroupsWithState
+    * (the KeyValueGroupedDataset path — the shape a real pipeline uses
+    * for dedup-by-key, enrich-with-history, or fraud counters). Emits
+    * the updated running row per input batch per user. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(
+              UserRunning(userId, 0L, 0.0, new Timestamp(0)))
+            val next = sorted.foldLeft(prev) { (acc, e) =>
+              UserRunning(userId, acc.n_events + 1,
+                acc.total_value + e.value,
+                if (e.ts.after(acc.last_seen)) e.ts else acc.last_seen)
+            }
+            state.update(next)
+            Iterator.single(next)
+          }
+      }
+  }
+
+  /** Incremental file-stream run of a transform with
+    * Trigger.AvailableNow semantics into an in-memory table — the
+    * faithful translation of the reference's scheduled-incremental
+    * batch (SURVEY §1.4). Returns the collected result. */
+  def runAvailableNow(spark: SparkSession, sourceDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      transform: DataFrame => DataFrame,
+                      queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = transform(stream).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Tables.embeddings(spark, sfDir)
+  private lazy val queries = corpus.filter($"vec_id" < 10)
+    .select($"vec_id".as("query_id"), $"embedding")
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+  test("brute force: k results per query, ranked by descending cosine") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, 10)
+    val counts = bf.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 10 && counts.values.forall(_ == 10))
+    val ranks = bf.filter($"query_id" === 0).orderBy($"rank")
+      .select("cosine").as[Double].collect()
+    assert(ranks.sameElements(ranks.sorted(Ordering[Double].reverse)))
+  }
+
+  test("sign-LSH ANN: multi-probe recall vs brute force is reasonable") {
+    val lsh = new Similarity.SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val ann = lsh.annTopK(corpus, queries, 10)
+    val bf = Similarity.bruteForceTopK(corpus, queries, 10)
+    val annS = topSets(ann); val bfS = topSets(bf)
+    val recall = bfS.map { case (q, s) =>
+      annS.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }.sum / bfS.size
+    // Random gaussian embeddings are sign-LSH's adversarial case: true
+    // neighbors sit at cosine ~0.5 where hyperplane agreement is weak,
+    // so recall at 9 probes of 256 buckets lands ~0.1-0.2 (vs ~3.5%
+    // candidate fraction — still a 4-6x lift over random). Real
+    // near-dup corpora (cosine ≥ 0.9) bucket together with high
+    // probability; the IVF path covers moderate-similarity workloads.
+    assert(recall > 0.05, s"recall $recall")
+    assert(ann.filter($"rank" > 10).count() == 0)
+  }
+
+  test("sign-LSH: deterministic across runs") {
+    val lsh = new Similarity.SignRandomProjectionLsh(64, 8)
+    val a = lsh.annTopK(corpus, queries, 5).collect().map(_.toString).sorted
+    val b = new Similarity.SignRandomProjectionLsh(64, 8)
+      .annTopK(corpus, queries, 5).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("IVF ANN: probing more lists improves or maintains recall") {
+    val bf = topSets(Similarity.bruteForceTopK(corpus, queries, 10))
+    def recallAt(nProbe: Int): Double = {
+      val ivf = topSets(Similarity.ivfTopK(corpus, queries, 10,
+        nLists = 8, nProbe = nProbe))
+      bf.map { case (q, s) =>
+        ivf.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+      }.sum / bf.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4); val r8 = recallAt(8)
+    assert(r8 >= r4 - 1e-9 && r4 >= r1 - 1e-9, s"$r1 / $r4 / $r8")
+    assert(math.abs(r8 - 1.0) < 1e-9, s"full probe must equal brute force, got $r8")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val batchEvents = Tables.events(spark, sfDir)
+
+  test("streaming hourly window equals the batch run of the same transform") {
+    // stage the events as a parquet "stream source" with a stable schema
+    val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val streamed = EventStreams.runAvailableNow(
+      spark, dir, schema, EventStreams.hourlyTypeCounts, "hourly_test")
+    val batch = EventStreams.hourlyTypeCounts(batchEvents)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"hour_start".cast("string"), $"event_type", $"n_events")
+        .as[(String, String, Long)].collect().toSet
+    assert(key(streamed) == key(batch))
+    assert(batch.count() > 0)
+  }
+
+  test("session windows: no overlapping sessions per user, gaps respected") {
+    val sessions = EventStreams.userSessions(batchEvents, "2 hours")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect()
+      .groupBy(_._1)
+    sessions.foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts at least 2h after the previous LAST event
+          assert(b._2.getTime - a._3.getTime >= 2 * 3600 * 1000L)
+        case _ =>
+      }
+    }
+    val total = sessions.values.flatten.map(_._4).sum
+    assert(total == batchEvents.count())
+  }
+
+  test("flatMapGroupsWithState accumulates running user totals") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-src2").toString
+    batchEvents.filter($"user_id" < 5).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[EventStreams.Event]
+    val q = EventStreams.runningUserTotals(stream).writeStream
+      .format("memory").queryName("running_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last emitted row per user == the batch totals
+    val got = spark.table("running_test")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_value")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.total_value")
+      .as[(Long, Long, Double)].collect().map { case (u, n, v) => u -> (n, v) }.toMap
+    val want = batchEvents.filter($"user_id" < 5)
+      .groupBy($"user_id").agg(count(lit(1)), sum($"value"))
+      .as[(Long, Long, Double)].collect().map { case (u, n, v) => u -> (n, v) }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, (n, v)) =>
+      assert(n == want(u)._1, s"user $u count")
+      assert(math.abs(v - want(u)._2) < 1e-6, s"user $u value")
+    }
+  }
+}
