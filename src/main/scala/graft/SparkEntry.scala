@@ -54,6 +54,7 @@ object SparkEntry {
     "s1_ann_topk"           -> (VectorQueries.annTopK _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
+    "m1_binary_meta"        -> (TextQueries.binaryMeta _),
   )
 
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
@@ -353,6 +354,15 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(doc_id % 64 + 16 AS INT) AS width,
+        |  CAST((doc_id * 7) % 64 + 16 AS INT) AS height,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
     "t1_lang_id" ->
       """WITH s AS (
         |  SELECT lang,

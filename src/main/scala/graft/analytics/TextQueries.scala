@@ -54,4 +54,18 @@ object TextQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** m1 — multimodal media table plumbing: binary payload byte length,
+    * content digest, and the deterministic typed metadata
+    * (graft.ops.Multimodal.toMediaTable). */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.toMediaTable(Tables.documents(spark, dir))
+      .select(
+        col("media_id"),
+        col("meta.kind").as("kind"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"))
+      .orderBy(col("media_id"))
 }

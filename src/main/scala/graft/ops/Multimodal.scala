@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata (beyond-reference surface).
+  *
+  * The DECODE step is a clearly-marked deterministic STUB — the image/
+  * audio codecs aren't in this container — but every Spark-side piece a
+  * real pipeline needs is genuine and tested: the schema contract
+  * (binary payload + typed meta struct), partition-preserving batched
+  * inference via mapPartitions (the Scala analog of mapInPandas: rows
+  * are grouped into fixed-size batches, the "model" sees Seq[bytes] and
+  * returns Seq[tensor]), columnar meta derivation, and frame-index
+  * generation. Swapping the stub for JNI/ONNX decode changes one
+  * function value, no plan shape.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the binary payload. */
+  val mediaMeta: StructType = StructType(Seq(
+    StructField("kind", StringType),          // image | audio | video
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_s", DoubleType),
+    StructField("n_frames", IntegerType)))
+
+  /** Build a media table from the documents corpus: payload = UTF-8
+    * bytes of the text (a stand-in binary blob), metadata derived
+    * deterministically from the doc. Kind cycles image/audio/video. */
+  def toMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id") * 7, lit(64)) + 16).cast("int").as("height"),
+        lit(3).as("channels"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("doc_id"), lit(30)) + 1).cast("double").as("duration_s"),
+        ((pmod(col("doc_id"), lit(30)) + 1) * 24).cast("int").as("n_frames"))
+        .as("meta"))
+
+  /** STUB decode: bytes → fake pixel tensor (float per pixel, derived
+    * from payload bytes cyclically). A real implementation calls an
+    * image codec here; shape contract (width*height floats) is what
+    * downstream operators rely on. */
+  def stubDecode(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val out = new Array[Float](w * h)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = (payload(i % payload.length) & 0xFF) / 255.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Batched decode via mapPartitions — the mapInPandas shape: rows
+    * group into `batchSize` batches; the decoder sees the whole batch
+    * (GPU-friendly); partitioning is preserved (no shuffle). Adds
+    * `pixels: array<float>` of size meta.width*meta.height. */
+  def decodeBatched(media: DataFrame, batchSize: Int = 16,
+                    decode: (Array[Byte], Int, Int) => Array[Float] = stubDecode)
+      : DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+
+      StructField("pixels", ArrayType(FloatType, containsNull = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val rdd = media.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch-shaped call: all payloads of the batch at once
+        val decoded = batch.map { r =>
+          val m = r.getStruct(metaIdx)
+          decode(r.getAs[Array[Byte]](payloadIdx),
+            m.getAs[Int]("width"), m.getAs[Int]("height"))
+        }
+        batch.iterator.zip(decoded.iterator).map { case (r, px) =>
+          Row.fromSeq(r.toSeq :+ px.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize by nearest-neighbor sampling over the decoded tensor —
+    * pure columnar (no UDF): index arithmetic with sequence/transform.
+    * Output meta reflects the new dims. */
+  def resize(decoded: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    // nearest-neighbor: src index = floor(y*h/newH)*w + floor(x*w/newW)
+    val idx = transform(sequence(lit(0), lit(newW * newH - 1)), i => {
+      val y = floor(i / newW * h / newH).cast("int")
+      val x = floor(pmod(i, lit(newW)) * w / newW).cast("int")
+      y * w + x + 1 // element_at is 1-based
+    })
+    decoded
+      .withColumn("pixels_resized", transform(idx, j => element_at(col("pixels"), j)))
+      .withColumn("meta", col("meta")
+        .withField("width", lit(newW)).withField("height", lit(newH)))
+  }
+
+  /** Frame sampling for video rows: every `everyN`th frame index up to
+    * n_frames — columnar sequence generation, exploded downstream as
+    * needed. */
+  def frameSample(media: DataFrame, everyN: Int): DataFrame =
+    media.withColumn("sampled_frames",
+      when(col("meta.kind") === "video",
+        sequence(lit(0), col("meta.n_frames") - 1, lit(everyN)))
+        .otherwise(array().cast("array<int>")))
+
+  /** Feature extraction from the payload: reuses the batched-inference
+    * embedding stage over a text view of the bytes (stand-in for a
+    * vision/audio encoder). */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    val asText = media.withColumn("__payload_text", col("payload").cast("string"))
+    new graft.etl.BatchInferenceEmbedder(dim, 16)
+      .embed(asText, "__payload_text", "features")
+      .drop("__payload_text")
+  }
+}

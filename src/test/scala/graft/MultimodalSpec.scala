@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.toMediaTable(
+    Tables.documents(spark, sfDir).limit(60))
+
+  test("media table: binary payload with typed metadata") {
+    val r = media.filter($"media_id" === 3).head()
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[String]("kind") == "image") // 3 % 3 = 0 → first
+    assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+    assert(media.filter($"meta.width" < 16 || $"meta.width" >= 80).count() == 0)
+  }
+
+  test("batched decode: tensor size matches meta dims, batching preserved") {
+    val decoded = Multimodal.decodeBatched(media, batchSize = 7)
+    assert(decoded.count() == 60)
+    val bad = decoded
+      .filter(size($"pixels") =!= $"meta.width" * $"meta.height").count()
+    assert(bad == 0)
+    // deterministic across runs
+    val a = decoded.select($"media_id", element_at($"pixels", 1))
+      .as[(Long, Float)].collect().toMap
+    val b = Multimodal.decodeBatched(media, batchSize = 16)
+      .select($"media_id", element_at($"pixels", 1))
+      .as[(Long, Float)].collect().toMap
+    assert(a == b) // batch size must not change values
+  }
+
+  test("resize: output dims and nearest-neighbor identity at same size") {
+    val decoded = Multimodal.decodeBatched(media.limit(10))
+    val resized = Multimodal.resize(decoded, 8, 8)
+    assert(resized.filter(size($"pixels_resized") =!= 64).count() == 0)
+    assert(resized.filter($"meta.width" =!= 8 || $"meta.height" =!= 8).count() == 0)
+    // resizing to the original dims reproduces the tensor
+    val one = decoded.filter($"media_id" === 0)
+    val w = one.select($"meta.width").as[Int].head()
+    val h = one.select($"meta.height").as[Int].head()
+    val same = Multimodal.resize(one, w, h)
+      .select(($"pixels_resized" === $"pixels").as("eq")).as[Boolean].head()
+    assert(same)
+  }
+
+  test("frame sampling: only video rows get frame indices, stride respected") {
+    val sampled = Multimodal.frameSample(media, everyN = 6)
+    val nonVideo = sampled.filter($"meta.kind" =!= "video" && size($"sampled_frames") > 0)
+    assert(nonVideo.count() == 0)
+    val frames = sampled.filter($"meta.kind" === "video")
+      .select($"meta.n_frames", $"sampled_frames").as[(Int, Seq[Int])].collect()
+    assert(frames.nonEmpty)
+    frames.foreach { case (n, fs) =>
+      assert(fs.head == 0 && fs.last < n)
+      fs.sliding(2).foreach { case Seq(a, b) => assert(b - a == 6); case _ => }
+    }
+  }
+
+  test("feature extraction: unit-norm fixed-dim vectors from payload") {
+    val feats = Multimodal.extractFeatures(media.limit(20), dim = 32)
+    val norms = feats.select(
+      sqrt(aggregate(transform($"features", x => x.cast("double") * x),
+        lit(0.0), (a, x) => a + x))).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
+  }
+}
