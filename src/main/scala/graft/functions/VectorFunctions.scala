@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product with double accumulation, deterministic left-fold order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Dot product with double accumulation, deterministic left-fold
+    * order. Backed by the native codegen [[DotProduct]] expression —
+    * numerically identical to the HOF `aggregate(zip_with(...))`
+    * formulation but ~10x faster on pairwise workloads (HOF lambdas
+    * are interpreted, never codegen'd). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a.cast("array<double>")),
+      GraftColumnBridge.expression(b.cast("array<double>"))))
+  }
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
