@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, DedupQueries, NestedQueries, ScalarQueries, StreamQueries, TextQueries, VectorQueries}
+import graft.analytics.{CoreQueries, DedupQueries, NestedQueries, ScalarQueries, SqlQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,11 @@ object SparkEntry {
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
+    "u1_set_ops"            -> (SqlQueries.setOps _),
+    "a11_distinct"          -> (SqlQueries.distinctPairs _),
+    "f4_ilike"              -> (SqlQueries.ilikeFilter _),
+    "sql1_region_revenue"   -> (SqlQueries.regionRevenueSql _),
+    "sql2_nation_profit"    -> (SqlQueries.nationProfitSql _),
   )
 
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
@@ -354,6 +359,23 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "u1_set_ops" ->
+      """(SELECT source FROM documents WHERE lang = 'en'
+        | UNION
+        | SELECT source FROM documents WHERE lang = 'es')
+        |EXCEPT
+        |SELECT source FROM documents WHERE lang = 'zh'
+        |ORDER BY source""".stripMargin,
+    "a11_distinct" ->
+      """SELECT DISTINCT o_orderpriority, o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "f4_ilike" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name ILIKE '%Red%'
+        |ORDER BY p_partkey""".stripMargin,
+    "sql1_region_revenue" -> SqlQueries.q5Sql,
+    "sql2_nation_profit" -> SqlQueries.q9Sql,
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
