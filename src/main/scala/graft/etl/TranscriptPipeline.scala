@@ -79,10 +79,17 @@ object TranscriptPipeline {
       spark.read.parquet(s"$outDir/oa_text"))
     val bronzeTe = Medallion.bronzeTranscriptEmbeddings(transcriptEmbeddings)
     val silver = Medallion.silverCaseSummaries(bronzeOa, bronzeTe)
+    // gold tables: partitioned by term (partition pruning replaces the
+    // reference's btree indexes), sorted within files by the old index
+    // keys (PERFORMANCE.md §5)
     Medallion.goldSpeakerAnalytics(bronzeOa, bronzeTe)
-      .write.mode("overwrite").parquet(s"$outDir/gold_speaker_analytics")
+      .repartition(col("term")).sortWithinPartitions("speaker_name", "case_id")
+      .write.mode("overwrite").partitionBy("term")
+      .parquet(s"$outDir/gold_speaker_analytics")
     Medallion.goldOralArgumentsAnalytics(silver, bronzeTe)
-      .write.mode("overwrite").parquet(s"$outDir/gold_oral_arguments_analytics")
+      .repartition(col("term")).sortWithinPartitions("case_id")
+      .write.mode("overwrite").partitionBy("term")
+      .parquet(s"$outDir/gold_oral_arguments_analytics")
     Sinks.runSummary(s"$outDir/ingestion_summary/summary.json", Map(
       "raw_documents" -> raw.count(),
       "valid_documents" -> valid.count(),

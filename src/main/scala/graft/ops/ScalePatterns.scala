@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Skew and co-location patterns for cluster-scale joins (SURVEY §4
+  * physical-execution notes; PERFORMANCE.md §5).
+  *
+  * AQE's skew-join splitting handles most skew at runtime; these are
+  * the explicit tools for the cases it can't: a single hot key joined
+  * against a non-broadcastable right side (salting), and repeated
+  * large-large joins on a stable key (bucketing — shuffle paid once at
+  * write).
+  */
+object ScalePatterns {
+
+  /** Salted equi-join for skewed left keys: the left side gets a random
+    * salt in [0, buckets), the right side replicates `buckets` times,
+    * and the join key becomes (key, salt) — a hot key spreads over
+    * `buckets` tasks instead of one straggler.
+    *
+    * Use when one side has pathological key skew AND the right side is
+    * too big to broadcast but small enough to replicate `buckets`×.
+    * The salt uses a deterministic hash of the full left row (via
+    * monotonically increasing id would break retries; hashing input
+    * columns keeps tasks idempotent). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toSeq: _*), lit(buckets)))
+    val saltedRight = right
+      .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Write a DataFrame as a bucketed, sorted table: the shuffle happens
+    * once at write; later equi-joins between tables bucketed on the
+    * same key with the same bucket count need NO exchange (verified in
+    * ScalePatternsSpec by asserting the join plan has no shuffle).
+    * This is the engine's replacement for the reference's btree
+    * indexes on gold tables. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

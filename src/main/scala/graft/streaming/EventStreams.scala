@@ -74,6 +74,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming form of the reference's idempotent exactly-once-ish sink
+    * (SURVEY §2.9: dedup on deterministic ids, schema.sql:44,62):
+    * foreachBatch + anti-join-append, so replayed/duplicate micro-batches
+    * insert nothing. */
+  def idempotentStreamAppend(df: DataFrame, path: String, keys: Seq[String],
+                             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Sinks.idempotentAppend(batch, path, keys): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Incremental file-stream run of a transform with
     * Trigger.AvailableNow semantics into an in-memory table — the
     * faithful translation of the reference's scheduled-incremental
