@@ -25,6 +25,8 @@ object SparkEntry {
     "q6_semi_join"          -> (CoreQueries.customersWithOrders _),
     "q7_topk_per_group"     -> (CoreQueries.top3PerSupplier _),
     "q8_running_total"      -> (CoreQueries.runningOrderTotal _),
+    "q9_having"             -> (CoreQueries.bigSuppliers _),
+    "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
     "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
@@ -135,6 +137,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q9_having" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING count(*) > 620
+        |ORDER BY l_suppkey""".stripMargin,
+    "q10_date_arith" ->
+      """SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY days_since""".stripMargin,
     "p1_word_filter" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_words
         |FROM documents

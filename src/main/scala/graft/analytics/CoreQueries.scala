@@ -137,6 +137,27 @@ object CoreQueries {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** A1's HAVING shape (clustering/helpers.py:18-43 HAVING COUNT >= 1,
+    * made selective): suppliers with more than 620 lineitems (above-average at every SF). Post-agg
+    * filter — Catalyst runs it after the partial/final aggregate. */
+  def bigSuppliers(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("total_price"))
+      .filter(col("n_items") > 620)
+      .orderBy(col("l_suppkey"))
+
+  /** F11 date arithmetic: event age in days from the epoch of the
+    * dataset, rolled up. */
+  def eventAgeHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .cast("long").as("days_since"))
+      .groupBy(col("days_since"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("days_since"))
+
   /** W2 running total (reference running char offsets,
     * transformers/helpers.py:164-175): cumulative order value per
     * customer in date order. DECIMAL accumulation keeps the running sum
