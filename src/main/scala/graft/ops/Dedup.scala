@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -22,13 +23,33 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-gram shingles; empty array when the text is too
-    * short (guards Spark's descending `sequence` when stop < start). */
+    * short (guards Spark's descending `sequence` when stop < start).
+    * NOTE: HOF form — fine for per-pair verification of candidate sets;
+    * for corpus-wide signature computation use [[shingleRows]] (the HOF
+    * lambda is interpreted and dominates at scale). */
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = split(text, " ")
     when(size(ws) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
+  }
+
+  /** Corpus-wide distinct shingle rows (__id, __s) via explode +
+    * lead() window — fully codegen'd, one shuffle on the doc id.
+    * The distinct also lands on the same id-hash partitioning so the
+    * two exchanges collapse into one at execution. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("col"), k).over(w))
+    df.select(col(idCol).as("__id"), posexplode(split(col(textCol), " ")))
+      .withColumn("__s", concat_ws(" ", col("col") +: leads: _*))
+      // concat_ws drops NULL leads, so run-off-the-end windows have
+      // fewer than n words — filter them by word count
+      .filter(size(split(col("__s"), " ")) === n)
+      .select(col("__id"), col("__s"))
+      .distinct()
   }
 
   /** Exact Jaccard over two distinct-element arrays. */
@@ -60,10 +81,12 @@ object Dedup {
     * codegen with map-side partial aggregation.
     * Returns (idCol, m0..m{n-1}). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleN: Int): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("__id"),
-        explode(shingles(col(textCol), shingleN)).as("__s"))
+                        numHashes: Int, shingleN: Int): DataFrame =
+    minHashSignaturesFromRows(shingleRows(df, idCol, textCol, shingleN), numHashes)
+
+  /** Signature aggregation over pre-computed (__id, __s) shingle rows. */
+  def minHashSignaturesFromRows(rows: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = rows
       .select(col("__id"), pmod(xxhash64(col("__s")), lit(MinHashPrime)).as("__h"))
     def slot(i: Int) =
       min(pmod(col("__h") * permA(i) + permB(i), lit(MinHashPrime))).as(s"m$i")
@@ -93,10 +116,12 @@ object Dedup {
     // band self-join — join ids only, dedupe candidate pairs, then
     // re-join the shingle sets for just those pairs. At scale this is
     // the difference between shuffling ids and shuffling the corpus.
-    val withSh = df
-      .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-    val banded = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+    // Shingle rows are generated ONCE (codegen'd explode+lead window)
+    // and feed both the signature aggregation and the verify sets.
+    val rows = shingleRows(df, idCol, textCol, shingleN).cache()
+    val withSh = rows.groupBy(col("__id"))
+      .agg(collect_list(col("__s")).as("__sh"))
+    val banded = minHashSignaturesFromRows(rows, numHashes)
       .select(col("__id"),
         explode(bandRowsFromCols(numHashes, bands)).as("__band"))
       .select(col("__id"), col("__band.band").as("band"),
