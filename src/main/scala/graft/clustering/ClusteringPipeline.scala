@@ -47,6 +47,14 @@ object ClusteringPipeline {
          |"perplexity_clamped": ${CaseClustering.clampPerplexity(30.0, n)},
          |"min_cluster_size_clamped": ${CaseClustering.clampMinClusterSize(5, n)},
          |"n_clusters": ${stats.count()}}""".stripMargin)
+    // dashboard-layer exports (SURVEY S8/S9/A8: what the Streamlit app
+    // re-aggregated client-side, precomputed here)
+    graft.analytics.Dashboard.clusterSizeHistogram(clustered)
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$outDir/cluster_histogram")
+    graft.analytics.Dashboard.termComparison(clustered)
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$outDir/term_comparison")
     reps.select(col("cluster"), col("case_id"), col("dist"))
       .coalesce(1).write.mode("overwrite").option("header", "true")
       .csv(s"$outDir/representatives")
