@@ -21,6 +21,36 @@ object Catalog {
     }
   }
 
+  /** Register graft's vector/text primitives under SQL names, so the
+    * spark.sql surface covers them: e.g.
+    * `SELECT vec_cosine(a.embedding, b.embedding) FROM ...`,
+    * `SELECT label, vec_weighted_mean(embedding, w) FROM ... GROUP BY label`.
+    * All stay columnar (native expressions / HOFs, not row UDFs). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge.registerExprFunction
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EqualTo, Expression, If, Literal, Multiply, Sqrt}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.DotProduct
+
+    def darr(e: Expression) = Cast(e, ArrayType(DoubleType))
+    def dot(a: Expression, b: Expression) = DotProduct(darr(a), darr(b))
+    def nullIfZero(e: Expression) =
+      If(EqualTo(e, Literal(0.0)), Literal.create(null, DoubleType), e)
+
+    spark.udf.register("vec_weighted_mean", graft.functions.VecWeightedMean.asUdaf)
+    registerExprFunction(spark, "vec_dot", a => dot(a(0), a(1)))
+    registerExprFunction(spark, "vec_norm", a => Sqrt(dot(a(0), a(0))))
+    registerExprFunction(spark, "vec_cosine", a =>
+      Divide(dot(a(0), a(1)),
+        nullIfZero(Multiply(Sqrt(dot(a(0), a(0))), Sqrt(dot(a(1), a(1)))))))
+    // SQL-surface conveniences; the columnar forms live in TextFunctions
+    spark.udf.register("token_count", (s: String) =>
+      if (s == null) 0
+      else graft.functions.TextFunctions.TokenPattern.r.findAllIn(s).size)
+    spark.udf.register("word_count", (s: String) =>
+      if (s == null || s.trim.isEmpty) 0 else s.trim.split("\\s+").length)
+  }
+
   /** Register a TranscriptPipeline output directory as the warehouse
     * tables the reference's dbt layer reads (schema.sql names). */
   def registerPipelineOutputs(spark: SparkSession, outDir: String): Unit = {

@@ -12,4 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register an expression-builder function under a SQL name (the
+    * FunctionRegistry lives behind private[sql] sessionState). The
+    * builder must return a fully-constructed Catalyst expression —
+    * Column-API trees contain unresolved ColumnNode wrappers that the
+    * analyzer won't resolve inside registry functions. */
+  def registerExprFunction(spark: SparkSession, name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

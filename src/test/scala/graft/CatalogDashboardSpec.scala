@@ -39,6 +39,26 @@ class CatalogDashboardSpec extends SparkSpec {
       .head.getInt(0) == 32)
   }
 
+  test("catalog: registered SQL functions work over views") {
+    Catalog.registerTestdata(spark, sfDir)
+    Catalog.registerFunctions(spark)
+    val sims = spark.sql(
+      """SELECT a.vec_id, vec_cosine(a.embedding, b.embedding) AS sim,
+        |  vec_norm(a.embedding) AS n
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id
+        |LIMIT 5""".stripMargin).collect()
+    sims.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9) // self-cosine = 1
+      assert(r.getDouble(2) > 0)
+    }
+    val wm = spark.sql(
+      """SELECT label, vec_weighted_mean(embedding, CAST(1.0 AS DOUBLE)) AS m
+        |FROM embeddings GROUP BY label""".stripMargin)
+    assert(wm.count() == 10)
+    assert(spark.sql("SELECT token_count('hello, world!')").head.getInt(0) == 4)
+    assert(spark.sql("SELECT word_count('hello, world!')").head.getInt(0) == 2)
+  }
+
   test("dashboard: histogram, term comparison, default terms") {
     val results = Seq(
       ("1981", "c1", 0, 100L), ("1981", "c2", 0, 200L), ("1981", "c3", -1, 50L),
