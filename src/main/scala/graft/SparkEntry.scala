@@ -24,6 +24,7 @@ object SparkEntry {
     "q5_anti_join"          -> (CoreQueries.customersWithoutOrders _),
     "q6_semi_join"          -> (CoreQueries.customersWithOrders _),
     "q7_topk_per_group"     -> (CoreQueries.top3PerSupplier _),
+    "q7b_topk_custom_op"    -> (CoreQueries.top3PerSupplierCustom _),
     "q8_running_total"      -> (CoreQueries.runningOrderTotal _),
     "q9_having"             -> (CoreQueries.bigSuppliers _),
     "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
@@ -121,6 +122,15 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q7b_topk_custom_op" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
     "q7_topk_per_group" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
         |FROM (

@@ -137,6 +137,21 @@ object CoreQueries {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** W5 again, through the custom TopKPerGroup operator
+    * (graft.plans): identical semantics and oracle as
+    * [[top3PerSupplier]], but the physical plan is
+    * PartialTopK → Exchange → FinalTopK — map-side bounded heaps
+    * instead of a full per-group window sort. */
+  def top3PerSupplierCustom(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.perGroup(
+      Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+      Seq("l_suppkey"),
+      Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
+      k = 3, rankName = "rn")
+      .orderBy(col("l_suppkey"), col("rn"))
+
   /** A1's HAVING shape (clustering/helpers.py:18-43 HAVING COUNT >= 1,
     * made selective): suppliers with more than 620 lineitems (above-average at every SF). Post-agg
     * filter — Catalyst runs it after the partial/final aggregate. */

@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.IntegerType
+
+/** Custom whole-operator: top-k rows per group with rank (SURVEY §2.5
+  * W5 — per-cluster / per-supplier top-k), as a native Catalyst
+  * operator instead of window `row_number() <= k`.
+  *
+  * Why a custom operator (the prompt's path (c)): the window form must
+  * shuffle EVERY row to its group's partition and sort entire groups
+  * before discarding all but k. This operator runs a bounded heap
+  * BEFORE the exchange — each map partition emits at most k rows per
+  * group it sees — so the shuffle carries ≤ k·groups·partitions rows
+  * regardless of input size, and no full sort ever happens. At 100 TB
+  * with k=5 that is the difference between shuffling 6B rows and a few
+  * million.
+  *
+  * Components: [[TopKPerGroup]] logical node → [[TopKStrategy]] planner
+  * strategy → [[PartialTopKExec]] (map-side, no distribution
+  * requirement) + [[FinalTopKExec]] (requires clustering on the group
+  * keys; Spark inserts the exchange). Register via
+  * `spark.experimental.extraStrategies` (TopK.install) or
+  * [[GraftExtensions]] for config-based injection.
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    sortExprs: Seq[SortOrder], // proper expressions so pruning sees them
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rank originates here, not from the child (else CheckAnalysis flags
+  // it as a missing input attribute)
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Shared heap logic for both phases. */
+private[plans] object TopKHeap {
+  type Cmp = java.util.Comparator[(Array[Any], InternalRow)]
+
+  /** Comparator over evaluated sort keys, best-first. */
+  def comparator(sortTypes: Seq[(org.apache.spark.sql.types.DataType, Boolean)]): Cmp =
+    new java.util.Comparator[(Array[Any], InternalRow)] {
+      private val orderings = sortTypes.map { case (dt, _) =>
+        TypeUtils.getInterpretedOrdering(dt)
+      }
+      override def compare(a: (Array[Any], InternalRow),
+                           b: (Array[Any], InternalRow)): Int = {
+        var i = 0
+        while (i < orderings.length) {
+          val c = orderings(i).compare(a._1(i), b._1(i))
+          if (c != 0) return if (sortTypes(i)._2) -c else c
+          i += 1
+        }
+        0
+      }
+    }
+
+  /** Consume rows, retaining the best k per group key. Returns the
+    * per-group retained rows ordered best-first. */
+  def topKPerGroup(
+      rows: Iterator[InternalRow],
+      groupProj: UnsafeProjection,
+      sortEvals: Seq[InternalRow => Any],
+      cmp: Cmp,
+      k: Int): Iterator[(InternalRow, Seq[(Array[Any], InternalRow)])] = {
+    val groups = new java.util.LinkedHashMap[InternalRow,
+      java.util.PriorityQueue[(Array[Any], InternalRow)]]()
+    // PriorityQueue with REVERSED comparator: head = worst retained row
+    val worstFirst = cmp.reversed()
+    rows.foreach { row =>
+      val keys = sortEvals.map(_(row)).toArray
+      val group = groupProj(row).copy().asInstanceOf[InternalRow]
+      var heap = groups.get(group)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[(Array[Any], InternalRow)](k + 1, worstFirst)
+        groups.put(group, heap)
+      }
+      if (heap.size < k) heap.add((keys, row.copy()))
+      else if (cmp.compare((keys, row), heap.peek()) < 0) {
+        heap.poll(); heap.add((keys, row.copy()))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    groups.entrySet().iterator().asScala.map { e =>
+      val sorted = e.getValue.toArray(
+        Array.empty[(Array[Any], InternalRow)]).sorted(
+        scala.math.Ordering.comparatorToOrdering(cmp))
+      (e.getKey, sorted.toSeq)
+    }
+  }
+}
+
+/** Map-side phase: bounded heaps per group within each partition. */
+case class PartialTopKExec(
+    groupExprs: Seq[Expression],
+    sortExprs: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val g = groupExprs; val s = sortExprs; val kk = k; val childOut = child.output
+    child.execute().mapPartitions { it =>
+      val groupProj = UnsafeProjection.create(g, childOut)
+      val evals = s.map { so =>
+        val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(so.child, childOut)
+        (r: InternalRow) => bound.eval(r)
+      }
+      val cmp = TopKHeap.comparator(
+        s.map(so => (so.child.dataType, so.direction == org.apache.spark.sql.catalyst.expressions.Descending)))
+      TopKHeap.topKPerGroup(it, groupProj, evals, cmp, kk)
+        .flatMap(_._2.map(_._2))
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
+    copy(child = newChild)
+}
+
+/** Reduce-side phase: complete groups (clustered), final heap + rank. */
+case class FinalTopKExec(
+    groupExprs: Seq[Expression],
+    sortExprs: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val g = groupExprs; val s = sortExprs; val kk = k; val childOut = child.output
+    child.execute().mapPartitions { it =>
+      val groupProj = UnsafeProjection.create(g, childOut)
+      val evals = s.map { so =>
+        val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(so.child, childOut)
+        (r: InternalRow) => bound.eval(r)
+      }
+      val cmp = TopKHeap.comparator(
+        s.map(so => (so.child.dataType, so.direction == org.apache.spark.sql.catalyst.expressions.Descending)))
+      val joined = new JoinedRow()
+      // downstream operators may expect UnsafeRow — project explicitly
+      val toUnsafe = UnsafeProjection.create(
+        (childOut :+ rankAttr).map(_.dataType).toArray)
+      TopKHeap.topKPerGroup(it, groupProj, evals, cmp, kk).flatMap {
+        case (_, rows) =>
+          rows.iterator.zipWithIndex.map { case ((_, row), i) =>
+            val rankRow = new GenericInternalRow(Array[Any](i + 1))
+            toUnsafe(joined(row, rankRow)).asInstanceOf[InternalRow]
+          }
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, s, k, rank, child) =>
+      FinalTopKExec(g, s, k, rank,
+        PartialTopKExec(g, s, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Config-based injection:
+  * spark.sql.extensions=graft.plans.GraftExtensions */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => TopKStrategy)
+}

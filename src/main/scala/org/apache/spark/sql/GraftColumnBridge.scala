@@ -13,6 +13,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a hand-built logical plan as a DataFrame, and expose a
+    * DataFrame's analyzed plan (both private[sql] in Spark 4). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** Register an expression-builder function under a SQL name (the
     * FunctionRegistry lives behind private[sql] sessionState). The
     * builder must return a fully-constructed Catalyst expression —
