@@ -121,7 +121,9 @@ object CaseClustering {
   }
 
   /** W5 — top-k cosine neighbors of each cluster representative within
-    * its cluster, excluding self (clustering/helpers.py:185-226). */
+    * its cluster, excluding self (clustering/helpers.py:185-226).
+    * Ranked with the custom TopKPerGroup operator (graft.plans):
+    * map-side bounded heaps instead of a full per-cluster window sort. */
   def topNeighbors(clustered: DataFrame, reps: DataFrame, k: Int = 5,
                    vecCol: String = "case_embedding"): DataFrame = {
     val members = clustered.filter(col("cluster") =!= -1)
@@ -131,10 +133,9 @@ object CaseClustering {
     val sims = members.join(broadcast(repVecs), Seq("cluster"))
       .filter(col("case_id") =!= col("rep_case_id"))
       .withColumn("similarity", VF.cosine(col("__mv"), col("__rv")))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("similarity").desc, col("case_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("cluster"), col("rep_case_id"), col("case_id"), col("similarity"))
+    graft.ops.TopK.perGroup(sims, Seq("cluster"),
+      Seq(("similarity", true), ("case_id", false)), k)
       .select(col("cluster"), col("rep_case_id"), col("case_id"),
         col("similarity"), col("rank"))
   }
