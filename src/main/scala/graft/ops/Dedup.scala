@@ -165,7 +165,8 @@ object Dedup {
     * verified with the true Hamming distance. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(df, idCol, textCol)
+    // cached: both sides of the band self-join read the signatures
+    val sigs = simHashSignatures(df, idCol, textCol).cache()
     val banded = sigs.withColumn("__b", explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
