@@ -90,5 +90,25 @@ class FlattenPropertySpec extends SparkSpec {
         assert(s == expStart, s"$cid offset discontinuity"); e + 1
       }
     }
+
+    // G2 property: chunk assembly reconstructs the ordered speaker-
+    // prefixed lines for every (case, section), and W3 bounds hold
+    val chunks = graft.etl.Transcripts.sectionChunks(flat, maxTokens = 100000)
+    val expectedChunks = flat
+      .select($"case_id", $"section_id", $"utterance_index",
+        org.apache.spark.sql.functions.concat_ws(": ", $"speaker_name", $"text").as("line"))
+      .as[(String, Int, Int, String)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs: Array[(String, Int, Int, String)]) =>
+        k -> rs.sortBy(_._3).map(_._4).mkString("\n") }
+    val gotChunks = chunks
+      .select($"case_id", $"section_id", $"chunk_text",
+        $"start_utterance_index", $"end_utterance_index", $"utterance_count")
+      .as[(String, Int, String, Long, Long, Long)].collect()
+    assert(gotChunks.length == expectedChunks.size)
+    gotChunks.foreach { case (cid, sid, text, lo, hi, span) =>
+      assert(text == expectedChunks((cid, sid)), s"chunk text $cid/$sid")
+      assert(hi - lo + 1 == span)
+    }
   }
 }
