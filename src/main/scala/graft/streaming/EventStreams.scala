@@ -74,6 +74,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup on event ids bounded by the watermark — the
+    * in-flight complement to the sink-side anti-join: duplicates
+    * arriving within the watermark window are dropped before any
+    * aggregation sees them (state stays bounded by the watermark,
+    * unlike plain dropDuplicates on a stream). */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Streaming form of the reference's idempotent exactly-once-ish sink
     * (SURVEY §2.9: dedup on deterministic ids, schema.sql:44,62):
     * foreachBatch + anti-join-append, so replayed/duplicate micro-batches

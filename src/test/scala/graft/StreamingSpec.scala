@@ -42,6 +42,34 @@ class StreamingSpec extends SparkSpec {
     assert(total == batchEvents.count())
   }
 
+  test("streaming dedup within watermark drops duplicate event ids") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-src").toString
+    val base = batchEvents.limit(100)
+    base.write.mode("overwrite").parquet(dir)
+    base.write.mode("append").parquet(dir) // exact duplicates of every row
+    val schema = spark.read.parquet(dir).schema
+    assert(spark.read.parquet(dir).count() == 200)
+
+    val stream = EventStreams.dedupedEvents(
+      spark.readStream.schema(schema).parquet(dir))
+    val q = stream.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("dedup_test").count() == 100)
+    assert(spark.table("dedup_test").select("event_id").distinct().count() == 100)
+  }
+
+  test("K1: partitioned JSON sink writes term directories") {
+    val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
+    graft.etl.Sinks.partitionedJson(
+      Seq(("1981", "a"), ("1990", "b")).toDF("term", "v"), out, "term")
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("term="))
+    assert(dirs.toSet == Set("term=1981", "term=1990"))
+    assert(spark.read.json(out).count() == 2)
+  }
+
   test("flatMapGroupsWithState accumulates running user totals") {
     val dir = java.nio.file.Files.createTempDirectory("stream-src2").toString
     batchEvents.filter($"user_id" < 5).write.mode("overwrite").parquet(dir)
