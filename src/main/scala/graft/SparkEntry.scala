@@ -28,6 +28,8 @@ object SparkEntry {
     "q8_running_total"      -> (CoreQueries.runningOrderTotal _),
     "q9_having"             -> (CoreQueries.bigSuppliers _),
     "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
+    "q11_percentiles"       -> (CoreQueries.quantitySummary _),
+    "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
     "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
@@ -160,6 +162,23 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY days_since""".stripMargin,
+    "q11_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q12_lag_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS days_since_prev,
+        |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS value_quartile
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "p1_word_filter" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_words
         |FROM documents

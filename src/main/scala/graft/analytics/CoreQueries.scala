@@ -173,6 +173,35 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("days_since"))
 
+  /** Exact median / percentiles per group (beyond the reference's
+    * surface — it has no percentile anywhere; a complete engine does).
+    * `percentile` is exact with linear interpolation, matching DuckDB's
+    * quantile_cont. */
+  def quantitySummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** lag/ntile analytics (SURVEY notes the reference uses no
+    * frame-spec'd analytic functions — provided for completeness):
+    * per-customer days since previous order + order-value quartile. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w)))
+          .cast("long").as("days_since_prev"),
+        ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+          .as("value_quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** W2 running total (reference running char offsets,
     * transformers/helpers.py:164-175): cumulative order value per
     * customer in date order. DECIMAL accumulation keeps the running sum
