@@ -29,6 +29,7 @@ object SparkEntry {
     "q9_having"             -> (CoreQueries.bigSuppliers _),
     "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
     "q11_percentiles"       -> (CoreQueries.quantitySummary _),
+    "q13_rollup"            -> (CoreQueries.revenueRollup _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
@@ -162,6 +163,13 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY days_since""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q11_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -173,6 +173,17 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("days_since"))
 
+  /** ROLLUP subtotals (grouping-sets family — absent from the
+    * reference, standard OLAP surface): revenue by (returnflag,
+    * linestatus) with per-flag subtotals and a grand total. NULL
+    * markers in subtotal rows follow the SQL standard on both engines. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Exact median / percentiles per group (beyond the reference's
     * surface — it has no percentile anywhere; a complete engine does).
     * `percentile` is exact with linear interpolation, matching DuckDB's
