@@ -32,7 +32,14 @@ object ClusteringPipeline {
     require(n > 0, "no case embeddings")
 
     val scaled = CaseClustering.scale(cases)
-    val projected = new CaseClustering.PcaProjector().project(scaled, "scaled")
+    // GRAFT_PROJECTOR=tsne selects the driver-local exact t-SNE (the
+    // reference's projector); default PCA (the scalable substitute)
+    val projector: CaseClustering.Projector =
+      sys.env.get("GRAFT_PROJECTOR") match {
+        case Some("tsne") => new TsneProjector()
+        case _ => new CaseClustering.PcaProjector()
+      }
+    val projected = projector.project(scaled, "scaled")
     val clustered = new CaseClustering.KMeansClusterer()
       .cluster(projected, "scaled").cache()
     val reps = CaseClustering.representatives(clustered).cache()

@@ -73,6 +73,44 @@ class ClusteringSpec extends SparkSpec {
     assert(neighbors.filter(abs($"similarity") > 1.0 + 1e-9).count() == 0)
   }
 
+  test("t-SNE projector: deterministic, finite, preserves local structure") {
+    val scaled = CaseClustering.scale(cases)
+    val tsne = new graft.clustering.TsneProjector(perplexity = 30, iterations = 300)
+    val a = tsne.project(scaled, "scaled")
+      .select($"case_id", $"x", $"y").as[(String, Double, Double)]
+      .collect().sortBy(_._1)
+    // deterministic across runs
+    val b = tsne.project(scaled, "scaled")
+      .select($"case_id", $"x", $"y").as[(String, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    a.foreach { case (_, x, y) => assert(!x.isNaN && !y.isNaN && x.isFinite && y.isFinite) }
+
+    // structure preservation needs structured input (random gaussians
+    // have no neighborhoods to keep): 3 well-separated clusters in
+    // 16-d must stay together in 2-d — each point's nearest embedded
+    // neighbor should share its cluster
+    val rnd = new scala.util.Random(7)
+    val clustersIn = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(16)(d => if (d % 3 == c) 10.0 else 0.0)
+      (f"p$i%03d", c, base.map(_ + rnd.nextGaussian()).toSeq)
+    }
+    val cdf = clustersIn.map { case (id, _, v) => (id, v) }.toDF("case_id", "scaled")
+    val emb = tsne.project(cdf, "scaled")
+      .select($"case_id", $"x", $"y").as[(String, Double, Double)]
+      .collect().sortBy(_._1)
+    val label = clustersIn.map(t => t._1 -> t._2).toMap
+    val hits = emb.indices.count { i =>
+      val nn = emb.indices.filter(_ != i).minBy { j =>
+        math.hypot(emb(i)._2 - emb(j)._2, emb(i)._3 - emb(j)._3)
+      }
+      label(emb(i)._1) == label(emb(nn)._1)
+    }
+    assert(hits.toDouble / emb.length > 0.9,
+      s"only $hits/${emb.length} nearest neighbors share the cluster")
+  }
+
   test("clustering is deterministic across runs (seed 42)") {
     val projected = new PcaProjector().project(CaseClustering.scale(cases), "scaled")
     val a = new KMeansClusterer().cluster(projected, "scaled")
