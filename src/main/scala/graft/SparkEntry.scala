@@ -244,7 +244,7 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
     "f10_json_extract" ->
       """SELECT event_type,
-        |  sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS sum_k,
+        |  CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
         |  count(*) AS n_events
         |FROM events
         |GROUP BY event_type
@@ -448,7 +448,7 @@ object SparkEntry {
         |  CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
         |       WHEN score_es >= score_de THEN 'es'
         |       ELSE 'de' END AS predicted_lang,
-        |  count(*) AS n_docs, sum(score_en) AS sum_score_en
+        |  count(*) AS n_docs, CAST(sum(score_en) AS BIGINT) AS sum_score_en
         |FROM s
         |GROUP BY 1, 2
         |ORDER BY lang, predicted_lang""".stripMargin,

@@ -98,7 +98,9 @@ object Multimodal {
     val w = col("meta.width"); val h = col("meta.height")
     // nearest-neighbor: src index = floor(y*h/newH)*w + floor(x*w/newW)
     val idx = transform(sequence(lit(0), lit(newW * newH - 1)), i => {
-      val y = floor(i / newW * h / newH).cast("int")
+      // output row must be floored BEFORE scaling, else the fractional x
+      // position bleeds into the source-row index
+      val y = floor(floor(i / newW) * h / newH).cast("int")
       val x = floor(pmod(i, lit(newW)) * w / newW).cast("int")
       y * w + x + 1 // element_at is 1-based
     })

@@ -47,56 +47,75 @@ case class TopKPerGroup(
 
 /** Shared heap logic for both phases. */
 private[plans] object TopKHeap {
-  type Cmp = java.util.Comparator[(Array[Any], InternalRow)]
 
-  /** Comparator over evaluated sort keys, best-first. */
-  def comparator(sortTypes: Seq[(org.apache.spark.sql.types.DataType, Boolean)]): Cmp =
-    new java.util.Comparator[(Array[Any], InternalRow)] {
-      private val orderings = sortTypes.map { case (dt, _) =>
-        TypeUtils.getInterpretedOrdering(dt)
+  /** Best-first comparator over evaluated sort-key arrays. Exposes
+    * [[compareKeys]] so the hot loop can probe without allocating a
+    * tuple per row. */
+  final class Cmp(sortTypes: Seq[(org.apache.spark.sql.types.DataType, Boolean)])
+      extends java.util.Comparator[(Array[Any], InternalRow)] {
+    private val orderings =
+      sortTypes.map { case (dt, _) => TypeUtils.getInterpretedOrdering(dt) }.toArray
+    private val desc = sortTypes.map(_._2).toArray
+    def compareKeys(a: Array[Any], b: Array[Any]): Int = {
+      var i = 0
+      while (i < orderings.length) {
+        val c = orderings(i).compare(a(i), b(i))
+        if (c != 0) return if (desc(i)) -c else c
+        i += 1
       }
-      override def compare(a: (Array[Any], InternalRow),
-                           b: (Array[Any], InternalRow)): Int = {
-        var i = 0
-        while (i < orderings.length) {
-          val c = orderings(i).compare(a._1(i), b._1(i))
-          if (c != 0) return if (sortTypes(i)._2) -c else c
-          i += 1
-        }
-        0
-      }
+      0
     }
+    override def compare(a: (Array[Any], InternalRow),
+                         b: (Array[Any], InternalRow)): Int =
+      compareKeys(a._1, b._1)
+  }
+
+  def comparator(sortTypes: Seq[(org.apache.spark.sql.types.DataType, Boolean)]): Cmp =
+    new Cmp(sortTypes)
 
   /** Consume rows, retaining the best k per group key. Returns the
     * per-group retained rows ordered best-first. */
   def topKPerGroup(
       rows: Iterator[InternalRow],
       groupProj: UnsafeProjection,
-      sortEvals: Seq[InternalRow => Any],
+      sortEvals: Array[InternalRow => Any],
       cmp: Cmp,
       k: Int): Iterator[(InternalRow, Seq[(Array[Any], InternalRow)])] = {
     val groups = new java.util.LinkedHashMap[InternalRow,
       java.util.PriorityQueue[(Array[Any], InternalRow)]]()
     // PriorityQueue with REVERSED comparator: head = worst retained row
     val worstFirst = cmp.reversed()
+    val n = sortEvals.length
+    // keys land in a reused scratch array; copied only when retained
+    val scratch = new Array[Any](n)
     rows.foreach { row =>
-      val keys = sortEvals.map(_(row)).toArray
-      val group = groupProj(row).copy().asInstanceOf[InternalRow]
-      var heap = groups.get(group)
+      var i = 0
+      while (i < n) { scratch(i) = sortEvals(i)(row); i += 1 }
+      // probe with the projection's reused buffer; copy only on first sight
+      val probeKey = groupProj(row)
+      var heap = groups.get(probeKey)
       if (heap == null) {
         heap = new java.util.PriorityQueue[(Array[Any], InternalRow)](k + 1, worstFirst)
-        groups.put(group, heap)
+        groups.put(probeKey.copy(), heap)
       }
-      if (heap.size < k) heap.add((keys, row.copy()))
-      else if (cmp.compare((keys, row), heap.peek()) < 0) {
-        heap.poll(); heap.add((keys, row.copy()))
+      val retain =
+        if (heap.size < k) true
+        else if (cmp.compareKeys(scratch, heap.peek()._1) < 0) { heap.poll(); true }
+        else false
+      if (retain) {
+        // non-primitive values (UTF8String/Decimal/ArrayData) evaluated off
+        // the iterator's reused row alias its buffer — deep-copy on retention
+        val keys = new Array[Any](n)
+        var j = 0
+        while (j < n) { keys(j) = InternalRow.copyValue(scratch(j)); j += 1 }
+        heap.add((keys, row.copy()))
       }
     }
     import scala.jdk.CollectionConverters._
     groups.entrySet().iterator().asScala.map { e =>
       val sorted = e.getValue.toArray(
         Array.empty[(Array[Any], InternalRow)]).sorted(
-        scala.math.Ordering.comparatorToOrdering(cmp))
+        scala.math.Ordering.comparatorToOrdering(cmp: java.util.Comparator[(Array[Any], InternalRow)]))
       (e.getKey, sorted.toSeq)
     }
   }
@@ -115,11 +134,11 @@ case class PartialTopKExec(
     val g = groupExprs; val s = sortExprs; val kk = k; val childOut = child.output
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(g, childOut)
-      val evals = s.map { so =>
+      val evals: Array[InternalRow => Any] = s.map { so =>
         val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
           .bindReference(so.child, childOut)
         (r: InternalRow) => bound.eval(r)
-      }
+      }.toArray
       val cmp = TopKHeap.comparator(
         s.map(so => (so.child.dataType, so.direction == org.apache.spark.sql.catalyst.expressions.Descending)))
       TopKHeap.topKPerGroup(it, groupProj, evals, cmp, kk)
@@ -146,11 +165,11 @@ case class FinalTopKExec(
     val g = groupExprs; val s = sortExprs; val kk = k; val childOut = child.output
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(g, childOut)
-      val evals = s.map { so =>
+      val evals: Array[InternalRow => Any] = s.map { so =>
         val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
           .bindReference(so.child, childOut)
         (r: InternalRow) => bound.eval(r)
-      }
+      }.toArray
       val cmp = TopKHeap.comparator(
         s.map(so => (so.child.dataType, so.direction == org.apache.spark.sql.catalyst.expressions.Descending)))
       val joined = new JoinedRow()

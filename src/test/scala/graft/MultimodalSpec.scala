@@ -46,6 +46,21 @@ class MultimodalSpec extends SparkSpec {
     assert(same)
   }
 
+  test("resize: value-level nearest-neighbor on a known gradient") {
+    // 16x16 image where pixel value == source row index; downscale to 8x8
+    // must pick value 2*y at every output row y (regression: fractional x
+    // used to bleed into the row index).
+    val w = 16; val h = 16
+    val pixels = (0 until w * h).map(i => (i / w).toFloat)
+    val df = Seq((1L, pixels)).toDF("media_id", "pixels")
+      .withColumn("meta", struct(lit("image").as("kind"),
+        lit(w).as("width"), lit(h).as("height")))
+    val got = Multimodal.resize(df, 8, 8)
+      .select($"pixels_resized").as[Seq[Float]].head()
+    val expected = (0 until 64).map(i => (2 * (i / 8)).toFloat)
+    assert(got == expected, s"got=$got")
+  }
+
   test("frame sampling: only video rows get frame indices, stride respected") {
     val sampled = Multimodal.frameSample(media, everyN = 6)
     val nonVideo = sampled.filter($"meta.kind" =!= "video" && size($"sampled_frames") > 0)

@@ -36,6 +36,40 @@ class TopKSpec extends SparkSpec {
     assert(got == Set((1, 20.0, 1), (1, 10.0, 2), (2, 5.0, 1)))
   }
 
+  test("string SORT keys survive buffer reuse across many rows/partitions") {
+    // Regression: evaluated UTF8String sort keys used to alias the
+    // iterator's reused row buffer; retained heap keys were then
+    // overwritten by later rows, corrupting the top-k order.
+    val rows = (0 until 5000).map { i =>
+      (i % 37, f"name_${(i * 131) % 997}%04d", i)
+    }
+    val df = rows.toDF("g", "name", "id").repartition(8)
+    val viaOp = TopK.perGroup(df, Seq("g"),
+      Seq(("name", true), ("id", false)), 3, rankName = "rn")
+      .select($"g", $"name", $"id", $"rn")
+      .as[(Int, String, Int, Int)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = df.withColumn("rn",
+      row_number().over(Window.partitionBy($"g")
+        .orderBy($"name".desc, $"id".asc)))
+      .filter($"rn" <= 3)
+      .as[(Int, String, Int, Int)].collect().toSet
+    assert(viaOp == viaWindow,
+      s"op-only=${(viaOp -- viaWindow).take(5)} window-only=${(viaWindow -- viaOp).take(5)}")
+  }
+
+  test("decimal sort keys survive buffer reuse") {
+    val df = (0 until 2000).map(i => (i % 11, BigDecimal(i * 7 % 1009) / 100, i))
+      .toDF("g", "d", "id").repartition(6)
+    val viaOp = TopK.perGroup(df, Seq("g"), Seq(("d", true), ("id", false)), 2)
+      .select($"g", $"id").as[(Int, Int)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = df.withColumn("rn",
+      row_number().over(Window.partitionBy($"g").orderBy($"d".desc, $"id".asc)))
+      .filter($"rn" <= 2).select($"g", $"id").as[(Int, Int)].collect().toSet
+    assert(viaOp == viaWindow)
+  }
+
   test("string group keys and ascending order work") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
     val got = TopK.perGroup(df, Seq("g"), Seq(("v", false)), 2)
