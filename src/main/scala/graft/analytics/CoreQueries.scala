@@ -199,17 +199,55 @@ object CoreQueries {
 
   /** lag/ntile analytics (SURVEY notes the reference uses no
     * frame-spec'd analytic functions — provided for completeness):
-    * per-customer days since previous order + order-value quartile. */
+    * per-customer days since previous order + order-value quartile.
+    *
+    * The quartile is an exact DISTRIBUTED ntile — `ntile(k).over(Window
+    * .orderBy(...))` routes every row through one partition, Spark's
+    * classic scale-killer. Instead: range-repartition on the sort key,
+    * sort within partitions, take the partition-local position from
+    * `monotonically_increasing_id` (its low 33 bits are a per-partition
+    * counter in iteration order — zero windows, pure codegen), turn it
+    * into a global rank with per-partition offsets (a ~numPartitions-row
+    * aggregate broadcast back), and derive the bucket from ntile's size
+    * formula. One eagerly-materialized range shuffle total; at 100 TB
+    * swap the localCheckpoint for two deterministic passes (range
+    * partitioning + in-partition sort are deterministic) or a DISK_ONLY
+    * persist. */
   def orderGaps(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
+    import spark.implicits._
+    val k = 4
+    val lagW = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_orderkey"),
+    val base = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         datediff(to_date(col("o_orderdate")),
-          to_date(lag(col("o_orderdate"), 1).over(w)))
-          .cast("long").as("days_since_prev"),
-        ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
-          .as("value_quartile"))
+          to_date(lag(col("o_orderdate"), 1).over(lagW)))
+          .cast("long").as("days_since_prev"))
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val withId = base
+      .repartitionByRange(nParts, col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__rn", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .localCheckpoint() // counts + final pass read one materialization
+    val counts = withId.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = offsets.toSeq.toDF("__pid", "__offset")
+    // ntile sizing: first (n mod k) buckets hold ceil(n/k) rows
+    val q = n / k; val rem = n % k
+    val rank = col("__offset") + col("__rn")
+    val bucket =
+      if (rem == 0) ceil(rank / lit(q))
+      else when(rank <= lit(rem * (q + 1)), ceil(rank / lit(q + 1)))
+        .otherwise(lit(rem) + ceil((rank - lit(rem * (q + 1))) / lit(q)))
+    withId.join(broadcast(offDf), Seq("__pid"))
+      .select(col("o_custkey"), col("o_orderkey"), col("days_since_prev"),
+        bucket.cast("int").as("value_quartile"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 

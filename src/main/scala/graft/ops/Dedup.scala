@@ -35,12 +35,14 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
   }
 
-  /** Corpus-wide distinct shingle rows (__id, __s) via explode +
-    * lead() window — fully codegen'd, one shuffle on the doc id.
-    * The distinct also lands on the same id-hash partitioning so the
-    * two exchanges collapse into one at execution. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                  n: Int): DataFrame = {
+  /** Corpus-wide shingle rows (__id, __s) via explode + lead() window —
+    * fully codegen'd, one shuffle on the doc id. NOT deduplicated: the
+    * consumers (min-aggregate signatures, collect_set) are idempotent
+    * over duplicates, and skipping the distinct keeps the output on the
+    * window's __id hash partitioning so downstream per-doc aggregates
+    * need no further exchange. */
+  def rawShingleRows(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
     val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
     val leads = (1 until n).map(k => lead(col("col"), k).over(w))
     df.select(col(idCol).as("__id"), posexplode(split(col(textCol), " ")))
@@ -49,8 +51,12 @@ object Dedup {
       // fewer than n words — filter them by word count
       .filter(size(split(col("__s"), " ")) === n)
       .select(col("__id"), col("__s"))
-      .distinct()
   }
+
+  /** Distinct shingle rows, for consumers that need set semantics. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    rawShingleRows(df, idCol, textCol, n).distinct()
 
   /** Exact Jaccard over two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -116,12 +122,26 @@ object Dedup {
     // band self-join — join ids only, dedupe candidate pairs, then
     // re-join the shingle sets for just those pairs. At scale this is
     // the difference between shuffling ids and shuffling the corpus.
-    // Shingle rows are generated ONCE (codegen'd explode+lead window)
-    // and feed both the signature aggregation and the verify sets.
-    val rows = shingleRows(df, idCol, textCol, shingleN).cache()
-    val withSh = rows.groupBy(col("__id"))
-      .agg(collect_list(col("__s")).as("__sh"))
-    val banded = minHashSignaturesFromRows(rows, numHashes)
+    //
+    // ONE aggregate computes BOTH the distinct shingle set (collect_set)
+    // and every signature slot (min over the raw, duplicated shingle
+    // stream — min is idempotent, so no distinct pass exists at all).
+    // The aggregate reuses the lead-window's hash partitioning on __id,
+    // so the whole per-doc phase is a single shuffle. localCheckpoint
+    // (eager) materializes it exactly once: a lazy .cache() here lets
+    // the three consumer stages race on cold partitions and compute the
+    // pipeline 2-3x concurrently; the checkpoint's blocks are released
+    // by the ContextCleaner when the result goes out of scope, so no
+    // storage leak across repeated calls in a long session.
+    val hashed = rawShingleRows(df, idCol, textCol, shingleN)
+      .withColumn("__h", pmod(xxhash64(col("__s")), lit(MinHashPrime)))
+    def slot(i: Int) =
+      min(pmod(col("__h") * permA(i) + permB(i), lit(MinHashPrime))).as(s"m$i")
+    val perDoc = hashed.groupBy(col("__id"))
+      .agg(collect_set(col("__s")).as("__sh"), (0 until numHashes).map(slot): _*)
+      .localCheckpoint()
+    val withSh = perDoc.select(col("__id"), col("__sh"))
+    val banded = perDoc
       .select(col("__id"),
         explode(bandRowsFromCols(numHashes, bands)).as("__band"))
       .select(col("__id"), col("__band.band").as("band"),
@@ -165,8 +185,10 @@ object Dedup {
     * verified with the true Hamming distance. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    // cached: both sides of the band self-join read the signatures
-    val sigs = simHashSignatures(df, idCol, textCol).cache()
+    // eagerly materialized once: both sides of the band self-join read
+    // the signatures; a lazy cache() lets the two join-side stages race
+    // on cold partitions and compute the 64-vote aggregate twice
+    val sigs = simHashSignatures(df, idCol, textCol).localCheckpoint()
     val banded = sigs.withColumn("__b", explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))

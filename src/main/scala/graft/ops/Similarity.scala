@@ -58,15 +58,17 @@ object Similarity {
     }
 
     /** Signature column: bit i set iff dot(v, h_i) > 0. Each hyperplane
-      * dot is one zip_with/aggregate against an array literal — compact
-      * plans (an unrolled per-dimension sum of dim×nBits terms blows up
-      * codegen and planning memory). */
+      * dot is the native codegen'd [[graft.functions.DotProduct]]
+      * against an array literal — the HOF formulation
+      * (`aggregate(zip_with(...))`) evaluates its lambdas INTERPRETED,
+      * which on the corpus side means nBits interpreted dim-element
+      * folds per row; the native expression is one tight Java loop per
+      * bit inside whole-stage codegen. */
     def signature(vec: Column): Column = {
       val v = vec.cast("array<double>")
       val bits = (0 until nBits).map { i =>
         val h = typedLit(hyperplanes(i).toSeq)
-        val dot = aggregate(zip_with(v, h, (x, y) => x * y), lit(0.0), (a, x) => a + x)
-        when(dot > 0, lit(1 << i)).otherwise(lit(0))
+        when(VF.dot(v, h) > 0, lit(1 << i)).otherwise(lit(0))
       }
       bits.reduce(_ + _)
     }

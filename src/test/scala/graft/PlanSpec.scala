@@ -53,6 +53,45 @@ class PlanSpec extends SparkSpec {
     assert(df.count() >= 0)
   }
 
+  test("no single-partition window anywhere in the query surface") {
+    // A Window with an empty partitionSpec routes every row through ONE
+    // partition — the engine must never plan one, on any registered query.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = try fn(spark, sfDir).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      plan.foreach {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty =>
+          fail(s"$name plans a global (unpartitioned) window: ${w.simpleString(100)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("q12 distributed ntile matches the global-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = CoreQueries.orderGaps(spark, sfDir)
+      .select("o_orderkey", "value_quartile")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val ref = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+          .as("vq"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == ref, s"diff=${got.toSet.diff(ref.toSet).take(5)}")
+  }
+
+  test("s1 ANN plan has no interpreted higher-order functions") {
+    // Array-lambda HOFs (aggregate/zip_with/transform) evaluate
+    // interpreted in Spark; the corpus-side signature must use the
+    // native codegen DotProduct instead.
+    val p = plan(graft.analytics.VectorQueries.annTopK(spark, sfDir))
+    assert(!p.contains("zip_with") && !p.contains("aggregate(lambdafunction"),
+      p.take(2000))
+    assert(p.contains("dotproduct"), p.take(2000))
+  }
+
   test("revenue query pre-aggregates lineitem before the join") {
     val p = plan(CoreQueries.revenueByStatusMonth(spark, sfDir))
     // the aggregate on l_orderkey must appear below the join
