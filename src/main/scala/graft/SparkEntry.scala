@@ -68,6 +68,50 @@ object SparkEntry {
     "sql2_nation_profit"    -> (SqlQueries.nationProfitSql _),
   )
 
+  /** DuckDB reproduction of graft.functions.PolyHash: polynomial fold
+    * over code points, `(h * mult + cp) mod prime`. */
+  private def polyHashSql(mult: Int, prime: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len(w)+1), i -> CAST(unicode(substr(w, i, 1)) AS BIGINT))), " +
+      s"(h, c) -> (h * $mult + c) % $prime)"
+
+  /** Full SimHash pipeline in DuckDB SQL (signatures, 15-bit bands,
+    * Hamming verify) — generated to keep the 60 vote columns in exact
+    * lockstep with graft.ops.Dedup.simHashSignatures. */
+  private lazy val simhashOracleSql: String = {
+    val bits = graft.ops.Dedup.SimHashBits
+    val votes = (0 until bits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n    ")
+    val sigTerms = (0 until bits)
+      .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    ${polyHashSql(31, 1073741789L)} * 1073741824
+       |    + ${polyHashSql(37, 1073741783L)} AS h
+       |  FROM words
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT doc_id, CAST($sigTerms AS BIGINT) AS sig FROM votes
+       |), banded AS (
+       |  SELECT doc_id, sig, band, (sig >> (band * 15)) & 32767 AS band_val
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM banded a
+       |JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -357,6 +401,7 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "d3_simhash_neardup" -> simhashOracleSql,
     "d4_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

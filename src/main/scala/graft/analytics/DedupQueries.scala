@@ -39,8 +39,9 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup candidates (Hamming ≤ 3 via 16-bit band join).
-    * Rows-only check: xxhash64 is not portable to the oracle engine. */
+  /** SimHash near-dup pairs (Hamming ≤ 3 via 15-bit band join). Fully
+    * oracle-checked: the word hash is the portable PolyHash, so DuckDB
+    * reproduces signatures, bands and Hamming distances bit-for-bit. */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDups(Tables.documents(spark, dir), "doc_id", "text", 3)
       .orderBy(col("id_a"), col("id_b"))

@@ -26,11 +26,15 @@ object Sinks {
         val existing = spark.read.parquet(path).select(keys.map(col): _*).distinct()
         df.join(existing, keys, "left_anti")
       } else df
-    // cache: counted AND written — one materialization
-    novel.cache()
-    val n = novel.count()
-    if (n > 0) novel.write.mode(SaveMode.Append).parquet(path)
-    novel.unpersist()
+    // localCheckpoint, not cache(): the anti-join must be evaluated
+    // exactly once, BEFORE the append touches `path`. A cached plan
+    // re-evaluates from source on block loss/eviction — and by then the
+    // sink already contains the partially-appended batch, so the re-run
+    // would see its own output and drop or duplicate rows. The checkpoint
+    // truncates lineage so the write can only read the materialized rows.
+    val materialized = novel.localCheckpoint()
+    val n = materialized.count()
+    if (n > 0) materialized.write.mode(SaveMode.Append).parquet(path)
     n
   }
 

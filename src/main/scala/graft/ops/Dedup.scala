@@ -160,38 +160,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash signatures via explode + codegen'd aggregation:
-    * tokens hash once, each of the 64 bits is a sum() vote aggregate
-    * (interpreted array lambdas stay out of the hot path, as in
-    * [[minHashSignatures]]); the signature assembles from the vote
-    * signs. Returns (__id, __sig). */
+  /** SimHash signature width: 60 bits — two independent 30-bit halves
+    * of [[graft.functions.PolyHash]] (bits 0-29 from h2, 30-59 from
+    * h1). PolyHash, unlike xxhash64, is exactly reproducible in the
+    * DuckDB oracle's SQL, which makes the whole near-dup operator
+    * hash-verifiable. */
+  val SimHashBits = 60
+  private val SimHashBands = 4
+  private val SimHashBandWidth = SimHashBits / SimHashBands // 15
+
+  /** SimHash signatures via explode + codegen'd aggregation: tokens
+    * hash once (native codegen PolyHash), each of the 60 bits is a
+    * sum() vote aggregate (interpreted array lambdas stay out of the
+    * hot path, as in [[minHashSignatures]]); the signature assembles
+    * from the vote signs. Returns (__id, __sig). */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.PolyHash
     val hashed = df
       .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__w"))
-      .select(col("__id"), xxhash64(col("__w")).as("__h"))
+      .select(col("__id"), PolyHash.polyHash(col("__w")).as("__h"))
     val votes = hashed.groupBy(col("__id")).agg(
       sum(when(shiftright(col("__h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
-      (1 until 64).map(i =>
+      (1 until SimHashBits).map(i =>
         sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
           .as(s"v$i")): _*)
-    val sig = (0 until 64)
+    val sig = (0 until SimHashBits)
       .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     votes.select(col("__id"), sig.as("__sig"))
   }
 
-  /** SimHash candidate pairs: 4 bands of 16 bits — any pair within
+  /** SimHash candidate pairs: 4 bands of 15 bits — any pair within
     * Hamming distance 3 shares at least one exact band (pigeonhole);
     * verified with the true Hamming distance. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     // eagerly materialized once: both sides of the band self-join read
     // the signatures; a lazy cache() lets the two join-side stages race
-    // on cold partitions and compute the 64-vote aggregate twice
+    // on cold partitions and compute the 60-vote aggregate twice
     val sigs = simHashSignatures(df, idCol, textCol).localCheckpoint()
-    val banded = sigs.withColumn("__b", explode(array((0 until 4).map { b =>
+    val banded = sigs.withColumn("__b", explode(array((0 until SimHashBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+          shiftright(col("__sig"), b * SimHashBandWidth)
+            .bitwiseAND(lit((1L << SimHashBandWidth) - 1)).as("band_val"))
       }: _*)))
       .select(col("__id"), col("__sig"),
         col("__b.band").as("band"), col("__b.band_val").as("band_val"))

@@ -27,6 +27,11 @@ object ScalePatterns {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int = 8, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // right/full outer would emit each unmatched right row once PER SALT
+    // (buckets-1 spurious null-extended duplicates) — replication is only
+    // sound when unmatched right rows don't surface
+    require(joinType == "inner" || joinType.startsWith("left"),
+      s"saltedJoin replicates the right side; '$joinType' would duplicate unmatched right rows")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(left.columns.map(col).toSeq: _*), lit(buckets)))
     val saltedRight = right

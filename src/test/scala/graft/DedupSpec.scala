@@ -34,6 +34,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count { case (a, b, h) => b - a == 500000 && h == 0 } == 5)
   }
 
+  test("PolyHash matches the DuckDB oracle formulation bit-for-bit") {
+    import graft.functions.PolyHash
+    // pinned values computed with DuckDB's list_reduce reproduction
+    assert(PolyHash.hash("hello") == 99162322L * (1L << 30) + 200180656L)
+    assert(PolyHash.hash("world") == 113318802L * (1L << 30) + 228807804L)
+    assert(PolyHash.hash("") == 0L)
+    assert(PolyHash.hash("a") == 97L * (1L << 30) + 97L)
+    // codegen path (DataFrame) agrees with the driver-side fold
+    val got = Seq("hello", "world", "", "a").toDF("w")
+      .select(PolyHash.polyHash($"w")).as[Long].collect().toSeq
+    assert(got == Seq("hello", "world", "", "a").map(PolyHash.hash))
+  }
+
   test("exact dedup keeps min id and counts duplicates") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other")).toDF("doc_id", "text")
     val got = Dedup.exact(df, "doc_id", "text")
