@@ -40,8 +40,15 @@ object ClusteringPipeline {
         case _ => new CaseClustering.PcaProjector()
       }
     val projected = projector.project(scaled, "scaled")
-    val clustered = new CaseClustering.KMeansClusterer()
-      .cluster(projected, "scaled").cache()
+    // default = the reference's clusterer (driver-local HDBSCAN with
+    // noise label -1, exercising the P8 noise-filter path);
+    // GRAFT_CLUSTERER=kmeans selects the distributed MLlib substitute
+    val clusterer: CaseClustering.Clusterer =
+      sys.env.get("GRAFT_CLUSTERER") match {
+        case Some("kmeans") => new CaseClustering.KMeansClusterer()
+        case _ => new HdbscanClusterer()
+      }
+    val clustered = clusterer.cluster(projected, "scaled").cache()
     val reps = CaseClustering.representatives(clustered).cache()
     val neighbors = CaseClustering.topNeighbors(clustered, reps)
     val stats = CaseClustering.clusterStats(clustered)

@@ -111,6 +111,57 @@ class ClusteringSpec extends SparkSpec {
       s"only $hits/${emb.length} nearest neighbors share the cluster")
   }
 
+  test("hdbscan: separates planted blobs and labels outliers as noise") {
+    // 3 tight blobs + scattered far-away outliers in 8-d
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d % 3 == c) 20.0 else 0.0)
+      (f"b$i%03d", c, base.map(_ + rnd.nextGaussian() * 0.5).toSeq)
+    } ++ (0 until 8).map { i =>
+      // uniform scatter far from every blob
+      (f"o$i%03d", -1, Seq.tabulate(8)(d => rnd.nextDouble() * 200 - 100))
+    }
+    val df = pts.map { case (id, _, v) => (id, v) }.toDF("case_id", "scaled")
+    val clustered = new graft.clustering.HdbscanClusterer(minClusterSize = 5)
+      .cluster(df, "scaled").cache()
+    val byLabel = clustered.select($"case_id", $"cluster")
+      .as[(String, Int)].collect().toMap
+    val truth = pts.map(t => t._1 -> t._2).toMap
+    // noise rows exist and include the planted outliers
+    val noise = byLabel.filter(_._2 == -1).keys.toSet
+    assert(noise.nonEmpty, "expected noise labels (-1)")
+    assert(truth.filter(_._2 == -1).keys.forall(noise), s"outliers not all noise: $noise")
+    // the 3 blobs land in 3 distinct non-noise clusters, internally pure
+    val blobLabels = (0 until 3).map { c =>
+      val labels = truth.filter(_._2 == c).keys.map(byLabel).toSet
+      assert(labels.size == 1 && labels.head != -1, s"blob $c split: $labels")
+      labels.head
+    }
+    assert(blobLabels.toSet.size == 3, s"blobs merged: $blobLabels")
+
+    // P8 path: representatives exclude noise, one per real cluster
+    val projected = new PcaProjector().project(clustered, "scaled")
+    val reps = CaseClustering.representatives(projected)
+    assert(reps.count() == 3)
+    assert(reps.filter($"cluster" === -1).count() == 0)
+  }
+
+  test("hdbscan: deterministic across runs, respects min cluster size clamp") {
+    val df = Tables.embeddings(spark, sfDir).limit(40)
+      .select(concat(lit("e"), $"vec_id").as("case_id"),
+        $"embedding".cast("array<double>").as("scaled"))
+    val clusterer = new graft.clustering.HdbscanClusterer(minClusterSize = 5)
+    val a = clusterer.cluster(df, "scaled")
+      .select("case_id", "cluster").as[(String, Int)].collect().toMap
+    val b = clusterer.cluster(df, "scaled")
+      .select("case_id", "cluster").as[(String, Int)].collect().toMap
+    assert(a == b)
+    // every non-noise cluster has at least clamp(5, 40)=5 members
+    val sizes = a.values.filter(_ != -1).groupBy(identity).map(_._2.size)
+    sizes.foreach(s => assert(s >= CaseClustering.clampMinClusterSize(5, 40)))
+  }
+
   test("clustering is deterministic across runs (seed 42)") {
     val projected = new PcaProjector().project(CaseClustering.scale(cases), "scaled")
     val a = new KMeansClusterer().cluster(projected, "scaled")
