@@ -52,6 +52,8 @@ object SparkEntry {
     "d2_minhash_neardup"    -> (DedupQueries.minhashNearDups _),
     "d3_simhash_neardup"    -> (DedupQueries.simhashNearDups _),
     "d4_ngram_jaccard"      -> (DedupQueries.ngramJaccard _),
+    "d6_neardup_components" -> (DedupQueries.neardupComponents _),
+    "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d5_embedding_neardup"  -> (DedupQueries.embeddingNearDups _),
     "t1_lang_id"            -> (TextQueries.langId _),
     "t2_quality_score"      -> (TextQueries.quality _),
@@ -112,8 +114,46 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Shared CTE prefix for the component oracles: d2's verified pair
+    * set, symmetrized, transitively closed (recursive CTE), min-label
+    * per node — the SQL mirror of Dedup.connectedComponents. */
+  private val componentsCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |        / len(list_distinct(a.s || b.s)) >= 0.8),
+      |undirected AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM undirected)
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)""".stripMargin
+
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
   def oracleSql: Map[String, String] = Map(
+    "d6_neardup_components" ->
+      (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
+    "d7_dedup_survivors" ->
+      (componentsCte +
+        """,
+          |ranked AS (
+          |  SELECT c.component, d.doc_id,
+          |    row_number() OVER (PARTITION BY c.component
+          |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+          |  FROM documents d JOIN comp c ON d.doc_id = c.node)
+          |SELECT component,
+          |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+          |  count(*) AS n_members
+          |FROM ranked GROUP BY component ORDER BY component""".stripMargin),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

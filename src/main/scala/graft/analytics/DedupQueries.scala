@@ -46,6 +46,21 @@ object DedupQueries {
     Dedup.simHashNearDups(Tables.documents(spark, dir), "doc_id", "text", 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup components: verified MinHash pairs → connected
+    * components via distributed min-label propagation. The step a real
+    * dedup pipeline needs between pair discovery and row dropping. */
+  def neardupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minHashNearDups(Tables.documents(spark, dir), "doc_id", "text", 0.8),
+      "id_a", "id_b")
+      .orderBy(col("node"))
+
+  /** Dedup survivorship: one canonical doc per duplicate group (best
+    * n_chars, ties to smallest id). */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.survivors(Tables.documents(spark, dir), "doc_id", "text", "n_chars", 0.8)
+      .orderBy(col("component"))
+
   /** Embedding-cosine near-dup pairs, brute force. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)

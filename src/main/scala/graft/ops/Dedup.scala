@@ -218,13 +218,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Distributed connected components over an undirected pair graph —
+    * the step that turns near-dup PAIRS into duplicate GROUPS (a real
+    * dedup pipeline drops all-but-one per group, not per pair).
+    *
+    * Min-label propagation (the Pregel/GraphX formulation in plain
+    * DataFrame ops): every node starts labeled with itself; each round
+    * takes the min label across neighbors; converges in O(component
+    * diameter) rounds — near-dup components are small and dense, so
+    * single digits in practice. Each round is one join + one partial
+    * +final min aggregate, both on the node key; localCheckpoint per
+    * round truncates the lineage so plan size stays constant (the
+    * classic iterative-Spark failure mode is an exponentially growing
+    * plan, not the compute). Returns (node, component), component =
+    * min node id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNeighbors = und
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("component"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next.withColumnRenamed("component", "next_component")
+        .join(labels, Seq("node"))
+        .filter(col("next_component") =!= col("component"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** End-to-end dedup survivorship: near-dup pairs → components →
+    * one canonical survivor per group (best `qualityCol`, ties to the
+    * smallest id — the reference's keep-min-key discipline). Returns
+    * one row per multi-member group: (component, keep_id, n_members).
+    * Docs in no pair survive trivially and are not listed. */
+  def survivors(docs: DataFrame, idCol: String, textCol: String,
+                qualityCol: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = minHashNearDups(docs, idCol, textCol, threshold)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    val members = docs.select(col(idCol).as("node"), col(qualityCol))
+      .join(comp, Seq("node"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(qualityCol).desc, col("node"))
+    members.withColumn("__rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(min(when(col("__rn") === 1, col("node"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Brute-force n-gram Jaccard pairs within an id window — the
     * verification baseline for the LSH variants. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3): DataFrame = {
+    // materialized BEFORE the pair join: otherwise Catalyst may collapse
+    // the interpreted shingle HOF into the join side and re-evaluate it
+    // per PAIR instead of per row
     val withSh = df
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
     val a = withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
     val b = withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

@@ -14,14 +14,24 @@ import org.apache.spark.sql.types.IntegerType
   * W5 — per-cluster / per-supplier top-k), as a native Catalyst
   * operator instead of window `row_number() <= k`.
   *
-  * Why a custom operator (the prompt's path (c)): the window form must
-  * shuffle EVERY row to its group's partition and sort entire groups
-  * before discarding all but k. This operator runs a bounded heap
-  * BEFORE the exchange — each map partition emits at most k rows per
-  * group it sees — so the shuffle carries ≤ k·groups·partitions rows
-  * regardless of input size, and no full sort ever happens. At 100 TB
-  * with k=5 that is the difference between shuffling 6B rows and a few
-  * million.
+  * Why a custom operator (path (c)): a naive window shuffles EVERY row
+  * to its group's partition and sorts entire groups before discarding
+  * all but k. This operator runs a bounded heap BEFORE the exchange —
+  * each map partition emits at most k rows per group it sees — so the
+  * shuffle carries ≤ k·groups·partitions rows regardless of input
+  * size, and no full sort ever happens.
+  *
+  * Honest scope (measured in TopKSpec): since Spark 3.5 the
+  * InferWindowGroupLimit rule gives `row_number() <= k` windows the
+  * same map-side partial limiting when k <
+  * spark.sql.optimizer.windowGroupLimitThreshold (default 1000), so
+  * for small k the two forms shuffle the same few rows and bench at
+  * parity. The operator's win is the regime the built-in rule
+  * declines: large k (top-10k-per-group sampling, k over the
+  * threshold), where the window reverts to shuffling every input row
+  * while this operator keeps the k·groups·partitions bound — the
+  * measured gap at k=2000 over 5 groups is >4× shuffle volume. It also
+  * avoids the reduce-side per-group sort (heaps truncate instead).
   *
   * Components: [[TopKPerGroup]] logical node → [[TopKStrategy]] planner
   * strategy → [[PartialTopKExec]] (map-side, no distribution

@@ -54,6 +54,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((3L, 2L), (7L, 1L)))
   }
 
+  test("connected components: chains, stars, and separate groups resolve") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // star 10-{11,12,13}, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("survivors: best quality wins per group, ties to smallest id") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", 10L),
+      (2L, "alpha beta gamma delta epsilon", 99L), // same text, higher quality
+      (3L, "alpha beta gamma delta epsilon", 99L), // tie with 2 → 2 wins
+      (7L, "completely different words here now", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.survivors(docs, "doc_id", "text", "n_chars", 0.8)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 3L))) // component 1, keep doc 2, 3 members
+  }
+
   test("embedding near-dups are symmetric-free and thresholded") {
     val pairs = Dedup.embeddingNearDups(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.45)

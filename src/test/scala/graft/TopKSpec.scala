@@ -70,6 +70,65 @@ class TopKSpec extends SparkSpec {
     assert(viaOp == viaWindow)
   }
 
+  test("custom operator shuffles a small fraction of the window form's rows") {
+    // The operator's reason to exist: map-side bounded heaps emit at
+    // most k rows per (group, partition) into the exchange, while the
+    // window form shuffles EVERY input row. 200k rows over 100 groups:
+    // partial phase caps the shuffle at 3*100*numPartitions rows.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
+      // execute THIS QueryExecution (df.count() would plan a separate
+      // one and leave these nodes' metrics untouched)
+      df.queryExecution.toRdd.count()
+      var total = 0L
+      // AQE hides materialized exchanges inside leaf query-stage nodes —
+      // descend through them explicitly
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case s: ShuffleExchangeLike =>
+          total += s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+          s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      total
+    }
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(200000).select(
+      (col("id") % 5).as("g"),
+      (col("id") * 2654435761L % 1000003).as("v"),
+      col("id"))
+    def windowed(k: Int) =
+      base.withColumn("rn", row_number().over(
+          Window.partitionBy($"g").orderBy($"v".desc, $"id".asc)))
+        .filter($"rn" <= k)
+
+    // Small k: Spark 4's own InferWindowGroupLimit inserts a map-side
+    // partial WindowGroupLimit, so the window form ALSO shuffles only
+    // ~k*groups*partitions — the custom operator matches it (parity,
+    // as measured in round-1 bench) rather than beating it.
+    val opSmall = shuffleRecords(
+      TopK.perGroup(base, Seq("g"), Seq(("v", true), ("id", false)), 3))
+    val winSmall = shuffleRecords(windowed(3))
+    assert(winSmall < 1000, s"WindowGroupLimit should cap the shuffle, saw $winSmall")
+    assert(opSmall < 1000, s"partial heaps should cap the shuffle, saw $opSmall")
+
+    // Large k (> spark.sql.optimizer.windowGroupLimitThreshold = 1000):
+    // the built-in rule no longer fires and the window form shuffles
+    // every input row; the custom operator's bound k*groups*partitions
+    // still holds. THIS is the regime the operator exists for.
+    val opLarge = shuffleRecords(
+      TopK.perGroup(base, Seq("g"), Seq(("v", true), ("id", false)), 2000))
+    val winLarge = shuffleRecords(windowed(2000))
+    assert(winLarge >= 200000L, s"window should shuffle all rows, saw $winLarge")
+    assert(opLarge <= winLarge / 4,
+      s"custom op shuffled $opLarge vs window $winLarge — expected <=25%")
+  }
+
   test("string group keys and ascending order work") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
     val got = TopK.perGroup(df, Seq("g"), Seq(("v", false)), 2)
