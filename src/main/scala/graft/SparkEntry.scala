@@ -56,6 +56,8 @@ object SparkEntry {
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d5_embedding_neardup"  -> (DedupQueries.embeddingNearDups _),
     "t1_lang_id"            -> (TextQueries.langId _),
+    "t5_hash_split"         -> (TextQueries.hashSplit _),
+    "t6_stratified_sample"  -> (TextQueries.stratifiedSample _),
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
@@ -72,10 +74,14 @@ object SparkEntry {
 
   /** DuckDB reproduction of graft.functions.PolyHash: polynomial fold
     * over code points, `(h * mult + cp) mod prime`. */
-  private def polyHashSql(mult: Int, prime: Long): String =
+  private def polyHashSql(mult: Int, prime: Long, in: String = "w"): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range(1, len(w)+1), i -> CAST(unicode(substr(w, i, 1)) AS BIGINT))), " +
+      s"list_transform(range(1, len($in)+1), i -> CAST(unicode(substr($in, i, 1)) AS BIGINT))), " +
       s"(h, c) -> (h * $mult + c) % $prime)"
+
+  /** Full packed PolyHash of a SQL string expression. */
+  private def polyHash64Sql(in: String): String =
+    s"(${polyHashSql(31, 1073741789L, in)} * 1073741824 + ${polyHashSql(37, 1073741783L, in)})"
 
   /** Full SimHash pipeline in DuckDB SQL (signatures, 15-bit bands,
     * Hamming verify) — generated to keep the 60 vote columns in exact
@@ -140,6 +146,23 @@ object SparkEntry {
 
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
   def oracleSql: Map[String, String] = Map(
+    "t5_hash_split" ->
+      s"""WITH h AS (
+         |  SELECT n_chars, ${polyHash64Sql("w")} % 10000 AS bucket
+         |  FROM (SELECT n_chars, CAST(doc_id AS VARCHAR) || 'v1' AS w FROM documents))
+         |SELECT CASE WHEN bucket < 8000 THEN 'train'
+         |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "t6_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${polyHash64Sql("w")} % 10000 AS bucket
+         |  FROM (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) || 's1' AS w FROM documents))
+         |SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+         |FROM h
+         |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+         |                         WHEN 'de' THEN 1000 WHEN 'fr' THEN 10000 ELSE 0 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "d6_neardup_components" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "d7_dedup_survivors" ->

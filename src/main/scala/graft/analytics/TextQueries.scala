@@ -55,6 +55,27 @@ object TextQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** t5 — deterministic train/val/test split: stable hash of the doc
+    * key, not rand(), so retries / other engines agree row-for-row. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"))
+
+  /** t6 — stratified deterministic sample: per-language keep
+    * fractions over the same stable hash. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+      Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1, "fr" -> 1.0), "s1")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
+      .orderBy(col("lang"))
+
   /** m1 — multimodal media table plumbing: binary payload byte length,
     * content digest, and the deterministic typed metadata
     * (graft.ops.Multimodal.toMediaTable). */

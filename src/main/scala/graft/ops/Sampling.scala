@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * `rand()`-based sampling is the wrong tool at scale: membership
+  * changes across task retries, partitionings and engines, so
+  * incremental runs resample and train/val splits leak. The standard
+  * substitute is hashing a stable row key — membership becomes a pure
+  * function of (key, salt), so every retry, every engine, and every
+  * later pipeline run agrees row-for-row. The hash is the portable
+  * [[graft.functions.PolyHash]] (native codegen; exactly reproducible
+  * in the DuckDB oracle), bucketed to 1/10000 resolution.
+  *
+  * The salt is the experiment handle: a new salt is a fresh,
+  * independent split; a fixed salt pins the split forever (what a
+  * dataset card should record).
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Stable bucket in [0, Buckets) from the key's string form + salt. */
+  def hashBucket(key: Column, salt: String): Column =
+    pmod(PolyHash.polyHash(concat(key.cast("string"), lit(salt))), lit(Buckets))
+
+  /** Keep a deterministic `fraction` of rows, keyed on `key`. */
+  def sampleByKey(df: DataFrame, key: String, fraction: Double,
+                  salt: String = "v1"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(hashBucket(col(key), salt) < math.round(fraction * Buckets).toInt)
+  }
+
+  /** Train/val/test-style split label from cumulative fractions
+    * (must sum to ≤ 1; remainder, if any, falls into the last label). */
+  def splitLabel(key: Column, fractions: Seq[(String, Double)],
+                 salt: String = "v1"): Column = {
+    require(fractions.nonEmpty && math.round(fractions.map(_._2).sum * Buckets) <= Buckets)
+    val bucket = hashBucket(key, salt)
+    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }.tail
+    val labeled = fractions.map(_._1).zip(cuts).dropRight(1)
+      .foldLeft(when(lit(false), lit(null: String))) {
+        case (w, (label, cut)) => w.when(bucket < cut, label)
+      }
+    labeled.otherwise(fractions.last._1)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fraction;
+    * strata absent from the map are dropped. */
+  def stratifiedSample(df: DataFrame, key: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       salt: String = "v1"): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0))) { case (w, (stratum, f)) =>
+        w.when(col(strataCol) === stratum, math.round(f * Buckets).toInt)
+      }.otherwise(lit(0))
+    df.filter(hashBucket(col(key), salt) < threshold)
+  }
+}
