@@ -58,6 +58,7 @@ object SparkEntry {
     "t1_lang_id"            -> (TextQueries.langId _),
     "t5_hash_split"         -> (TextQueries.hashSplit _),
     "t6_stratified_sample"  -> (TextQueries.stratifiedSample _),
+    "t7_normalize"          -> (TextQueries.normalizeDocs _),
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
@@ -163,6 +164,13 @@ object SparkEntry {
          |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
          |                         WHEN 'de' THEN 1000 WHEN 'fr' THEN 10000 ELSE 0 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "t7_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |       '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS INTEGER) AS n_norm_chars
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "d6_neardup_components" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "d7_dedup_survivors" ->

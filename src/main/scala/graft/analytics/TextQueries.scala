@@ -76,6 +76,15 @@ object TextQueries {
       .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
       .orderBy(col("lang"))
 
+  /** t7 — pre-dedup text canonicalization: lowercase, strip symbols,
+    * collapse whitespace. */
+  def normalizeDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("norm_text"))
+      .withColumn("n_norm_chars", length(col("norm_text")))
+      .orderBy(col("doc_id"))
+
   /** m1 — multimodal media table plumbing: binary payload byte length,
     * content digest, and the deterministic typed metadata
     * (graft.ops.Multimodal.toMediaTable). */

@@ -65,11 +65,21 @@ object TextAnalysis {
     "n_tokens" -> TextFunctions.tokenCount(text),
     "n_words" -> TextFunctions.wordCount(text))
 
+  /** Normalization for pre-dedup text canonicalization: lowercase,
+    * strip non-alphanumeric-non-space characters, collapse whitespace
+    * runs, trim. Pure codegen'd string expressions, portable to the
+    * oracle engine op-for-op. Canonicalizing BEFORE MinHash/SimHash is
+    * what makes near-dup detection robust to case/punctuation noise. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
   /** Rolling-hash document fingerprint over word lengths:
     * acc = (acc*31 + len(word)+1) mod 1e9+7, starting at 0. Uses word
-    * SHAPE, not content hashes, so the oracle engine can reproduce it
-    * exactly (no portable string-hash exists across engines); content
-    * sensitivity comes from Dedup.simHash64 instead. */
+    * SHAPE, not content hashes (historical: predates the portable
+    * PolyHash); content sensitivity comes from Dedup.simHash and the
+    * PolyHash-based operators instead. */
   def fingerprint(text: Column): Column =
     aggregate(split(text, " "), lit(0L),
       (acc, w) => pmod(acc * 31 + length(w) + 1, lit(1000000007L)))
