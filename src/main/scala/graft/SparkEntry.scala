@@ -145,8 +145,50 @@ object SparkEntry {
       |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
       |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)""".stripMargin
 
+  /** Oracle for the approximate ANN query: the LSH is fully
+    * deterministic (seeded hyperplanes), so the oracle reproduces the
+    * exact signatures/probes/candidates by inlining the hyperplane
+    * values as double literals (shortest-roundtrip representation —
+    * DuckDB parses them to bit-identical doubles) and ranking with the
+    * same dot-product arithmetic. */
+  private lazy val annOracleSql: String = {
+    val lsh = new graft.ops.Similarity.SignRandomProjectionLsh(dim = 64, nBits = 10)
+    def vecLit(v: Array[Double]): String = v.mkString("[", ", ", "]")
+    val sigExpr = lsh.hyperplanes.zipWithIndex.map { case (h, i) =>
+      s"(CASE WHEN list_dot_product(v, ${vecLit(h)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+    val probeList = (Seq("sig") ++ (0 until 10).map(i => s"xor(sig, ${1 << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sigs AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |    $sigExpr AS sig
+       |  FROM e
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest($probeList) AS psig
+       |  FROM sigs WHERE vec_id < 20
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, s.vec_id AS cand_id, p.qv, p.qn, s.v AS cv, s.nrm AS cn
+       |  FROM probes p JOIN sigs s ON p.psig = s.sig AND s.vec_id <> p.query_id
+       |), sims AS (
+       |  SELECT query_id, cand_id,
+       |    list_dot_product(qv, cv) / nullif(qn * cn, 0.0) AS cosine
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, cand_id,
+       |  floor(cosine * 1000000 + 0.5) / 1000000 AS cosine,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
   def oracleSql: Map[String, String] = Map(
+    "s1_ann_topk" -> annOracleSql,
     "t5_hash_split" ->
       s"""WITH h AS (
          |  SELECT n_chars, ${polyHash64Sql("w")} % 10000 AS bucket

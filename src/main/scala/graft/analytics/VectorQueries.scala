@@ -26,16 +26,20 @@ object VectorQueries {
         exactRound(col("col"), 5).as("wmean_val"))
       .orderBy(col("label"), col("dim"))
 
-  /** ANN top-10 via sign-random-projection LSH (rows-only check:
-    * approximate results have no SQL oracle; determinism and recall
-    * are covered by SimilaritySpec). Exercises the bucketed path at
-    * bench scale. */
+  /** ANN top-10 via sign-random-projection LSH. Fully oracle-checked
+    * even though approximate: the seeded hyperplanes are inlined into
+    * the generated DuckDB SQL as double literals (shortest-roundtrip
+    * repr parses to identical bits), so the oracle reproduces the
+    * exact buckets, probes, candidates and ranking. Exercises the
+    * bucketed path at bench scale; recall bounds in SimilaritySpec. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
     val queries = corpus.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding"))
     new graft.ops.Similarity.SignRandomProjectionLsh(dim = 64, nBits = 10)
       .annTopK(corpus, queries, 10)
+      .select(col("query_id"), col("cand_id"),
+        exactRound(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
