@@ -90,15 +90,16 @@ object Dedup {
                         numHashes: Int, shingleN: Int): DataFrame =
     minHashSignaturesFromRows(shingleRows(df, idCol, textCol, shingleN), numHashes)
 
+  /** One minhash signature slot: min over permuted shingle hashes. */
+  private def minHashSlot(i: Int): Column =
+    min(pmod(col("__h") * permA(i) + permB(i), lit(MinHashPrime))).as(s"m$i")
+
   /** Signature aggregation over pre-computed (__id, __s) shingle rows. */
-  def minHashSignaturesFromRows(rows: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = rows
+  def minHashSignaturesFromRows(rows: DataFrame, numHashes: Int): DataFrame =
+    rows
       .select(col("__id"), pmod(xxhash64(col("__s")), lit(MinHashPrime)).as("__h"))
-    def slot(i: Int) =
-      min(pmod(col("__h") * permA(i) + permB(i), lit(MinHashPrime))).as(s"m$i")
-    hashed.groupBy(col("__id"))
-      .agg(slot(0), (1 until numHashes).map(slot): _*)
-  }
+      .groupBy(col("__id"))
+      .agg(minHashSlot(0), (1 until numHashes).map(minHashSlot): _*)
 
   /** LSH band rows from signature columns: (band_idx, band_hash). */
   private def bandRowsFromCols(numHashes: Int, bands: Int): Column = {
@@ -135,10 +136,9 @@ object Dedup {
     // storage leak across repeated calls in a long session.
     val hashed = rawShingleRows(df, idCol, textCol, shingleN)
       .withColumn("__h", pmod(xxhash64(col("__s")), lit(MinHashPrime)))
-    def slot(i: Int) =
-      min(pmod(col("__h") * permA(i) + permB(i), lit(MinHashPrime))).as(s"m$i")
     val perDoc = hashed.groupBy(col("__id"))
-      .agg(collect_set(col("__s")).as("__sh"), (0 until numHashes).map(slot): _*)
+      .agg(collect_set(col("__s")).as("__sh"),
+        (0 until numHashes).map(minHashSlot): _*)
       .localCheckpoint()
     val withSh = perDoc.select(col("__id"), col("__sh"))
     val banded = perDoc

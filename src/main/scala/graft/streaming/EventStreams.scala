@@ -100,6 +100,22 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming training-data router: quality-gate + deterministic
+    * train/val split assigned in-flight (the streaming face of
+    * ops.Sampling / ops.TextAnalysis). Stateless column expressions
+    * only, so batch and streaming runs route IDENTICALLY — a retried
+    * micro-batch cannot flip a document between train and val, which
+    * is the property rand()-routing loses. Write with
+    * `partitionBy("split")` for per-split output directories. */
+  def routeDocs(docs: DataFrame, minQuality: Double = 0.3,
+                salt: String = "v1"): DataFrame =
+    docs
+      .withColumn("quality",
+        graft.ops.TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.1), salt))
+
   /** Incremental file-stream run of a transform with
     * Trigger.AvailableNow semantics into an in-memory table — the
     * faithful translation of the reference's scheduled-incremental

@@ -61,6 +61,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_test").select("event_id").distinct().count() == 100)
   }
 
+  test("streaming doc router: stream and batch route identically") {
+    val dir = java.nio.file.Files.createTempDirectory("route-src").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val minQ = 0.5 // strict enough to actually reject docs at this SF
+    val streamed = EventStreams.routeDocs(
+      spark.readStream.schema(schema).parquet(dir), minQuality = minQ)
+    val q = streamed.writeStream.format("memory").queryName("route_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val viaStream = spark.table("route_test")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val viaBatch = EventStreams.routeDocs(docs, minQuality = minQ)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(viaStream == viaBatch)
+    assert(viaBatch.nonEmpty && viaBatch.values.toSet.subsetOf(Set("train", "val")))
+    // quality gate actually filters
+    assert(viaBatch.size < docs.count())
+  }
+
   test("K1: partitioned JSON sink writes term directories") {
     val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
     graft.etl.Sinks.partitionedJson(
