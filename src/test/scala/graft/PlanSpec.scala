@@ -68,6 +68,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q12 plan: range exchange + broadcast offsets, no sort-merge") {
+    val p = plan(CoreQueries.orderGaps(spark, sfDir))
+    // the tiny per-partition offset table must broadcast, never SMJ
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "offset join must broadcast")
+  }
+
   test("q12 distributed ntile matches the global-window formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
