@@ -59,6 +59,8 @@ object SparkEntry {
     "t5_hash_split"         -> (TextQueries.hashSplit _),
     "t6_stratified_sample"  -> (TextQueries.stratifiedSample _),
     "t7_normalize"          -> (TextQueries.normalizeDocs _),
+    "t8_repetition"         -> (TextQueries.repetition _),
+    "c1_contamination"      -> (TextQueries.contamination _),
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
@@ -213,6 +215,33 @@ object SparkEntry {
         |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
         |      '\s+', ' ', 'g'))) AS INTEGER) AS n_norm_chars
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "t8_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |                         for i in range(1, len(ws))]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 2),
+        |pg AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(max(c) AS BIGINT) AS top_gram_count,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS top_gram_frac
+        |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c1_contamination" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, ${polyHash64Sql("w")} AS g
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |              || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+         |              for i in range(1, len(ws) - 6)]) AS w
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |    WHERE len(ws) >= 8)),
+         |tg AS (SELECT DISTINCT doc_id AS train_id, g FROM grams WHERE doc_id % 10 <> 7),
+         |eg AS (SELECT DISTINCT doc_id AS eval_id, g FROM grams WHERE doc_id % 10 = 7)
+         |SELECT train_id, eval_id, count(*) AS n_shared
+         |FROM tg JOIN eg USING (g)
+         |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin,
     "d6_neardup_components" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "d7_dedup_survivors" ->

@@ -85,6 +85,26 @@ object TextQueries {
       .withColumn("n_norm_chars", length(col("norm_text")))
       .orderBy(col("doc_id"))
 
+  /** t8 — repetition filter signal: top word-2-gram count/fraction
+    * per doc (boilerplate detector). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(spark, dir), "doc_id", "text", 2)
+      .select(col("doc_id"), col("top_gram_count"), col("n_grams"),
+        exactRound(col("top_gram_frac"), 4).as("top_gram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** c1 — benchmark decontamination: train docs sharing any 8-gram
+    * with the (pretend) eval slice; PolyHash join keys so the shuffle
+    * carries 8-byte hashes, reproduced exactly by the oracle. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    graft.ops.Contamination.overlaps(
+      train, "doc_id", "text", eval, "doc_id", "text", n = 8)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** m1 — multimodal media table plumbing: binary payload byte length,
     * content digest, and the deterministic typed metadata
     * (graft.ops.Multimodal.toMediaTable). */

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+
+/** Benchmark decontamination: find training documents that share long
+  * word n-grams with an evaluation set (the published pre-training
+  * practice: drop or flag train docs colliding with eval on 8-13-gram
+  * windows).
+  *
+  * Shape at 100 TB: both sides explode to (id, gram) rows, but the
+  * JOIN KEY is the 60-bit portable PolyHash of the gram, not the gram
+  * string — the shuffle carries 8-byte keys instead of ~50-byte
+  * strings, and the eval side (small: benchmarks are thousands of
+  * docs) broadcasts after aggregation. Collisions are not "corrected":
+  * the hash is deterministic and portable, so the DuckDB oracle
+  * reproduces the same join bit-for-bit (and at 60 bits a false
+  * collision is ~never; decontamination errs on dropping anyway). */
+object Contamination {
+
+  /** (train_id, eval_id, n_shared) — distinct shared n-gram count per
+    * contaminated (train, eval) pair. */
+  def overlaps(train: DataFrame, trainId: String, trainText: String,
+               eval: DataFrame, evalId: String, evalText: String,
+               n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, as: String) =
+      Dedup.rawShingleRows(df.select(col(id), col(text)), id, text, n)
+        .select(col("__id").as(as), PolyHash.polyHash(col("__s")).as("__g"))
+        .distinct()
+    val t = grams(train, trainId, trainText, "train_id")
+    val e = grams(eval, evalId, evalText, "eval_id")
+    t.join(broadcast(e), Seq("__g"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Clean view of the training set: drop every doc sharing at least
+    * `minShared` n-grams with any eval doc (left_anti on the flagged
+    * ids — the actual decontamination step). */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+                    eval: DataFrame, evalId: String, evalText: String,
+                    n: Int = 8, minShared: Long = 1): DataFrame = {
+    val flagged = overlaps(train, trainId, trainText, eval, evalId, evalText, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id").as(trainId)).distinct()
+    train.join(flagged, Seq(trainId), "left_anti")
+  }
+}

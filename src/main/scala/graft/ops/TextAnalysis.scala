@@ -84,6 +84,24 @@ object TextAnalysis {
     aggregate(split(text, " "), lit(0L),
       (acc, w) => pmod(acc * 31 + length(w) + 1, lit(1000000007L)))
 
+  /** Repetition signal (the published pre-training quality rule:
+    * excessive top-n-gram mass marks boilerplate/spam): per doc, the
+    * count of the single most frequent word n-gram and its fraction of
+    * all n-grams. Two hash aggregations, both satisfied by the shingle
+    * window's doc-id partitioning — one shuffle total, no UDFs. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val grams = Dedup.rawShingleRows(
+      df.select(col(idCol), col(textCol)), idCol, textCol, n)
+    grams.groupBy(col("__id"), col("__s")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(max(col("__c")).as("top_gram_count"),
+        sum(col("__c")).cast("long").as("n_grams"))
+      .withColumn("top_gram_frac",
+        col("top_gram_count").cast("double") / col("n_grams"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Convenience: attach all text-analysis columns to a DataFrame. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -77,6 +77,38 @@ class DedupSpec extends SparkSpec {
     assert(got == List((1L, 2L, 3L))) // component 1, keep doc 2, 3 members
   }
 
+  test("contamination: planted eval overlap flagged, clean docs survive") {
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+      (2L, "totally unrelated content about spark catalyst expression codegen here"),
+      (3L, "another clean document with completely different eight gram windows inside"))
+      .toDF("doc_id", "text")
+    val hits = graft.ops.Contamination.overlaps(
+      train, "doc_id", "text", eval, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect().toList
+    assert(hits.map(h => (h._1, h._2)) == List((1L, 100L)))
+    assert(hits.head._3 >= 3) // the 10-word overlap yields 3 shared 8-grams
+    val clean = graft.ops.Contamination.decontaminate(
+      train, "doc_id", "text", eval, "doc_id", "text", n = 8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("repetition stats: degenerate repeated text scores near 1.0") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.repetitionStats(df, "doc_id", "text", 2)
+      .select($"doc_id", $"top_gram_count", $"n_grams", $"top_gram_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(got(1L) == ((5L, 5L, 1.0)))       // "spam spam" x5 of 5
+    assert(got(2L)._1 == 1L && got(2L)._3 < 0.2)
+  }
+
   test("embedding near-dups are symmetric-free and thresholded") {
     val pairs = Dedup.embeddingNearDups(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.45)
