@@ -26,10 +26,14 @@ object SparkEntry {
     "q7_topk_per_group"     -> (CoreQueries.top3PerSupplier _),
     "q7b_topk_custom_op"    -> (CoreQueries.top3PerSupplierCustom _),
     "q8_running_total"      -> (CoreQueries.runningOrderTotal _),
+    "w8_asof_join"          -> (CoreQueries.clickPriorView _),
     "q9_having"             -> (CoreQueries.bigSuppliers _),
     "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
     "q11_percentiles"       -> (CoreQueries.quantitySummary _),
     "q13_rollup"            -> (CoreQueries.revenueRollup _),
+    "q14_cube"              -> (CoreQueries.revenueCube _),
+    "q15_unpivot"           -> (CoreQueries.priorityUnpivot _),
+    "q16_rank_stats"        -> (CoreQueries.priceRankStats _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
@@ -54,12 +58,15 @@ object SparkEntry {
     "d4_ngram_jaccard"      -> (DedupQueries.ngramJaccard _),
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
+    "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
     "d5_embedding_neardup"  -> (DedupQueries.embeddingNearDups _),
     "t1_lang_id"            -> (TextQueries.langId _),
     "t5_hash_split"         -> (TextQueries.hashSplit _),
     "t6_stratified_sample"  -> (TextQueries.stratifiedSample _),
     "t7_normalize"          -> (TextQueries.normalizeDocs _),
     "t8_repetition"         -> (TextQueries.repetition _),
+    "t9_pii_redact"         -> (TextQueries.pii _),
+    "r1_bm25_search"        -> (TextQueries.bm25Search _),
     "c1_contamination"      -> (TextQueries.contamination _),
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
@@ -188,8 +195,74 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** t9 oracle: identical planted-PII string, identical regexes (the
+    * graft.ops.Pii constants are RE2-and-Java-portable by design),
+    * identical redaction order. */
+  private lazy val piiOracleSql: String = {
+    import graft.ops.Pii.{EmailRe, PhoneRe, Ipv4Re}
+    s"""WITH t AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' reach me at user' || doc_id || '@example.com'
+       |         WHEN doc_id % 4 = 1 THEN ' call 555-123-4567 now'
+       |         WHEN doc_id % 4 = 2 THEN ' from host 10.0.' || (doc_id % 256) || '.7'
+       |         ELSE '' END AS t2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t2, '$EmailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS INTEGER) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(t2,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g') AS redacted
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** r1 oracle: the BM25 pipeline reproduced in SQL. Every float
+    * constant is interpolated from the Scala definition (round-trip
+    * decimal representation → bit-identical doubles), every float op
+    * is written in the same association order as the Spark
+    * expressions, and the per-term scores are summed in the fixed
+    * `BmTerms` order — so the only engine difference left is ln()'s
+    * last ulp, absorbed by the 4-decimal exact round. */
+  private lazy val bm25OracleSql: String = {
+    import graft.ops.Retrieval.{K1, B}
+    val terms = TextQueries.BmTerms
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms
+      .map(t => s"sum(CASE WHEN w = '$t' THEN sco END) AS s_$t")
+      .mkString(",\n    ")
+    val sumExpr = terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    string_split(text, ' ') AS ws
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM base),
+       |tok AS (SELECT doc_id, dl, unnest(ws) AS w FROM base),
+       |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM tok
+       |       WHERE w IN ($inList) GROUP BY 1, 2, 3),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |sc AS (
+       |  SELECT t.doc_id, t.dl, t.w,
+       |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+       |      * (t.tf * ${K1 + 1.0})
+       |      / (t.tf + $K1 * (${1.0 - B} + $B * t.dl / (CAST(s.sumdl AS DOUBLE) / s.n))) AS sco
+       |  FROM tf t JOIN df d USING (w) CROSS JOIN stats s),
+       |piv AS (
+       |  SELECT doc_id, dl,
+       |    $pivots
+       |  FROM sc GROUP BY doc_id, dl)
+       |SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+       |  floor(($sumExpr) * 10000 + 0.5) / 10000 AS score
+       |FROM piv
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
   def oracleSql: Map[String, String] = Map(
+    "t9_pii_redact" -> piiOracleSql,
+    "r1_bm25_search" -> bm25OracleSql,
     "s1_ann_topk" -> annOracleSql,
     "t5_hash_split" ->
       s"""WITH h AS (
@@ -242,6 +315,29 @@ object SparkEntry {
          |SELECT train_id, eval_id, count(*) AS n_shared
          |FROM tg JOIN eg USING (g)
          |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin,
+    "d8_duplicated_grams" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT doc_id, ${polyHash64Sql("w")} AS g
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |              || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+         |              for i in range(1, len(ws) - 6)]) AS w
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |    WHERE len(ws) >= 8)),
+         |gc AS (SELECT g, count(*) AS dc FROM g GROUP BY g),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    count(CASE WHEN dc >= 2 THEN 1 END) AS n_dup_grams
+         |  FROM g JOIN gc USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(per.n_grams, 0) AS n_grams,
+         |  coalesce(per.n_dup_grams, 0) AS n_dup_grams,
+         |  CASE WHEN per.n_grams > 0
+         |    THEN floor(CAST(per.n_dup_grams AS DOUBLE) / per.n_grams * 10000 + 0.5) / 10000
+         |  END AS dup_frac
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d6_neardup_components" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "d7_dedup_survivors" ->
@@ -336,6 +432,18 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w8_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT l.user_id, l.event_id,
+        |  r.view_id AS prior_view_id, r.view_value AS prior_view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
     "q9_having" ->
       """SELECT l_suppkey, count(*) AS n_items,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
@@ -356,6 +464,36 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q15_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished,
+        |    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open,
+        |    count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'finished' AS status_name, finished AS n FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'open', open FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'pending', pending FROM wide
+        |ORDER BY o_orderpriority, status_name""".stripMargin,
+    "q16_rank_stats" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM lineitem
+        |WHERE l_suppkey < 10
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
     "q11_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

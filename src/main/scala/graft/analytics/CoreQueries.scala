@@ -184,6 +184,51 @@ object CoreQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE grouping sets (all 2^2 combinations — completes the
+    * grouping-sets family next to q13's ROLLUP): order counts and
+    * revenue by every (status, priority) slice. */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** UNPIVOT (wide → long): q2's per-status counts melted back into
+    * (priority, status_name, n) rows via the melt/unpivot operator —
+    * the inverse of the pivot family. Narrow, no shuffle beyond q2's. */
+  def priorityUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("finished"),
+        count(when(col("o_orderstatus") === "O", 1)).as("open"),
+        count(when(col("o_orderstatus") === "P", 1)).as("pending"))
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("finished"), col("open"), col("pending")),
+      "status_name", "n")
+      .orderBy(col("o_orderpriority"), col("status_name"))
+  }
+
+  /** Rank-statistics windows (percent_rank / cume_dist / dense_rank),
+    * partitioned by return flag — never a global window. Exact rational
+    * arithmetic on both engines: the outputs are ratios of counts, so
+    * no rounding is needed. */
+  def priceRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") < 10)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Exact median / percentiles per group (beyond the reference's
     * surface — it has no percentile anywhere; a complete engine does).
     * `percentile` is exact with linear interpolation, matching DuckDB's
@@ -249,6 +294,24 @@ object CoreQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("days_since_prev"),
         bucket.cast("int").as("value_quartile"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** As-of join exemplar (ops.TemporalJoins.asOf): each click event
+    * enriched with the user's most recent prior (or simultaneous) view
+    * event — point-in-time-correct enrichment, one shuffle on user_id,
+    * no range-join blowup. Matches DuckDB `ASOF LEFT JOIN` exactly. */
+  def clickPriorView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+    graft.ops.TemporalJoins.asOf(clicks, views, "user_id", "ts",
+        payload = Seq("view_id", "view_value"))
+      .select(col("user_id"), col("event_id"),
+        col("prior_view_id"), col("prior_view_value"))
+      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** W2 running total (reference running char offsets,

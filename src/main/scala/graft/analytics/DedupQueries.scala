@@ -61,6 +61,15 @@ object DedupQueries {
     Dedup.survivors(Tables.documents(spark, dir), "doc_id", "text", "n_chars", 0.8)
       .orderBy(col("component"))
 
+  /** d8 — duplicated-span stats: per doc, distinct 8-grams shared with
+    * any other doc (the distributed stand-in for suffix-array substring
+    * dedup) + the duplicated fraction. */
+  def duplicatedGrams(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedGramStats(Tables.documents(spark, dir), "doc_id", "text", 8)
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        exactRound(col("dup_frac"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs, brute force. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)

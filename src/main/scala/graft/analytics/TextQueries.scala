@@ -9,6 +9,23 @@ import graft.functions.Rounding.exactRound
 /** Text-analysis exemplars over the documents table. */
 object TextQueries {
 
+  /** Fixed query-term set for the r1 BM25 exemplar (shared with the
+    * generated oracle SQL so both engines score the same query). */
+  val BmTerms: Seq[String] = Seq("spark", "hash", "join")
+
+  /** r1 — BM25 ranked retrieval: top-20 docs for a fixed 3-term query
+    * (ops.Retrieval.bm25). Scores are rounded BEFORE the top-k cut so
+    * rank order and the boundary tie-break (doc_id) are
+    * engine-portable; the physical top-k is TakeOrderedAndProject
+    * (per-partition partial top-k), not a global window. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25(
+      Tables.documents(spark, dir), "doc_id", "text", BmTerms)
+      .select(col("doc_id"), col("dl"),
+        exactRound(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
   /** t1 — language-ID heuristic: per-doc marker scores + argmax with
     * fixed tie precedence; rolled up per (actual, predicted) pair. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -103,6 +120,28 @@ object TextQueries {
     graft.ops.Contamination.overlaps(
       train, "doc_id", "text", eval, "doc_id", "text", n = 8)
       .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** t9 — PII detect + redact. The synthetic corpus carries no PII, so
+    * the query PLANTS deterministic PII per doc (the oracle side builds
+    * the identical string) and then counts + redacts it — exercising
+    * the real operator (graft.ops.Pii) on text that actually contains
+    * emails/phones/IPs. */
+  def pii(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 4 === 0,
+        concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+      .when(col("doc_id") % 4 === 1, lit(" call 555-123-4567 now"))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit(" from host 10.0."), col("doc_id") % 256, lit(".7")))
+      .otherwise(lit(""))
+    val base = Tables.documents(spark, dir)
+      .withColumn("t2", concat(col("text"), injected))
+    val withCounts = graft.ops.Pii.counts(col("t2"))
+      .foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
+    withCounts.select(
+      col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+      graft.ops.Pii.redact(col("t2")).as("redacted"))
+      .orderBy(col("doc_id"))
   }
 
   /** m1 — multimodal media table plumbing: binary payload byte length,

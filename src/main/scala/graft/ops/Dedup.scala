@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
 
 /** Deduplication operators for large-scale training-data pipelines
   * (beyond-reference surface, BASELINE.json north star).
@@ -276,6 +277,41 @@ object Dedup {
       .groupBy(col("component"))
       .agg(min(when(col("__rn") === 1, col("node"))).as("keep_id"),
         count(lit(1)).as("n_members"))
+  }
+
+  /** Duplicated-span statistics — the scalable approximation of
+    * suffix-array substring dedup (the published "dedup makes LMs
+    * better" recipe finds long substrings repeated ACROSS documents;
+    * its distributed stand-in is long-n-gram document frequency): per
+    * doc, how many of its distinct word n-grams also occur in ≥1 other
+    * doc, and the fraction.
+    *
+    * Shape at 100 TB: grams travel as 60-bit portable PolyHash keys
+    * (8-byte shuffle rows); the per-gram doc-frequency aggregate and
+    * the gram→doc join both run on the same gram-hash partitioning, so
+    * the plan is: one (id, gram) distinct, one gram-key aggregate +
+    * co-partitioned join back, one per-doc aggregate. Docs shorter
+    * than n words carry zero grams and are reported with n_grams = 0
+    * via the left join from the id spine. */
+  def duplicatedGramStats(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val grams = rawShingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col("__id"), PolyHash.polyHash(col("__s")).as("__g"))
+      .distinct()
+    val gramDocCount = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__dc"))
+    val perDoc = grams.join(gramDocCount, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__dc") >= 2, 1)).as("n_dup_grams"))
+    df.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams")))
   }
 
   /** Brute-force n-gram Jaccard pairs within an id window — the

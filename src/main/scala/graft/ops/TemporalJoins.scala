@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively.
+  *
+  * The reference has no as-of join either — this belongs to the
+  * beyond-reference training-data toolkit (BASELINE.json north star):
+  * joining each training example / event to the latest-known state
+  * snapshot (feature value, consent flag, document revision) is the
+  * canonical point-in-time-correct enrichment in dataset builds.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the single latest right row with
+    * `right.time <= left.time` on the same key (DuckDB/kdb ASOF
+    * semantics — inclusive on equality; left rows with no prior right
+    * row keep nulls).
+    *
+    * Implemented as union-tag + running `last(ignoreNulls)` window
+    * rather than a range join: both sides shuffle ONCE on the key, the
+    * per-key merge is a linear scan, and no (left × candidate-right)
+    * intermediate ever materializes. At 100 TB a range join between
+    * two event-scale tables explodes quadratically within key groups;
+    * this stays one exchange + one sort — the cost class of any keyed
+    * window — and AQE skew-split applies to hot keys as usual.
+    *
+    * The right payload travels as ONE nullable struct so a null
+    * payload FIELD inside a genuine right row still wins the
+    * carry-forward (per-column `last(ignoreNulls)` would leak an older
+    * row's value into that column).
+    *
+    * Right rows should be unique per (key, time); pre-aggregate the
+    * right side otherwise (ambiguous ASOF input, not an engine
+    * concern). Left duplicates are fine — each left row resolves
+    * independently.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
+           payload: Seq[String], prefix: String = "prior_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r = right.select(
+      col(key), col(time),
+      lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__p"))
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(r.schema("__p").dataType))
+    // left rows sort AFTER the right row at the same timestamp
+    // (__side 1 > 0), so equality is inclusive.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__last").getField(p).as(prefix + p)): _*)
+  }
+}

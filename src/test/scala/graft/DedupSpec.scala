@@ -115,4 +115,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     pairs.foreach { case (a, b, c) => assert(a < b); assert(c >= 0.45 && c <= 1.0) }
   }
+
+  test("duplicated-gram stats: shared spans counted, short/unique docs zeroed") {
+    val docs = Seq(
+      (1L, "a b c d e f g h unique tail one"),   // 8-gram "a b c d e f g h" shared with doc 2
+      (2L, "a b c d e f g h other ending two"),
+      (3L, "completely different words through entire span here yes"),
+      (4L, "short doc")                          // < 8 words → zero grams
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.duplicatedGramStats(docs, "doc_id", "text", 8)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 1: 4 grams (positions 0-3), exactly one shared (the leading 8-gram)
+    assert(byId(1L)._2 == 4 && byId(1L)._3 == 1)
+    assert(byId(2L)._3 == 1)
+    assert(byId(3L)._3 == 0 && byId(3L)._2 > 0)
+    assert(byId(4L) == ((4L, 0L, 0L, None)))
+    assert(byId(1L)._4.contains(0.25))
+  }
 }
