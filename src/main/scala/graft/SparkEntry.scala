@@ -67,6 +67,9 @@ object SparkEntry {
     "t8_repetition"         -> (TextQueries.repetition _),
     "t9_pii_redact"         -> (TextQueries.pii _),
     "r1_bm25_search"        -> (TextQueries.bm25Search _),
+    "t10_oov_rate"          -> (TextQueries.oovRate _),
+    "t11_mixture_rates"     -> (TextQueries.mixtureRates _),
+    "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "c1_contamination"      -> (TextQueries.contamination _),
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
@@ -263,6 +266,49 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "t9_pii_redact" -> piiOracleSql,
     "r1_bm25_search" -> bm25OracleSql,
+    "t10_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |vocab AS (SELECT w FROM wc ORDER BY c DESC, w LIMIT 10),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_words,
+        |    count(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov
+        |  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_words, n_oov,
+        |  floor(CAST(n_oov AS DOUBLE) / n_words * 10000 + 0.5) / 10000 AS oov_frac
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "t11_mixture_rates" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_docs) AS mn FROM c)
+        |SELECT lang, n_docs,
+        |  floor(CAST(mn AS DOUBLE) / n_docs * 1000000 + 0.5) / 1000000 AS rate
+        |FROM c CROSS JOIN m ORDER BY lang""".stripMargin,
+    "v2_quantized_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x ->
+        |           greatest(-127.0, least(127.0, floor(x / (m / 127.0) + 0.5)))) END AS qv
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS m FROM e)),
+        |sims AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_dot_product(p.qv, c.qv) /
+        |      nullif(sqrt(list_dot_product(p.qv, p.qv))
+        |             * sqrt(list_dot_product(c.qv, c.qv)), 0.0) AS qsim_raw
+        |  FROM q p JOIN q c ON c.vec_id != p.vec_id
+        |  WHERE p.vec_id < 5)
+        |SELECT probe_id, cand_id,
+        |  floor(qsim_raw * 1000000 + 0.5) / 1000000 AS qsim, rn
+        |FROM (SELECT probe_id, cand_id, qsim_raw,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY qsim_raw DESC, cand_id) AS rn
+        |      FROM sims)
+        |WHERE rn <= 5
+        |ORDER BY probe_id, rn""".stripMargin,
     "s1_ann_topk" -> annOracleSql,
     "t5_hash_split" ->
       s"""WITH h AS (

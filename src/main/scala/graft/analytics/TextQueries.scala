@@ -122,6 +122,21 @@ object TextQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** t10 — OOV-rate quality proxy: per-doc fraction of words outside
+    * the corpus's own top-10 vocabulary (ops.TextAnalysis.oovStats). */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovStats(Tables.documents(spark, dir), "doc_id", "text", 10)
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        exactRound(col("oov_frac"), 4).as("oov_frac"))
+      .orderBy(col("doc_id"))
+
+  /** t11 — domain-mixture balancing: per-language keep rates that
+    * equalize expected counts (ops.Sampling.balancedRates). */
+  def mixtureRates(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.balancedRates(Tables.documents(spark, dir), "lang")
+      .select(col("lang"), col("n_docs"), exactRound(col("rate"), 6).as("rate"))
+      .orderBy(col("lang"))
+
   /** t9 — PII detect + redact. The synthetic corpus carries no PII, so
     * the query PLANTS deterministic PII per doc (the oracle side builds
     * the identical string) and then counts + redacts it — exercising

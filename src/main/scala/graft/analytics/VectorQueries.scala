@@ -99,4 +99,29 @@ object VectorQueries {
         exactRound(col("sim_raw"), 6).as("sim"), col("rn"))
       .orderBy(col("probe_id"), col("rn"))
   }
+
+  /** v2 — int8-quantized cosine top-5 (ops.Quantize): same probe set
+    * as v1, similarity computed on quantized vectors. The quantized
+    * dot is exact integer arithmetic, so ranks are engine-portable
+    * with NO float tolerance; only sqrt/division touch floats (IEEE
+    * exact-rounded, identical everywhere). */
+  def quantizedCosineTop5(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", graft.ops.Quantize.maxAbs(col("v")))
+      .select(col("vec_id"),
+        graft.ops.Quantize.int8(col("v"), col("m")).as("qv"))
+    val probes = e.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "probe_id").withColumnRenamed("qv", "pqv")
+    val sims = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        graft.ops.Quantize.cosine(col("pqv"), col("qv")).as("qsim_raw"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qsim_raw").desc, col("cand_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("cand_id"),
+        exactRound(col("qsim_raw"), 6).as("qsim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
 }

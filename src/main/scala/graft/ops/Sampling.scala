@@ -61,4 +61,17 @@ object Sampling {
       }.otherwise(lit(0))
     df.filter(hashBucket(col(key), salt) < threshold)
   }
+
+  /** Domain-mixture balancing: per stratum (source/domain/language),
+    * the keep fraction that equalizes expected counts at the size of
+    * the smallest stratum — the rate table a mixture-controlled
+    * training-data build feeds into [[stratifiedSample]]. One tiny
+    * aggregate; the min is a broadcast scalar, never a global window. */
+  def balancedRates(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val minc = counts.agg(min(col("n_docs")).as("__min"))
+    counts.crossJoin(broadcast(minc))
+      .withColumn("rate", col("__min").cast("double") / col("n_docs"))
+      .drop("__min")
+  }
 }

@@ -102,6 +102,29 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Out-of-vocabulary rate against a corpus-derived top-K vocabulary
+    * (the cheap unigram-LM quality proxy: high OOV mass against the
+    * corpus's own head vocabulary marks noise/garble). Vocabulary
+    * selection is deterministic (count desc, word asc tie-break) via
+    * orderBy+limit = TakeOrderedAndProject — per-partition partial
+    * top-k, NO global window — then broadcast back against the token
+    * stream. Two shuffles total (word counts, per-doc rollup), both
+    * on high-cardinality keys. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int = 10): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+      explode(split(col(textCol), " ")).as("__w"))
+    val vocab = tok.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(vocabSize)
+      .select(col("__w"), lit(1).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_words"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_frac", col("n_oov").cast("double") / col("n_words"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Convenience: attach all text-analysis columns to a DataFrame. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -42,4 +42,31 @@ class SamplingSpec extends SparkSpec {
     assert(langs == Set("en")) // zh at 0.0 and unmapped strata dropped
     assert(sampled.count() == docs.filter($"lang" === "en").count())
   }
+
+  test("balanced rates equalize expected stratum counts at the min") {
+    val docs = Tables.documents(spark, sfDir)
+    val rates = graft.ops.Sampling.balancedRates(docs, "lang")
+      .as[(String, Long, Double)].collect()
+    val minN = rates.map(_._2).min
+    rates.foreach { case (_, n, r) =>
+      assert(math.abs(n * r - minN) < 1e-9)   // n * (min/n) == min
+      assert(r > 0 && r <= 1.0)
+    }
+    assert(rates.exists(_._3 == 1.0))          // the smallest stratum keeps all
+  }
+
+  test("oov stats: head-vocab docs score 0, garble scores 1") {
+    val docs = Seq(
+      (1L, "a a a b b c"),     // all words in top-3 vocab
+      (2L, "zz qq ww a"),      // 3 of 4 outside
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.oovStats(docs, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // vocab = top-3 by count desc, word asc: a(5), b(3), c(2)
+    assert(got(0) == ((1L, 6L, 0L, 0.0)))
+    assert(got(1)._3 == 3L && got(1)._4 == 0.75)
+    assert(got(2) == ((3L, 3L, 0L, 0.0)))
+  }
 }
