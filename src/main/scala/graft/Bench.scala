@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Reports the per-query MEDIAN of `SPARK_GRAFT_BENCH_ITERS`
+  * (default 3) timed iterations, plus min/max for a variance record: a
+  * single cold run on a shared container can read 2-10x slow (see
+  * PERFORMANCE.md's 5-run variance study), so a one-shot number cannot
+  * gate a regression threshold. The median of 3 consecutive runs drops
+  * the cold/JIT outlier without hiding a genuine plan regression — a
+  * real 2x slowdown shows up in every iteration.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,26 +28,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer caches — otherwise the
-    // alphabetically-first query absorbs ~4s of JIT cost
+    // alphabetically-first query absorbs ~4s of JIT cost. Per-query JIT
+    // is absorbed by the median (iteration 1 is the outlier, 2-3 warm).
     try SparkEntry.queries.toSeq.sortBy(_._1).headOption
       .foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
     // sorted for stable ordering; failures surface on stderr instead of
     // silently skewing the timing
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val samples: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times
       }
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jsonMap(f: Seq[Double] => Double): String = samples
+      .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = samples.map { case (_, ts) => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""queries":${jsonMap(median)},"queries_min":${jsonMap(_.min)},""" +
+      s""""queries_max":${jsonMap(_.max)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -200,7 +200,9 @@ object SparkEntry {
 
   /** t9 oracle: identical planted-PII string, identical regexes (the
     * graft.ops.Pii constants are RE2-and-Java-portable by design),
-    * identical redaction order. */
+    * identical redaction order — and, like graft.ops.Pii.counts, each
+    * kind counted on the text with earlier kinds already redacted, so
+    * counts are exact redaction tallies. */
   private lazy val piiOracleSql: String = {
     import graft.ops.Pii.{EmailRe, PhoneRe, Ipv4Re}
     s"""WITH t AS (
@@ -209,16 +211,19 @@ object SparkEntry {
        |         WHEN doc_id % 4 = 1 THEN ' call 555-123-4567 now'
        |         WHEN doc_id % 4 = 2 THEN ' from host 10.0.' || (doc_id % 256) || '.7'
        |         ELSE '' END AS t2
-       |  FROM documents)
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, t2,
+       |    regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g') AS after_emails,
+       |    regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS after_phones
+       |  FROM t)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(t2, '$EmailRe')) AS INTEGER) AS n_emails,
-       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS INTEGER) AS n_phones,
-       |  CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS INTEGER) AS n_ips,
-       |  regexp_replace(regexp_replace(regexp_replace(t2,
-       |    '$EmailRe', '<EMAIL>', 'g'),
-       |    '$PhoneRe', '<PHONE>', 'g'),
-       |    '$Ipv4Re', '<IP>', 'g') AS redacted
-       |FROM t ORDER BY doc_id""".stripMargin
+       |  CAST(len(regexp_extract_all(after_emails, '$PhoneRe')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(after_phones, '$Ipv4Re')) AS INTEGER) AS n_ips,
+       |  regexp_replace(after_phones, '$Ipv4Re', '<IP>', 'g') AS redacted
+       |FROM r ORDER BY doc_id""".stripMargin
   }
 
   /** r1 oracle: the BM25 pipeline reproduced in SQL. Every float
@@ -231,11 +236,17 @@ object SparkEntry {
   private lazy val bm25OracleSql: String = {
     import graft.ops.Retrieval.{K1, B}
     val terms = TextQueries.BmTerms
+    // terms interpolate into SQL string literals; pivot identifiers
+    // derive from the term INDEX (s_0, s_1, ...), never the term text,
+    // so no term can generate an invalid or colliding identifier. The
+    // literal interpolation itself is guarded against quoting breakage.
+    require(terms.forall(_.matches("[a-z0-9_]+")),
+      s"BM25 oracle terms must be [a-z0-9_]+; got $terms")
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    val pivots = terms
-      .map(t => s"sum(CASE WHEN w = '$t' THEN sco END) AS s_$t")
+    val pivots = terms.zipWithIndex
+      .map { case (t, i) => s"sum(CASE WHEN w = '$t' THEN sco END) AS s_$i" }
       .mkString(",\n    ")
-    val sumExpr = terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+    val sumExpr = terms.indices.map(i => s"coalesce(s_$i, 0.0)").mkString(" + ")
     s"""WITH base AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |    string_split(text, ' ') AS ws

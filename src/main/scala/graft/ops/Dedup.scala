@@ -65,11 +65,26 @@ object Dedup {
       size(array_union(a, b)).cast("double")
 
   /** Exact dedup: one row per distinct text with the surviving id
-    * (min) and the duplicate count. Hash aggregation on text. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol).as("__text"))
+    * (min) and the duplicate count.
+    *
+    * The group key is an 8-byte xxhash64 DIGEST of the text, not the
+    * text itself: at 100 TB, grouping by the raw text column shuffles
+    * the entire corpus through the exchange, while the digest key
+    * shuffles 8 bytes per row — the map-side partial aggregate
+    * (min, count) discards the text before any network move. A 64-bit
+    * digest collides two of N distinct texts with probability
+    * ~N²/2^65 (~3e-7 even at 100 billion docs); pass
+    * `verifyCollisions = true` to group by (digest, text) instead —
+    * collision-proof, at the cost of shuffling the text, for audits. */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            verifyCollisions: Boolean = false): DataFrame = {
+    val keys =
+      if (verifyCollisions) Seq(xxhash64(col(textCol)).as("__d"), col(textCol).as("__text"))
+      else Seq(xxhash64(col(textCol)).as("__d"))
+    df.groupBy(keys: _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
-      .drop("__text")
+      .select(col("keep_id"), col("n_dups"))
+  }
 
   /** Per-hash-function affine permutation constants (odd multipliers,
     * fixed seed — deterministic across runs). Both constants and the
@@ -228,13 +243,27 @@ object Dedup {
     * takes the min label across neighbors; converges in O(component
     * diameter) rounds — near-dup components are small and dense, so
     * single digits in practice. Each round is one join + one partial
-    * +final min aggregate, both on the node key; localCheckpoint per
-    * round truncates the lineage so plan size stays constant (the
-    * classic iterative-Spark failure mode is an exponentially growing
-    * plan, not the compute). Returns (node, component), component =
-    * min node id reachable. */
+    * +final min aggregate, both on the node key, materialized by
+    * EXACTLY ONE action: the node's old label rides through the
+    * aggregate (`min(__old)` — each node has exactly one labels row)
+    * and a Spark accumulator counts label changes during the same
+    * materialization pass, so convergence costs no extra per-round
+    * job (the previous formulation paid a join + isEmpty action per
+    * round on top of the checkpoint). localCheckpoint per round
+    * truncates the lineage so plan size stays constant (the classic
+    * iterative-Spark failure mode is an exponentially growing plan,
+    * not the compute). Returns (node, component), component = min
+    * node id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge (exposed for scale tests — a path graph of
+    * diameter D must converge in exactly D+1 rounds). */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
+                                    maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
@@ -243,21 +272,32 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // neighbor candidates carry __old = null; the single tagged
+      // labels row per node carries the old label, recovered by
+      // min(__old) (min ignores nulls)
       val viaNeighbors = und
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("component"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      converged = next.withColumnRenamed("component", "next_component")
-        .join(labels, Seq("node"))
-        .filter(col("next_component") =!= col("component"))
-        .isEmpty
-      labels = next
+        .withColumn("__old", lit(null).cast(labels.schema("component").dataType))
+      val next = labels.withColumn("__old", col("component"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"), min(col("__old")).as("__old"))
+      val changed = spark.sparkContext.longAccumulator("ccLabelsChanged")
+      val compIdx = next.schema.fieldIndex("component")
+      val oldIdx = next.schema.fieldIndex("__old")
+      val counted = next.rdd.map { r =>
+        if (r.get(compIdx) != r.get(oldIdx)) changed.add(1L)
+        r
+      }
+      counted.localCheckpoint()
+      counted.count() // the round's ONE action: materializes + tallies
+      labels = spark.createDataFrame(counted, next.schema).drop("__old")
+      converged = changed.value == 0L
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    (labels, it)
   }
 
   /** End-to-end dedup survivorship: near-dup pairs → components →

@@ -32,10 +32,14 @@ object TemporalJoins {
     * carry-forward (per-column `last(ignoreNulls)` would leak an older
     * row's value into that column).
     *
-    * Right rows should be unique per (key, time); pre-aggregate the
-    * right side otherwise (ambiguous ASOF input, not an engine
-    * concern). Left duplicates are fine — each left row resolves
-    * independently.
+    * Right rows SHOULD be unique per (key, time) — duplicate ASOF
+    * input is semantically ambiguous — but when duplicates do occur
+    * the result is still deterministic: the window order carries the
+    * payload struct itself as a final tie-break, so the
+    * lexicographically-largest payload at that (key, time) wins on
+    * every run and every partitioning (never whichever row the sort
+    * happened to emit last). Left duplicates are fine — each left row
+    * resolves independently.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
            payload: Seq[String], prefix: String = "prior_"): DataFrame = {
@@ -47,9 +51,12 @@ object TemporalJoins {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(r.schema("__p").dataType))
     // left rows sort AFTER the right row at the same timestamp
-    // (__side 1 > 0), so equality is inclusive.
+    // (__side 1 > 0), so equality is inclusive. __p breaks ties among
+    // duplicate right rows at the same (key, time); left rows all
+    // carry __p = null, so their relative order (irrelevant — each
+    // computes the same frame) is unaffected.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"))
+      .orderBy(col(time), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))

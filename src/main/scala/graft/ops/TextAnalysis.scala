@@ -79,10 +79,11 @@ object TextAnalysis {
     * acc = (acc*31 + len(word)+1) mod 1e9+7, starting at 0. Uses word
     * SHAPE, not content hashes (historical: predates the portable
     * PolyHash); content sensitivity comes from Dedup.simHash and the
-    * PolyHash-based operators instead. */
+    * PolyHash-based operators instead. Native codegen expression — the
+    * HOF `aggregate(split(...))` fold it replaces was the last
+    * interpreted per-row lambda in a registered query. */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, " "), lit(0L),
-      (acc, w) => pmod(acc * 31 + length(w) + 1, lit(1000000007L)))
+    graft.functions.ShapeFingerprint.fingerprint(text)
 
   /** Repetition signal (the published pre-training quality rule:
     * excessive top-n-gram mass marks boilerplate/spam): per doc, the

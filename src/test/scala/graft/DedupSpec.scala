@@ -65,6 +65,50 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: long chain converges in diameter+1 rounds, one action each") {
+    // path graph 0-1-2-...-30 (diameter 30): min-label propagation moves
+    // label 0 one hop per round → 30 rounds to label the far end + 1
+    // quiet round to detect convergence. Convergence detection rides the
+    // round's materialization (accumulator), so each round is exactly
+    // one Spark action — asserted by counting scheduler jobs with
+    // AQE/broadcast disabled (with them on, sub-jobs would inflate the
+    // count without changing the action count).
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val bcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val (labels, rounds) =
+          Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b", maxIter = 40)
+        val got = labels.as[(Long, Long)].collect().toMap
+        assert(got == (0L to 30L).map(_ -> 0L).toMap)
+        assert(rounds == 31, s"expected diameter+1 rounds, got $rounds")
+        // listener delivery is async — poll until the count settles
+        var last = -1
+        var spins = 0
+        while (jobs != last && spins < 50) {
+          last = jobs; Thread.sleep(100); spins += 1
+        }
+        // 1 action per round + a small setup constant (und/labels
+        // checkpoints). A per-round convergence job (the old
+        // join+isEmpty formulation) would read ~2x rounds and fail.
+        assert(jobs <= rounds + 4, s"expected ≤${rounds + 4} jobs, saw $jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("survivors: best quality wins per group, ties to smallest id") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon", 10L),

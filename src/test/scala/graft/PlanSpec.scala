@@ -99,6 +99,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dotproduct"), p.take(2000))
   }
 
+  test("t4 fingerprint runs the native expression, no interpreted HOF") {
+    // the HOF `aggregate(split(...))` fold evaluates its lambda
+    // interpreted per word — corpus-wide cost at scale; the plan must
+    // carry the codegen ShapeFingerprint expression instead
+    val p = plan(graft.analytics.TextQueries.fingerprint(spark, sfDir))
+    assert(!p.contains("aggregate(lambdafunction"), p.take(2000))
+    assert(p.toLowerCase.contains("shapefingerprint"), p.take(2000))
+  }
+
+  test("d1 exact dedup groups by an 8-byte digest, not the raw text") {
+    // at 100 TB the group key IS the shuffle row: xxhash64(text) moves
+    // 8 bytes/doc where the raw text key would move the corpus
+    val opt = DedupQueries.exactDedup(spark, sfDir).queryExecution.optimizedPlan
+    assert(opt.toString.toLowerCase.contains("xxhash64"),
+      s"expected an xxhash64 digest key: ${opt.toString.take(2000)}")
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty, "expected an Aggregate in the d1 plan")
+    // the digest key is a LONG; a raw-text key would group by a string
+    aggs.foreach(a => a.groupingExpressions.foreach(k =>
+      assert(k.dataType != org.apache.spark.sql.types.StringType,
+        s"string group key shuffles the corpus text: ${k.sql}")))
+  }
+
+  test("sql2 (TPC-H Q9 shape): part filter pushes down and the filtered dim broadcasts") {
+    // pins the 5-way join plan so a future Catalyst upgrade (or a noisy
+    // bench reading like BENCH_r02's 14.6s sql2) is diagnosable at a
+    // glance: the selective part side must scan with the LIKE filter
+    // pushed and join as a broadcast, never sort-merge against lineitem
+    val p = plan(graft.analytics.SqlQueries.nationProfitSql(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(p_name), StringContains(p_name,red)]")
+      || p.contains("StringContains(p_name,red)"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    val partScanIdx = p.indexOf("p_partkey")
+    assert(partScanIdx >= 0, "expected the part scan in the plan")
+    assert(!p.contains("SortMergeJoin"),
+      "the filtered part dimension must broadcast, not sort-merge")
+  }
+
+  test("sql1 (TPC-H Q5 shape): dimension sides broadcast") {
+    val p = plan(graft.analytics.SqlQueries.regionRevenueSql(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("revenue query pre-aggregates lineitem before the join") {
     val p = plan(CoreQueries.revenueByStatusMonth(spark, sfDir))
     // the aggregate on l_orderkey must appear below the join
