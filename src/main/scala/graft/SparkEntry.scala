@@ -75,6 +75,7 @@ object SparkEntry {
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
     "s1_ann_topk"           -> (VectorQueries.annTopK _),
+    "s1b_ann_persisted"     -> (VectorQueries.annTopKPersisted _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
@@ -163,13 +164,13 @@ object SparkEntry {
     * values as double literals (shortest-roundtrip representation —
     * DuckDB parses them to bit-identical doubles) and ranking with the
     * same dot-product arithmetic. */
-  private lazy val annOracleSql: String = {
-    val lsh = new graft.ops.Similarity.SignRandomProjectionLsh(dim = 64, nBits = 10)
+  private def annOracleSqlFor(nBits: Int): String = {
+    val lsh = new graft.ops.Similarity.SignRandomProjectionLsh(dim = 64, nBits = nBits)
     def vecLit(v: Array[Double]): String = v.mkString("[", ", ", "]")
     val sigExpr = lsh.hyperplanes.zipWithIndex.map { case (h, i) =>
       s"(CASE WHEN list_dot_product(v, ${vecLit(h)}) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", "\n      + ", ")")
-    val probeList = (Seq("sig") ++ (0 until 10).map(i => s"xor(sig, ${1 << i})"))
+    val probeList = (Seq("sig") ++ (0 until nBits).map(i => s"xor(sig, ${1 << i})"))
       .mkString("[", ", ", "]")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -197,6 +198,12 @@ object SparkEntry {
        |  CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Oracle for the approximate ANN query (in-memory s1, 10-bit). */
+  private lazy val annOracleSql: String = annOracleSqlFor(10)
+  /** Oracle for the persisted-index ANN query (s1b, 8-bit): identical
+    * math — the index is a physical layout, not a semantic change. */
+  private lazy val annPersistedOracleSql: String = annOracleSqlFor(8)
 
   /** t9 oracle: identical planted-PII string, identical regexes (the
     * graft.ops.Pii constants are RE2-and-Java-portable by design),
@@ -321,6 +328,7 @@ object SparkEntry {
         |WHERE rn <= 5
         |ORDER BY probe_id, rn""".stripMargin,
     "s1_ann_topk" -> annOracleSql,
+    "s1b_ann_persisted" -> annPersistedOracleSql,
     "t5_hash_split" ->
       s"""WITH h AS (
          |  SELECT n_chars, ${polyHash64Sql("w")} % 10000 AS bucket

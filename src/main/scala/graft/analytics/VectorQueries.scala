@@ -43,6 +43,27 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s1b — ANN top-10 over a PERSISTED LSH index: the corpus is written
+    * parquet-partitioned by its 8-bit signature (the durable analog of
+    * the reference's pgvector index tables, schema.sql:47-63), then the
+    * query probes push down as a partition-column IN filter so only the
+    * probed bucket directories are read (PartitionFilters asserted in
+    * SimilaritySpec). Same oracle shape as s1 — the seeded hyperplanes
+    * are inlined into the generated SQL, so DuckDB reproduces the exact
+    * buckets/probes/ranking with no index at all. */
+  def annTopKPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lsh = new graft.ops.Similarity.SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    lsh.writeIndex(corpus, idx)
+    lsh.annTopKFromIndex(spark, idx, queries, 10)
+      .select(col("query_id"), col("cand_id"),
+        exactRound(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** W4 — centroid representative per label (reference argmin-distance
     * representative selection, clustering/helpers.py:177-183): explode
     * to (label, dim, x), average to centroids, squared-distance join,

@@ -90,3 +90,58 @@ object BatchInferenceEmbedder {
       if (n == 0) v else v.map(x => (x / n).toFloat)
     }
 }
+
+/** Config-selected model loading — the seam a real bge-m3-class model
+  * (reference: transformers/helpers.py:210-220) drops into outside
+  * this sandbox. ALL models run through the SAME
+  * [[BatchInferenceEmbedder]] code path (schema handling, partition
+  * batching, row reassembly); only the `(texts, dim) => vectors` batch
+  * function differs, so swapping the stub for an ONNX session changes
+  * zero Spark-side code.
+  *
+  * Specs:
+  *  - `"stub"` — the deterministic token-hash stand-in.
+  *  - `"onnx:<model-path>"` — reflectively loads the onnxruntime
+  *    session on first batch. The runtime jar is intentionally absent
+  *    here (zero-egress sandbox; no fake inference is shipped), so the
+  *    loader fails fast with a clear message — the spec string and
+  *    plumbing are what this sandbox can honestly deliver.
+  *  - any name registered via [[register]] — the deployment hook for
+  *    tests and real model integrations.
+  */
+object EmbedderFactory {
+  type BatchModel = (Seq[String], Int) => Seq[Array[Float]]
+
+  private val registry =
+    scala.collection.concurrent.TrieMap[String, BatchModel](
+      "stub" -> (BatchInferenceEmbedder.stubModel _))
+
+  /** Register a named batch model (e.g. a mock in tests, a JNI-backed
+    * encoder in deployment). Later registrations win. */
+  def register(name: String, model: BatchModel): Unit = registry(name) = model
+
+  /** Reflective ONNX loader: resolves ai.onnxruntime at call time so
+    * the library compiles and runs without the jar; with the jar on
+    * the executor classpath a real session can be wired in here. */
+  private def onnxModel(modelPath: String): BatchModel = { (texts, dim) =>
+    val cls = try Class.forName("ai.onnxruntime.OrtEnvironment")
+    catch {
+      case _: ClassNotFoundException => throw new UnsupportedOperationException(
+        s"onnxruntime is not on the classpath; cannot load '$modelPath'. " +
+          "Add the onnxruntime jar to the executors (unavailable in this " +
+          "offline sandbox) or register() a model function instead.")
+    }
+    throw new UnsupportedOperationException(
+      s"ONNX session wiring for $cls at '$modelPath' is deployment-specific; " +
+        "register() the session-backed batch function for your model.")
+  }
+
+  /** Build the embedding stage for a model spec string. */
+  def create(spec: String, dim: Int = 1024, batchSize: Int = 24): EmbeddingStage = {
+    val model =
+      if (spec.startsWith("onnx:")) onnxModel(spec.stripPrefix("onnx:"))
+      else registry.getOrElse(spec, throw new IllegalArgumentException(
+        s"unknown embedder model '$spec'; known: ${registry.keys.mkString(", ")} or onnx:<path>"))
+    new BatchInferenceEmbedder(dim, batchSize, model)
+  }
+}

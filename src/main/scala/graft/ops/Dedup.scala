@@ -127,14 +127,42 @@ object Dedup {
     }: _*)
   }
 
+  /** Candidate-pair generation from banded rows `(…, band, band_hash,
+    * id_a/id_b columns projected by the caller)` — the self-join every
+    * LSH family shares, with optional SALTING for hot bands
+    * (`ScalePatterns.saltedJoin` specialized to the self-join shape):
+    * boilerplate-heavy corpora concentrate thousands of docs in one
+    * (band, band_hash) bucket, which an unsalted shuffle join routes
+    * through a single task. With `saltBuckets = S`, the left side gets
+    * a deterministic per-row salt and the right side replicates S×, so
+    * the hot bucket's pair-generation spreads over S tasks (per-task
+    * input drops ~S×; the pair OUTPUT is inherently quadratic in the
+    * bucket — cap bucket width upstream if that is the concern). AQE's
+    * runtime skew-split also mitigates this; the explicit salt is for
+    * the planned-ahead case (and engines/runs where AQE is off).
+    * Results are identical with or without salt. */
+  private[graft] def bandCandidates(a: DataFrame, b: DataFrame,
+                                    keys: Seq[String],
+                                    saltBuckets: Int): DataFrame =
+    if (saltBuckets <= 1) a.join(b, keys)
+    else {
+      val sa = a.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)))
+      val sb = b.withColumn("__salt",
+        explode(array((0 until saltBuckets).map(lit): _*)))
+      sa.join(sb, keys :+ "__salt").drop("__salt")
+    }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold,
     * id_a < id_b. False positives are eliminated by the verify step;
     * false negatives are bounded by the banding curve
-    * (1-(1-s^r)^b ≈ 1 for s ≥ 0.9 at 32/8). */
+    * (1-(1-s^r)^b ≈ 1 for s ≥ 0.9 at 32/8). `saltBuckets > 1` salts
+    * the band self-join for corpora with known hot buckets (see
+    * [[bandCandidates]]). */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, numHashes: Int = 32,
-                      bands: Int = 8, shingleN: Int = 3): DataFrame = {
+                      bands: Int = 8, shingleN: Int = 3,
+                      saltBuckets: Int = 1): DataFrame = {
     // Shingle sets are big (one string per word); keep them OUT of the
     // band self-join — join ids only, dedupe candidate pairs, then
     // re-join the shingle sets for just those pairs. At scale this is
@@ -150,24 +178,87 @@ object Dedup {
     // pipeline 2-3x concurrently; the checkpoint's blocks are released
     // by the ContextCleaner when the result goes out of scope, so no
     // storage leak across repeated calls in a long session.
-    val hashed = rawShingleRows(df, idCol, textCol, shingleN)
-      .withColumn("__h", pmod(xxhash64(col("__s")), lit(MinHashPrime)))
-    val perDoc = hashed.groupBy(col("__id"))
-      .agg(collect_set(col("__s")).as("__sh"),
-        (0 until numHashes).map(minHashSlot): _*)
+    val perDoc = minHashPerDoc(df, idCol, textCol, numHashes, shingleN)
       .localCheckpoint()
     val withSh = perDoc.select(col("__id"), col("__sh"))
-    val banded = perDoc
+    val banded = bandedFromPerDoc(perDoc, numHashes, bands)
+    val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
+    val candidates = bandCandidates(a, b, Seq("band", "band_hash"), saltBuckets)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can collide in >1 band
+    candidates
+      .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-doc MinHash state: (__id, __sh distinct shingle set,
+    * m0..m{n-1} signature slots) — ONE aggregate riding the shingle
+    * window's __id partitioning computes both the verify set and every
+    * signature slot. This is the unit the incremental path persists. */
+  private[graft] def minHashPerDoc(df: DataFrame, idCol: String, textCol: String,
+                                   numHashes: Int, shingleN: Int): DataFrame =
+    rawShingleRows(df, idCol, textCol, shingleN)
+      .withColumn("__h", pmod(xxhash64(col("__s")), lit(MinHashPrime)))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__s")).as("__sh"),
+        (0 until numHashes).map(minHashSlot): _*)
+
+  /** (__id, band, band_hash) rows from a per-doc signature frame. */
+  private def bandedFromPerDoc(perDoc: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame =
+    perDoc
       .select(col("__id"),
         explode(bandRowsFromCols(numHashes, bands)).as("__band"))
       .select(col("__id"), col("__band.band").as("band"),
         col("__band.band_hash").as("band_hash"))
-    val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // a pair can collide in >1 band
+
+  /** Persist the per-doc MinHash signature store (overwrite). The real
+    * 100 TB dedup operation is "new batch vs existing corpus", not a
+    * full re-dedup: the store pays the corpus shingle+signature pass
+    * ONCE; every later [[incrementalMinHashNearDups]] call reads
+    * signatures from parquet and never re-scans the corpus text.
+    * Docstore upkeep composes with the engine's idempotent-append
+    * discipline (graft.etl.Sinks.idempotentAppend): append the delta's
+    * signatures after deduping it. */
+  def writeMinHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                             path: String, numHashes: Int = 32,
+                             shingleN: Int = 3): Unit =
+    minHashPerDoc(df, idCol, textCol, numHashes, shingleN)
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-dup pairs of a DELTA batch against a persisted signature
+    * store (plus within-delta pairs). Only the delta is shingled and
+    * signed; the corpus side's bands come from the stored m-columns
+    * (cheap column math, no text). The band join's left side is the
+    * delta — small, so the join broadcasts it — and the exact-Jaccard
+    * verify reads shingle sets from the store. Returns (id_a, id_b,
+    * jaccard) where at least one side is a delta doc; delta ids must
+    * not collide with store ids. */
+  def incrementalMinHashNearDups(delta: DataFrame, idCol: String, textCol: String,
+                                 storePath: String, threshold: Double = 0.8,
+                                 numHashes: Int = 32, bands: Int = 8,
+                                 shingleN: Int = 3,
+                                 saltBuckets: Int = 1): DataFrame = {
+    val spark = delta.sparkSession
+    val deltaSig = minHashPerDoc(delta, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint()
+    val store = spark.read.parquet(storePath)
+    val all = store.unionByName(deltaSig)
+    val l = bandedFromPerDoc(deltaSig, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("__id").as("id_a"))
+    val r = bandedFromPerDoc(all, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("__id").as("id_b"))
+    val candidates = bandCandidates(l, r, Seq("band", "band_hash"), saltBuckets)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct() // >1 band, and delta-delta pairs found from both sides
+    val withSh = all.select(col("__id"), col("__sh"))
     candidates
       .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -210,7 +301,7 @@ object Dedup {
     * Hamming distance 3 shares at least one exact band (pigeonhole);
     * verified with the true Hamming distance. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, saltBuckets: Int = 1): DataFrame = {
     // eagerly materialized once: both sides of the band self-join read
     // the signatures; a lazy cache() lets the two join-side stages race
     // on cold partitions and compute the 60-vote aggregate twice
@@ -226,7 +317,7 @@ object Dedup {
       col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_val"),
       col("__id").as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("band", "band_val"))
+    bandCandidates(a, b, Seq("band", "band_val"), saltBuckets)
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))

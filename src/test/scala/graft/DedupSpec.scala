@@ -26,6 +26,34 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // planted near-dups exist at sf0.001
   }
 
+  test("incremental near-dups: delta vs persisted store equals full re-run") {
+    val store = java.nio.file.Files.createTempDirectory("mh_store").toString
+    Dedup.writeMinHashSignatures(docs, "doc_id", "text", store)
+    // delta: near-copies of 3 existing docs (id-shifted) + 1 unique doc
+    val delta = docs.filter($"doc_id" < 3)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+      .unionByName(Seq((999999L,
+        "zyx wvu tsr qpo nml kji hgf edc ba completely unlike anything"))
+        .toDF("doc_id", "text"))
+    val deltaIds = Set(900000L, 900001L, 900002L, 999999L)
+    val inc = Dedup.incrementalMinHashNearDups(delta, "doc_id", "text", store)
+    val got = inc.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: full re-dedup of corpus+delta, restricted to pairs
+    // touching the delta (corpus-corpus pairs are old news by design)
+    val full = Dedup.minHashNearDups(
+      docs.select($"doc_id", $"text").unionByName(delta), "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(got == full, s"inc=${got.size} full-restricted=${full.size}")
+    assert(got.nonEmpty, "id-shifted copies must pair with their originals")
+    // the delta path must read SIGNATURES from the store, never the
+    // corpus text: the only parquet scan in the plan is the store
+    val p = inc.queryExecution.executedPlan.toString
+    assert(p.contains(store), s"expected a store scan:\n${p.take(1500)}")
+    assert(!p.contains("documents.parquet"),
+      "incremental plan must not re-scan the corpus text")
+  }
+
   test("simhash: identical texts collide at hamming 0") {
     val df = docs.limit(5).select($"doc_id", $"text")
       .unionByName(docs.limit(5).select(($"doc_id" + 500000).as("doc_id"), $"text"))

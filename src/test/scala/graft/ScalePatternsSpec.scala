@@ -21,6 +21,61 @@ class ScalePatternsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted band self-join: hot LSH bucket spreads over tasks, same pairs") {
+    import graft.ops.Dedup
+    // adversarial corpus: 120 IDENTICAL docs → identical MinHash
+    // signatures → every doc lands in the SAME (band, band_hash) bucket
+    // in every band. Unsalted, the whole quadratic pair generation
+    // routes through one task; salted it spreads ~saltBuckets ways.
+    val hot = (0L until 120L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // AQE off: its runtime skew-split would also spread the hot key —
+    // the explicit salt must work without it. Broadcast off: force the
+    // shuffle-join regime a 100 TB corpus side is in.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def candidates(salt: Int) = {
+        val sigs = Dedup.minHashSignatures(hot, "doc_id", "text", 32, 3)
+        val banded = sigs.select(col("__id"),
+          lit(0).as("band"), xxhash64(col("m0")).as("band_hash"))
+        Dedup.bandCandidates(
+          banded.select($"band", $"band_hash", $"__id".as("id_a")),
+          banded.select($"band", $"band_hash", $"__id".as("id_b")),
+          Seq("band", "band_hash"), salt)
+          .filter($"id_a" < $"id_b").select($"id_a", $"id_b")
+      }
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+      val unsalted = candidates(1)
+      val salted = candidates(4)
+      assert(salted.collect().toSet == unsalted.collect().toSet)
+      val mu = maxPartitionRows(unsalted)
+      val ms = maxPartitionRows(salted)
+      val total = 120 * 119 / 2
+      assert(mu == total, s"unsalted hot bucket should be one task: $mu")
+      // 4 salts over 120 rows → ~30 left rows per task (~mu/4); allow
+      // hash imbalance up to 0.6×
+      assert(ms <= mu * 0.6, s"salting must spread the hot bucket: $ms vs $mu")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
+  test("salted minHashNearDups equals unsalted on real data") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val plain = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val salted = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8, saltBuckets = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle") {
     // default warehouse dir (spark-warehouse/ under cwd); clear any
     // leftover location from a previous crashed run before writing

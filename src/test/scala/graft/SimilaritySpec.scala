@@ -49,6 +49,43 @@ class SimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("persisted LSH index: partition pruning reads only probed buckets, same results") {
+    import graft.ops.Similarity.SignRandomProjectionLsh
+    val corpus = Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lsh = new SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val idx = java.nio.file.Files.createTempDirectory("annidx_spec").toString
+    lsh.writeIndex(corpus, idx)
+    // AQE off so the executed plan exposes FileSourceScanExec directly
+    // (AdaptiveSparkPlanExec is a leaf to TreeNode.collect)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fromIndex = lsh.annTopKFromIndex(spark, idx, queries, 5)
+      // 1. the scan must prune on the partition column, not post-filter
+      val p = fromIndex.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: ["), p.take(2000))
+      assert(p.contains("__sig"), p.take(2000))
+      // 2. the index is a physical layout only — results equal the
+      // in-memory path bit for bit
+      val mem = lsh.annTopK(corpus, queries, 5).collect().map(_.toSeq).toSet
+      val got = fromIndex.collect().map(_.toSeq).toSet
+      assert(got == mem)
+      // 3. and the scan actually skipped directories: files-read metric
+      // (populated by the collect above) < files in the index
+      val scans = fromIndex.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val idxScan = scans.find(
+        _.relation.location.rootPaths.exists(_.toString.contains(idx))).get
+      val readFiles = idxScan.metrics("numFiles").value
+      val allFiles = spark.read.parquet(idx).inputFiles.length
+      assert(readFiles < allFiles,
+        s"pruning must skip unprobed buckets: read $readFiles of $allFiles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("IVF ANN: probing more lists improves or maintains recall") {
     val bf = topSets(Similarity.bruteForceTopK(corpus, queries, 10))
     def recallAt(nProbe: Int): Double = {

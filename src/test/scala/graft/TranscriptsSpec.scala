@@ -118,6 +118,35 @@ class TranscriptsSpec extends SparkSpec {
     }
   }
 
+  test("embedder factory: stub and a registered 'real' model share the exact code path") {
+    import graft.etl.EmbedderFactory
+    val docs = Tables.documents(spark, sfDir).limit(6)
+    // a mock "real" model (stands in for an ONNX session-backed encoder):
+    // embeds text length into dim 0 — trivially checkable downstream
+    EmbedderFactory.register("mock-bge", (texts, dim) =>
+      texts.map { t => val v = new Array[Float](dim); v(0) = t.length.toFloat; v })
+    val viaFactory = EmbedderFactory.create("mock-bge", dim = 8, batchSize = 2)
+    // same class as the stub path — the model fn is the ONLY difference
+    assert(viaFactory.getClass == EmbedderFactory.create("stub", 8, 2).getClass)
+    val got = viaFactory.embed(docs, "text", "vec")
+      .select($"doc_id", element_at($"vec", 1).as("x"), length($"text").cast("float").as("l"))
+      .as[(Long, Float, Float)].collect()
+    assert(got.nonEmpty && got.forall { case (_, x, l) => x == l })
+    // stub via factory == stub invoked directly (bit-identical vectors)
+    val a = EmbedderFactory.create("stub", 16, 3).embed(docs, "text", "v")
+      .select($"doc_id", $"v").as[(Long, Seq[Float])].collect().toMap
+    val b = new graft.etl.BatchInferenceEmbedder(16, 3).embed(docs, "text", "v")
+      .select($"doc_id", $"v").as[(Long, Seq[Float])].collect().toMap
+    assert(a == b)
+    // the onnx spec string fails fast with a clear wiring message
+    val e = intercept[org.apache.spark.SparkException] {
+      EmbedderFactory.create("onnx:/models/bge-m3.onnx", 8, 2)
+        .embed(docs, "text", "vec").count()
+    }
+    assert(e.getMessage.contains("onnxruntime") ||
+      Option(e.getCause).exists(_.getMessage.contains("onnxruntime")))
+  }
+
   test("dbt-style invariants: positive durations, unique non-null keys") {
     val u = utterances
     assert(u.filter($"end_time_ms" < $"start_time_ms").count() == 0)
