@@ -27,6 +27,7 @@ object SparkEntry {
     "q7b_topk_custom_op"    -> (CoreQueries.top3PerSupplierCustom _),
     "q8_running_total"      -> (CoreQueries.runningOrderTotal _),
     "w8_asof_join"          -> (CoreQueries.clickPriorView _),
+    "w9_asof_forward"       -> (CoreQueries.clickNextView _),
     "q9_having"             -> (CoreQueries.bigSuppliers _),
     "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
     "q11_percentiles"       -> (CoreQueries.quantitySummary _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
+    "d9_incremental_neardup" -> (DedupQueries.incrementalNearDups _),
     "d5_embedding_neardup"  -> (DedupQueries.embeddingNearDups _),
     "t1_lang_id"            -> (TextQueries.langId _),
     "t5_hash_split"         -> (TextQueries.hashSplit _),
@@ -69,6 +71,10 @@ object SparkEntry {
     "r1_bm25_search"        -> (TextQueries.bm25Search _),
     "t10_oov_rate"          -> (TextQueries.oovRate _),
     "t11_mixture_rates"     -> (TextQueries.mixtureRates _),
+    "t12_surprisal"         -> (TextQueries.surprisal _),
+    "t14_topk_per_source"   -> (TextQueries.topQualityPerSource _),
+    "t13_char_entropy"      -> (TextQueries.charEntropy _),
+    "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "c1_contamination"      -> (TextQueries.contamination _),
     "t2_quality_score"      -> (TextQueries.quality _),
@@ -509,6 +515,35 @@ object SparkEntry {
         |  r.view_id AS prior_view_id, r.view_value AS prior_view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "w9_asof_forward" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT l.user_id, l.event_id,
+        |  r.view_id AS next_view_id, r.view_value AS next_view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "t14_topk_per_source" ->
+      """WITH f AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(ws, w -> list_contains(
+        |      ['the','a','of','and','to','el','la','de','y','en','der','die','das','und','zu'], w)))::DOUBLE
+        |      / len(ws) * 0.4
+        |    + (1.0 - len(list_filter(ws, w -> length(w) <= 2))::DOUBLE / len(ws)) * 0.4
+        |    + least((length(text) - (len(ws) - 1))::DOUBLE / len(ws) / 10.0, 1.0) * 0.2 AS q
+        |  FROM (SELECT source, doc_id, text, string_split(text, ' ') AS ws FROM documents))
+        |SELECT source, doc_id,
+        |  floor(q * 10000 + 0.5) / 10000 AS quality_score, rn
+        |FROM (SELECT source, doc_id, q,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY q DESC, doc_id) AS rn
+        |      FROM f)
+        |WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
     "q9_having" ->
       """SELECT l_suppkey, count(*) AS n_items,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
@@ -747,6 +782,51 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "d3_simhash_neardup" -> simhashOracleSql,
+    "d9_incremental_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor((len(list_intersect(a.s, b.s))::DOUBLE
+        |         / len(list_distinct(a.s || b.s))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t12_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS total FROM wc),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |    avg(log2(total) - log2(c)) AS mean_surprisal
+        |  FROM tok JOIN wc USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_words,
+        |  floor(mean_surprisal * 10000 + 0.5) / 10000 AS mean_surprisal
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "t13_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |pc AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, sum(cnt) AS n,
+        |    sum(cnt * log2(cnt)) AS s
+        |  FROM pc GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  floor((log2(n) - s / n) * 10000 + 0.5) / 10000 AS entropy
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(unnest(range(0, (doc_id % 30 + 1) * 24, 8)) AS INTEGER) AS frame_idx
+        |FROM documents
+        |WHERE doc_id % 3 = 2
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

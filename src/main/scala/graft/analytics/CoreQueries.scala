@@ -314,6 +314,25 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** w9 — FORWARD as-of: the first view at-or-after each click per
+    * user (ops.TemporalJoins.asOfForward — "next snapshot after the
+    * event"). Same one-shuffle union-tag shape as w8, scanned in
+    * descending time order; oracle is DuckDB ASOF with the inequality
+    * flipped. */
+  def clickNextView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+    graft.ops.TemporalJoins.asOfForward(clicks, views, "user_id", "ts",
+        payload = Seq("view_id", "view_value"))
+      .select(col("user_id"), col("event_id"),
+        col("next_view_id"), col("next_view_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** W2 running total (reference running char offsets,
     * transformers/helpers.py:164-175): cumulative order value per
     * customer in date order. DECIMAL accumulation keeps the running sum

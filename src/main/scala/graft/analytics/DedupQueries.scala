@@ -70,6 +70,25 @@ object DedupQueries {
         exactRound(col("dup_frac"), 4).as("dup_frac"))
       .orderBy(col("doc_id"))
 
+  /** d9 — INCREMENTAL near-dup: docs with doc_id % 10 == 3 play the
+    * "new batch", the rest the existing corpus whose MinHash signature
+    * store is persisted first (ops.Dedup.writeMinHashSignatures); the
+    * delta is then band-joined against the store only — the corpus
+    * text is never re-scanned (asserted in DedupSpec). The oracle is
+    * the brute-force pair scan restricted to delta-touching pairs
+    * (same LSH≡brute argument as d2: planted near-dups sit far above
+    * the banding cliff). */
+  def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val delta = docs.filter(col("doc_id") % 10 === 3)
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
+    Dedup.writeMinHashSignatures(corpus, "doc_id", "text", store)
+    Dedup.incrementalMinHashNearDups(delta, "doc_id", "text", store, 0.8)
+      .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-dup pairs, brute force. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)

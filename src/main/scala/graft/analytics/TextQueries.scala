@@ -159,6 +159,50 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t12 — unigram-LM surprisal quality proxy: mean -log2 p(word)
+    * under the corpus's own unigram distribution
+    * (ops.TextAnalysis.unigramSurprisal). */
+  def surprisal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"),
+        exactRound(col("mean_surprisal"), 4).as("mean_surprisal"))
+      .orderBy(col("doc_id"))
+
+  /** t13 — per-doc character Shannon entropy
+    * (ops.TextAnalysis.charEntropy). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"),
+        exactRound(col("entropy"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** m2 — multimodal frame sampling: every-8th frame index for video
+    * rows, generated columnar (ops.Multimodal.frameSample) and
+    * exploded to (media_id, frame_idx) rows. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.frameSample(
+      graft.ops.Multimodal.toMediaTable(Tables.documents(spark, dir)), 8)
+      .filter(col("meta.kind") === "video")
+      .select(col("media_id"), explode(col("sampled_frames")).as("frame_idx"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** t14 — per-domain quality sampling through the CUSTOM TopKPerGroup
+    * operator: top-5 docs per source by composite quality score (the
+    * training-data "best N per domain" selection shape — exactly the
+    * large-k-per-group regime the custom operator exists for). Quality
+    * is pure exactly-rounded IEEE arithmetic, so the unrounded ORDER
+    * is engine-portable; doc_id breaks ties. */
+  def topQualityPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+    graft.ops.TopK.perGroup(base, Seq("source"),
+      Seq(("q", true), ("doc_id", false)), k = 5, rankName = "rn")
+      .select(col("source"), col("doc_id"),
+        exactRound(col("q"), 4).as("quality_score"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** m1 — multimodal media table plumbing: binary payload byte length,
     * content digest, and the deterministic typed metadata
     * (graft.ops.Multimodal.toMediaTable). */

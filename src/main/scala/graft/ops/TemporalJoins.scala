@@ -42,7 +42,21 @@ object TemporalJoins {
     * resolves independently.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
-           payload: Seq[String], prefix: String = "prior_"): DataFrame = {
+           payload: Seq[String], prefix: String = "prior_"): DataFrame =
+    asOfDirectional(left, right, key, time, payload, prefix, forward = false)
+
+  /** Forward as-of join: for each left row, the single EARLIEST right
+    * row with `right.time >= left.time` on the same key (inclusive) —
+    * "next snapshot after the event". Same single-shuffle union-tag
+    * shape as the backward join, scanning the merged timeline in
+    * descending time order. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, time: String,
+                  payload: Seq[String], prefix: String = "next_"): DataFrame =
+    asOfDirectional(left, right, key, time, payload, prefix, forward = true)
+
+  private def asOfDirectional(left: DataFrame, right: DataFrame, key: String,
+                              time: String, payload: Seq[String],
+                              prefix: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val r = right.select(
       col(key), col(time),
@@ -50,13 +64,15 @@ object TemporalJoins {
       struct(payload.map(col): _*).as("__p"))
     val l = left.withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(r.schema("__p").dataType))
-    // left rows sort AFTER the right row at the same timestamp
-    // (__side 1 > 0), so equality is inclusive. __p breaks ties among
-    // duplicate right rows at the same (key, time); left rows all
-    // carry __p = null, so their relative order (irrelevant — each
-    // computes the same frame) is unaffected.
+    // scan order: ascending time for backward, descending for forward —
+    // either way left rows sort AFTER the right row at the same
+    // timestamp (__side 1 > 0), so equality is inclusive. __p breaks
+    // ties among duplicate right rows at the same (key, time); left
+    // rows all carry __p = null, so their relative order (irrelevant —
+    // each computes the same frame) is unaffected.
+    val timeOrd = if (forward) col(time).desc else col(time).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"), col("__p"))
+      .orderBy(timeOrd, col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))

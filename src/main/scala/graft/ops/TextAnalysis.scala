@@ -126,6 +126,53 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Unigram-LM surprisal — the cheap perplexity proxy (the published
+    * quality filter: score documents by a simple LM and drop the
+    * tails): per doc, the mean negative log2-probability of its words
+    * under the corpus's OWN unigram distribution,
+    * `p(w) = count(w) / total_tokens`.
+    *
+    * Shape at 100 TB: the token stream shuffles ONCE on the word key
+    * for the count aggregate; the token→count join runs on that same
+    * word partitioning (co-partitioned, no extra exchange); the
+    * corpus-total is a 1-row aggregate broadcast via cross join; the
+    * per-doc rollup is the only other shuffle. No driver-side vocab,
+    * no global window. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+      explode(split(col(textCol), " ")).as("__w"))
+    val counts = tok.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__total"))
+    // -log2(c/total) = log2(total) - log2(c), associated exactly as in
+    // the oracle SQL so float noise stays below the rounding cut
+    tok.join(counts, Seq("__w"))
+      .crossJoin(broadcast(total))
+      .select(col("__id"),
+        (log2(col("__total")) - log2(col("__c"))).as("__nll"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_words"), avg(col("__nll")).as("mean_surprisal"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** Character-entropy quality signal: Shannon entropy (bits) of the
+    * per-doc character distribution — near-zero entropy marks
+    * degenerate repetition, unusually high entropy marks binary
+    * garble. `H = log2(n) - sum(c*log2(c))/n` over per-char counts c.
+    * Two shuffles: (doc, char) counts, then the per-doc rollup. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "")).as("__ch"))
+      // Spark's split("") keeps a trailing zero-width match; DuckDB's
+      // string_split does not — drop it on this side
+      .filter(length(col("__ch")) > 0)
+    chars.groupBy(col("__id"), col("__ch")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_chars"),
+        sum(col("__c").cast("double") * log2(col("__c"))).as("__s"))
+      .select(col("__id").as(idCol), col("n_chars"),
+        (log2(col("n_chars")) - col("__s") / col("n_chars")).as("entropy"))
+  }
+
   /** Convenience: attach all text-analysis columns to a DataFrame. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

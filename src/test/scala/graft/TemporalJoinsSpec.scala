@@ -32,6 +32,31 @@ class TemporalJoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     .as[(Int, Long, String, String, String)]
     .collect()
 
+  test("asOfForward: earliest following right row, inclusive on equality") {
+    val fwd = TemporalJoins
+      .asOfForward(leftDf, rightDf, "k", "t", payload = Seq("v", "m"))
+      .orderBy($"k", $"t")
+      .as[(Int, Long, String, String, String)]
+      .collect()
+    val byTag = fwd.map(r => (r._3, (r._4, r._5))).toMap
+    assert(byTag("l5") == (("r10", "x")))        // first at-or-after t=5
+    assert(byTag("l10") == (("r10", "x")))       // t equality is inclusive
+    assert(byTag("l20") == ((null, null)))       // nothing after t=20
+    assert(byTag("l100") == ((null, null)))      // r99 is strictly before
+    assert(byTag("l7") == ((null, null)))        // key 3 has no right rows
+  }
+
+  test("asOf: duplicate right rows at the same (key, time) resolve deterministically") {
+    val dupRight = Seq((1, 10L, "rA", "a"), (1, 10L, "rB", "b"))
+      .toDF("k", "t", "v", "m")
+    val l = Seq((1, 11L, "l11")).toDF("k", "t", "tag")
+    val got = TemporalJoins.asOf(l, dupRight, "k", "t", Seq("v", "m"))
+      .select($"prior_v", $"prior_m").as[(String, String)].collect().toList
+    // the payload struct is the final window tie-break: the
+    // lexicographically-largest payload wins, on every run
+    assert(got == List(("rB", "b")))
+  }
+
   test("asOf: latest prior right row per left row, inclusive on equality") {
     val byTag = result.map(r => (r._3, (r._4, r._5))).toMap
     assert(byTag("l5") == ((null, null)))        // before any right row

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("char entropy: degenerate, binary, and uniform alphabets hit exact values") {
+    val df = Seq(
+      (1L, "aaaa"),       // one symbol → 0 bits
+      (2L, "abab"),       // two equiprobable → 1 bit
+      (3L, "abcd"),       // four equiprobable → 2 bits
+      (4L, "a"))          // single char → 0 bits
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .select($"doc_id", $"n_chars", $"entropy")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, e) => id -> ((n, math.rint(e * 1e9) / 1e9)) }.toMap
+    assert(got == Map(
+      1L -> ((4L, 0.0)), 2L -> ((4L, 1.0)), 3L -> ((4L, 2.0)), 4L -> ((1L, 0.0))))
+  }
+
+  test("unigram surprisal: uniform corpus distribution gives log2(V) per word") {
+    // 4 distinct words, each appearing twice → p(w) = 1/4 everywhere,
+    // so every doc's mean surprisal is exactly 2 bits
+    val df = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .select($"doc_id", $"n_words", $"mean_surprisal")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, math.rint(s * 1e9) / 1e9)) }.toMap
+    assert(got == Map(1L -> ((4L, 2.0)), 2L -> ((4L, 2.0))))
+  }
+
+  test("unigram surprisal: rare words score higher than common ones") {
+    val df = Seq(
+      (1L, "the the the the the the the rare"),
+      (2L, "the the the the the the the the"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .select($"doc_id", $"mean_surprisal").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("surprisal and entropy plans: no UDFs, no global windows") {
+    val docs = Tables.documents(spark, sfDir)
+    Seq(TextAnalysis.unigramSurprisal(docs, "doc_id", "text"),
+      TextAnalysis.charEntropy(docs, "doc_id", "text")).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(1000))
+      df.queryExecution.optimizedPlan.foreach {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => fail("global window")
+        case _ =>
+      }
+    }
+  }
+}
