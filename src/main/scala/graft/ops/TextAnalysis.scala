@@ -132,12 +132,13 @@ object TextAnalysis {
     * under the corpus's OWN unigram distribution,
     * `p(w) = count(w) / total_tokens`.
     *
-    * Shape at 100 TB: the token stream shuffles ONCE on the word key
-    * for the count aggregate; the token→count join runs on that same
-    * word partitioning (co-partitioned, no extra exchange); the
-    * corpus-total is a 1-row aggregate broadcast via cross join; the
-    * per-doc rollup is the only other shuffle. No driver-side vocab,
-    * no global window. */
+    * Shape at 100 TB: the token stream shuffles on the word key for
+    * the count aggregate; the token→count join broadcasts the count
+    * table when the vocabulary fits (the usual case — natural-language
+    * vocabularies are millions of rows, not corpus-scale), falling
+    * back to a word-key sort-merge join otherwise; the corpus-total is
+    * a 1-row aggregate broadcast via cross join; the per-doc rollup is
+    * the remaining shuffle. No driver-side vocab, no global window. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("__id"),
       explode(split(col(textCol), " ")).as("__w"))

@@ -208,9 +208,59 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** The engine's SQL-function surface: the native codegen expressions
+  * exposed by name, so `spark.sql("SELECT polyhash(w) ...")` works on
+  * any session that loads [[GraftExtensions]] (or calls
+  * [[GraftFunctions.register]] on an existing session). */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+  import graft.functions.{DotProduct, PolyHash, ShapeFingerprint}
+
+  type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val descriptions: Seq[Description] = Seq(
+    (FunctionIdentifier("polyhash"),
+      info(classOf[PolyHash], "polyhash",
+        "polyhash(str) - portable 60-bit polynomial string hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "polyhash(str) takes one argument")
+        PolyHash(Cast(args.head, StringType))
+      }),
+    (FunctionIdentifier("shape_fingerprint"),
+      info(classOf[ShapeFingerprint], "shape_fingerprint",
+        "shape_fingerprint(str) - rolling hash over word lengths"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shape_fingerprint(str) takes one argument")
+        ShapeFingerprint(Cast(args.head, StringType))
+      }),
+    (FunctionIdentifier("dot_product"),
+      info(classOf[DotProduct], "dot_product",
+        "dot_product(a, b) - native array<double> dot product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b) takes two arguments")
+        DotProduct(Cast(args(0), ArrayType(DoubleType)),
+          Cast(args(1), ArrayType(DoubleType)))
+      }))
+
+  /** Register on an already-built session (the non-extensions path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptions.foreach { case (ident, _, builder) =>
+      org.apache.spark.sql.GraftColumnBridge
+        .registerExprFunction(spark, ident.funcName, builder)
+    }
+}
+
 /** Config-based injection:
   * spark.sql.extensions=graft.plans.GraftExtensions */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    GraftFunctions.descriptions.foreach(e.injectFunction)
+  }
 }
