@@ -12,12 +12,17 @@ import graft.plans.{TopKPerGroup, TopKStrategy}
   */
 object TopK {
 
-  /** Idempotently add the planner strategy to the session. */
+  /** Idempotently add the planner strategy + the AutoTopK optimizer
+    * rule (window row_number ≤ k → bounded heaps for k above Spark's
+    * windowGroupLimitThreshold) to the session. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cl = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!cl.experimental.extraStrategies.contains(TopKStrategy))
       cl.experimental.extraStrategies =
         cl.experimental.extraStrategies :+ TopKStrategy
+    if (!cl.experimental.extraOptimizations.contains(graft.plans.AutoTopKRule))
+      cl.experimental.extraOptimizations =
+        cl.experimental.extraOptimizations :+ graft.plans.AutoTopKRule
   }
 
   /** Top-k rows per group, ranked 1..k best-first.

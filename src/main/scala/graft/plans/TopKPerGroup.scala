@@ -58,19 +58,32 @@ case class TopKPerGroup(
 /** Shared heap logic for both phases. */
 private[plans] object TopKHeap {
 
-  /** Best-first comparator over evaluated sort-key arrays. Exposes
+  /** Best-first comparator over evaluated sort-key arrays — null-aware,
+    * honoring each SortOrder's null ordering exactly as a window sort
+    * would (asc defaults NullsFirst, desc defaults NullsLast). Exposes
     * [[compareKeys]] so the hot loop can probe without allocating a
-    * tuple per row. */
-  final class Cmp(sortTypes: Seq[(org.apache.spark.sql.types.DataType, Boolean)])
+    * tuple per row. sortTypes: (dataType, descending?, nullsFirst?). */
+  final class Cmp(sortTypes: Seq[(org.apache.spark.sql.types.DataType, Boolean, Boolean)])
       extends java.util.Comparator[(Array[Any], InternalRow)] {
     private val orderings =
-      sortTypes.map { case (dt, _) => TypeUtils.getInterpretedOrdering(dt) }.toArray
+      sortTypes.map { case (dt, _, _) => TypeUtils.getInterpretedOrdering(dt) }.toArray
     private val desc = sortTypes.map(_._2).toArray
+    private val nullsFirst = sortTypes.map(_._3).toArray
     def compareKeys(a: Array[Any], b: Array[Any]): Int = {
       var i = 0
       while (i < orderings.length) {
-        val c = orderings(i).compare(a(i), b(i))
-        if (c != 0) return if (desc(i)) -c else c
+        val x = a(i); val y = b(i)
+        // null ordering is expressed in OUTPUT order (first = best), so
+        // it applies after the direction flip, not before
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) { if (nullsFirst(i)) -1 else 1 }
+          else if (y == null) { if (nullsFirst(i)) 1 else -1 }
+          else {
+            val c0 = orderings(i).compare(x, y)
+            if (desc(i)) -c0 else c0
+          }
+        if (c != 0) return c
         i += 1
       }
       0
@@ -80,8 +93,12 @@ private[plans] object TopKHeap {
       compareKeys(a._1, b._1)
   }
 
-  def comparator(sortTypes: Seq[(org.apache.spark.sql.types.DataType, Boolean)]): Cmp =
-    new Cmp(sortTypes)
+  def comparator(sortExprs: Seq[SortOrder]): Cmp =
+    new Cmp(sortExprs.map { so =>
+      (so.child.dataType,
+        so.direction == org.apache.spark.sql.catalyst.expressions.Descending,
+        so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst)
+    })
 
   /** Consume rows, retaining the best k per group key. Returns the
     * per-group retained rows ordered best-first. */
@@ -149,8 +166,7 @@ case class PartialTopKExec(
           .bindReference(so.child, childOut)
         (r: InternalRow) => bound.eval(r)
       }.toArray
-      val cmp = TopKHeap.comparator(
-        s.map(so => (so.child.dataType, so.direction == org.apache.spark.sql.catalyst.expressions.Descending)))
+      val cmp = TopKHeap.comparator(s)
       TopKHeap.topKPerGroup(it, groupProj, evals, cmp, kk)
         .flatMap(_._2.map(_._2))
     }
@@ -180,8 +196,7 @@ case class FinalTopKExec(
           .bindReference(so.child, childOut)
         (r: InternalRow) => bound.eval(r)
       }.toArray
-      val cmp = TopKHeap.comparator(
-        s.map(so => (so.child.dataType, so.direction == org.apache.spark.sql.catalyst.expressions.Descending)))
+      val cmp = TopKHeap.comparator(s)
       val joined = new JoinedRow()
       // downstream operators may expect UnsafeRow — project explicitly
       val toUnsafe = UnsafeProjection.create(
@@ -261,6 +276,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => AutoTopKRule)
     GraftFunctions.descriptions.foreach(e.injectFunction)
   }
 }

@@ -85,6 +85,42 @@ class StreamingSpec extends SparkSpec {
     assert(viaBatch.size < docs.count())
   }
 
+  test("streaming incremental dedup: multi-batch stream equals one-shot batch dedup") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .unionByName(Tables.documents(spark, sfDir).filter($"doc_id" < 5)
+        .select(($"doc_id" + 700000L).as("doc_id"), $"text")) // cross-batch dups
+    val src = java.nio.file.Files.createTempDirectory("ded-src").toString
+    // two source files → maxFilesPerTrigger=1 forces two micro-batches
+    docs.filter($"doc_id" < 250).coalesce(1).write.mode("overwrite")
+      .parquet(src + "/a=1")
+    docs.filter($"doc_id" >= 250).coalesce(1).write.mode("append")
+      .parquet(src + "/a=2")
+    val schema = spark.read.parquet(src + "/a=1").schema
+    val store = java.nio.file.Files.createTempDirectory("ded-store").toString + "/sigs"
+    val pairsOut = java.nio.file.Files.createTempDirectory("ded-pairs").toString + "/pairs"
+
+    def run(cp: String): Unit = EventStreams.incrementalDedupStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*"),
+      "doc_id", "text", store, pairsOut, cp).awaitTermination()
+
+    run(java.nio.file.Files.createTempDirectory("ded-cp1").toString)
+    val streamed = spark.read.parquet(pairsOut)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val oneShot = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed == oneShot, s"streamed=${streamed.size} batch=${oneShot.size}")
+    assert(streamed.nonEmpty)
+    // full replay from a fresh checkpoint: both sinks are keyed
+    // idempotent appends — nothing new lands
+    val nPairs = spark.read.parquet(pairsOut).count()
+    val nSigs = spark.read.parquet(store).count()
+    run(java.nio.file.Files.createTempDirectory("ded-cp2").toString)
+    assert(spark.read.parquet(pairsOut).count() == nPairs)
+    assert(spark.read.parquet(store).count() == nSigs)
+  }
+
   test("K1: partitioned JSON sink writes term directories") {
     val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
     graft.etl.Sinks.partitionedJson(

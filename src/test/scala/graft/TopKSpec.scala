@@ -121,9 +121,18 @@ class TopKSpec extends SparkSpec {
     // the built-in rule no longer fires and the window form shuffles
     // every input row; the custom operator's bound k*groups*partitions
     // still holds. THIS is the regime the operator exists for.
+    // NOTE: AutoTopKRule (installed session-wide by TopK.install /
+    // other suites) rewrites exactly this window shape into the custom
+    // operator — suppress it while measuring the WINDOW baseline, or
+    // there is no baseline left to measure.
     val opLarge = shuffleRecords(
       TopK.perGroup(base, Seq("g"), Seq(("v", true), ("id", false)), 2000))
-    val winLarge = shuffleRecords(windowed(2000))
+    val cl = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cl.experimental.extraOptimizations
+    cl.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.AutoTopKRule)
+    val winLarge = try shuffleRecords(windowed(2000))
+    finally cl.experimental.extraOptimizations = saved
     assert(winLarge >= 200000L, s"window should shuffle all rows, saw $winLarge")
     assert(opLarge <= winLarge / 4,
       s"custom op shuffled $opLarge vs window $winLarge — expected <=25%")
