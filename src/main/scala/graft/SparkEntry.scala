@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, DedupQueries, NestedQueries, ScalarQueries, SqlQueries, StreamQueries, TextQueries, VectorQueries}
+import graft.analytics.{CoreQueries, DedupQueries, NestedQueries, ScalarQueries, SketchQueries, SqlQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,8 @@ object SparkEntry {
     "q14_cube"              -> (CoreQueries.revenueCube _),
     "q15_unpivot"           -> (CoreQueries.priorityUnpivot _),
     "q16_rank_stats"        -> (CoreQueries.priceRankStats _),
+    "q17_approx_distinct"   -> (SketchQueries.approxDistinct _),
+    "q18_approx_median"     -> (SketchQueries.approxMedian _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
@@ -594,6 +596,18 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+    "q17_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS exact_distinct,
+        |  true AS within_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q18_approx_median" ->
+      """SELECT l_returnflag, true AS within_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q11_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

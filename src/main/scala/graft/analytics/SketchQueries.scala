@@ -1,0 +1,31 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Sketches
+
+/** Sketch exemplars (ops.Sketches) with accuracy-CONTRACT oracles: the
+  * sketch value itself is engine-specific (HLL++/KLL internals), so
+  * the registered output carries the exact value plus the boolean
+  * "approximation met its promised bound", and the oracle recomputes
+  * the exact side expecting every boolean true. A false anywhere
+  * breaks the hash compare — the contract is what's gated. */
+object SketchQueries {
+
+  /** q17 — approximate distinct suppliers per return flag, 3-sigma
+    * HLL++ bound checked against the exact count. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.distinctWithContract(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_suppkey")
+      .select(col("l_returnflag"), col("exact_distinct"), col("within_bound"))
+      .orderBy(col("l_returnflag"))
+
+  /** q18 — approximate median quantity per return flag, rank-tolerance
+    * bound checked against exact percentiles. */
+  def approxMedian(spark: SparkSession, dir: String): DataFrame =
+    Sketches.medianWithContract(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_quantity")
+      .select(col("l_returnflag"), col("within_bound"))
+      .orderBy(col("l_returnflag"))
+}
