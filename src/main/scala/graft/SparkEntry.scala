@@ -28,6 +28,9 @@ object SparkEntry {
     "q8_running_total"      -> (CoreQueries.runningOrderTotal _),
     "w8_asof_join"          -> (CoreQueries.clickPriorView _),
     "w9_asof_forward"       -> (CoreQueries.clickNextView _),
+    "w10_range_join"        -> (CoreQueries.purchaseWindowErrors _),
+    "j8_bloom_prune"        -> (CoreQueries.bloomPrunedRevenue _),
+    "z1_zorder_code"        -> (ScalarQueries.zorderCode _),
     "q9_having"             -> (CoreQueries.bigSuppliers _),
     "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
     "q11_percentiles"       -> (CoreQueries.quantitySummary _),
@@ -75,10 +78,12 @@ object SparkEntry {
     "t11_mixture_rates"     -> (TextQueries.mixtureRates _),
     "t12_surprisal"         -> (TextQueries.surprisal _),
     "t14_topk_per_source"   -> (TextQueries.topQualityPerSource _),
+    "t15_weighted_sample"   -> (TextQueries.weightedSample _),
     "t13_char_entropy"      -> (TextQueries.charEntropy _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "c1_contamination"      -> (TextQueries.contamination _),
+    "c2_corpus_build"       -> (TextQueries.corpusBuild _),
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
@@ -86,6 +91,7 @@ object SparkEntry {
     "s1b_ann_persisted"     -> (VectorQueries.annTopKPersisted _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
+    "st3_stream_join"       -> (StreamQueries.clickViewPairs _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "u1_set_ops"            -> (SqlQueries.setOps _),
     "a11_distinct"          -> (SqlQueries.distinctPairs _),
@@ -104,6 +110,16 @@ object SparkEntry {
   /** Full packed PolyHash of a SQL string expression. */
   private def polyHash64Sql(in: String): String =
     s"(${polyHashSql(31, 1073741789L, in)} * 1073741824 + ${polyHashSql(37, 1073741783L, in)})"
+
+  /** DuckDB reproduction of graft.ops.Layout.mortonCode: the same
+    * saturate + shift/mask/interleave arithmetic, term by term. */
+  private def mortonSql(x: String, y: String, bits: Int = 16): String = {
+    val cap = (1L << bits) - 1
+    (0 until bits).flatMap { i =>
+      Seq(s"(((least($x, $cap) >> $i) & 1) << ${2 * i})",
+          s"(((least($y, $cap) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(CAST(", " + ", " AS BIGINT))")
+  }
 
   /** Full SimHash pipeline in DuckDB SQL (signatures, 15-bit bands,
     * Hamming verify) — generated to keep the 60 vote columns in exact
@@ -337,6 +353,37 @@ object SparkEntry {
         |ORDER BY probe_id, rn""".stripMargin,
     "s1_ann_topk" -> annOracleSql,
     "s1b_ann_persisted" -> annPersistedOracleSql,
+    "c2_corpus_build" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+         |         '\\s+', ' ', 'g')) AS norm_text
+         |  FROM documents),
+         |surv AS (
+         |  SELECT doc_id, source, n_chars, text FROM (
+         |    SELECT doc_id, source, n_chars, text,
+         |      min(doc_id) OVER (PARTITION BY norm_text) AS keep
+         |    FROM n WHERE len(norm_text) > 0)
+         |  WHERE doc_id = keep),
+         |q AS (
+         |  SELECT doc_id, source, n_chars,
+         |    (len(list_filter(ws, w -> list_contains(
+         |       ['the','a','of','and','to','el','la','de','y','en','der','die','das','und','zu'], w)))::DOUBLE
+         |       / len(ws)) * 0.4
+         |    + (1.0 - len(list_filter(ws, w -> length(w) <= 2))::DOUBLE / len(ws)) * 0.4
+         |    + least(((length(text) - (len(ws) - 1))::DOUBLE / len(ws)) / 10.0, 1.0) * 0.2
+         |      AS score
+         |  FROM (SELECT doc_id, source, n_chars, text,
+         |          string_split(text, ' ') AS ws FROM surv)),
+         |h AS (
+         |  SELECT doc_id, source, n_chars, ${polyHash64Sql("w")} % 10000 AS bucket
+         |  FROM (SELECT doc_id, source, n_chars,
+         |          CAST(doc_id AS VARCHAR) || 'c2' AS w
+         |        FROM q WHERE score >= 0.5))
+         |SELECT CASE WHEN bucket < 8000 THEN 'train'
+         |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+         |  source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
     "t5_hash_split" ->
       s"""WITH h AS (
          |  SELECT n_chars, ${polyHash64Sql("w")} % 10000 AS bucket
@@ -345,6 +392,21 @@ object SparkEntry {
          |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "t15_weighted_sample" ->
+      s"""WITH hh AS (
+         |  SELECT doc_id, source, n_chars, ${polyHash64Sql("w")} AS hv
+         |  FROM (SELECT doc_id, source, n_chars,
+         |          CAST(doc_id AS VARCHAR) || 'v1' AS w FROM documents)),
+         |h AS (
+         |  SELECT doc_id, source, n_chars,
+         |    -ln((((hv & 1073741823) * (hv & 1073741823) + (hv >> 30))
+         |           % 1073741789 + 0.5) / 1073741789.0)
+         |      / greatest(n_chars, 1) AS race
+         |  FROM hh)
+         |SELECT doc_id, source, n_chars
+         |FROM (SELECT doc_id, source, n_chars FROM h
+         |      ORDER BY race, doc_id LIMIT 50)
+         |ORDER BY doc_id""".stripMargin,
     "t6_stratified_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, ${polyHash64Sql("w")} % 10000 AS bucket
@@ -467,6 +529,21 @@ object SparkEntry {
         |  ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
         |ORDER BY o_orderstatus, order_month""".stripMargin,
+    "z1_zorder_code" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${mortonSql("l_partkey", "l_suppkey")} AS z
+         |FROM lineitem WHERE l_orderkey < 200
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j8_bloom_prune" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |    AS DOUBLE) AS sum_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        |GROUP BY 1 ORDER BY order_month""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
@@ -529,6 +606,23 @@ object SparkEntry {
         |  r.view_id AS next_view_id, r.view_value AS next_view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "w10_range_join" ->
+      """WITH anchors AS (
+        |  SELECT event_id AS anchor_id,
+        |    CAST(ts AS TIMESTAMP) AS w_start,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS w_end
+        |  FROM events WHERE event_type = 'purchase'
+        |  ORDER BY value DESC NULLS LAST, event_id LIMIT 25)
+        |SELECT a.anchor_id,
+        |  count(e.event_id) AS n_errors,
+        |  max(e.value) AS max_err_value
+        |FROM anchors a
+        |LEFT JOIN events e
+        |  ON e.event_type = 'error'
+        | AND CAST(e.ts AS TIMESTAMP) >= a.w_start
+        | AND CAST(e.ts AS TIMESTAMP) < a.w_end
+        |GROUP BY a.anchor_id
+        |ORDER BY a.anchor_id""".stripMargin,
     "t14_topk_per_source" ->
       """WITH f AS (
         |  SELECT source, doc_id,
@@ -874,6 +968,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+    "st3_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND CAST(v.ts AS TIMESTAMP)
+        |       BETWEEN CAST(c.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+        |           AND CAST(c.ts AS TIMESTAMP)
+        |ORDER BY click_id, view_id""".stripMargin,
     "st2_user_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

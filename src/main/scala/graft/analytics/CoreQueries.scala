@@ -333,6 +333,62 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** j8 — Bloom-pruned fact-dimension join
+    * (ops.ScalePatterns.bloomPrunedJoin): lineitem is pruned against a
+    * one-pass Bloom sketch of the selective order subset BEFORE any
+    * join shuffle — the explicit form of semi-join reduction. The
+    * sketch admits false positives only, and the join removes those,
+    * so the oracle is simply the plain SQL join: byte-equality IS the
+    * no-false-negatives proof. */
+  def bloomPrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey").as("l_orderkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("order_month"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), money(col("l_extendedprice")).as("ep"),
+        money(col("l_discount")).as("dc"))
+    graft.ops.ScalePatterns
+      .bloomPrunedJoin(li, urgent, "l_orderkey", expectedItems = 100000L)
+      .groupBy(col("order_month"))
+      .agg(
+        round(sum(col("ep") * (lit(1).cast(DecimalType(4, 2)) - col("dc"))), 2)
+          .cast("double").as("sum_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("order_month"))
+  }
+
+  /** w10 — keyless range join (ops.TemporalJoins.binnedIntervalJoin):
+    * error activity inside the 30-minute window after each of the 25
+    * largest purchases. No shared key exists between the sides — pure
+    * interval containment — which Spark would otherwise plan as a
+    * nested-loop join; the 10-minute binning makes it a bin equi-join
+    * (each window covers 4 bins). Windows with no errors survive via
+    * the left join; `max` is the float-safe aggregate (association-
+    * order independent, unlike a double sum). */
+  def purchaseWindowErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .orderBy(col("value").desc_nulls_last, col("event_id"))
+      .limit(25)
+      .select(col("event_id").as("anchor_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts"), col("value"))
+    val perWindow = graft.ops.TemporalJoins
+      .binnedIntervalJoin(errors, "ts", anchors, "w_start", "w_end",
+        binSeconds = 600)
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_errors"), max(col("value")).as("max_err_value"))
+    anchors.join(perWindow, Seq("anchor_id"), "left")
+      .select(col("anchor_id"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        col("max_err_value"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** W2 running total (reference running char offsets,
     * transformers/helpers.py:164-175): cumulative order value per
     * customer in date order. DECIMAL accumulation keeps the running sum

@@ -106,6 +106,17 @@ object ScalarQueries {
         pmod(col("p_partkey"), lit(7L)).as("key_mod7"))
       .orderBy(col("p_partkey"))
 
+  /** z1 — Morton (Z-order) curve values (ops.Layout.mortonCode): the
+    * bit-interleave that drives the 2-d pruning layout, registered so
+    * the oracle proves the curve arithmetic portable bit-for-bit
+    * (LayoutSpec proves the file-skipping it buys). */
+  def zorderCode(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.mortonCode(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** F10 JSON-in-column extraction with COALESCE-to-0 null semantics
     * (bronze_transcript_embeddings.sql:27 jsonb_array_length). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =

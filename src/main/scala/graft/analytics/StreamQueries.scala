@@ -22,6 +22,23 @@ object StreamQueries {
         round(col("sum_value"), 2).cast("double").as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** st3 — stream-stream interval join (EventStreams.clickViewJoin,
+    * batch face): clicks × same-user views in the trailing 10 minutes.
+    * StreamingSpec runs the identical transform as a genuine two-file-
+    * stream join and asserts pair-set equality with this result. */
+  def clickViewPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    EventStreams.clickViewJoin(clicks, views)
+      .select(col("click_id"), col("view_id"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   /** st2 — session windows (2h gap) per user; DuckDB oracle uses
     * gaps-and-islands with the same boundary semantics (a gap of
     * exactly 2h starts a new session — session_window ends are

@@ -26,6 +26,34 @@ object TextQueries {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  /** c2 — end-to-end corpus build, the flagship COMPOSITION exemplar:
+    * normalize → exact-dedup survivors → quality gate → deterministic
+    * split → per-(split, source) manifest. Every stage is one of this
+    * library's own operators chained the way a real training-data
+    * build chains them, and the whole pipeline stays oracle-checkable
+    * as a single CTE. Shuffle ledger: one digest aggregation (the
+    * survivor pick rides it via min_by — no join-back), one final
+    * stats aggregation; normalize/quality/split are all map-side. */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val norm = docs
+      .withColumn("norm_text", TextAnalysis.normalize(col("text")))
+      .filter(length(col("norm_text")) > 0)
+    val survivors = norm
+      .groupBy(xxhash64(col("norm_text")).as("__d"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_chars"),
+        col("text")), col("doc_id")).as("__r"))
+      .select(col("__r.*"))
+    survivors
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "c2"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** t1 — language-ID heuristic: per-doc marker scores + argmax with
     * fixed tie precedence; rolled up per (actual, predicted) pair. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -82,6 +110,19 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"))
       .orderBy(col("split"))
+
+  /** t15 — weighted sampling without replacement
+    * (ops.Sampling.weightedSample, Efraimidis–Spirakis exponential
+    * race): 50 documents drawn with probability proportional to
+    * length, deterministically — the "sample long documents more"
+    * knob of a mixture build, reproducible enough that the oracle
+    * replays the exact race. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      Tables.documents(spark, dir), "doc_id",
+      greatest(col("n_chars"), lit(1)).cast("double"), k = 50, salt = "v1")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
 
   /** t6 — stratified deterministic sample: per-language keep
     * fractions over the same stable hash. */

@@ -62,6 +62,49 @@ object Sampling {
     df.filter(hashBucket(col(key), salt) < threshold)
   }
 
+  /** Deterministic uniform draw u ∈ (0,1) from (key, salt), usable as
+    * an ORDERING value. A polynomial hash of a short key is locally
+    * ~linear in the trailing characters — harmless for BUCKETING
+    * (everything above uses it mod 10000), fatal for ordering: u would
+    * increase almost monotonically with a numeric key, and a salt
+    * change would shift every row equally, leaving the order (and so
+    * any top-k sample) unchanged. The quadratic finalizer
+    * `(lo² + hi) mod P1` over the hash's two independent 30-bit halves
+    * restores avalanche where it matters: a one-character change moves
+    * `lo` by δ and the square by ~2·lo·δ mod P1 — wrapping the modulus
+    * a per-row-varying number of times. lo² ≤ 2^60, exact under ANSI
+    * longs and DuckDB BIGINTs alike; numerator + 0.5 and the P1
+    * divisor round once in IEEE, so both engines see bit-identical u.
+    */
+  def uniform01(key: Column, salt: String): Column = {
+    val h = PolyHash.polyHash(concat(key.cast("string"), lit(salt)))
+    val lo = h.bitwiseAND(lit(PolyHash.Pack - 1))
+    val hi = shiftright(h, 30)
+    val mixed = pmod(lo * lo + hi, lit(PolyHash.P1))
+    (mixed.cast("double") + 0.5) / PolyHash.P1.toDouble
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * exponential race, deterministic form): each row draws u from
+    * [[uniform01]] and the k smallest `-ln(u)/weight` values win. Win
+    * probability is proportional to weight, yet membership is exactly
+    * reproducible across retries, partitionings and engines — the
+    * oracle replays the identical race in SQL.
+    *
+    * Scale shape: no shuffle of the corpus — `orderBy(...).limit(k)`
+    * plans as TakeOrderedAndProject, a bounded per-partition heap
+    * plus a k·numPartitions driver merge. Weights must be
+    * strictly positive (caller clamps).
+    */
+  def weightedSample(df: DataFrame, key: String, weight: Column, k: Int,
+                     salt: String = "v1"): DataFrame = {
+    require(k > 0)
+    df.withColumn("__race", -log(uniform01(col(key), salt)) / weight)
+      .orderBy(col("__race"), col(key))
+      .limit(k)
+      .drop("__race")
+  }
+
   /** Domain-mixture balancing: per stratum (source/domain/language),
     * the keep fraction that equalizes expected counts at the size of
     * the smallest stratum — the rate table a mixture-controlled

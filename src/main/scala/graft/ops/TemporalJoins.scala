@@ -54,6 +54,43 @@ object TemporalJoins {
                   payload: Seq[String], prefix: String = "next_"): DataFrame =
     asOfDirectional(left, right, key, time, payload, prefix, forward = true)
 
+  /** Interval-containment (range) join WITHOUT an equi-key: every point
+    * row pairs with every interval row whose `[start, end)` contains
+    * its timestamp. Handed this shape directly, Spark plans a
+    * BroadcastNestedLoopJoin (or cartesian) — |points| × |intervals|
+    * comparisons, the classic range-join blowup.
+    *
+    * Binning turns it into an equi-join: intervals explode into the
+    * fixed-width time bins they cover, points hash into exactly ONE
+    * bin, and the bin equi-join meets each qualifying pair exactly
+    * once (the point's single bin is covered at most once per
+    * interval) — no post-join dedup. Comparisons drop to the pairs
+    * that share a bin; shuffle keys are the bins, so time-locality
+    * becomes partition-locality. Replication cost is per-INTERVAL
+    * (len/binWidth + 1 rows), so pick `binSeconds` near the typical
+    * interval length: the interval side stays ~2×, and only genuinely
+    * long intervals pay more. Hot bins (a traffic spike) are ordinary
+    * equi-join skew — AQE skew-split or `ScalePatterns.saltedJoin`
+    * applies unchanged.
+    *
+    * Returns the inner-join pairs with all columns from both inputs
+    * (names must be disjoint). Epoch-nonnegative timestamps assumed
+    * (integer `div` truncates toward zero).
+    */
+  def binnedIntervalJoin(points: DataFrame, timeCol: String,
+                         intervals: DataFrame, startCol: String, endCol: String,
+                         binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val w = binSeconds * 1000000L // work in microseconds
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"unix_micros($startCol) div $w"),
+                       expr(s"unix_micros($endCol) div $w"))))
+    val p = points.withColumn("__bin", expr(s"unix_micros($timeCol) div $w"))
+    p.join(binned, Seq("__bin"))
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("__bin")
+  }
+
   private def asOfDirectional(left: DataFrame, right: DataFrame, key: String,
                               time: String, payload: Seq[String],
                               prefix: String, forward: Boolean): DataFrame = {

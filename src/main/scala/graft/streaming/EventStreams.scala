@@ -74,6 +74,30 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each click pairs with the same
+    * user's views from the preceding 10 minutes (inclusive both ends).
+    * On streaming inputs the watermarks PLUS the time-range condition
+    * bound the join state — Spark derives how long each side's rows
+    * can still match and evicts older buffer entries; without the
+    * range condition a stream-stream join buffers forever. Inner-join
+    * matches emit as soon as both rows arrive (the watermark only
+    * gates eviction), so an AvailableNow run yields the complete
+    * pair set. On batch inputs the identical code is a plain
+    * conditional equi-join — which is what the oracle checks.
+    *
+    * Column names are taken pre-disambiguated (c_/v_ prefixes): a
+    * self-join of the events table needs distinct names anyway, and
+    * the streaming analyzer rejects ambiguous watermark columns. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = if (clicks.isStreaming) clicks.withWatermark("c_ts", "10 minutes")
+            else clicks
+    val v = if (views.isStreaming) views.withWatermark("v_ts", "20 minutes")
+            else views
+    c.join(v, expr(
+      "c_user = v_user AND " +
+      "v_ts BETWEEN c_ts - INTERVAL 10 MINUTES AND c_ts"))
+  }
+
   /** Streaming dedup on event ids bounded by the watermark — the
     * in-flight complement to the sink-side anti-join: duplicates
     * arriving within the watermark window are dropped before any

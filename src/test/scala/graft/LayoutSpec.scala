@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton code interleaves bits exactly") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("x", "y")
+      .select(Layout.mortonCode($"x", $"y", 4).as("z"))
+      .as[Long].collect().toSeq
+    // x even bits, y odd bits: (5,2) = x101,y010 -> z=0b011001=17? x:1@0,1@4; y:1@3 -> 1+16+8=25
+    assert(got == Seq(0L, 1L, 2L, 3L, 15L, 25L))
+  }
+
+  test("values beyond the bit budget saturate instead of colliding across cells") {
+    val got = Seq((1L << 20, 7L)).toDF("x", "y")
+      .select(Layout.mortonCode($"x", $"y", 4).as("z"))
+      .as[Long].collect().head
+    val capped = Seq((15L, 7L)).toDF("x", "y")
+      .select(Layout.mortonCode($"x", $"y", 4).as("z"))
+      .as[Long].collect().head
+    assert(got == capped)
+  }
+
+  test("z-ordered layout prunes files for predicates on EITHER dimension") {
+    // deterministic pseudo-uniform grid: both dims 0..1023
+    val n = 20000L
+    val df = spark.range(n).select(
+      ($"id" % 1024L).as("x"),
+      (($"id" * 7919L) % 1024L).as("y"),
+      $"id".as("payload"))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val xDir = java.nio.file.Files.createTempDirectory("xsort").toString
+    Layout.writeZOrdered(df, zDir, "x", "y", bits = 10, numFiles = 8)
+    // baseline: single-dimension sort layout
+    df.repartitionByRange(8, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xDir)
+
+    def filesHit(dir: String, colName: String, lo: Long, hi: Long): Int = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(colName)), max(col(colName))).as[(Long, Long)].head()
+        r._1 <= hi && r._2 >= lo // [min,max] intersects the predicate range
+      }
+    }
+    // all rows preserved
+    assert(spark.read.parquet(zDir).count() == n)
+    // a narrow band on y: the x-sorted layout cannot skip anything;
+    // the z-ordered layout skips at least half the files
+    val zHitY = filesHit(zDir, "y", 256, 319)
+    val xHitY = filesHit(xDir, "y", 256, 319)
+    assert(xHitY == 8, s"x-sorted layout should span y fully, hit $xHitY")
+    assert(zHitY <= 4, s"z-ordered layout should prune on y, hit $zHitY")
+    // and x stays pruned too (the curve serves both dimensions)
+    val zHitX = filesHit(zDir, "x", 256, 319)
+    assert(zHitX <= 4, s"z-ordered layout should prune on x, hit $zHitX")
+  }
+}

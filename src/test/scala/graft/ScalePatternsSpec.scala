@@ -130,4 +130,36 @@ class ScalePatternsSpec extends SparkSpec {
     val n2 = spark.read.parquet(sink).count()
     assert(n1 == 200 && n2 == 200, s"$n1 / $n2")
   }
+
+  test("bloom-pruned join: identical to the plain join, and actually prunes") {
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
+    val sel = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val plain = li.join(sel, Seq("l_orderkey"))
+      .agg(count(lit(1)), sum($"l_quantity")).as[(Long, Double)].collect().head
+    val bloomed = ScalePatterns.bloomPrunedJoin(li, sel, "l_orderkey", 10000L)
+      .agg(count(lit(1)), sum($"l_quantity")).as[(Long, Double)].collect().head
+    assert(bloomed == plain) // no false negatives, joins drop false positives
+    // the filter itself prunes: surviving probe rows ~= matches + fpp noise,
+    // far below the full probe side
+    val total = li.count()
+    val matches = li.join(sel.select($"l_orderkey"), Seq("l_orderkey"), "left_semi").count()
+    val numBits = math.ceil(-10000L * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      org.apache.spark.sql.GraftColumnBridge.expression(xxhash64($"l_orderkey")),
+      org.apache.spark.sql.catalyst.expressions.Literal(10000L),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)).toAggregateExpression()
+    val bytes = sel.select(org.apache.spark.sql.GraftColumnBridge.column(agg))
+      .head.getAs[Array[Byte]](0)
+    val surviving = li.filter(org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftColumnBridge.expression(xxhash64($"l_orderkey"))))).count()
+    assert(surviving >= matches && surviving < total,
+      s"surviving=$surviving matches=$matches total=$total")
+    assert(surviving - matches <= math.max(50L, (total * 0.03).toLong),
+      s"fpp blowup: surviving=$surviving matches=$matches total=$total")
+  }
 }

@@ -158,4 +158,32 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(v - want(u)._2) < 1e-6, s"user $u value")
     }
   }
+
+  test("stream-stream interval join equals the batch join of the same transform") {
+    val cDir = java.nio.file.Files.createTempDirectory("ss-clicks").toString
+    val vDir = java.nio.file.Files.createTempDirectory("ss-views").toString
+    val clicks = batchEvents.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+    val views = batchEvents.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("v_ts"))
+    clicks.write.mode("overwrite").parquet(cDir)
+    views.write.mode("overwrite").parquet(vDir)
+
+    val joined = EventStreams.clickViewJoin(
+      spark.readStream.schema(clicks.schema).parquet(cDir),
+      spark.readStream.schema(views.schema).parquet(vDir))
+    assert(joined.isStreaming)
+    val q = joined.select($"click_id", $"view_id")
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("ss_join_test")
+      .as[(Long, Long)].collect().toSet
+    val batch = EventStreams.clickViewJoin(clicks, views)
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
