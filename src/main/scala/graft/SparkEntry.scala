@@ -40,6 +40,7 @@ object SparkEntry {
     "q16_rank_stats"        -> (CoreQueries.priceRankStats _),
     "q17_approx_distinct"   -> (SketchQueries.approxDistinct _),
     "q18_approx_median"     -> (SketchQueries.approxMedian _),
+    "q19_heavy_hitters"     -> (SketchQueries.heavyHitters _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "t12_surprisal"         -> (TextQueries.surprisal _),
     "t14_topk_per_source"   -> (TextQueries.topQualityPerSource _),
     "t15_weighted_sample"   -> (TextQueries.weightedSample _),
+    "t16_weighted_per_src"  -> (TextQueries.weightedSamplePerSource _),
     "t13_char_entropy"      -> (TextQueries.charEntropy _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
@@ -407,6 +409,24 @@ object SparkEntry {
          |FROM (SELECT doc_id, source, n_chars FROM h
          |      ORDER BY race, doc_id LIMIT 50)
          |ORDER BY doc_id""".stripMargin,
+    "t16_weighted_per_src" ->
+      s"""WITH hh AS (
+         |  SELECT source, doc_id, n_chars, ${polyHash64Sql("w")} AS hv
+         |  FROM (SELECT source, doc_id, n_chars,
+         |          CAST(doc_id AS VARCHAR) || 'v1' AS w FROM documents)),
+         |r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    -ln((((hv & 1073741823) * (hv & 1073741823) + (hv >> 30))
+         |           % 1073741789 + 0.5) / 1073741789.0)
+         |      / greatest(n_chars, 1) AS race
+         |  FROM hh)
+         |SELECT source, doc_id, n_chars, rn
+         |FROM (SELECT source, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY race, doc_id) AS rn
+         |      FROM r)
+         |WHERE rn <= 10
+         |ORDER BY source, rn""".stripMargin,
     "t6_stratified_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, ${polyHash64Sql("w")} % 10000 AS bucket
@@ -702,6 +722,12 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q19_heavy_hitters" ->
+      """SELECT o_orderstatus, o_orderpriority AS priority,
+        |  count(*) AS est
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, priority""".stripMargin,
     "q11_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -28,4 +28,21 @@ object SketchQueries {
       Tables.lineitem(spark, dir), "l_returnflag", "l_quantity")
       .select(col("l_returnflag"), col("within_bound"))
       .orderBy(col("l_returnflag"))
+
+  /** q19 — Misra-Gries heavy hitters per order status
+    * (functions.MisraGries, the custom mergeable Aggregator). The
+    * priority domain (5 values) sits under k = 8, the regime where MG
+    * is provably exact — so the oracle checks the sketch's merge
+    * arithmetic end-to-end through real shuffled partials against a
+    * plain GROUP BY count. MisraGriesSpec covers the approximate
+    * regime (bounded state, n/(k+1) deficit) that SQL can't. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = graft.functions.MisraGries.heavyHitters(8)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(mg(col("o_orderpriority")).as("hh"))
+      .select(col("o_orderstatus"),
+        explode(col("hh")).as(Seq("priority", "est")))
+      .orderBy(col("o_orderstatus"), col("priority"))
+  }
 }

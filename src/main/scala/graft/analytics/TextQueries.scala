@@ -244,6 +244,26 @@ object TextQueries {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** t16 — PER-STRATUM weighted sampling: the Efraimidis–Spirakis race
+    * (ops.Sampling.uniform01) pushed through the custom TopKPerGroup
+    * Catalyst operator — 10 docs per source, length-proportional, in
+    * one bounded-heap pass (partial top-k map-side, no global or
+    * per-group full sort). The composition is the point: mixture
+    * builds sample per domain, and the race key makes that a
+    * deterministic top-k per group, which is exactly the operator the
+    * engine already owns. */
+  def weightedSamplePerSource(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("race",
+        -log(graft.ops.Sampling.uniform01(col("doc_id"), "v1"))
+          / greatest(col("n_chars"), lit(1)).cast("double"))
+    graft.ops.TopK.perGroup(base, Seq("source"),
+      Seq(("race", false), ("doc_id", false)), k = 10, rankName = "rn")
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** m1 — multimodal media table plumbing: binary payload byte length,
     * content digest, and the deterministic typed metadata
     * (graft.ops.Multimodal.toMediaTable). */

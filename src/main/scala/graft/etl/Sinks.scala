@@ -60,6 +60,46 @@ object Sinks {
     Files.writeString(Paths.get(s"$dir/metadata.json"), metadataJson)
   }
 
+  /** Dynamic partition overwrite: replace exactly the partitions
+    * present in `df`, leave every other partition untouched. This is
+    * the idempotent unit of a scheduled backfill — re-running a day
+    * replaces that day, never duplicates it and never clobbers its
+    * neighbors (plain Overwrite+partitionBy truncates the WHOLE
+    * table). The mode is set per-writer, not on the shared session. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Streaming sinks and per-batch
+    * idempotent appends accrete files; at 100 TB the file count —
+    * not the byte count — becomes the scan/listing bottleneck
+    * (footer reads, task-per-file scheduling). One coalescing pass,
+    * sized from the ACTUAL on-disk bytes, staged through a temp dir
+    * so a crash mid-compact never leaves the directory truncated.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    // coalesce, not repartition: compaction only ever reduces the file
+    // count, and coalesce does it without a shuffle — the read tasks
+    // write straight through
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    val after = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
   /** K7 — run summary metrics as a driver-side JSON write; counts come
     * from `observe()` metrics or cheap aggregates upstream. */
   def runSummary(path: String, metrics: Map[String, Any]): Unit = {
