@@ -90,6 +90,7 @@ object SparkEntry {
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
     "s1_ann_topk"           -> (VectorQueries.annTopK _),
+    "s2_ivf_seeded"         -> (VectorQueries.ivfSeededTopK _),
     "s1b_ann_persisted"     -> (VectorQueries.annTopKPersisted _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
@@ -354,6 +355,42 @@ object SparkEntry {
         |WHERE rn <= 5
         |ORDER BY probe_id, rn""".stripMargin,
     "s1_ann_topk" -> annOracleSql,
+    "s2_ivf_seeded" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)), 0.0)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
+         |          WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
+         |ca AS (
+         |  SELECT vec_id, v, list_id FROM (
+         |    SELECT c.vec_id, c.v, s.list_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e c CROSS JOIN seeds s)
+         |  WHERE ar = 1),
+         |qa AS (
+         |  SELECT vec_id AS query_id, v AS qv, list_id FROM (
+         |    SELECT q.vec_id, q.v, s.list_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e q CROSS JOIN seeds s WHERE q.vec_id < 5)
+         |  WHERE ar <= 2),
+         |sims AS (
+         |  SELECT qa.query_id, ca.vec_id AS cand_id,
+         |    ${cos("qa.qv", "ca.v")} AS sim_raw
+         |  FROM qa JOIN ca USING (list_id)
+         |  WHERE ca.vec_id != qa.query_id)
+         |SELECT query_id, cand_id,
+         |  floor(sim_raw * 1000000 + 0.5) / 1000000 AS cosine,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT query_id, cand_id, sim_raw,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY sim_raw DESC, cand_id) AS rank
+         |      FROM sims)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "s1b_ann_persisted" -> annPersistedOracleSql,
     "c2_corpus_build" ->
       s"""WITH n AS (

@@ -33,19 +33,24 @@ object TextQueries {
     * build chains them, and the whole pipeline stays oracle-checkable
     * as a single CTE. Shuffle ledger: one digest aggregation (the
     * survivor pick rides it via min_by — no join-back), one final
-    * stats aggregation; normalize/quality/split are all map-side. */
+    * stats aggregation; normalize/quality/split are all map-side.
+    * Quality is scored BEFORE the survivor aggregation so the digest
+    * shuffle carries four scalars per row, never the document text —
+    * at 100 TB the dedup exchange moves ~32 bytes/doc, not the
+    * corpus. */
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val norm = docs
       .withColumn("norm_text", TextAnalysis.normalize(col("text")))
       .filter(length(col("norm_text")) > 0)
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
     val survivors = norm
       .groupBy(xxhash64(col("norm_text")).as("__d"))
       .agg(min_by(struct(col("doc_id"), col("source"), col("n_chars"),
-        col("text")), col("doc_id")).as("__r"))
+        col("q")), col("doc_id")).as("__r"))
       .select(col("__r.*"))
     survivors
-      .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .filter(col("q") >= 0.5)
       .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "c2"))
       .groupBy(col("split"), col("source"))

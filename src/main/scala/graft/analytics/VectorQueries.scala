@@ -43,6 +43,25 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Fixed seed ids for the s2 deterministic IVF quantizer (shared
+    * with the generated oracle SQL). */
+  val IvfSeedIds: Seq[Long] = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+
+  /** s2 — seeded IVF ANN (ops.Similarity.ivfTopKSeeded): inverted
+    * lists seeded by fixed corpus vectors, so the full index build +
+    * probe is replayed exactly by the SQL oracle — the oracle-checked
+    * face of the IVF path (the KMeans variant stays spec-checked). */
+  def ivfSeededTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Similarity.ivfTopKSeeded(corpus, queries, k = 5,
+      seedIds = IvfSeedIds, nProbe = 2)
+      .select(col("query_id"), col("cand_id"),
+        exactRound(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s1b — ANN top-10 over a PERSISTED LSH index: the corpus is written
     * parquet-partitioned by its 8-bit signature (the durable analog of
     * the reference's pgvector index tables, schema.sql:47-63), then the

@@ -145,6 +145,52 @@ object Similarity {
     }
   }
 
+  /** IVF with a DETERMINISTIC coarse quantizer: the inverted lists are
+    * seeded by fixed corpus members (`seedIds`) instead of KMeans
+    * centroids, so assignment — nearest seed by cosine, ties to the
+    * lower list id — is a pure function of the data and the oracle can
+    * replay the whole index build + probe in SQL (the KMeans variant
+    * below stays the quality path; its centroids aren't portably
+    * reproducible). Same scale shape: the quantizer is a broadcast
+    * crossJoin against |seeds| rows, each corpus vector lands in
+    * exactly one list, queries probe `nProbe` lists. */
+  def ivfTopKSeeded(corpus: DataFrame, queries: DataFrame, k: Int,
+                    seedIds: Seq[Long], nProbe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    queryIdCol: String = "query_id"): DataFrame = {
+    require(seedIds.nonEmpty && nProbe > 0)
+    val c0 = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val seeds = c0.filter(col("cand_id").isin(seedIds: _*))
+      .select(col("cand_id").as("list_id"), col("__cv").as("__sv"))
+      .withColumn("__sn", VF.norm(col("__sv")))
+    def nearestLists(df: DataFrame, id: String, v: String, n: Int): DataFrame =
+      df.withColumn("__n", VF.norm(col(v)))
+        .crossJoin(broadcast(seeds))
+        .withColumn("__asim", VF.dot(col(v), col("__sv"))
+          / nullif(col("__n") * col("__sn"), lit(0.0)))
+        .withColumn("__ar", row_number().over(
+          Window.partitionBy(col(id))
+            .orderBy(col("__asim").desc, col("list_id"))))
+        .filter(col("__ar") <= n)
+        .drop("__sv", "__sn", "__asim", "__ar")
+    val assigned = nearestLists(c0, "cand_id", "__cv", 1)
+      .withColumnRenamed("__n", "__cn")
+    val q0 = queries.select(col(queryIdCol),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val probes = nearestLists(q0, queryIdCol, "__qv", nProbe)
+      .withColumnRenamed("__n", "__qn")
+    val sims = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("cand_id") =!= col(queryIdCol))
+      .withColumn("cosine",
+        VF.dot(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("cand_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF-style ANN: corpus assigned to KMeans centroids; queries search
     * the `nProbe` nearest inverted lists. The coarse quantizer is tiny
     * and broadcast; the corpus shuffles once at index build. */

@@ -99,4 +99,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= r4 - 1e-9 && r4 >= r1 - 1e-9, s"$r1 / $r4 / $r8")
     assert(math.abs(r8 - 1.0) < 1e-9, s"full probe must equal brute force, got $r8")
   }
+
+  test("seeded IVF with full probe equals brute force") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val seeds = Seq(10L, 20L, 30L, 40L)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"cand_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Similarity.ivfTopKSeeded(corpus, queries, 5, seeds,
+      nProbe = seeds.size)
+    val bf = Similarity.bruteForceTopK(corpus, queries, 5)
+    assert(key(full) == key(bf) && key(bf).nonEmpty)
+  }
 }
