@@ -19,27 +19,39 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "y", "en"),
     "de" -> Seq("der", "die", "das", "und", "zu"))
 
-  /** Evidence score: number of words present in the marker set. */
+  /** Evidence score: number of words present in the marker set.
+    * (Interpreted-HOF formulation kept for API compatibility and as
+    * the executable spec of the native path; hot paths below use
+    * [[graft.functions.WordStats]] instead.) */
   def markerScore(words: Column, markers: Seq[String]): Column =
     size(filter(words, w => w.isin(markers: _*)))
 
   /** Language-ID heuristic: argmax of marker scores with a fixed
-    * precedence (en > es > de) on ties. */
+    * precedence (en > es > de) on ties. All three marker counts come
+    * from ONE native WordStats pass (codegen loop, no interpreted
+    * array lambdas, no materialized split array). */
   def langScores(text: Column): Seq[(String, Column)] = {
-    val ws = split(text, " ")
-    Seq("en", "es", "de").map(l => l -> markerScore(ws, Markers(l)))
+    val langs = Seq("en", "es", "de")
+    val st = graft.functions.WordStats.wordStats(text, langs.map(Markers))
+    langs.zipWithIndex.map { case (l, i) =>
+      l -> st.getField("set_counts").getItem(i)
+    }
   }
 
   /** Quality-score features (length / stopword / word-shape ratios —
-    * the standard pre-training quality signals). */
+    * the standard pre-training quality signals). One native WordStats
+    * pass supplies every counter; the ratio arithmetic is unchanged,
+    * so values are bit-identical to the HOF formulation the oracle
+    * replays (TextAnalysisSpec pins native ≡ HOF on adversarial
+    * inputs; the t2/t14/c2/t1 hash matches pin it corpus-wide). */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val ws = split(text, " ")
-    val nWords = size(ws)
-    val nChars = length(text)
     val stopwords = Markers.values.flatten.toSeq
-    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
-    val nLong = size(filter(ws, w => length(w) >= 7))
-    val nShort = size(filter(ws, w => length(w) <= 2))
+    val st = graft.functions.WordStats.wordStats(text, Seq(stopwords))
+    val nWords = st.getField("n_words")
+    val nChars = length(text)
+    val nStop = st.getField("set_counts").getItem(0)
+    val nLong = st.getField("n_long")
+    val nShort = st.getField("n_short")
     Seq(
       "n_words" -> nWords,
       "n_chars" -> nChars,

@@ -68,6 +68,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interpreted array lambdas only where whitelisted") {
+    // HigherOrderFunction lambdas evaluate interpreted (CodegenFallback).
+    // Corpus-wide text paths must use the native expressions (WordStats,
+    // PolyHash, ShapeFingerprint, DotProduct). The whitelist names every
+    // acceptable remaining site — bounded verification baselines and
+    // per-row SMALL-array transforms — so a new interpreted lambda in a
+    // full-scan hot path fails here.
+    val whitelist = Set(
+      "d4_ngram_jaccard",   // bounded (doc_id < 300) quadratic baseline
+      "v2_quantized_cosine", // 64-element per-row quantize transforms
+      "f10_json_extract",    // 5-row JSON exemplar
+      "m1_binary_meta", "m2_frame_sample", // small per-row meta arrays
+      "g2_ordered_reassembly") // bounded (doc_id < 100) roundtrip check;
+                               // transform projects the per-doc sorted array
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+      if (p.contains("lambdafunction") && !whitelist(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected interpreted lambdas in: ${offenders.toSeq.sorted}")
+  }
+
   test("q12 plan: range exchange + broadcast offsets, no sort-merge") {
     val p = plan(CoreQueries.orderGaps(spark, sfDir))
     // the tiny per-partition offset table must broadcast, never SMJ

@@ -55,4 +55,38 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("native WordStats equals the HOF formulation on adversarial inputs") {
+    import org.apache.spark.sql.functions._
+    val stopwords = TextAnalysis.Markers.values.flatten.toSeq
+    val rows = Seq(
+      "", " ", "  ", "the", "the the the", " the ", "a  b", "x",
+      "der die das und zu el la de y en", "supercalifragilistic word",
+      "of  of   of", "tiny to the zoo", "trailing space ", " leading",
+      "exactly7 chars12 seventy", "ab abc abcd", "éléphant café the")
+      .toDF("text")
+    // HOF formulation (the executable spec)
+    val ws = split(col("text"), " ")
+    val hof = rows.select(
+      size(ws).as("w"),
+      size(filter(ws, w => w.isin(stopwords: _*))).as("stop"),
+      size(filter(ws, w => length(w) >= 7)).as("long"),
+      size(filter(ws, w => length(w) <= 2)).as("short"))
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    val st = graft.functions.WordStats.wordStats(col("text"), Seq(stopwords))
+    val native = rows.select(
+      st.getField("n_words"), st.getField("set_counts").getItem(0),
+      st.getField("n_long"), st.getField("n_short"))
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    assert(native == hof)
+  }
+
+  test("quality and lang-id plans carry the native word_stats, not interpreted lambdas") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, sfDir)
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("wordstats") || plan.contains("WordStats"), plan.take(2000))
+    assert(!plan.contains("lambdafunction"), plan.take(2000))
+  }
 }
