@@ -81,6 +81,8 @@ object SparkEntry {
     "t14_topk_per_source"   -> (TextQueries.topQualityPerSource _),
     "t15_weighted_sample"   -> (TextQueries.weightedSample _),
     "t16_weighted_per_src"  -> (TextQueries.weightedSamplePerSource _),
+    "t17_chunking"          -> (TextQueries.chunkDocs _),
+    "t18_sequence_pack"     -> (TextQueries.sequencePack _),
     "t13_char_entropy"      -> (TextQueries.charEntropy _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
@@ -446,6 +448,45 @@ object SparkEntry {
          |FROM (SELECT doc_id, source, n_chars FROM h
          |      ORDER BY race, doc_id LIMIT 50)
          |ORDER BY doc_id""".stripMargin,
+    "t17_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    greatest(1, CAST(ceil((length(text) - 40)::DOUBLE / 160) AS INTEGER)) AS n_chunks
+        |  FROM documents WHERE doc_id < 100),
+        |c AS (
+        |  SELECT doc_id, text, n_chunks,
+        |    unnest(range(0, n_chunks)) AS i
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, n_chunks,
+        |  CAST(length(substr(text, CAST(i * 160 + 1 AS BIGINT), 200)) AS INTEGER) AS chunk_len,
+        |  substr(text, CAST(i * 160 + 1 AS BIGINT), 200) AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t18_sequence_pack" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars, ${polyHash64Sql("w")} % 8 AS bucket
+         |  FROM (SELECT doc_id, n_chars,
+         |          CAST(doc_id AS VARCHAR) || 'p1' AS w FROM documents)),
+         |s AS (
+         |  SELECT doc_id, n_chars, bucket,
+         |    CAST(sum(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+         |  FROM h),
+         |spans AS (
+         |  SELECT doc_id, bucket, e - n_chars AS st, e,
+         |    CAST(floor((e - n_chars)::DOUBLE / 2048) AS BIGINT) AS fp,
+         |    greatest(CAST(floor((e - n_chars)::DOUBLE / 2048) AS BIGINT),
+         |             CAST(floor((e - 1)::DOUBLE / 2048) AS BIGINT)) AS lp
+         |  FROM s),
+         |x AS (
+         |  SELECT doc_id, bucket, st, e,
+         |    unnest(range(fp, lp + 1)) AS pack_id
+         |  FROM spans)
+         |SELECT bucket, pack_id, doc_id,
+         |  greatest(pack_id * 2048, st) - st AS slice_start,
+         |  least((pack_id + 1) * 2048, e) - greatest(pack_id * 2048, st) AS slice_len
+         |FROM x
+         |ORDER BY bucket, pack_id, doc_id""".stripMargin,
     "t16_weighted_per_src" ->
       s"""WITH hh AS (
          |  SELECT source, doc_id, n_chars, ${polyHash64Sql("w")} AS hv

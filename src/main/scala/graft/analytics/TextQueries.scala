@@ -129,6 +129,30 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** t17 — fixed-window chunking with overlap
+    * (ops.TextAnalysis.chunk): 200-char windows, 40-char overlap,
+    * over the first 100 docs — the long-document → training-window
+    * explosion, as a pure projection. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(
+      Tables.documents(spark, dir).filter(col("doc_id") < 100),
+      "doc_id", "text", size = 200, overlap = 40)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
+        length(col("chunk_text")).as("chunk_len"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** t18 — sequence packing (ops.Packing.packSlices): documents laid
+    * end-to-end in 8 deterministic shards and chopped into 2048-char
+    * training windows; each row is one (doc, pack) slice. Oracle
+    * replays the same shard hash + running-offset window in SQL. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packSlices(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", capacity = 2048, buckets = 8)
+      .select(col("bucket"), col("pack_id"), col("doc_id"),
+        col("slice_start"), col("slice_len"))
+      .orderBy(col("bucket"), col("pack_id"), col("doc_id"))
+
   /** t6 — stratified deterministic sample: per-language keep
     * fractions over the same stable hash. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =

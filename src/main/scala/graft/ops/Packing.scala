@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+
+/** Sequence packing: lay documents end-to-end and chop the stream into
+  * fixed-capacity training windows — concat-then-chop, the packing
+  * LLM pretraining actually uses (documents split at window
+  * boundaries; no padding waste, no bin-packing heuristics).
+  *
+  * Distributed shape: a global concatenation order would serialize the
+  * corpus, so the stream is sharded into `buckets` deterministic
+  * PolyHash shards first; each shard packs independently under ONE
+  * partitioned window (running char offset per shard), and every
+  * document explodes into the 1..few pack-slices its span covers —
+  * pure arithmetic after the one window sort. Pack ids are
+  * (bucket, pack_in_bucket): stable across runs, retries and engines,
+  * so a resumed job never re-packs differently. ~C chars fill every
+  * pack except each shard's last.
+  */
+object Packing {
+
+  /** Assign each document's span to its covering packs.
+    * Emits one row per (doc, pack) slice:
+    * bucket, pack_id (within bucket), slice_start (offset in doc),
+    * slice_len; a doc shorter than `capacity` usually lands in one
+    * pack, docs straddling a boundary split. Zero-length docs emit
+    * one zero-length slice (kept: every doc must appear in the
+    * manifest). */
+  def packSlices(df: DataFrame, idCol: String, lenCol: String,
+                 capacity: Int, buckets: Int = 8,
+                 salt: String = "p1"): DataFrame = {
+    require(capacity > 0 && buckets > 0)
+    val bucket = pmod(
+      PolyHash.polyHash(concat(col(idCol).cast("string"), lit(salt))),
+      lit(buckets))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSpan = df
+      .withColumn("bucket", bucket)
+      .withColumn("__end", sum(col(lenCol)).over(w))
+      .withColumn("__start", col("__end") - col(lenCol))
+    // floor, not cast: double→long CAST truncates in Spark but ROUNDS
+    // in DuckDB — floor first makes both engines agree exactly
+    val firstPack = floor(col("__start") / capacity)
+    // a zero-length doc still occupies "position __start": one slice
+    val lastPack = greatest(firstPack, floor((col("__end") - 1) / capacity))
+    withSpan
+      .withColumn("pack_id", explode(sequence(firstPack, lastPack)))
+      .withColumn("slice_start",
+        greatest(col("pack_id") * capacity, col("__start")) - col("__start"))
+      .withColumn("slice_len",
+        least((col("pack_id") + 1) * capacity, col("__end"))
+          - greatest(col("pack_id") * capacity, col("__start")))
+      .drop("__start", "__end")
+  }
+}

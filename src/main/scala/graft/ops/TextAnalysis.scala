@@ -77,6 +77,35 @@ object TextAnalysis {
     "n_tokens" -> TextFunctions.tokenCount(text),
     "n_words" -> TextFunctions.wordCount(text))
 
+  /** Fixed-window document chunking with overlap — the map-side
+    * operator that turns a long-document corpus into training-window
+    * rows (the generic form of the reference's transcript chunker,
+    * transformers/helpers.py token windows). Chunk i covers
+    * `[i·(size−overlap), i·(size−overlap)+size)` in characters; the
+    * last chunk may run short; every doc yields ≥ 1 chunk (empty text
+    * included, as one empty chunk). Pure column arithmetic —
+    * `explode(sequence)` + `substr` — so chunking is a projection, no
+    * shuffle, and parallelism follows the scan. Char windows are the
+    * portable exemplar; a token-window variant is the same shape with
+    * the tokenizer's offsets as the cut points.
+    *
+    * Reconstructability (spec-pinned): chunk 0 plus each later
+    * chunk's suffix after `overlap` chars concatenate back to the
+    * exact original text. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0")
+    val step = size - overlap
+    val n = greatest(lit(1),
+      ceil((length(col(textCol)) - lit(overlap)).cast("double") / step)
+        .cast("int"))
+    df.select(col(idCol), col(textCol), n.as("n_chunks"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("chunk_text",
+        col(textCol).substr(col("chunk_idx") * step + 1, lit(size)))
+      .drop(textCol)
+  }
+
   /** Normalization for pre-dedup text canonicalization: lowercase,
     * strip non-alphanumeric-non-space characters, collapse whitespace
     * runs, trim. Pure codegen'd string expressions, portable to the

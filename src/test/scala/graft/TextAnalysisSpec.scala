@@ -56,6 +56,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chunking reconstructs the original text and is a shuffle-free projection") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 50)
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", size = 200, overlap = 40)
+    // chunk 0 + each later chunk's suffix after `overlap` chars == text
+    val rebuilt = chunks
+      .withColumn("piece", when(col("chunk_idx") === 0, col("chunk_text"))
+        .otherwise(col("chunk_text").substr(lit(41), lit(200))))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", array_sort(collect_list(
+        struct(col("chunk_idx"), col("piece")))).getField("piece")).as("rebuilt"))
+    val bad = rebuilt.join(docs, Seq("doc_id"))
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(bad == 0)
+    // projection only: no Exchange in the chunk plan
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    // every doc chunked, empty-safe
+    assert(chunks.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("native WordStats equals the HOF formulation on adversarial inputs") {
     import org.apache.spark.sql.functions._
     val stopwords = TextAnalysis.Markers.values.flatten.toSeq
