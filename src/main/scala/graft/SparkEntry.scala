@@ -31,6 +31,8 @@ object SparkEntry {
     "w10_range_join"        -> (CoreQueries.purchaseWindowErrors _),
     "j8_bloom_prune"        -> (CoreQueries.bloomPrunedRevenue _),
     "z1_zorder_code"        -> (ScalarQueries.zorderCode _),
+    "u2_funnel"             -> (CoreQueries.conversionFunnel _),
+    "u3_cohort"             -> (CoreQueries.cohortRetention _),
     "q9_having"             -> (CoreQueries.bigSuppliers _),
     "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
     "q11_percentiles"       -> (CoreQueries.quantitySummary _),
@@ -627,6 +629,32 @@ object SparkEntry {
         |  ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
         |ORDER BY o_orderstatus, order_month""".stripMargin,
+    "u2_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+        |        OVER (PARTITION BY user_id) AS s FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts >= s THEN ts END)
+        |        OVER (PARTITION BY user_id) AS v FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END)
+        |        OVER (PARTITION BY user_id) AS c FROM b),
+        |d AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END)
+        |        OVER (PARTITION BY user_id) AS p FROM c)
+        |SELECT
+        |  count(DISTINCT CASE WHEN s IS NOT NULL THEN user_id END) AS n_signup,
+        |  count(DISTINCT CASE WHEN v IS NOT NULL THEN user_id END) AS n_view,
+        |  count(DISTINCT CASE WHEN c IS NOT NULL THEN user_id END) AS n_click,
+        |  count(DISTINCT CASE WHEN p IS NOT NULL THEN user_id END) AS n_purchase
+        |FROM d""".stripMargin,
+    "u3_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |a AS (SELECT user_id, day,
+        |        min(day) OVER (PARTITION BY user_id) AS cohort FROM e)
+        |SELECT cohort, day - cohort AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin,
     "z1_zorder_code" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${mortonSql("l_partkey", "l_suppkey")} AS z

@@ -389,6 +389,42 @@ object CoreQueries {
       .orderBy(col("anchor_id"))
   }
 
+  /** u2 — sequential conversion funnel: signup → view → click →
+    * purchase, each stage's first event must be at-or-after the
+    * previous stage's. Four chained per-user window minima share ONE
+    * user-id exchange (same partitioning, unordered frames — no
+    * per-window sort), then a single global distinct-count row. */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    def firstAtOrAfter(tpe: String, lower: Column): Column =
+      min(when(col("event_type") === tpe && col("ts") >= lower, col("ts")))
+        .over(wU)
+    Tables.events(spark, dir)
+      .withColumn("s",
+        min(when(col("event_type") === "signup", col("ts"))).over(wU))
+      .withColumn("v", firstAtOrAfter("view", col("s")))
+      .withColumn("c", firstAtOrAfter("click", col("v")))
+      .withColumn("p", firstAtOrAfter("purchase", col("c")))
+      .agg(
+        countDistinct(when(col("s").isNotNull, col("user_id"))).as("n_signup"),
+        countDistinct(when(col("v").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("c").isNotNull, col("user_id"))).as("n_click"),
+        countDistinct(when(col("p").isNotNull, col("user_id"))).as("n_purchase"))
+  }
+
+  /** u3 — cohort retention: users grouped by first-seen day, activity
+    * counted per day offset. One per-user window min + one aggregate. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cohort", min(col("day")).over(wU))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   /** W2 running total (reference running char offsets,
     * transformers/helpers.py:164-175): cumulative order value per
     * customer in date order. DECIMAL accumulation keeps the running sum
