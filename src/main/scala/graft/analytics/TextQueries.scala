@@ -238,6 +238,37 @@ object TextQueries {
         exactRound(col("mean_surprisal"), 4).as("mean_surprisal"))
       .orderBy(col("doc_id"))
 
+  /** t19 — bigram-LM surprisal: per-doc mean conditional surprisal
+    * under the corpus's own bigram model
+    * (ops.TextAnalysis.bigramSurprisal). */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        exactRound(col("mean_surprisal"), 4).as("mean_surprisal"))
+      .orderBy(col("doc_id"))
+
+  /** t20 — per-source boilerplate detection
+    * (ops.TextAnalysis.boilerplateGrams). The corpus is synthetic
+    * random words with no real boilerplate, so the query PLANTS a
+    * per-source boilerplate sentence on every even doc_id (the same
+    * planted-signal trick as t9's PII) and the detector must recover
+    * exactly its trigrams: each planted trigram appears in ~half the
+    * source's docs (≥ the 0.4 cut), while no natural trigram reaches
+    * 0.4 at any tested scale. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .withColumn("text2",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" subscribe to "), col("source"),
+            lit(" newsletter today")))
+          .otherwise(col("text")))
+    TextAnalysis.boilerplateGrams(planted, "doc_id", "source", "text2",
+        n = 3, minFrac = 0.4)
+      .select(col("source"), col("gram"), col("df_docs"), col("n_src_docs"),
+        exactRound(col("doc_frac"), 4).as("doc_frac"))
+      .orderBy(col("source"), col("gram"))
+  }
+
   /** t13 — per-doc character Shannon entropy
     * (ops.TextAnalysis.charEntropy). */
   def charEntropy(spark: SparkSession, dir: String): DataFrame =

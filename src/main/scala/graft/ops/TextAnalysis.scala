@@ -196,6 +196,95 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Bigram-LM surprisal — the next step up from [[unigramSurprisal]]
+    * on the published LM-quality-filter ladder: per doc, the mean
+    * negative log2 conditional probability of its word bigrams under
+    * the corpus's OWN bigram model,
+    * `-log2 P(w2|w1) = log2 c(w1 ·) - log2 c(w1 w2)`,
+    * where both counts are over the corpus bigram stream (so the
+    * model is self-normalized and every scored bigram has been seen —
+    * no smoothing constant to tune). Degenerate repetition scores
+    * near 0 bits; incoherent word salad scores near log2(vocab).
+    *
+    * Shape at 100 TB: the bigram stream comes from the shingle window
+    * (one doc-key shuffle); the two count tables are vocab²- and
+    * vocab-sized aggregates that broadcast back (AQE converts the
+    * joins when the model fits, the usual case); the per-doc rollup
+    * is the remaining shuffle. No driver-side model, no global
+    * window. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = Dedup.rawShingleRows(df.select(col(idCol), col(textCol)),
+        idCol, textCol, 2)
+      .withColumn("__w1", substring_index(col("__s"), " ", 1))
+    val bgc = g.groupBy(col("__s")).agg(count(lit(1)).as("__cbg"))
+    val w1c = g.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val per = g.join(bgc, Seq("__s")).join(w1c, Seq("__w1"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log2(col("__c1")) - log2(col("__cbg"))).as("mean_surprisal"))
+    // completeness: docs with < 2 words carry n_bigrams = 0, null mean
+    df.select(col(idCol))
+      .join(per, df(idCol) === per("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_surprisal"))
+  }
+
+  /** Per-source boilerplate n-gram detection — the web-corpus cleaning
+    * primitive (strip the navigation/footer phrases that repeat across
+    * a domain's pages): an n-gram is boilerplate for a source when it
+    * appears in at least `minFrac` of that source's documents. Output
+    * is the detection table (source, gram, df_docs, n_src_docs,
+    * doc_frac); [[stripBoilerplate]] applies it.
+    *
+    * Shape at 100 TB: per-doc DISTINCT grams ride the shingle window's
+    * doc-key shuffle; the (source, gram) doc-frequency count is the
+    * second shuffle; per-source doc counts are a tiny aggregate that
+    * broadcasts into the final join. The detection table needs the
+    * gram SURFACE FORM, so gram strings do shuffle here — a corpus
+    * with adversarially long grams would hash them first (d8's 8-byte
+    * PolyHash keys) and join surface forms back for survivors only. */
+  def boilerplateGrams(df: DataFrame, idCol: String, srcCol: String,
+                       textCol: String, n: Int, minFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("col"), k).over(w))
+    val grams = df.select(col(idCol).as("__id"), col(srcCol).as("source"),
+        posexplode(split(col(textCol), " ")))
+      .withColumn("gram", concat_ws(" ", col("col") +: leads: _*))
+      .filter(size(split(col("gram"), " ")) === n)
+      .select(col("__id"), col("source"), col("gram")).distinct()
+    val srcSizes = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_src_docs"))
+    grams.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("df_docs"))
+      .join(broadcast(srcSizes), Seq("source"))
+      .withColumn("doc_frac",
+        col("df_docs").cast("double") / col("n_src_docs"))
+      .filter(col("doc_frac") >= minFrac)
+  }
+
+  /** Apply a boilerplate detection table: remove every occurrence of
+    * the source's single most frequent boilerplate gram (df_docs desc,
+    * gram asc tie-break — deterministic) from each document, then
+    * collapse the whitespace the removal leaves behind. One broadcast
+    * join (the detection table is tiny relative to the corpus) — the
+    * cleaning pass itself is a pure projection. */
+  def stripBoilerplate(df: DataFrame, srcCol: String, textCol: String,
+                       boiler: DataFrame): DataFrame = {
+    val top = boiler
+      .groupBy(col("source"))
+      .agg(min_by(col("gram"), struct(negate(col("df_docs")), col("gram")))
+        .as("__top_gram"))
+    df.join(broadcast(top), df(srcCol) === top("source"), "left")
+      .drop(top("source"))
+      .withColumn(textCol,
+        when(col("__top_gram").isNotNull,
+          trim(regexp_replace(
+            replace(col(textCol), col("__top_gram"), lit("")), "\\s+", " ")))
+          .otherwise(col(textCol)))
+      .drop("__top_gram")
+  }
+
   /** Character-entropy quality signal: Shannon entropy (bits) of the
     * per-doc character distribution — near-zero entropy marks
     * degenerate repetition, unusually high entropy marks binary
