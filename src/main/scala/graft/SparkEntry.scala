@@ -86,6 +86,9 @@ object SparkEntry {
     "t17_chunking"          -> (TextQueries.chunkDocs _),
     "t18_sequence_pack"     -> (TextQueries.sequencePack _),
     "t13_char_entropy"      -> (TextQueries.charEntropy _),
+    "t19_bigram_surprisal"  -> (TextQueries.bigramSurprisal _),
+    "t20_boilerplate"       -> (TextQueries.boilerplate _),
+    "t21_boilerplate_strip" -> (TextQueries.boilerplateStrip _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "c1_contamination"      -> (TextQueries.contamination _),
@@ -96,6 +99,7 @@ object SparkEntry {
     "s1_ann_topk"           -> (VectorQueries.annTopK _),
     "s2_ivf_seeded"         -> (VectorQueries.ivfSeededTopK _),
     "s1b_ann_persisted"     -> (VectorQueries.annTopKPersisted _),
+    "s1b_build_index"       -> (VectorQueries.annIndexBuild _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
     "st3_stream_join"       -> (StreamQueries.clickViewPairs _),
@@ -195,12 +199,19 @@ object SparkEntry {
     * values as double literals (shortest-roundtrip representation —
     * DuckDB parses them to bit-identical doubles) and ranking with the
     * same dot-product arithmetic. */
-  private def annOracleSqlFor(nBits: Int): String = {
+  /** The seeded sign-random-projection signature of a DOUBLE[] column
+    * `v`, as DuckDB SQL — hyperplanes inlined as shortest-roundtrip
+    * double literals (parse to identical bits). */
+  private def annSigExprSql(nBits: Int): String = {
     val lsh = new graft.ops.Similarity.SignRandomProjectionLsh(dim = 64, nBits = nBits)
     def vecLit(v: Array[Double]): String = v.mkString("[", ", ", "]")
-    val sigExpr = lsh.hyperplanes.zipWithIndex.map { case (h, i) =>
+    lsh.hyperplanes.zipWithIndex.map { case (h, i) =>
       s"(CASE WHEN list_dot_product(v, ${vecLit(h)}) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", "\n      + ", ")")
+  }
+
+  private def annOracleSqlFor(nBits: Int): String = {
+    val sigExpr = annSigExprSql(nBits)
     val probeList = (Seq("sig") ++ (0 until nBits).map(i => s"xor(sig, ${1 << i})"))
       .mkString("[", ", ", "]")
     s"""WITH e AS (
@@ -235,6 +246,16 @@ object SparkEntry {
   /** Oracle for the persisted-index ANN query (s1b, 8-bit): identical
     * math — the index is a physical layout, not a semantic change. */
   private lazy val annPersistedOracleSql: String = annOracleSqlFor(8)
+
+  /** Oracle for the s1b index BUILD: the written index's per-signature
+    * bucket histogram must match the replayed signature math. */
+  private lazy val annBuildOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sigs AS (
+       |  SELECT CAST(${annSigExprSql(8)} AS INTEGER) AS sig FROM e)
+       |SELECT sig, count(*) AS n_vectors
+       |FROM sigs GROUP BY sig ORDER BY sig""".stripMargin
 
   /** t9 oracle: identical planted-PII string, identical regexes (the
     * graft.ops.Pii constants are RE2-and-Java-portable by design),
@@ -311,8 +332,78 @@ object SparkEntry {
        |LIMIT 20""".stripMargin
   }
 
+  /** Shared CTE prefix for the t20/t21 boilerplate oracles: the planted
+    * per-source boilerplate sentence, the per-doc DISTINCT trigram set,
+    * and the (source, gram) document-frequency table — the SQL mirror
+    * of TextQueries.boilerplate's planted fixture +
+    * TextAnalysis.boilerplateGrams. */
+  private val boilerplateCte: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN text || ' subscribe to ' || source || ' newsletter today'
+      |      ELSE text END AS text2
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source, gram FROM (
+      |    SELECT doc_id, source,
+      |      unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |              for i in range(1, len(ws) - 1)]) AS gram
+      |    FROM (SELECT doc_id, source, string_split(text2, ' ') AS ws FROM p)
+      |    WHERE len(ws) >= 3)),
+      |src_sizes AS (SELECT source, count(*) AS n_src_docs FROM p GROUP BY source),
+      |det AS (
+      |  SELECT g.source, g.gram, count(*) AS df_docs, any_value(s.n_src_docs) AS n_src_docs,
+      |    count(*)::DOUBLE / any_value(s.n_src_docs) AS doc_frac
+      |  FROM g JOIN src_sizes s USING (source)
+      |  GROUP BY g.source, g.gram
+      |  HAVING count(*)::DOUBLE / any_value(s.n_src_docs) >= 0.4)""".stripMargin
+
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
   def oracleSql: Map[String, String] = Map(
+    "t19_bigram_surprisal" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 2),
+        |g2 AS (SELECT doc_id, s, string_split(s, ' ')[1] AS w1 FROM g),
+        |bgc AS (SELECT s, count(*) AS cbg FROM g2 GROUP BY s),
+        |w1c AS (SELECT w1, count(*) AS c1 FROM g2 GROUP BY w1),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    avg(log2(c1) - log2(cbg)) AS ms
+        |  FROM g2 JOIN bgc USING (s) JOIN w1c USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+        |  floor(ms * 10000 + 0.5) / 10000 AS mean_surprisal
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "t20_boilerplate" ->
+      (boilerplateCte +
+        """
+          |SELECT source, gram, df_docs, n_src_docs,
+          |  floor(doc_frac * 10000 + 0.5) / 10000 AS doc_frac
+          |FROM det ORDER BY source, gram""".stripMargin),
+    "t21_boilerplate_strip" ->
+      (boilerplateCte +
+        """,
+          |top_gram AS (
+          |  SELECT source, gram FROM (
+          |    SELECT source, gram,
+          |      row_number() OVER (PARTITION BY source
+          |        ORDER BY df_docs DESC, gram) AS rn
+          |    FROM det)
+          |  WHERE rn = 1)
+          |SELECT p.doc_id, p.source,
+          |  length(cleaned) AS n_clean_chars, cleaned AS clean_text
+          |FROM (
+          |  SELECT p.doc_id, p.source,
+          |    CASE WHEN t.gram IS NOT NULL
+          |      THEN trim(regexp_replace(replace(p.text2, t.gram, ''), '\s+', ' ', 'g'))
+          |      ELSE p.text2 END AS cleaned
+          |  FROM p LEFT JOIN top_gram t USING (source)) p
+          |ORDER BY p.doc_id""".stripMargin),
     "t9_pii_redact" -> piiOracleSql,
     "r1_bm25_search" -> bm25OracleSql,
     "t10_oov_rate" ->
@@ -396,6 +487,7 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin
     },
     "s1b_ann_persisted" -> annPersistedOracleSql,
+    "s1b_build_index" -> annBuildOracleSql,
     "c2_corpus_build" ->
       s"""WITH n AS (
          |  SELECT doc_id, source, n_chars, text,
@@ -465,8 +557,10 @@ object SparkEntry {
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "t18_sequence_pack" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, n_chars, ${polyHash64Sql("w")} % 8 AS bucket
+      s"""WITH nb AS (
+         |  SELECT CAST((count(*) + 63) // 64 AS BIGINT) AS b FROM documents),
+         |h AS (
+         |  SELECT doc_id, n_chars, ${polyHash64Sql("w")} % (SELECT b FROM nb) AS bucket
          |  FROM (SELECT doc_id, n_chars,
          |          CAST(doc_id AS VARCHAR) || 'p1' AS w FROM documents)),
          |s AS (

@@ -142,16 +142,21 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** t18 — sequence packing (ops.Packing.packSlices): documents laid
-    * end-to-end in 8 deterministic shards and chopped into 2048-char
-    * training windows; each row is one (doc, pack) slice. Oracle
-    * replays the same shard hash + running-offset window in SQL. */
-  def sequencePack(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Packing.packSlices(
-      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
-      "doc_id", "n_chars", capacity = 2048, buckets = 8)
+    * end-to-end in DATA-SIZED deterministic shards (one per 64 docs
+    * here so multi-shard behavior shows at test scale; the production
+    * default is ~4M docs/shard) and chopped into 2048-char training
+    * windows; each row is one (doc, pack) slice. Oracle replays the
+    * same ceil(n/64) shard-count derivation, shard hash and
+    * running-offset window in SQL, so the entry stays hash-green at
+    * ANY scale factor. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    graft.ops.Packing.packSlices(docs, "doc_id", "n_chars",
+      capacity = 2048, buckets = graft.ops.Packing.sizedBuckets(docs, 64))
       .select(col("bucket"), col("pack_id"), col("doc_id"),
         col("slice_start"), col("slice_len"))
       .orderBy(col("bucket"), col("pack_id"), col("doc_id"))
+  }
 
   /** t6 — stratified deterministic sample: per-language keep
     * fractions over the same stable hash. */
@@ -267,6 +272,28 @@ object TextQueries {
       .select(col("source"), col("gram"), col("df_docs"), col("n_src_docs"),
         exactRound(col("doc_frac"), 4).as("doc_frac"))
       .orderBy(col("source"), col("gram"))
+  }
+
+  /** t21 — boilerplate STRIP (ops.TextAnalysis.stripBoilerplate):
+    * detect per-source boilerplate trigrams (same planted signal as
+    * t20), then remove each source's top gram (df desc, gram asc
+    * tie-break) from every document and collapse the leftover
+    * whitespace. The full detect→apply pair is the web-corpus
+    * cleaning pass a training build runs before dedup. */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .withColumn("text2",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" subscribe to "), col("source"),
+            lit(" newsletter today")))
+          .otherwise(col("text")))
+    val detected = TextAnalysis.boilerplateGrams(planted, "doc_id", "source",
+      "text2", n = 3, minFrac = 0.4)
+    TextAnalysis.stripBoilerplate(planted, "source", "text2", detected)
+      .select(col("doc_id"), col("source"),
+        length(col("text2")).as("n_clean_chars"),
+        col("text2").as("clean_text"))
+      .orderBy(col("doc_id"))
   }
 
   /** t13 — per-doc character Shannon entropy

@@ -329,19 +329,26 @@ object Dedup {
     * the step that turns near-dup PAIRS into duplicate GROUPS (a real
     * dedup pipeline drops all-but-one per group, not per pair).
     *
-    * Min-label propagation (the Pregel/GraphX formulation in plain
-    * DataFrame ops): every node starts labeled with itself; each round
-    * takes the min label across neighbors; converges in O(component
-    * diameter) rounds — near-dup components are small and dense, so
-    * single digits in practice. Each round is one join + one partial
-    * +final min aggregate, both on the node key, materialized by
-    * EXACTLY ONE action: the node's old label rides through the
-    * aggregate (`min(__old)` — each node has exactly one labels row)
-    * and a Spark accumulator counts label changes during the same
-    * materialization pass, so convergence costs no extra per-round
-    * job (the previous formulation paid a join + isEmpty action per
-    * round on top of the checkpoint). localCheckpoint per round
-    * truncates the lineage so plan size stays constant (the classic
+    * Min-label propagation WITH POINTER JUMPING (the hash-to-min /
+    * pointer-doubling family — GraphX's Pregel formulation plus the
+    * PRAM shortcut — in plain DataFrame ops): every node starts
+    * labeled with itself; each round (a) takes the min label across
+    * neighbors, then (b) shortcuts through the label graph —
+    * `component ← label(component)` — so the distance a min label has
+    * travelled DOUBLES per round instead of growing by one hop.
+    * Converges in O(log diameter) rounds: near-dup components are
+    * small and dense (single-digit rounds), and the adversarial case —
+    * one boilerplate-heavy corpus chaining a giant component — is
+    * bounded too (a 10k-node path converges in ~15 rounds, spec'd in
+    * DedupSpec; `maxIter = 50` covers diameters beyond 2^40, so the
+    * convergence `require` is a genuine invariant, not a tunable).
+    * Each round is two node-key joins + one partial+final min
+    * aggregate, materialized by EXACTLY ONE action: the node's old
+    * label rides through the aggregate (`min(__old)` — each node has
+    * exactly one labels row) and a Spark accumulator counts label
+    * changes during the same materialization pass, so convergence
+    * costs no extra per-round job. localCheckpoint per round truncates
+    * the lineage so plan size stays constant (the classic
     * iterative-Spark failure mode is an exponentially growing plan,
     * not the compute). Returns (node, component), component = min
     * node id reachable. */
@@ -350,8 +357,9 @@ object Dedup {
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
 
   /** [[connectedComponents]] plus the number of propagation rounds it
-    * took to converge (exposed for scale tests — a path graph of
-    * diameter D must converge in exactly D+1 rounds). */
+    * took to converge (exposed for scale tests — with pointer jumping
+    * the label's reach doubles-plus-one per round, so a path graph of
+    * diameter D converges in ~log2(D) + 2 rounds). */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                                     maxIter: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
@@ -370,10 +378,22 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("component"))
         .withColumn("__old", lit(null).cast(labels.schema("component").dataType))
-      val next = labels.withColumn("__old", col("component"))
+      val propagated = labels.withColumn("__old", col("component"))
         .unionByName(viaNeighbors)
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"), min(col("__old")).as("__old"))
+      // pointer jump: shortcut each label through the PREVIOUS round's
+      // label table (component ← labels(component)). Safe because every
+      // label value is itself a node of the same component, and
+      // labels(L) ≤ L is a min over that same component — so the
+      // shortcut only ever accelerates, never crosses components. This
+      // is what turns O(diameter) propagation into O(log diameter).
+      val next = propagated
+        .join(labels.select(col("node").as("component"),
+          col("component").as("__jump")), Seq("component"), "left")
+        .select(col("node"),
+          coalesce(col("__jump"), col("component")).as("component"),
+          col("__old"))
       val changed = spark.sparkContext.longAccumulator("ccLabelsChanged")
       val compIdx = next.schema.fieldIndex("component")
       val oldIdx = next.schema.fieldIndex("__old")

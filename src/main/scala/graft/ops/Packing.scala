@@ -22,15 +22,37 @@ import graft.functions.PolyHash
   */
 object Packing {
 
+  /** Data-size the shard count: one shard per `docsPerShard` input
+    * documents (ceil), so each shard's running-offset window sorts a
+    * bounded slice of the corpus no matter the input scale — a fixed
+    * shard count would make each shard's cumulative sum ONE task over
+    * 1/k of ALL documents at 100× the data. The count is a cheap
+    * metadata-only action (parquet row counts); determinism holds
+    * because the shard count is a pure function of input size, and
+    * (bucket, pack) ids stay stable for a given (input, docsPerShard).
+    *
+    * The production default targets ~4M metadata rows (~64 MB of
+    * (id, len) pairs) per shard sort; exemplars pass a small value so
+    * multi-shard behavior is exercised at test scale. */
+  def sizedBuckets(df: DataFrame, docsPerShard: Long = 4000000L): Int = {
+    require(docsPerShard > 0)
+    val n = df.count()
+    math.max(1L, (n + docsPerShard - 1) / docsPerShard).toInt
+  }
+
   /** Assign each document's span to its covering packs.
     * Emits one row per (doc, pack) slice:
     * bucket, pack_id (within bucket), slice_start (offset in doc),
     * slice_len; a doc shorter than `capacity` usually lands in one
     * pack, docs straddling a boundary split. Zero-length docs emit
     * one zero-length slice (kept: every doc must appear in the
-    * manifest). */
+    * manifest).
+    *
+    * `buckets` must be sized to the input — use [[sizedBuckets]]
+    * (there is deliberately no fixed default: a constant shard count
+    * doesn't survive a 100× scale-up, see PERFORMANCE.md). */
   def packSlices(df: DataFrame, idCol: String, lenCol: String,
-                 capacity: Int, buckets: Int = 8,
+                 capacity: Int, buckets: Int,
                  salt: String = "p1"): DataFrame = {
     require(capacity > 0 && buckets > 0)
     val bucket = pmod(

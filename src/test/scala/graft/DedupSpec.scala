@@ -93,10 +93,11 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("connected components: long chain converges in diameter+1 rounds, one action each") {
-    // path graph 0-1-2-...-30 (diameter 30): min-label propagation moves
-    // label 0 one hop per round → 30 rounds to label the far end + 1
-    // quiet round to detect convergence. Convergence detection rides the
+  test("connected components: long chain converges in O(log diameter) rounds, one action each") {
+    // path graph 0-1-2-...-30 (diameter 30): with pointer jumping the
+    // min label's reach doubles-plus-one per round (1, 3, 7, 15, 31) →
+    // 5 rounds to label the far end + 1 quiet round to detect
+    // convergence. Convergence detection rides the
     // round's materialization (accumulator), so each round is exactly
     // one Spark action — asserted by counting scheduler jobs with
     // AQE/broadcast disabled (with them on, sub-jobs would inflate the
@@ -119,7 +120,7 @@ class DedupSpec extends SparkSpec {
           Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b", maxIter = 40)
         val got = labels.as[(Long, Long)].collect().toMap
         assert(got == (0L to 30L).map(_ -> 0L).toMap)
-        assert(rounds == 31, s"expected diameter+1 rounds, got $rounds")
+        assert(rounds <= 8, s"expected ~log2(30)+2 rounds, got $rounds")
         // listener delivery is async — poll until the count settles
         var last = -1
         var spins = 0
@@ -135,6 +136,22 @@ class DedupSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", aqe)
       conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     }
+  }
+
+  test("connected components: adversarial 10k-node path stays in logarithmic rounds") {
+    // the boilerplate-heavy-corpus worst case: one giant chained
+    // component. Pure min-label propagation would need 10,000 rounds
+    // (10,000 joins — a stalled job at scale); pointer jumping bounds
+    // it at ~log2(10k) + 2. Labels must still all resolve to node 0.
+    val n = 10000L
+    val chain = spark.range(n - 1)
+      .select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b", maxIter = 25)
+    assert(rounds <= 17, s"expected ~log2(10k)+2 rounds, got $rounds")
+    val bad = labels.filter($"component" =!= 0L).count()
+    assert(bad == 0, s"$bad nodes not labeled 0")
+    assert(labels.count() == n)
   }
 
   test("survivors: best quality wins per group, ties to smallest id") {

@@ -10,7 +10,8 @@ class PackingSpec extends SparkSpec {
     .select($"doc_id", $"n_chars")
 
   test("slices of each doc sum to its length; packs fill to capacity") {
-    val slices = Packing.packSlices(docs, "doc_id", "n_chars", capacity = 2048)
+    val slices = Packing.packSlices(docs, "doc_id", "n_chars", capacity = 2048,
+      buckets = Packing.sizedBuckets(docs, 64))
     val perDoc = slices.groupBy($"doc_id").agg(sum($"slice_len").as("s"))
       .join(docs, Seq("doc_id"))
       .filter($"s" =!= $"n_chars").count()
@@ -26,17 +27,20 @@ class PackingSpec extends SparkSpec {
   }
 
   test("deterministic under repartitioning") {
-    val a = Packing.packSlices(docs, "doc_id", "n_chars", 2048)
+    val a = Packing.packSlices(docs, "doc_id", "n_chars", 2048,
+        Packing.sizedBuckets(docs, 64))
       .select($"bucket", $"pack_id", $"doc_id", $"slice_start", $"slice_len")
       .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
-    val b = Packing.packSlices(docs.repartition(13), "doc_id", "n_chars", 2048)
+    val b = Packing.packSlices(docs.repartition(13), "doc_id", "n_chars", 2048,
+        Packing.sizedBuckets(docs, 64))
       .select($"bucket", $"pack_id", $"doc_id", $"slice_start", $"slice_len")
       .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
 
   test("one shuffle: the per-bucket window exchange") {
-    val plan = Packing.packSlices(docs, "doc_id", "n_chars", 2048)
+    val plan = Packing.packSlices(docs, "doc_id", "n_chars", 2048,
+      Packing.sizedBuckets(docs, 64))
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(1500))
   }
@@ -49,5 +53,18 @@ class PackingSpec extends SparkSpec {
       .select($"slice_len").as[Long].collect().toSeq
     assert(z == Seq(0L))
     assert(slices.groupBy($"doc_id").count().count() == 3)
+  }
+
+  test("shard count is data-sized: grows with input, never below 1") {
+    val d100 = spark.range(100).select($"id".as("doc_id"), lit(10L).as("n_chars"))
+    val d1000 = spark.range(1000).select($"id".as("doc_id"), lit(10L).as("n_chars"))
+    assert(Packing.sizedBuckets(d100, 64) == 2)   // ceil(100/64)
+    assert(Packing.sizedBuckets(d1000, 64) == 16) // ceil(1000/64)
+    assert(Packing.sizedBuckets(d100.limit(1), 64) == 1)
+    // the derived count feeds through: 10x docs => ~10x shards, so the
+    // per-shard window sort stays bounded as the corpus grows
+    val s1000 = Packing.packSlices(d1000, "doc_id", "n_chars", 64,
+      Packing.sizedBuckets(d1000, 64))
+    assert(s1000.select($"bucket").distinct().count() == 16)
   }
 }
