@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, DedupQueries, NestedQueries, ScalarQueries, SketchQueries, SqlQueries, StreamQueries, TextQueries, VectorQueries}
+import graft.analytics.{CoreQueries, DedupQueries, MedallionQueries, NestedQueries, ScalarQueries, SketchQueries, SqlQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,7 @@ object SparkEntry {
     "a7_label_stats"        -> (VectorQueries.labelStats _),
     "g1_word_explode"       -> (NestedQueries.wordExplode _),
     "g2_ordered_reassembly" -> (NestedQueries.orderedReassembly _),
+    "g3_transcript_flatten" -> (NestedQueries.transcriptFlatten _),
     "w1_event_index"        -> (NestedQueries.eventIndex _),
     "d1_exact_dedup"        -> (DedupQueries.exactDedup _),
     "d2_minhash_neardup"    -> (DedupQueries.minhashNearDups _),
@@ -109,6 +110,9 @@ object SparkEntry {
     "f4_ilike"              -> (SqlQueries.ilikeFilter _),
     "sql1_region_revenue"   -> (SqlQueries.regionRevenueSql _),
     "sql2_nation_profit"    -> (SqlQueries.nationProfitSql _),
+    "md1_silver_case_summaries" -> (MedallionQueries.silverCaseSummariesQuery _),
+    "md2_gold_speaker_analytics" -> (MedallionQueries.goldSpeakerAnalyticsQuery _),
+    "md3_gold_oral_arguments" -> (MedallionQueries.goldOralArgumentsQuery _),
   )
 
   /** DuckDB reproduction of graft.functions.PolyHash: polynomial fold
@@ -359,8 +363,149 @@ object SparkEntry {
       |  GROUP BY g.source, g.gram
       |  HAVING count(*)::DOUBLE / any_value(s.n_src_docs) >= 0.4)""".stripMargin
 
+  /** Shared CTE prefix for the md1/md2/md3 medallion oracles: the
+    * transcript-shaped fixtures (MedallionQueries.oaTextFixture /
+    * transcriptEmbeddingsFixture, rebuilt column-for-column), the
+    * bronze projections (P4 quirk, P5 duration guard, F10 speaker
+    * count), and the whole silver_case_summaries model. */
+  private val medallionCte: String =
+    """WITH oa_raw AS (
+      |  SELECT
+      |    CAST(doc_id AS VARCHAR) AS utterance_id,
+      |    'case_' || (doc_id % 20) AS case_id,
+      |    'case_' || (doc_id % 20) || '_oa' || (doc_id % 2) AS oa_id,
+      |    row_number() OVER (PARTITION BY doc_id % 20, doc_id % 2
+      |                       ORDER BY doc_id) - 1 AS utterance_index,
+      |    CASE WHEN doc_id % 17 = 0 THEN NULL
+      |      ELSE ['JUSTICE BARRETT', 'CHIEF JUSTICE ROBERTS', 'Chief Scalia',
+      |            'General Prelogar', 'Mr. Olson'][CAST(doc_id % 5 + 1 AS INT)]
+      |      END AS speaker_name,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS word_count,
+      |    len(regexp_extract_all(text,
+      |      '[A-Za-z0-9_'']+|[^A-Za-z0-9_''\s]')) AS token_count,
+      |    doc_id * 4000 AS start_time_ms,
+      |    CASE WHEN doc_id % 11 = 0 THEN NULL
+      |         ELSE doc_id * 4000 + (doc_id % 40) * 125 END AS end_time_ms
+      |  FROM documents),
+      |bronze_oa AS (
+      |  SELECT *,
+      |    CASE WHEN start_time_ms IS NOT NULL AND end_time_ms IS NOT NULL
+      |      THEN (end_time_ms - start_time_ms) / 1000.0 END AS duration_seconds,
+      |    CASE WHEN upper(speaker_name) LIKE '%JUSTICE%' THEN 'Justice'
+      |         WHEN upper(speaker_name) LIKE '%CHIEF%' THEN 'Chief Justice'
+      |         WHEN upper(speaker_name) LIKE '%GENERAL%' THEN 'Solicitor General'
+      |         ELSE 'Attorney' END AS speaker_role
+      |  FROM oa_raw),
+      |te AS (
+      |  SELECT
+      |    'case_' || (doc_id % 20) AS case_id,
+      |    'Case No. ' || (doc_id % 20) AS case_name,
+      |    CAST(2000 + doc_id % 20 AS VARCHAR) AS term,
+      |    length(text) AS text_length,
+      |    CAST(coalesce(json_array_length(
+      |      CASE WHEN doc_id % 5 = 0 THEN NULL
+      |           ELSE ['[]', '["a"]', '["a","b"]',
+      |                 '["a","b","c"]'][CAST(doc_id % 4 + 1 AS INT)] END), 0)
+      |      AS INTEGER) AS speaker_count
+      |  FROM documents),
+      |us AS (
+      |  SELECT case_id, oa_id,
+      |    COUNT(DISTINCT utterance_id) AS total_utterances,
+      |    COUNT(DISTINCT speaker_name) AS unique_speakers,
+      |    CAST(SUM(word_count) AS BIGINT) AS total_words,
+      |    CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+      |    AVG(duration_seconds) AS avg_utterance_duration,
+      |    MAX(end_time_ms) / 1000.0 AS total_duration_seconds
+      |  FROM bronze_oa GROUP BY case_id, oa_id),
+      |sb AS (
+      |  SELECT case_id, oa_id,
+      |    COUNT(CASE WHEN speaker_role = 'Justice' THEN 1 END) AS justice_utterances,
+      |    COUNT(CASE WHEN speaker_role = 'Chief Justice' THEN 1 END) AS chief_justice_utterances,
+      |    COUNT(CASE WHEN speaker_role = 'Attorney' THEN 1 END) AS attorney_utterances,
+      |    COUNT(CASE WHEN speaker_role = 'Solicitor General' THEN 1 END) AS solicitor_general_utterances
+      |  FROM bronze_oa GROUP BY case_id, oa_id),
+      |es AS (
+      |  SELECT case_id, COUNT(*) AS total_embeddings,
+      |    AVG(text_length) AS avg_embedding_text_length,
+      |    MAX(speaker_count) AS max_speakers_in_embedding
+      |  FROM te GROUP BY case_id),
+      |silver AS (
+      |  SELECT u.case_id, u.oa_id, u.total_utterances, u.unique_speakers,
+      |    u.total_words, u.total_tokens, u.avg_utterance_duration,
+      |    u.total_duration_seconds,
+      |    u.total_duration_seconds / 60.0 AS total_duration_minutes,
+      |    s.justice_utterances, s.chief_justice_utterances,
+      |    s.attorney_utterances, s.solicitor_general_utterances,
+      |    e.total_embeddings, e.avg_embedding_text_length,
+      |    e.max_speakers_in_embedding
+      |  FROM us u
+      |  LEFT JOIN sb s ON u.case_id = s.case_id AND u.oa_id = s.oa_id
+      |  LEFT JOIN es e ON u.case_id = e.case_id)""".stripMargin
+
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
   def oracleSql: Map[String, String] = Map(
+    "md1_silver_case_summaries" ->
+      (medallionCte +
+        """
+          |SELECT case_id, oa_id, total_utterances, unique_speakers,
+          |  total_words, total_tokens,
+          |  floor(avg_utterance_duration * 10000 + 0.5) / 10000 AS avg_utterance_duration,
+          |  floor(total_duration_seconds * 10000 + 0.5) / 10000 AS total_duration_seconds,
+          |  floor(total_duration_minutes * 10000 + 0.5) / 10000 AS total_duration_minutes,
+          |  justice_utterances, chief_justice_utterances, attorney_utterances,
+          |  solicitor_general_utterances, total_embeddings,
+          |  floor(avg_embedding_text_length * 10000 + 0.5) / 10000 AS avg_embedding_text_length,
+          |  max_speakers_in_embedding
+          |FROM silver ORDER BY case_id, oa_id""".stripMargin),
+    "md2_gold_speaker_analytics" ->
+      (medallionCte +
+        """,
+          |ss AS (
+          |  SELECT speaker_name, speaker_role, case_id, oa_id,
+          |    COUNT(*) AS total_utterances,
+          |    CAST(SUM(word_count) AS BIGINT) AS total_words,
+          |    CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+          |    AVG(word_count) AS avg_words_per_utterance,
+          |    SUM(duration_seconds) AS total_speaking_time,
+          |    AVG(duration_seconds) AS avg_utterance_duration,
+          |    MIN(utterance_index) AS first_utterance_index,
+          |    MAX(utterance_index) AS last_utterance_index
+          |  FROM bronze_oa WHERE speaker_name IS NOT NULL
+          |  GROUP BY speaker_name, speaker_role, case_id, oa_id),
+          |cc AS (SELECT DISTINCT case_id, case_name, term FROM te)
+          |SELECT ss.speaker_name, ss.speaker_role, ss.case_id, cc.case_name,
+          |  cc.term, ss.oa_id, ss.total_utterances, ss.total_words, ss.total_tokens,
+          |  floor(avg_words_per_utterance * 10000 + 0.5) / 10000 AS avg_words_per_utterance,
+          |  floor((total_speaking_time / 60.0) * 100 + 0.5) / 100 AS total_speaking_minutes,
+          |  floor(avg_utterance_duration * 10000 + 0.5) / 10000 AS avg_utterance_duration,
+          |  (last_utterance_index - first_utterance_index + 1) AS utterance_span,
+          |  CASE WHEN ss.total_utterances > 1
+          |    THEN floor(((last_utterance_index - first_utterance_index)::DOUBLE
+          |         / (ss.total_utterances - 1)) * 100 + 0.5) / 100
+          |    ELSE 0.0 END AS avg_utterance_gap,
+          |  CASE WHEN total_speaking_time > 0
+          |    THEN floor((total_words::DOUBLE / (total_speaking_time / 60.0)) * 100 + 0.5) / 100
+          |  END AS words_per_minute
+          |FROM ss LEFT JOIN cc ON ss.case_id = cc.case_id
+          |ORDER BY ss.total_utterances DESC, ss.speaker_name, ss.case_id, ss.oa_id""".stripMargin),
+    "md3_gold_oral_arguments" ->
+      (medallionCte +
+        """,
+          |ci AS (SELECT DISTINCT case_id, case_name, term FROM te
+          |       WHERE case_name IS NOT NULL)
+          |SELECT ci.case_id, ci.case_name, ci.term, s.oa_id,
+          |  s.total_utterances, s.unique_speakers, s.total_words, s.total_tokens,
+          |  floor(s.total_duration_minutes * 10000 + 0.5) / 10000 AS total_duration_minutes,
+          |  floor(s.avg_utterance_duration * 10000 + 0.5) / 10000 AS avg_utterance_duration,
+          |  floor((s.justice_utterances::DOUBLE / nullif(s.total_utterances, 0) * 100) * 100 + 0.5) / 100 AS justice_participation_pct,
+          |  floor((s.attorney_utterances::DOUBLE / nullif(s.total_utterances, 0) * 100) * 100 + 0.5) / 100 AS attorney_participation_pct,
+          |  floor((s.total_utterances::DOUBLE / nullif(s.total_duration_minutes, 0)) * 100 + 0.5) / 100 AS utterances_per_minute,
+          |  floor((s.total_words::DOUBLE / nullif(s.total_duration_minutes, 0)) * 100 + 0.5) / 100 AS words_per_minute,
+          |  s.total_embeddings,
+          |  floor(s.avg_embedding_text_length * 10000 + 0.5) / 10000 AS avg_embedding_text_length
+          |FROM ci JOIN silver s ON ci.case_id = s.case_id
+          |ORDER BY ci.term DESC, ci.case_name, s.oa_id""".stripMargin),
     "t19_bigram_surprisal" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -1085,6 +1230,46 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 100)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "g3_transcript_flatten" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 40),
+        |blk AS (
+        |  SELECT doc_id, pos // 4 AS blk,
+        |    string_agg(word, ' ' ORDER BY pos) AS text,
+        |    count(*) AS nw
+        |  FROM w GROUP BY doc_id, pos // 4),
+        |kept AS (
+        |  SELECT doc_id, blk, text, nw,
+        |    CAST(2000 + doc_id % 10 AS VARCHAR) || '_doc-' || doc_id AS case_id,
+        |    blk // 6 AS section_id, (blk // 3) % 2 AS turn_idx,
+        |    blk % 3 AS block_idx, blk // 3 AS turn_g
+        |  FROM blk WHERE nw > 3),
+        |idx AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY blk) - 1 AS utterance_index,
+        |    coalesce(sum(length(text) + 1) OVER (PARTITION BY doc_id ORDER BY blk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_start_offset
+        |  FROM kept)
+        |SELECT case_id, case_id || '.json' AS oa_id,
+        |  CAST(section_id AS INTEGER) AS section_id,
+        |  CAST(turn_idx AS INTEGER) AS turn_idx,
+        |  CAST(block_idx AS INTEGER) AS block_idx,
+        |  'spk' || (turn_g % 4) AS speaker_id,
+        |  ['JUSTICE ALPHA', 'MR. BETA', 'MS. GAMMA',
+        |   'GENERAL DELTA'][CAST(turn_g % 4 + 1 AS INT)] AS speaker_name,
+        |  text, blk * 1500 AS start_time_ms, blk * 1500 + 1250 AS end_time_ms,
+        |  CAST(utterance_index AS INTEGER) AS utterance_index,
+        |  CAST(char_start_offset AS BIGINT) AS char_start_offset,
+        |  CAST(char_start_offset + length(text) AS BIGINT) AS char_end_offset,
+        |  CAST(nw AS INTEGER) AS word_count,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9_'']+|[^A-Za-z0-9_''\s]')) AS INTEGER) AS token_count,
+        |  case_id || '_utterance_' || utterance_index AS id
+        |FROM idx
+        |ORDER BY case_id, utterance_index""".stripMargin,
     "w1_event_index" ->
       """SELECT user_id, event_id,
         |  row_number() OVER (PARTITION BY user_id

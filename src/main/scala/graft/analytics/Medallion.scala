@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's dbt medallion (bronze/silver/gold) re-expressed as
@@ -99,8 +99,14 @@ object Medallion {
   }
 
   /** gold_speaker_analytics.sql — A5 per-speaker stats + J3 broadcast
-    * dim join + A6 derived ratios + W6 sort. */
-  def goldSpeakerAnalytics(bronzeOa: DataFrame, bronzeTe: DataFrame): DataFrame = {
+    * dim join + A6 derived ratios + W6 sort.
+    *
+    * @param roundFn ROUND(x::numeric, 2)'s stand-in. Defaults to Spark
+    *   round() (HALF_UP, the faithful Postgres mapping); oracle-checked
+    *   exemplars pass Rounding.exactRound, whose pure-IEEE formulation
+    *   is bit-identical across engines (see Rounding's scaladoc). */
+  def goldSpeakerAnalytics(bronzeOa: DataFrame, bronzeTe: DataFrame,
+      roundFn: (Column, Int) => Column = (c, n) => round(c, n)): DataFrame = {
     val speakerStats = bronzeOa
       .filter(col("speaker_name").isNotNull)
       .groupBy(col("speaker_name"), col("speaker_role"), col("case_id"), col("oa_id"))
@@ -122,23 +128,24 @@ object Medallion {
         col("case_name"), col("term"), col("oa_id"),
         col("total_utterances"), col("total_words"), col("total_tokens"),
         col("avg_words_per_utterance"),
-        round(col("total_speaking_time") / 60.0, 2).as("total_speaking_minutes"),
+        roundFn(col("total_speaking_time") / 60.0, 2).as("total_speaking_minutes"),
         col("avg_utterance_duration"),
         (col("last_utterance_index") - col("first_utterance_index") + 1)
           .as("utterance_span"),
         when(col("total_utterances") > 1,
-          round((col("last_utterance_index") - col("first_utterance_index"))
+          roundFn((col("last_utterance_index") - col("first_utterance_index"))
             .cast("double") / (col("total_utterances") - 1), 2))
           .otherwise(0.0).as("avg_utterance_gap"),
         when(col("total_speaking_time") > 0,
-          round(col("total_words").cast("double") /
+          roundFn(col("total_words").cast("double") /
             (col("total_speaking_time") / 60.0), 2)).as("words_per_minute"))
       .orderBy(col("total_utterances").desc)
   }
 
   /** gold_oral_arguments_analytics.sql — case dim + silver metrics +
     * participation/engagement ratios. */
-  def goldOralArgumentsAnalytics(silver: DataFrame, bronzeTe: DataFrame): DataFrame = {
+  def goldOralArgumentsAnalytics(silver: DataFrame, bronzeTe: DataFrame,
+      roundFn: (Column, Int) => Column = (c, n) => round(c, n)): DataFrame = {
     val caseInfo = bronzeTe
       .filter(col("case_name").isNotNull)
       .select(col("case_id"), col("case_name"), col("term")).distinct()
@@ -149,16 +156,16 @@ object Medallion {
         col("total_utterances"), col("unique_speakers"),
         col("total_words"), col("total_tokens"),
         col("total_duration_minutes"), col("avg_utterance_duration"),
-        round(col("justice_utterances").cast("double") /
+        roundFn(col("justice_utterances").cast("double") /
           nullif(col("total_utterances"), lit(0)) * 100, 2)
           .as("justice_participation_pct"),
-        round(col("attorney_utterances").cast("double") /
+        roundFn(col("attorney_utterances").cast("double") /
           nullif(col("total_utterances"), lit(0)) * 100, 2)
           .as("attorney_participation_pct"),
-        round(col("total_utterances").cast("double") /
+        roundFn(col("total_utterances").cast("double") /
           nullif(col("total_duration_minutes"), lit(0.0)), 2)
           .as("utterances_per_minute"),
-        round(col("total_words").cast("double") /
+        roundFn(col("total_words").cast("double") /
           nullif(col("total_duration_minutes"), lit(0.0)), 2)
           .as("words_per_minute"),
         col("total_embeddings"), col("avg_embedding_text_length"))
