@@ -49,13 +49,44 @@ object Bench {
         }
         name -> times
       }
-    def jsonMap(f: Seq[Double] => Double): String = samples
-      .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }
+    def r3(x: Double): String = f"$x%.3f"
+    def jsonMap(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = samples.map { case (_, ts) => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
-      s""""queries":${jsonMap(median)},"queries_min":${jsonMap(_.min)},""" +
-      s""""queries_max":${jsonMap(_.max)},"sf":"$sfDir"}""")
+    val medians = samples.map { case (k, ts) => k -> median(ts) }
+    val total = medians.map(_._2).sum
+    // Full per-query detail (median/min/max for the variance record) goes
+    // to a file and an EARLY stdout line; the FINAL line is the compact
+    // contract JSON and must stay well under the harness's 2000-char
+    // stdout-tail window (BENCH_r03/r04 recorded `parsed: null` because
+    // the full 3.5KB line started before the window). The compact line
+    // reports every query at 3 decimals if that fits, else the slowest
+    // `queries_top` prefix that does.
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""iters":$iters,"queries":${jsonMap(medians)},""" +
+      s""""queries_min":${jsonMap(samples.map { case (k, ts) => k -> ts.min })},""" +
+      s""""queries_max":${jsonMap(samples.map { case (k, ts) => k -> ts.max })},""" +
+      s""""sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    println(detail)
+    val budget = 1600 // chars for the queries map in the final line
+    val all = jsonMap(medians)
+    val compactQueries =
+      if (all.length <= budget) all
+      else {
+        val bySlowest = medians.sortBy(-_._2)
+        val keep = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+        var len = 2 // braces
+        bySlowest.foreach { case (k, v) =>
+          val add = k.length + r3(v).length + 4
+          if (len + add <= budget) { keep += (k -> v); len += add }
+        }
+        jsonMap(keep.sortBy(_._1).toSeq)
+      }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""iters":$iters,"n_queries":${samples.size},""" +
+      s""""queries":$compactQueries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

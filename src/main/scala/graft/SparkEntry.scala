@@ -70,6 +70,8 @@ object SparkEntry {
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
     "d9_incremental_neardup" -> (DedupQueries.incrementalNearDups _),
+    "d10_span_strip"        -> (DedupQueries.spanStrip _),
+    "d11_semantic_dedup"    -> (DedupQueries.semanticDedup _),
     "d5_embedding_neardup"  -> (DedupQueries.embeddingNearDups _),
     "t1_lang_id"            -> (TextQueries.langId _),
     "t5_hash_split"         -> (TextQueries.hashSplit _),
@@ -113,6 +115,7 @@ object SparkEntry {
     "md1_silver_case_summaries" -> (MedallionQueries.silverCaseSummariesQuery _),
     "md2_gold_speaker_analytics" -> (MedallionQueries.goldSpeakerAnalyticsQuery _),
     "md3_gold_oral_arguments" -> (MedallionQueries.goldOralArgumentsQuery _),
+    "k6_xml"                -> (MedallionQueries.xmlSerializationQuery _),
   )
 
   /** DuckDB reproduction of graft.functions.PolyHash: polynomial fold
@@ -506,6 +509,34 @@ object SparkEntry {
           |  floor(s.avg_embedding_text_length * 10000 + 0.5) / 10000 AS avg_embedding_text_length
           |FROM ci JOIN silver s ON ci.case_id = s.case_id
           |ORDER BY ci.term DESC, ci.case_name, s.oa_id""".stripMargin),
+    // k6: rebuild the exact single-line ElementTree document —
+    // attr escaping & < > " (speaker defaults to 'Unknown'), text
+    // escaping & < > only, utterances concatenated in index order.
+    "k6_xml" ->
+      """WITH oa AS (
+        |  SELECT
+        |    'case_' || (doc_id % 20) AS case_id,
+        |    'case_' || (doc_id % 20) || '_oa' || (doc_id % 2) AS oa_id,
+        |    row_number() OVER (PARTITION BY doc_id % 20, doc_id % 2
+        |                       ORDER BY doc_id) - 1 AS utterance_index,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL
+        |      ELSE ['JUSTICE BARRETT', 'CHIEF JUSTICE ROBERTS', 'Chief Scalia',
+        |            'General Prelogar', 'Mr. Olson'][CAST(doc_id % 5 + 1 AS INT)]
+        |      END AS speaker_name,
+        |    'spk' || (doc_id % 5) AS speaker_id,
+        |    text
+        |  FROM documents)
+        |SELECT case_id, oa_id,
+        |  '<transcript>' || string_agg(
+        |    '<utterance speaker="' ||
+        |      replace(replace(replace(replace(coalesce(speaker_name, 'Unknown'),
+        |        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
+        |    '" speaker_id="' || speaker_id || '">' ||
+        |    replace(replace(replace(text,
+        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |    '</utterance>', '' ORDER BY utterance_index) || '</transcript>' AS xml
+        |FROM oa GROUP BY case_id, oa_id
+        |ORDER BY case_id, oa_id""".stripMargin,
     "t19_bigram_surprisal" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -633,6 +664,36 @@ object SparkEntry {
     },
     "s1b_ann_persisted" -> annPersistedOracleSql,
     "s1b_build_index" -> annBuildOracleSql,
+    // d11: replay the seeded assignment, then the within-cluster
+    // domination rule (neighbor at cos >= tau closer to the centroid,
+    // ties to the smaller id); survivors are the non-dominated rows.
+    "d11_semantic_dedup" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)), 0.0)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
+         |          WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
+         |ca AS (
+         |  SELECT vec_id, v, list_id AS cluster_id, csim FROM (
+         |    SELECT c.vec_id, c.v, s.list_id,
+         |      ${cos("c.v", "s.sv")} AS csim,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e c CROSS JOIN seeds s)
+         |  WHERE ar = 1),
+         |dom AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM ca x JOIN ca y
+         |    ON x.cluster_id = y.cluster_id AND x.vec_id != y.vec_id
+         |  WHERE ${cos("x.v", "y.v")} >= 0.45
+         |    AND (y.csim > x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id)))
+         |SELECT ca.vec_id, ca.cluster_id,
+         |  floor(ca.csim * 1000000 + 0.5) / 1000000 AS centroid_sim
+         |FROM ca LEFT JOIN dom ON ca.vec_id = dom.vec_id
+         |WHERE dom.vec_id IS NULL
+         |ORDER BY ca.vec_id""".stripMargin
+    },
     "c2_corpus_build" ->
       s"""WITH n AS (
          |  SELECT doc_id, source, n_chars, text,
@@ -811,6 +872,44 @@ object SparkEntry {
          |    THEN floor(CAST(per.n_dup_grams AS DOUBLE) / per.n_grams * 10000 + 0.5) / 10000
          |  END AS dup_frac
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // d10: positioned 8-gram hashes; a token is removed when any gram
+    // covering it occurs in >= 2 documents; kept tokens re-join in order.
+    "d10_span_strip" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest([i - 1 for i in range(1, len(ws) + 1)]) AS pos,
+         |    unnest(ws) AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |grams AS (
+         |  SELECT doc_id, pos, ${polyHash64Sql("w")} AS g FROM (
+         |    SELECT doc_id,
+         |      unnest([i - 1 for i in range(1, len(ws) - 6)]) AS pos,
+         |      unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |              || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+         |              for i in range(1, len(ws) - 6)]) AS w
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |    WHERE len(ws) >= 8)),
+         |dup AS (
+         |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+         |  GROUP BY g HAVING count(*) >= 2),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS pos
+         |  FROM grams JOIN dup USING (g)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.w FROM toks t
+         |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS stripped_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.stripped_text, '') AS stripped_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "d6_neardup_components" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),

@@ -70,6 +70,27 @@ object DedupQueries {
         exactRound(col("dup_frac"), 4).as("dup_frac"))
       .orderBy(col("doc_id"))
 
+  /** d11 — SemDeDup semantic dedup (arXiv 2303.09540): seeded-centroid
+    * clusters bound the pairwise cosine check; a vector is dropped when
+    * a same-cluster neighbor at cosine ≥ 0.45 sits closer to the
+    * centroid. Survivors reported with their cluster + centroid
+    * similarity. Same deterministic quantizer as s2, so the oracle
+    * replays assignment, domination and survivorship exactly. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.semanticDedup(Tables.embeddings(spark, dir),
+        VectorQueries.IvfSeedIds, tau = 0.45)
+      .select(col("vec_id"), col("cluster_id"),
+        exactRound(col("centroid_sim"), 6).as("centroid_sim"))
+      .orderBy(col("vec_id"))
+
+  /** d10 — repeated-span REMOVAL (exact-substring dedup at span
+    * granularity): strip every token covered by an 8-gram occurring in
+    * ≥2 documents — the corpus EDIT that d8 only measures. */
+  def spanStrip(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpanStrip(Tables.documents(spark, dir), "doc_id", "text",
+        n = 8, minDf = 2)
+      .orderBy(col("doc_id"))
+
   /** d9 — INCREMENTAL near-dup: docs with doc_id % 10 == 3 play the
     * "new batch", the rest the existing corpus whose MinHash signature
     * store is persisted first (ops.Dedup.writeMinHashSignatures); the

@@ -159,4 +159,14 @@ object MedallionQueries {
         exactRound(col("avg_embedding_text_length"), 4).as("avg_embedding_text_length"))
       .orderBy(col("term").desc, col("case_name"), col("oa_id"))
   }
+
+  /** k6 — the XML transcript serializer (K6, helpers.py:367-399) over
+    * the oa_text fixture, driver-verified relationally: the oracle
+    * rebuilds the exact single-line ElementTree document (escaping
+    * rules included) with string_agg. The writer's byte format is
+    * additionally golden-file pinned against the reference's own
+    * published output in XmlGoldenSpec. */
+  def xmlSerializationQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Transcripts.toXml(oaTextFixture(spark, dir))
+      .orderBy(col("case_id"), col("oa_id"))
 }

@@ -125,20 +125,28 @@ object Transcripts {
       .drop("raw_text")
   }
 
-  /** K6 — XML serialization per oral argument
-    * (helpers.py:348-421; examples/25650_20250521_194825.xml shape):
-    * `<transcript><utterance speaker="...">text</utterance>...</transcript>`. */
+  /** K6 — XML serialization per oral argument, byte-identical to the
+    * reference's output (helpers.py:367-399 writes ElementTree with
+    * `encoding="unicode"`; examples/25650_20250521_194825.xml is the
+    * golden sample — single line, no declaration, no trailing newline,
+    * a `speaker_id` attribute on every utterance, ET escaping rules).
+    * XmlGoldenSpec round-trips the golden file through this writer and
+    * asserts byte equality. */
   def toXml(utterances: DataFrame): DataFrame = {
+    // missing speaker name defaults to "Unknown" (helpers.py:379)
     val el = concat(
-      lit("  <utterance speaker=\""), xmlEscape(col("speaker_name")), lit("\">"),
-      xmlEscape(col("text")), lit("</utterance>"))
+      lit("<utterance speaker=\""),
+      xmlEscapeAttr(coalesce(col("speaker_name"), lit("Unknown"))),
+      lit("\" speaker_id=\""),
+      xmlEscapeAttr(coalesce(col("speaker_id"), lit(""))),
+      lit("\">"), xmlEscapeText(col("text")), lit("</utterance>"))
     utterances
       .groupBy(col("case_id"), col("oa_id"))
-      .agg(concat_ws("\n",
+      .agg(concat_ws("",
         transform(
           sort_array(collect_list(struct(col("utterance_index").as("i"), el.as("e")))),
           x => x.getField("e"))).as("body"))
       .select(col("case_id"), col("oa_id"),
-        concat(lit("<transcript>\n"), col("body"), lit("\n</transcript>")).as("xml"))
+        concat(lit("<transcript>"), col("body"), lit("</transcript>")).as("xml"))
   }
 }

@@ -39,12 +39,25 @@ object TextFunctions {
     when(tokenCount(text) <= maxTokens, text)
       .otherwise(concat_ws(" ", slice(tokens(text), 1, maxTokens)))
 
-  /** K6 — minimal XML text escaping for the transcript serializer
-    * (helpers.py:348-421). Order matters: '&' first. */
-  def xmlEscape(c: Column): Column = {
+  /** K6 — XML TEXT-node escaping matching Python ElementTree's
+    * `_escape_cdata` (the reference serializer, helpers.py:367-399,
+    * writes via `ET.ElementTree(...).write(..., encoding="unicode")`):
+    * only '&', '<', '>' are escaped — quotes stay literal in text, as
+    * seen in examples/25650_20250521_194825.xml. Order matters: '&'
+    * first. */
+  def xmlEscapeText(c: Column): Column = {
     val amp = regexp_replace(c, "&", "&amp;")
     val lt = regexp_replace(amp, "<", "&lt;")
-    val gt = regexp_replace(lt, ">", "&gt;")
-    regexp_replace(gt, "\"", "&quot;")
+    regexp_replace(lt, ">", "&gt;")
+  }
+
+  /** K6 — XML ATTRIBUTE escaping matching ElementTree's
+    * `_escape_attrib`: '&', '<', '>', '"' plus literal tab/newline/CR
+    * as numeric character references. */
+  def xmlEscapeAttr(c: Column): Column = {
+    val base = regexp_replace(xmlEscapeText(c), "\"", "&quot;")
+    val cr = regexp_replace(base, "\r", "&#13;")
+    val nl = regexp_replace(cr, "\n", "&#10;")
+    regexp_replace(nl, "\t", "&#09;")
   }
 }

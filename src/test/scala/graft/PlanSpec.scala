@@ -80,8 +80,16 @@ class PlanSpec extends SparkSpec {
       "v2_quantized_cosine", // 64-element per-row quantize transforms
       "f10_json_extract",    // 5-row JSON exemplar
       "m1_binary_meta", "m2_frame_sample", // small per-row meta arrays
-      "g2_ordered_reassembly") // bounded (doc_id < 100) roundtrip check;
+      "g2_ordered_reassembly", // bounded (doc_id < 100) roundtrip check;
                                // transform projects the per-doc sorted array
+      "g3_transcript_flatten", // bounded (doc_id < 40) NESTED-FIXTURE
+                               // construction uses transform to assemble the
+                               // 3-level struct; the production operator under
+                               // test (Transcripts.flatten) is lambda-free
+      "k6_xml")                // per-transcript serializer: transform projects
+                               // each group's sorted utterance array once —
+                               // the work is the collect_list agg, not the
+                               // lambda; output is one string per transcript
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (p.contains("lambdafunction") && !whitelist(name)) Some(name) else None

@@ -113,4 +113,24 @@ class SimilaritySpec extends SparkSpec {
     val bf = Similarity.bruteForceTopK(corpus, queries, 5)
     assert(key(full) == key(bf) && key(bf).nonEmpty)
   }
+
+  test("semantic dedup: centroid-closest member of each near-dup pocket survives") {
+    // two clusters along axes e1 and e2; a near-identical pocket around
+    // e1 plus one distinct member; ids 100/200 are the seeds
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val data = Seq(
+      (100L, v(1, 0, 0, 0)),        // seed A (centroid of cluster A)
+      (1L,   v(0.99, 0.14, 0, 0)),  // pocket: near seed A
+      (2L,   v(0.98, 0.19, 0, 0)),  // pocket: slightly farther
+      (3L,   v(0.2, 0.97, 0, 0)),   // lands in cluster A, below τ vs the pocket
+      (200L, v(0, 0, 1, 0)),        // seed B
+      (4L,   v(0, 0, 0.97, 0.24))   // near seed B, no same-cluster rival
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(data, Seq(100L, 200L), tau = 0.98)
+      .select($"vec_id").as[Long].collect().toSet
+    // 100 beats 1 (cos(100,1)≈0.99 ≥ τ, seed is centroid-closest);
+    // 1 beats 2 the same way; 3's cos to the pocket is < τ so it stays
+    assert(out.contains(100L) && !out.contains(1L) && !out.contains(2L))
+    assert(out.contains(3L) && out.contains(200L) && out.contains(4L))
+  }
 }

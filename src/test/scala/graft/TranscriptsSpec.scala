@@ -89,10 +89,15 @@ class TranscriptsSpec extends SparkSpec {
     val xml = Transcripts.toXml(utterances)
       .filter($"case_id" === "1981_plyler-v-doe")
       .select("xml").as[String].head()
-    assert(xml.startsWith("<transcript>\n"))
-    assert(xml.endsWith("\n</transcript>"))
-    assert(xml.contains("<utterance speaker=\"Thurgood Marshall\">"))
+    // single-line ElementTree format: no declaration, no newlines,
+    // speaker_id attribute present (examples/25650_20250521_194825.xml)
+    assert(xml.startsWith("<transcript><utterance "))
+    assert(xml.endsWith("</utterance></transcript>"))
+    assert(!xml.contains("\n"))
+    assert(xml.contains("<utterance speaker=\"Thurgood Marshall\" speaker_id=\""))
+    // text nodes escape only & < > — quotes stay literal (ET._escape_cdata)
     assert(xml.contains("education &amp; &lt;rights&gt; of children"))
+    assert(!xml.contains("&quot;") || utterances.filter($"speaker_name".contains("\"")).count() > 0)
   }
 
   test("idempotent sink: second append inserts zero rows") {
