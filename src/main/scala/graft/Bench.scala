@@ -35,9 +35,15 @@ object Bench {
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
     // sorted for stable ordering; failures surface on stderr instead of
-    // silently skewing the timing
+    // silently skewing the timing. SPARK_GRAFT_BENCH_ONLY=q1,q2 limits
+    // the run for focused A/B re-measurement (dev tool; the driver
+    // never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val times = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()

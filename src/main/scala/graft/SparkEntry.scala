@@ -91,6 +91,8 @@ object SparkEntry {
     "t13_char_entropy"      -> (TextQueries.charEntropy _),
     "t19_bigram_surprisal"  -> (TextQueries.bigramSurprisal _),
     "t20_boilerplate"       -> (TextQueries.boilerplate _),
+    "t22_token_budget"      -> (TextQueries.tokenBudget _),
+    "t23_shuffle_order"     -> (TextQueries.shuffleOrder _),
     "t21_boilerplate_strip" -> (TextQueries.boilerplateStrip _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
@@ -537,6 +539,34 @@ object SparkEntry {
         |    '</utterance>', '' ORDER BY utterance_index) || '</transcript>' AS xml
         |FROM oa GROUP BY case_id, oa_id
         |ORDER BY case_id, oa_id""".stripMargin,
+    // t22: running token sum per source in (n_chars DESC, doc_id)
+    // priority order; keep rows that START below the 20k budget (the
+    // crossing doc is included).
+    "t22_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9_'']+|[^A-Za-z0-9_''\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM sel WHERE cum_tokens - n_tokens < 20000
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    // t23: shard = PolyHash(doc_id || salt) mod 16, position = rank by
+    // (hash, id) within the shard.
+    "t23_shuffle_order" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${polyHash64Sql("w")} AS hh FROM (
+         |    SELECT doc_id, CAST(doc_id AS VARCHAR) || 'epoch0' AS w
+         |    FROM documents))
+         |SELECT doc_id, CAST(hh % 16 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hh % 16
+         |    ORDER BY hh, doc_id) - 1 AS INTEGER) AS shard_pos
+         |FROM h ORDER BY shard, shard_pos""".stripMargin,
     "t19_bigram_surprisal" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -673,7 +703,7 @@ object SparkEntry {
           s" * sqrt(list_dot_product($b, $b)), 0.0)"
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
-         |          WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
+         |          WHERE vec_id % 64 = 0),
          |ca AS (
          |  SELECT vec_id, v, list_id AS cluster_id, csim FROM (
          |    SELECT c.vec_id, c.v, s.list_id,

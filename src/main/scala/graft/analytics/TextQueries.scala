@@ -90,6 +90,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t22 — token-budget mixture selection (ops.Sampling
+    * .tokenBudgetSelect): per source, highest-n_chars documents first
+    * until 20k tokens are reached; the crossing doc is included. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.tokenBudgetSelect(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("n_tokens")),
+        "source", "n_tokens",
+        priority = Seq(col("n_chars").desc, col("doc_id")), budget = 20000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+
+  /** t23 — deterministic training-order shuffle (ops.Sampling
+    * .shuffleShards): epoch layout as (shard, shard_pos), a pure
+    * function of (doc_id, salt). */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.shuffleShards(
+        Tables.documents(spark, dir).select(col("doc_id")),
+        col("doc_id"), nShards = 16, salt = "epoch0")
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy(col("shard"), col("shard_pos"))
+
   /** t3 — token counting: BPE-ish regex tokens vs whitespace words. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

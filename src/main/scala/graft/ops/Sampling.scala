@@ -105,6 +105,45 @@ object Sampling {
       .drop("__race")
   }
 
+  /** Token-budget mixture selection: per stratum (source/domain),
+    * take documents in priority order until the cumulative token count
+    * reaches the stratum's budget — the building block of a "sample N
+    * tokens per domain" training-data mix (the knob published recipes
+    * express in tokens, not rows). The document that CROSSES the budget
+    * is included, so any non-empty stratum yields at least one row and
+    * every budget is met, matching the greedy recipes.
+    *
+    * Scale shape: one hash exchange on the stratum key; the running
+    * sum is a narrow per-stratum window (strata are bounded in number
+    * — domains/sources — and the window needs no global sort). */
+  def tokenBudgetSelect(df: DataFrame, stratumCol: String, tokenCol: String,
+                        priority: Seq[Column], budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(priority: _*)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") - col(tokenCol) < budget)
+  }
+
+  /** Deterministic global TRAINING-ORDER shuffle + shard assignment:
+    * shard = hash(key, salt) mod nShards, position within the shard =
+    * rank by (hash, key). Training order is then (shard, shard_pos) —
+    * reproducible across retries/engines (same PolyHash contract as
+    * the splits above), with no global sort: one exchange on the shard
+    * id and an independent per-shard sort, which is exactly how a
+    * 1000-executor job wants to lay out epochs. A new salt is a fresh
+    * epoch permutation. */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int,
+                    salt: String = "v1"): DataFrame = {
+    require(nShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", PolyHash.polyHash(concat(key.cast("string"), lit(salt))))
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w) - 1)
+      .drop("__h")
+  }
+
   /** Domain-mixture balancing: per stratum (source/domain/language),
     * the keep fraction that equalizes expected counts at the size of
     * the smallest stratum — the rate table a mixture-controlled

@@ -242,14 +242,32 @@ object Similarity {
     * once). The deterministic seeded quantizer (same as [[ivfTopKSeeded]])
     * keeps the whole operator oracle-replayable in SQL.
     *
-    * Returns the SURVIVORS: (id, cluster_id, centroid_sim, n_dropped
-    * dominated rows in the cluster for audit). */
+    * Returns the SURVIVORS: (id, cluster_id, centroid_sim). */
   def semanticDedup(corpus: DataFrame, seedIds: Seq[Long], tau: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(seedIds.nonEmpty)
+    semanticDedupBy(corpus, _.isin(seedIds: _*), tau, idCol, vecCol)
+  }
+
+  /** [[semanticDedup]] with a DATA-SCALING seed rule: every `seedEvery`-th
+    * id is a centroid, so the centroid count grows linearly with the
+    * corpus and the expected cluster size stays ~`seedEvery` at ANY
+    * scale — the pair count is n·seedEvery, never n²/constant. (A fixed
+    * seed LIST is the t18-style mistake: at 100× data each cluster is
+    * 100× bigger and the within-cluster quadratic explodes.) The rule is
+    * a pure function of the id, so the oracle replays it with
+    * `WHERE id % seedEvery = 0` — no count, no state. */
+  def semanticDedupEvery(corpus: DataFrame, seedEvery: Long, tau: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(seedEvery > 0)
+    semanticDedupBy(corpus, id => pmod(id, lit(seedEvery)) === 0, tau, idCol, vecCol)
+  }
+
+  private def semanticDedupBy(corpus: DataFrame, seedPred: Column => Column, tau: Double,
+                              idCol: String, vecCol: String): DataFrame = {
     val c0 = corpus.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__cv"))
-    val seeds = c0.filter(col("__vid").isin(seedIds: _*))
+    val seeds = c0.filter(seedPred(col("__vid")))
       .select(col("__vid").as("cluster_id"), col("__cv").as("__sv"))
       .withColumn("__sn", VF.norm(col("__sv")))
     val assigned = c0.withColumn("__n", VF.norm(col("__cv")))

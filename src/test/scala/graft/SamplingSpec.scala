@@ -69,4 +69,47 @@ class SamplingSpec extends SparkSpec {
     assert(got(1)._3 == 3L && got(1)._4 == 0.75)
     assert(got(2) == ((3L, 3L, 0L, 0.0)))
   }
+
+  test("token budget: priority order, crossing doc included, budget respected") {
+    val rows = Seq(
+      (1L, "a", 100L, 9L), (2L, "a", 90L, 9L), (3L, "a", 80L, 9L),
+      (4L, "b", 50L, 30L), (5L, "b", 40L, 1L)
+    ).toDF("doc_id", "source", "n_chars", "n_tokens")
+    val got = Sampling.tokenBudgetSelect(rows, "source", "n_tokens",
+        Seq($"n_chars".desc, $"doc_id"), budget = 20L)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    // source a: 9, 18, 27 — doc 3 crosses the 20-token budget and is kept
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(3L) == 27L)
+    // source b: doc 4 (30 tokens) crosses immediately; doc 5 starts past it
+    assert(got(4L) == 30L && !got.contains(5L))
+  }
+
+  test("shuffle shards: complete, deterministic, salt-sensitive") {
+    val d = docs.select($"doc_id").limit(200)
+    val s1 = Sampling.shuffleShards(d, $"doc_id", 8, "e0")
+    val s2 = Sampling.shuffleShards(d, $"doc_id", 8, "e0")
+    val s3 = Sampling.shuffleShards(d, $"doc_id", 8, "e1")
+    val k1 = s1.select($"doc_id", $"shard", $"shard_pos").collect().toSet
+    assert(k1 == s2.select($"doc_id", $"shard", $"shard_pos").collect().toSet)
+    assert(k1 != s3.select($"doc_id", $"shard", $"shard_pos").collect().toSet)
+    // every row exactly once; positions contiguous from 0 per shard
+    assert(s1.count() == d.count())
+    val pos = s1.groupBy($"shard")
+      .agg(min($"shard_pos").as("mn"), max($"shard_pos").as("mx"),
+        count(lit(1)).as("n"))
+      .as[(Int, Int, Int, Long)].collect()
+    pos.foreach { case (_, mn, mx, n) => assert(mn == 0 && mx == n - 1) }
+  }
+
+  test("semanticDedupEvery equals the explicit mod-rule seed list") {
+    val e = Tables.embeddings(spark, sfDir)
+    val seeds = e.filter($"vec_id" % 64 === 0)
+      .select($"vec_id").as[Long].collect().toSeq
+    val a = graft.ops.Similarity.semanticDedupEvery(e, 64, 0.45)
+      .collect().map(_.toString).toSet
+    val b = graft.ops.Similarity.semanticDedup(e, seeds, 0.45)
+      .collect().map(_.toString).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
