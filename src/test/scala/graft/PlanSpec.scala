@@ -182,4 +182,35 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx >= 0 && aggIdx > joinIdx,
       "expected aggregate below the join in the plan tree")
   }
+
+  test("d10 span strip: gram-frequency keys are 8-byte hashes, never the gram text") {
+    val opt = graft.analytics.DedupQueries.spanStrip(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty)
+    // the corpus-wide doc-frequency aggregate must group on the PolyHash
+    // long (8 bytes/gram through the exchange), and the final per-doc
+    // reassembly on the doc id — no aggregate may key on gram STRINGS
+    // (only the per-doc reassembly groups strings it already holds)
+    val dfAggs = aggs.filter(_.groupingExpressions.exists(_.references
+      .exists(_.name == "__g")))
+    assert(dfAggs.nonEmpty, "expected the gram doc-frequency aggregate on __g")
+    dfAggs.foreach(_.groupingExpressions.foreach(k =>
+      assert(k.dataType == org.apache.spark.sql.types.LongType,
+        s"gram key must be the 8-byte hash: ${k.sql}")))
+  }
+
+  test("d11 semantic dedup: seeds broadcast; pairs join on the cluster key, no cartesian") {
+    val p = plan(graft.analytics.DedupQueries.semanticDedup(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the |seeds|-row quantizer side must broadcast: " + p.take(1500))
+    // the within-cluster pair join must be keyed on cluster_id — a
+    // cartesian over the corpus would be the n^2 mistake the clusters
+    // exist to prevent
+    val afterAssign = p.substring(p.indexOf("cluster_id"))
+    assert(!afterAssign.contains("CartesianProduct"),
+      "within-cluster pairs must hash-join on cluster_id")
+  }
 }
