@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.ml.feature.{HashingTF, Normalizer, RegexTokenizer}
+import org.apache.spark.ml.feature.{HashingTF, IDF, Normalizer, RegexTokenizer}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -39,6 +39,35 @@ final class HashingEmbedder(override val dim: Int = 1024) extends EmbeddingStage
     norm.transform(tf.transform(tok.transform(df)))
       .withColumn(outCol, vector_to_array(col(tmpNorm), "float32"))
       .drop(tmpTok, tmpTf, tmpNorm)
+  }
+}
+
+/** TF-IDF featurizer: [[HashingEmbedder]]'s term-frequency vector
+  * reweighted by a FITTED inverse-document-frequency model — the
+  * classic MLlib estimator/transformer pair. The IDF statistics are
+  * learned from the input corpus (one distributed aggregate in
+  * `fit`, then broadcast into the columnar transform), so unlike the
+  * stateless hasher the output depends on corpus statistics — the
+  * fit-then-transform shape a real trained embedder has, while staying
+  * deterministic and offline. At cluster scale the fitted model is a
+  * `dim`-length vector on the driver: fit once, reuse across runs. */
+final class TfIdfEmbedder(override val dim: Int = 1024) extends EmbeddingStage {
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val tmpTok = s"__${outCol}_tokens"
+    val tmpTf = s"__${outCol}_tf"
+    val tmpIdf = s"__${outCol}_idf"
+    val tmpNorm = s"__${outCol}_norm"
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol(tmpTok)
+      .setPattern("\\W+").setToLowercase(true)
+    val tf = new HashingTF()
+      .setInputCol(tmpTok).setOutputCol(tmpTf).setNumFeatures(dim)
+    val tfDf = tf.transform(tok.transform(df))
+    val idf = new IDF().setInputCol(tmpTf).setOutputCol(tmpIdf).fit(tfDf)
+    val norm = new Normalizer().setInputCol(tmpIdf).setOutputCol(tmpNorm).setP(2.0)
+    norm.transform(idf.transform(tfDf))
+      .withColumn(outCol, vector_to_array(col(tmpNorm), "float32"))
+      .drop(tmpTok, tmpTf, tmpIdf, tmpNorm)
   }
 }
 

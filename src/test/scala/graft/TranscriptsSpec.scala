@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.etl.{Sinks, Transcripts, HashingEmbedder, BatchInferenceEmbedder}
+import graft.etl.{Sinks, Transcripts, HashingEmbedder, TfIdfEmbedder, BatchInferenceEmbedder}
 
 class TranscriptsSpec extends SparkSpec {
   import spark.implicits._
@@ -110,7 +110,8 @@ class TranscriptsSpec extends SparkSpec {
 
   test("embedding stages produce unit-norm fixed-dim vectors") {
     val docs = Tables.documents(spark, sfDir).limit(10)
-    Seq(new HashingEmbedder(64), new BatchInferenceEmbedder(64, 4)).foreach { st =>
+    Seq(new HashingEmbedder(64), new TfIdfEmbedder(64),
+        new BatchInferenceEmbedder(64, 4)).foreach { st =>
       val out = st.embed(docs, "text", "vec")
         .select(size($"vec").as("d"),
           sqrt(aggregate(transform($"vec", x => x.cast("double") * x),
@@ -121,6 +122,23 @@ class TranscriptsSpec extends SparkSpec {
         assert(math.abs(n - 1.0) < 1e-5, s"$st norm $n")
       }
     }
+  }
+
+  test("tf-idf embedder: corpus-wide terms weigh zero, rare terms dominate") {
+    // "common" appears in every doc → IDF log((n+1)/(n+1)) = 0; a doc of
+    // only corpus-wide terms embeds as the zero vector
+    val docs = Seq(
+      (1L, "common shared everywhere"),
+      (2L, "common shared everywhere"),
+      (3L, "common shared everywhere rareword"),
+      (4L, "common shared everywhere")
+    ).toDF("doc_id", "text")
+    val out = new TfIdfEmbedder(64).embed(docs, "text", "vec")
+      .select($"doc_id", aggregate(transform($"vec", _.cast("double")),
+        lit(0.0), (a, x) => a + abs(x)).as("l1"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0 && out(4L) == 0.0)
+    assert(out(3L) > 0.0) // rareword carries all the weight
   }
 
   test("embedder factory: stub and a registered 'real' model share the exact code path") {
