@@ -544,10 +544,12 @@ object SparkEntry {
     // crossing doc is included).
     "t22_token_budget" ->
       """WITH d AS (
-        |  SELECT doc_id, source, n_chars,
-        |    CAST(len(regexp_extract_all(text,
-        |      '[A-Za-z0-9_'']+|[^A-Za-z0-9_''\s]')) AS BIGINT) AS n_tokens
-        |  FROM documents),
+        |  SELECT * FROM (
+        |    SELECT doc_id, source, n_chars,
+        |      CAST(len(regexp_extract_all(text,
+        |        '[A-Za-z0-9_'']+|[^A-Za-z0-9_''\s]')) AS BIGINT) AS n_tokens
+        |    FROM documents)
+        |  WHERE n_tokens >= 1),
         |sel AS (
         |  SELECT doc_id, source, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY source
@@ -702,8 +704,9 @@ object SparkEntry {
         s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
           s" * sqrt(list_dot_product($b, $b)), 0.0)"
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
-         |          WHERE vec_id % 64 = 0),
+         |st AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), 1) AS s FROM e),
+         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e, st
+         |          WHERE vec_id % st.s = 0),
          |ca AS (
          |  SELECT vec_id, v, list_id AS cluster_id, csim FROM (
          |    SELECT c.vec_id, c.v, s.list_id,

@@ -74,14 +74,15 @@ object DedupQueries {
     * clusters bound the pairwise cosine check; a vector is dropped when
     * a same-cluster neighbor at cosine ≥ 0.45 sits closer to the
     * centroid. Survivors reported with their cluster + centroid
-    * similarity. Seeds follow the DATA-SCALING rule vec_id % 64 == 0
-    * (centroid count grows with the corpus, expected cluster size stays
-    * ~64, pair count n·64 — measured near-linear on the 10× scaling
-    * curve), and the rule is a pure id function so the oracle replays
+    * similarity. Seeds follow the BALANCED rule vec_id % ceil(√n) == 0
+    * (nlist ≈ √n: centroid count AND cluster size both grow as √n, so
+    * assignment and pair work are each n·√n — the fixed-step variant
+    * measured 276× at 100× data before this sizing), and the rule is
+    * derivable from count(*) on both engines so the oracle replays
     * assignment, domination and survivorship exactly. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Similarity.semanticDedupEvery(Tables.embeddings(spark, dir),
-        seedEvery = 64, tau = 0.45)
+    graft.ops.Similarity.semanticDedupBalanced(Tables.embeddings(spark, dir),
+        tau = 0.45)
       .select(col("vec_id"), col("cluster_id"),
         exactRound(col("centroid_sim"), 6).as("centroid_sim"))
       .orderBy(col("vec_id"))

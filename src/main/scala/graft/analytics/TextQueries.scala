@@ -98,9 +98,10 @@ object TextQueries {
         Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"), col("n_chars"),
             graft.functions.TextFunctions.tokenCount(col("text"))
-              .cast("long").as("n_tokens")),
+              .cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= 1), // prune precondition (see op doc)
         "source", "n_tokens",
-        priority = Seq(col("n_chars").desc, col("doc_id")), budget = 20000L)
+        priority = Seq(("n_chars", true), ("doc_id", false)), budget = 20000L)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens").cast("long").as("cum_tokens"))
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))

@@ -100,6 +100,23 @@ object Sinks {
     (parts.length, after)
   }
 
+  /** Bucketed catalog table — the co-located-join layout a 100 TB
+    * warehouse keys its fact tables on: `bucketBy` the join key and
+    * `sortBy` within buckets, so equi-joins between tables bucketed the
+    * SAME way plan with ZERO Exchange and zero per-task sort (asserted
+    * in BucketedJoinSpec). Bucketing requires the session catalog
+    * (`saveAsTable`), not a path write — Spark persists the bucket
+    * spec in table metadata and trusts it at read time. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String],
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && buckets > 0)
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val s = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    s.format("parquet").saveAsTable(table)
+  }
+
   /** K7 — run summary metrics as a driver-side JSON write; counts come
     * from `observe()` metrics or cheap aggregates upstream. */
   def runSummary(path: String, metrics: Map[String, Any]): Unit = {

@@ -267,6 +267,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Band-width sizing rule for SimHash-style banding: expected RANDOM
+    * collisions per document per band are n/2^width, so width must
+    * grow with log2(n) to keep candidate generation linear —
+    * `width ≥ ceil(log2 n) + slack` gives ≤ 2^-slack random candidates
+    * per doc per band. The 60-bit/4-band exemplar (width 15) is sized
+    * for bench corpora (n ≤ ~300k at slack 0); beyond that the
+    * signature must widen (two 64-bit lanes → 4 bands of 24+ bits
+    * keeps the pigeonhole guarantee at Hamming ≤ 3), which is a schema
+    * change the oracle-pinned exemplar deliberately does not make. The
+    * measured 100× point (PERFORMANCE.md) is the rule's empirical
+    * justification. */
+  def simHashBandWidthFor(n: Long, slack: Int = 5): Int =
+    math.ceil(math.log(math.max(2, n).toDouble) / math.log(2)).toInt + slack
+
   /** SimHash signature width: 60 bits — two independent 30-bit halves
     * of [[graft.functions.PolyHash]] (bits 0-29 from h2, 30-59 from
     * h1). PolyHash, unlike xxhash64, is exactly reproducible in the
@@ -317,11 +331,16 @@ object Dedup {
       col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_val"),
       col("__id").as("id_b"), col("__sig").as("sig_b"))
+    // verify BEFORE dedupe: the signatures ride the candidate row, so
+    // the Hamming filter is a codegen XOR+popcount per joined row —
+    // running it first shrinks the dropDuplicates exchange from every
+    // random band collision (n²·bands/2^width pairs; the dominant cost
+    // at 100× scale) down to true near-dup pairs only
     bandCandidates(a, b, Seq("band", "band_val"), saltBuckets)
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 

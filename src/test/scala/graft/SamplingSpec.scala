@@ -76,8 +76,14 @@ class SamplingSpec extends SparkSpec {
       (4L, "b", 50L, 30L), (5L, "b", 40L, 1L)
     ).toDF("doc_id", "source", "n_chars", "n_tokens")
     val got = Sampling.tokenBudgetSelect(rows, "source", "n_tokens",
-        Seq($"n_chars".desc, $"doc_id"), budget = 20L)
+        Seq(("n_chars", true), ("doc_id", false)), budget = 20L)
       .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    // pruned and unpruned paths agree when every row has >= 1 token
+    val unpruned = Sampling.tokenBudgetSelect(rows, "source", "n_tokens",
+        Seq(("n_chars", true), ("doc_id", false)), budget = 20L,
+        pruneToBudgetRows = false)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == unpruned)
     // source a: 9, 18, 27 — doc 3 crosses the 20-token budget and is kept
     assert(got.keySet == Set(1L, 2L, 3L, 4L))
     assert(got(3L) == 27L)
