@@ -39,9 +39,13 @@ object Bench {
     // the run for focused A/B re-measurement (dev tool; the driver
     // never sets it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).toSeq.sorted.foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY name matches no query: $n")))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (selected.isEmpty)
+      System.err.println("[bench] WARNING: zero queries selected; total will be 0")
     val samples: Seq[(String, Seq[Double])] =
       selected.map { case (name, fn) =>
         val times = (1 to iters).map { _ =>
@@ -81,12 +85,17 @@ object Bench {
     val compactQueries =
       if (all.length <= budget) all
       else {
+        // a TRUE slowest-prefix: stop at the first entry that no longer
+        // fits — continuing would bias the map toward short-named
+        // queries after the first overflow
         val bySlowest = medians.sortBy(-_._2)
         val keep = scala.collection.mutable.ArrayBuffer[(String, Double)]()
         var len = 2 // braces
+        var full = false
         bySlowest.foreach { case (k, v) =>
           val add = k.length + r3(v).length + 4
-          if (len + add <= budget) { keep += (k -> v); len += add }
+          if (!full && len + add <= budget) { keep += (k -> v); len += add }
+          else full = true
         }
         jsonMap(keep.sortBy(_._1).toSeq)
       }

@@ -44,6 +44,7 @@ object SparkEntry {
     "q18_approx_median"     -> (SketchQueries.approxMedian _),
     "q19_heavy_hitters"     -> (SketchQueries.heavyHitters _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
+    "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
     "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
@@ -64,6 +65,9 @@ object SparkEntry {
     "w1_event_index"        -> (NestedQueries.eventIndex _),
     "d1_exact_dedup"        -> (DedupQueries.exactDedup _),
     "d2_minhash_neardup"    -> (DedupQueries.minhashNearDups _),
+    "d3b_simhash_wide"      -> (DedupQueries.simhashNearDupsWide _),
+    "d3c_incremental_simhash" -> (DedupQueries.incrementalSimhashNearDups _),
+    "d11b_incremental_semdedup" -> (DedupQueries.incrementalSemanticDedup _),
     "d3_simhash_neardup"    -> (DedupQueries.simhashNearDups _),
     "d4_ngram_jaccard"      -> (DedupQueries.ngramJaccard _),
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
@@ -175,6 +179,97 @@ object SparkEntry {
        |JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
        |  AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** WIDE SimHash oracle (d3b): two independent PolyHash lanes (120
+    * vote columns), band width derived from the corpus count with the
+    * same integer rule as graft.ops.Dedup.simHashBandWidthFor
+    * (`least(30, length(bin(n - 1)) + 5)` — bin() is bit-identical in
+    * Spark and DuckDB, no floating-point log), four bands at lane
+    * offsets {0, w}, Hamming summed across lanes. */
+  private lazy val simhashWideOracleSql: String = {
+    val bits = graft.ops.Dedup.SimHashBits
+    def votes(h: String, lane: Int) = (0 until bits)
+      .map(i => s"sum(CASE WHEN ($h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v${lane}_$i")
+      .mkString(",\n    ")
+    def sigTerms(lane: Int) = (0 until bits)
+      .map(i => s"CASE WHEN v${lane}_$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH nw AS (
+       |  SELECT least(30, length(bin(count(*) - 1)) + 5) AS w FROM documents
+       |), words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    ${polyHashSql(31, 1073741789L)} * 1073741824
+       |    + ${polyHashSql(37, 1073741783L)} AS h0,
+       |    ${polyHashSql(41, 1073741741L)} * 1073741824
+       |    + ${polyHashSql(43, 1073741723L)} AS h1
+       |  FROM words
+       |), votes AS (
+       |  SELECT doc_id,
+       |    ${votes("h0", 0)},
+       |    ${votes("h1", 1)}
+       |  FROM hashed GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT doc_id, CAST(${sigTerms(0)} AS BIGINT) AS sig0,
+       |    CAST(${sigTerms(1)} AS BIGINT) AS sig1 FROM votes
+       |), banded AS (
+       |  SELECT doc_id, sig0, sig1, band,
+       |    CASE band
+       |      WHEN 0 THEN sig0 & ((CAST(1 AS BIGINT) << w) - 1)
+       |      WHEN 1 THEN (sig0 >> w) & ((CAST(1 AS BIGINT) << w) - 1)
+       |      WHEN 2 THEN sig1 & ((CAST(1 AS BIGINT) << w) - 1)
+       |      ELSE (sig1 >> w) & ((CAST(1 AS BIGINT) << w) - 1) END AS band_val
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t CROSS JOIN nw
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig0, b.sig0))
+       |    + bit_count(xor(a.sig1, b.sig1)) AS INTEGER) AS hamming
+       |FROM banded a
+       |JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Incremental SimHash oracle (d3c): the full-corpus signature/band
+    * replay of d3, restricted to delta-touching pairs — identical to
+    * the store+delta band join because signatures are a pure function
+    * of the text (the store just avoids recomputing them). */
+  private lazy val simhashIncrementalOracleSql: String = {
+    val bits = graft.ops.Dedup.SimHashBits
+    val votes = (0 until bits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n    ")
+    val sigTerms = (0 until bits)
+      .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    ${polyHashSql(31, 1073741789L)} * 1073741824
+       |    + ${polyHashSql(37, 1073741783L)} AS h
+       |  FROM words
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT doc_id, CAST($sigTerms AS BIGINT) AS sig FROM votes
+       |), banded AS (
+       |  SELECT doc_id, sig, band, (sig >> (band * 15)) & 32767 AS band_val
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM banded a
+       |JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
+       |  AND bit_count(xor(a.sig, b.sig)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1041,6 +1136,13 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
         |GROUP BY 1 ORDER BY order_month""".stripMargin,
+    "j9_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
@@ -1433,6 +1535,43 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "d3_simhash_neardup" -> simhashOracleSql,
+    "d3b_simhash_wide" -> simhashWideOracleSql,
+    "d3c_incremental_simhash" -> simhashIncrementalOracleSql,
+    // d11b: assignment of EVERY vector against the frozen corpus-derived
+    // seeds replays the store build + the delta probe in one pass;
+    // store neighbors (vec_id % 10 != 3) dominate unconditionally,
+    // delta neighbors by the batch rule.
+    "d11b_incremental_semdedup" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)), 0.0)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (SELECT * FROM e WHERE vec_id % 10 != 3),
+         |st AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), 1) AS s FROM corpus),
+         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM corpus, st
+         |          WHERE vec_id % st.s = 0),
+         |ca AS (
+         |  SELECT vec_id, v, list_id AS cluster_id, csim FROM (
+         |    SELECT c.vec_id, c.v, s.list_id,
+         |      ${cos("c.v", "s.sv")} AS csim,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e c CROSS JOIN seeds s)
+         |  WHERE ar = 1),
+         |dom AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM ca x JOIN ca y
+         |    ON x.cluster_id = y.cluster_id AND x.vec_id != y.vec_id
+         |  WHERE x.vec_id % 10 = 3
+         |    AND ${cos("x.v", "y.v")} >= 0.45
+         |    AND (y.vec_id % 10 != 3
+         |         OR y.csim > x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id)))
+         |SELECT ca.vec_id, ca.cluster_id,
+         |  floor(ca.csim * 1000000 + 0.5) / 1000000 AS centroid_sim
+         |FROM ca LEFT JOIN dom ON ca.vec_id = dom.vec_id
+         |WHERE ca.vec_id % 10 = 3 AND dom.vec_id IS NULL
+         |ORDER BY ca.vec_id""".stripMargin
+    },
     "d9_incremental_neardup" ->
       """WITH sh AS (
         |  SELECT doc_id,

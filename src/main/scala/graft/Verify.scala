@@ -17,9 +17,15 @@ object Verify {
     var spark = newSession()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Optional local-dev filter (comma-separated names); the driver
+    // never sets it, so its runs always dump every query.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Deterministic order; one query's failure must not poison the rest
     // (a driver OOM can stop the SparkContext — rebuild and continue).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         if (spark.sparkContext.isStopped) {
           spark = newSession()

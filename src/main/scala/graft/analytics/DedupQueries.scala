@@ -128,4 +128,57 @@ object DedupQueries {
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
       .select(col("id_a"), col("id_b"), exactRound(col("cosine"), 6).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** d3b — WIDE SimHash near-dups (120-bit two-lane signature,
+    * data-sized band width): the scale variant whose banding guarantee
+    * survives past the 60-bit exemplar's ~300k-doc ceiling. Fully
+    * oracle-checked: both PolyHash lanes AND the width rule
+    * (`least(30, length(bin(n-1)) + 5)`) replay exactly in DuckDB. */
+  def simhashNearDupsWide(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupsWide(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** d3c — INCREMENTAL SimHash: docs with doc_id % 10 == 3 are the new
+    * batch; the rest persist their 8-byte signatures once
+    * (ops.Dedup.writeSimHashSignatures) and every later batch
+    * band-joins against the store without re-reading corpus text
+    * (store-only-scan asserted in DedupSpec). Same incremental shape
+    * as d9, for the SimHash family. */
+  def incrementalSimhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 10 === 3)
+    val store = simhashStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_sh_store").toString
+      Dedup.writeSimHashSignatures(
+        docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", p)
+      p
+    })
+    Dedup.incrementalSimHashNearDups(delta, "doc_id", "text", store, 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val simhashStoreCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** d11b — INCREMENTAL SemDeDup: vectors with vec_id % 10 == 3 are
+    * the delta; the rest build the frozen centroid + assignment store
+    * once (ops.Similarity.writeSemanticDedupStore). Delta rows assign
+    * to frozen centroids and are dropped on any tau-neighbor in the
+    * store (prior art) or a dominating delta neighbor — the daily-delta
+    * operator a 100 TB corpus needs instead of re-clustering. */
+  def incrementalSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    val delta = vecs.filter(col("vec_id") % 10 === 3)
+    val store = semdedupStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_sd_store").toString
+      graft.ops.Similarity.writeSemanticDedupStore(
+        vecs.filter(col("vec_id") % 10 =!= 3), p)
+      p
+    })
+    graft.ops.Similarity.incrementalSemanticDedup(delta, store, tau = 0.45)
+      .select(col("vec_id"), col("cluster_id"),
+        exactRound(col("centroid_sim"), 6).as("centroid_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semdedupStoreCache = scala.collection.concurrent.TrieMap[String, String]()
 }

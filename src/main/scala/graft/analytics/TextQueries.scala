@@ -96,12 +96,15 @@ object TextQueries {
   def tokenBudget(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.tokenBudgetSelect(
         Tables.documents(spark, dir)
-          .select(col("doc_id"), col("source"), col("n_chars"),
+          .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
             graft.functions.TextFunctions.tokenCount(col("text"))
               .cast("long").as("n_tokens"))
           .filter(col("n_tokens") >= 1), // prune precondition (see op doc)
         "source", "n_tokens",
-        priority = Seq(("n_chars", true), ("doc_id", false)), budget = 20000L)
+        priority = Seq(("n_chars", true), ("doc_id", false)), budget = 20000L,
+        // text rides the input and joins back by id: the heaps/window
+        // see ~32 B/row metadata, never the document payload
+        idCol = Some("doc_id"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens").cast("long").as("cum_tokens"))
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))

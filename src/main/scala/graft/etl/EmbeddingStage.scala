@@ -44,30 +44,69 @@ final class HashingEmbedder(override val dim: Int = 1024) extends EmbeddingStage
 
 /** TF-IDF featurizer: [[HashingEmbedder]]'s term-frequency vector
   * reweighted by a FITTED inverse-document-frequency model — the
-  * classic MLlib estimator/transformer pair. The IDF statistics are
-  * learned from the input corpus (one distributed aggregate in
-  * `fit`, then broadcast into the columnar transform), so unlike the
-  * stateless hasher the output depends on corpus statistics — the
-  * fit-then-transform shape a real trained embedder has, while staying
-  * deterministic and offline. At cluster scale the fitted model is a
-  * `dim`-length vector on the driver: fit once, reuse across runs. */
+  * classic MLlib estimator/transformer pair, with the estimator and
+  * transformer separated the way a real trained embedder is used:
+  * [[fit]] learns the IDF statistics ONCE (one distributed aggregate;
+  * the model is a `dim`-length vector on the driver) and returns a
+  * reusable [[FittedTfIdfEmbedder]], so a document embeds identically
+  * no matter which batch carries it. `embed` on this class remains the
+  * fit-on-this-corpus convenience and is explicitly corpus-dependent —
+  * use `fit(corpus).embed(batch, ...)` for batch-stable embeddings. */
 final class TfIdfEmbedder(override val dim: Int = 1024) extends EmbeddingStage {
+
+  /** Learn IDF weights from `df` (the estimator step). */
+  def fit(df: DataFrame, textCol: String): FittedTfIdfEmbedder = {
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("__fit_tokens")
+      .setPattern("\\W+").setToLowercase(true)
+    val tf = new HashingTF()
+      .setInputCol("__fit_tokens").setOutputCol("__fit_tf").setNumFeatures(dim)
+    val model = new IDF().setInputCol("__fit_tf").setOutputCol("__fit_idf")
+      .fit(tf.transform(tok.transform(df.select(col(textCol)))))
+    new FittedTfIdfEmbedder(dim, model)
+  }
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    fit(df, textCol).embed(df, textCol, outCol)
+}
+
+/** The transformer half of [[TfIdfEmbedder]]: applies frozen IDF
+  * weights, L2-normalized. UNIT-NORM CONTRACT: a document whose every
+  * term is corpus-ubiquitous (all IDF weights 0) has a zero TF-IDF
+  * vector, which no normalizer can rescue — such documents FALL BACK
+  * to their plain L2-normalized term-frequency vector (the stateless
+  * [[HashingEmbedder]] semantics), so every tokenizable document
+  * embeds unit-norm and downstream cosine/clustering stays defined.
+  * Only documents with NO tokens at all embed as the zero vector. */
+final class FittedTfIdfEmbedder private[etl](
+    override val dim: Int,
+    model: org.apache.spark.ml.feature.IDFModel) extends EmbeddingStage {
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val tmpTok = s"__${outCol}_tokens"
     val tmpTf = s"__${outCol}_tf"
     val tmpIdf = s"__${outCol}_idf"
-    val tmpNorm = s"__${outCol}_norm"
+    val tmpNormI = s"__${outCol}_ni"
+    val tmpNormT = s"__${outCol}_nt"
     val tok = new RegexTokenizer()
       .setInputCol(textCol).setOutputCol(tmpTok)
       .setPattern("\\W+").setToLowercase(true)
     val tf = new HashingTF()
       .setInputCol(tmpTok).setOutputCol(tmpTf).setNumFeatures(dim)
     val tfDf = tf.transform(tok.transform(df))
-    val idf = new IDF().setInputCol(tmpTf).setOutputCol(tmpIdf).fit(tfDf)
-    val norm = new Normalizer().setInputCol(tmpIdf).setOutputCol(tmpNorm).setP(2.0)
-    norm.transform(idf.transform(tfDf))
-      .withColumn(outCol, vector_to_array(col(tmpNorm), "float32"))
-      .drop(tmpTok, tmpTf, tmpIdf, tmpNorm)
+    // copy() so concurrent embed() calls can't race on the shared
+    // model's input/output column params
+    val withIdf = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setInputCol(tmpTf).setOutputCol(tmpIdf).transform(tfDf)
+    val ni = new Normalizer().setInputCol(tmpIdf).setOutputCol(tmpNormI).setP(2.0)
+    val nt = new Normalizer().setInputCol(tmpTf).setOutputCol(tmpNormT).setP(2.0)
+    val both = nt.transform(ni.transform(withIdf))
+      .withColumn(tmpNormI, vector_to_array(col(tmpNormI), "float32"))
+      .withColumn(tmpNormT, vector_to_array(col(tmpNormT), "float32"))
+    both
+      .withColumn(outCol,
+        when(exists(col(tmpNormI), x => x =!= 0.0f), col(tmpNormI))
+          .otherwise(col(tmpNormT)))
+      .drop(tmpTok, tmpTf, tmpIdf, tmpNormI, tmpNormT)
   }
 }
 

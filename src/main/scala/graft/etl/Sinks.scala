@@ -118,11 +118,23 @@ object Sinks {
   }
 
   /** K7 — run summary metrics as a driver-side JSON write; counts come
-    * from `observe()` metrics or cheap aggregates upstream. */
+    * from `observe()` metrics or cheap aggregates upstream. Keys and
+    * string values are ESCAPED (backslash, quote, all control chars),
+    * so a metric value carrying a quote, newline or tab cannot corrupt
+    * the document — the reader of a run summary is usually a machine. */
   def runSummary(path: String, metrics: Map[String, Any]): Unit = {
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val body = metrics.map {
-      case (k, v: String) => s""""$k": "$v""""
-      case (k, v) => s""""$k": $v"""
+      case (k, v: String) => s"${esc(k)}: ${esc(v)}"
+      case (k, v) => s"${esc(k)}: $v"
     }.mkString("{", ", ", "}")
     Files.createDirectories(Paths.get(path).getParent)
     Files.writeString(Paths.get(path), body)

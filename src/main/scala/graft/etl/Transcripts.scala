@@ -134,12 +134,22 @@ object Transcripts {
     * asserts byte equality. */
   def toXml(utterances: DataFrame): DataFrame = {
     // missing speaker name defaults to "Unknown" (helpers.py:379)
-    val el = concat(
+    val attrs = concat(
       lit("<utterance speaker=\""),
       xmlEscapeAttr(coalesce(col("speaker_name"), lit("Unknown"))),
       lit("\" speaker_id=\""),
       xmlEscapeAttr(coalesce(col("speaker_id"), lit(""))),
-      lit("\">"), xmlEscapeText(col("text")), lit("</utterance>"))
+      lit("\""))
+    // The reference filters falsy text at ingest, so its writer never
+    // sees empty/null — but this operator's contract is TOTAL: a
+    // null/empty text serializes as ElementTree would serialize an
+    // empty element (self-closing `<utterance ... />`), never as a
+    // silently dropped element (concat would null the whole utterance
+    // and concat_ws would swallow it).
+    val el = when(col("text").isNull || col("text") === "",
+        concat(attrs, lit(" />")))
+      .otherwise(concat(attrs,
+        lit(">"), xmlEscapeText(col("text")), lit("</utterance>")))
     utterances
       .groupBy(col("case_id"), col("oa_id"))
       .agg(concat_ws("",

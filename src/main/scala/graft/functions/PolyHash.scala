@@ -87,4 +87,65 @@ object PolyHash {
     GraftColumnBridge.column(PolyHash(
       GraftColumnBridge.expression(c.cast("string"))))
   }
+
+  /** Column API for the second lane ([[PolyHashB]]). */
+  def polyHashB(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PolyHashB(
+      GraftColumnBridge.expression(c.cast("string"))))
+  }
+}
+
+/** Second 60-bit lane for wide (120-bit) SimHash signatures: same
+  * polynomial-fold construction as [[PolyHash]] but with independent
+  * multipliers (41/43) and moduli (the next two primes below 2^30), so
+  * the two lanes' bits are pairwise independent hash families. Packs as
+  * `h3 * 2^30 + h4`, < 2^60 — same ANSI/BIGINT safety and the same
+  * exact DuckDB replay as lane one. */
+case class PolyHashB(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashB.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val str = ctx.freshName("str")
+      val h3 = ctx.freshName("h3")
+      val h4 = ctx.freshName("h4")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $str = $s.toString();
+         |long $h3 = 0L; long $h4 = 0L;
+         |int $i = 0;
+         |while ($i < $str.length()) {
+         |  int $cp = $str.codePointAt($i);
+         |  $i += java.lang.Character.charCount($cp);
+         |  $h3 = ($h3 * 41L + $cp) % ${PolyHashB.P3}L;
+         |  $h4 = ($h4 * 43L + $cp) % ${PolyHashB.P4}L;
+         |}
+         |${ev.value} = $h3 * ${PolyHash.Pack}L + $h4;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHashB {
+  val P3 = 1073741741L // next primes below PolyHash.P1/P2
+  val P4 = 1073741723L
+
+  def hash(s: String): Long = {
+    var h3 = 0L; var h4 = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      h3 = (h3 * 41L + cp) % P3
+      h4 = (h4 * 43L + cp) % P4
+    }
+    h3 * PolyHash.Pack + h4
+  }
 }

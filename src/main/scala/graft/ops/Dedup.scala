@@ -273,13 +273,20 @@ object Dedup {
     * `width ≥ ceil(log2 n) + slack` gives ≤ 2^-slack random candidates
     * per doc per band. The 60-bit/4-band exemplar (width 15) is sized
     * for bench corpora (n ≤ ~300k at slack 0); beyond that the
-    * signature must widen (two 64-bit lanes → 4 bands of 24+ bits
-    * keeps the pigeonhole guarantee at Hamming ≤ 3), which is a schema
-    * change the oracle-pinned exemplar deliberately does not make. The
-    * measured 100× point (PERFORMANCE.md) is the rule's empirical
-    * justification. */
+    * signature must widen — [[simHashNearDupsWide]] is that widening
+    * (two independent 60-bit lanes → 4 bands of up to 30 bits, good to
+    * n ≈ 2^25 at slack 5 / 2^30 at slack 0 — a billion docs per corpus
+    * — while keeping the pigeonhole guarantee at Hamming ≤ 3).
+    *
+    * Computed as `bitLength(n-1) + slack` — exactly `ceil(log2 n) +
+    * slack` for n ≥ 2, in pure integer math, because both the engine
+    * and the SQL oracle must derive the SAME width from a corpus count
+    * and `ceil(log2 x)` in floating point can round differently across
+    * engines at exact powers of two. The SQL replay is
+    * `length(bin(n - 1)) + slack` (bin() exists in Spark and DuckDB
+    * with identical semantics). */
   def simHashBandWidthFor(n: Long, slack: Int = 5): Int =
-    math.ceil(math.log(math.max(2, n).toDouble) / math.log(2)).toInt + slack
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1) + slack
 
   /** SimHash signature width: 60 bits — two independent 30-bit halves
     * of [[graft.functions.PolyHash]] (bits 0-29 from h2, 30-59 from
@@ -341,6 +348,137 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Wide SimHash signatures: TWO independent 60-bit lanes (120 usable
+    * bits) — lane 0 votes on [[graft.functions.PolyHash]] bits, lane 1
+    * on [[graft.functions.PolyHashB]] (independent multipliers/moduli).
+    * Both words hash once in the same codegen'd projection and all 120
+    * bit votes ride ONE aggregate, so the cost over the 60-bit exemplar
+    * is arithmetic width, not an extra shuffle. Returns
+    * (__id, __sig0, __sig1). */
+  def simHashSignaturesWide(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.PolyHash
+    val hashed = df
+      .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__w"))
+      .select(col("__id"),
+        PolyHash.polyHash(col("__w")).as("__h0"),
+        PolyHash.polyHashB(col("__w")).as("__h1"))
+    def votes(h: String, lane: Int) = (0 until SimHashBits).map(i =>
+      sum(when(shiftright(col(h), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v${lane}_$i"))
+    val agg = hashed.groupBy(col("__id"))
+      .agg(votes("__h0", 0).head, (votes("__h0", 0).tail ++ votes("__h1", 1)): _*)
+    def sig(lane: Int) = (0 until SimHashBits)
+      .map(i => when(col(s"v${lane}_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("__id"), sig(0).as("__sig0"), sig(1).as("__sig1"))
+  }
+
+  /** The four (lane, bit-offset) band slots of the wide signature:
+    * bands 0-1 read lane 0 at offsets 0 and `width`, bands 2-3 lane 1.
+    * With width ≤ 30 both bands fit a 60-bit lane; bits above 2·width
+    * per lane stay out of every band, which can only REDUCE false
+    * candidates — a pair differing solely in uncovered bits still
+    * shares all four bands and is handled by the exact Hamming verify.
+    */
+  private def wideBands(sig0: Column, sig1: Column, width: Int): Column = {
+    val mask = lit((1L << width) - 1)
+    array(
+      struct(lit(0).as("band"), sig0.bitwiseAND(mask).as("band_val")),
+      struct(lit(1).as("band"), shiftright(sig0, width).bitwiseAND(mask).as("band_val")),
+      struct(lit(2).as("band"), sig1.bitwiseAND(mask).as("band_val")),
+      struct(lit(3).as("band"), shiftright(sig1, width).bitwiseAND(mask).as("band_val")))
+  }
+
+  /** WIDE SimHash near-dup pairs — the scale variant of
+    * [[simHashNearDups]]. Same shape (band self-join, verify-before-
+    * dedupe), but the signature is 120 bits across two lanes and the
+    * band width is DATA-SIZED: `min(30, simHashBandWidthFor(n))`, so
+    * random band collisions stay ≤ 2^-slack per doc per band up to
+    * n ≈ 2^25 docs (slack 5; 2^30 at slack 0) instead of the 60-bit
+    * exemplar's ~300k ceiling. Four bands of that width keep the exact
+    * pigeonhole guarantee: any pair within Hamming ≤ 3 over the full
+    * 120 bits shares at least one band. Hamming distances are summed
+    * across lanes (codegen XOR+popcount per candidate row, still
+    * verify-before-dedupe so the distinct exchange carries true
+    * near-dups only).
+    *
+    * Costs one driver count() to size the width; the SQL oracle derives
+    * the identical width from `least(30, length(bin(count(*) - 1)) +
+    * 5)` — integer math both engines replay bit-for-bit (see
+    * [[simHashBandWidthFor]]). */
+  def simHashNearDupsWide(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, saltBuckets: Int = 1,
+                          bandWidth: Int = 0): DataFrame = {
+    val width =
+      if (bandWidth > 0) bandWidth
+      else math.min(30, simHashBandWidthFor(df.count()))
+    require(width <= 30, s"band width $width exceeds the 30-bit lane budget")
+    val sigs = simHashSignaturesWide(df, idCol, textCol).localCheckpoint()
+    val banded = sigs
+      .withColumn("__b", explode(wideBands(col("__sig0"), col("__sig1"), width)))
+      .select(col("__id"), col("__sig0"), col("__sig1"),
+        col("__b.band").as("band"), col("__b.band_val").as("band_val"))
+    val a = banded.select(col("band"), col("band_val"), col("__id").as("id_a"),
+      col("__sig0").as("s0a"), col("__sig1").as("s1a"))
+    val b = banded.select(col("band"), col("band_val"), col("__id").as("id_b"),
+      col("__sig0").as("s0b"), col("__sig1").as("s1b"))
+    bandCandidates(a, b, Seq("band", "band_val"), saltBuckets)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("s0a").bitwiseXOR(col("s0b"))) +
+          bit_count(col("s1a").bitwiseXOR(col("s1b"))))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Persist the per-doc SimHash signature store (overwrite) — the
+    * SimHash analog of [[writeMinHashSignatures]]: the corpus text is
+    * scanned and vote-aggregated ONCE; every later
+    * [[incrementalSimHashNearDups]] call band-joins a delta against
+    * these 8-byte signatures and never re-reads corpus text. */
+  def writeSimHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                             path: String): Unit =
+    simHashSignatures(df, idCol, textCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** INCREMENTAL SimHash near-dups: a delta batch against a persisted
+    * signature store (plus within-delta pairs). Only the delta is
+    * hashed; the store side is an 8-byte-signature parquet scan — no
+    * corpus text anywhere in the plan (asserted in DedupSpec). Bands
+    * are the classic 4×15 of the 60-bit exemplar (the width story
+    * lives in [[simHashNearDupsWide]]; the store schema is the 60-bit
+    * signature both write/probe sides share). Returns (id_a, id_b,
+    * hamming) pairs with at least one delta side, id_a < id_b; delta
+    * ids must not collide with store ids. */
+  def incrementalSimHashNearDups(delta: DataFrame, idCol: String, textCol: String,
+                                 storePath: String, maxHamming: Int = 3,
+                                 saltBuckets: Int = 1): DataFrame = {
+    val spark = delta.sparkSession
+    val deltaSig = simHashSignatures(delta, idCol, textCol).localCheckpoint()
+    val all = spark.read.parquet(storePath).unionByName(deltaSig)
+    def banded(sigs: DataFrame) = sigs
+      .withColumn("__b", explode(array((0 until SimHashBands).map { bd =>
+        struct(lit(bd).as("band"),
+          shiftright(col("__sig"), bd * SimHashBandWidth)
+            .bitwiseAND(lit((1L << SimHashBandWidth) - 1)).as("band_val"))
+      }: _*)))
+      .select(col("__id"), col("__sig"),
+        col("__b.band").as("band"), col("__b.band_val").as("band_val"))
+    val l = banded(deltaSig).select(col("band"), col("band_val"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val r = banded(all).select(col("band"), col("band_val"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    bandCandidates(l, r, Seq("band", "band_val"), saltBuckets)
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b") // >1 band + delta-delta from both sides
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 

@@ -123,21 +123,48 @@ object Sampling {
     * shuffle), and the window then cum-sums ≤ budget rows per stratum
     * regardless of corpus size — re-measured ~flat at 100×. Set
     * `pruneToBudgetRows = false` only if zero-token rows must be
-    * selectable. */
+    * selectable.
+    *
+    * When `idCol` is given, the prune/cum-sum pass runs METADATA-ONLY:
+    * the heaps and the window see just (id, stratum, tokens, priority
+    * columns) — tens of bytes per row — and the selected ids join the
+    * full rows back afterwards, so map-side heap memory is
+    * budget × ~32 B instead of budget × document size. Always pass it
+    * when `df` carries text/payload columns (the same
+    * survivors-join-back trick the corpus-build flagship uses).
+    *
+    * DETERMINISM CONTRACT: `priority` must be a TOTAL order of each
+    * stratum (include a unique tiebreaker such as the doc id, exactly
+    * as with any window spec). The cum-sum runs over a ROWS frame, so
+    * with ties left undeclared both the per-row cum_tokens and the
+    * heap prune's retained subset would be nondeterministic. */
   def tokenBudgetSelect(df: DataFrame, stratumCol: String, tokenCol: String,
                         priority: Seq[(String, Boolean)], budget: Long,
-                        pruneToBudgetRows: Boolean = true): DataFrame = {
+                        pruneToBudgetRows: Boolean = true,
+                        idCol: Option[String] = None): DataFrame = {
     require(budget > 0 && budget <= Int.MaxValue && priority.nonEmpty)
+    val metaCols = (idCol.toSeq ++ Seq(stratumCol, tokenCol) ++ priority.map(_._1)).distinct
+    val slim = idCol match {
+      case Some(_) => df.select(metaCols.map(col): _*)
+      case None => df
+    }
     val base =
       if (pruneToBudgetRows)
-        graft.ops.TopK.perGroup(df, Seq(stratumCol), priority,
+        graft.ops.TopK.perGroup(slim, Seq(stratumCol), priority,
           budget.toInt, rankName = "__bp").drop("__bp")
-      else df
+      else slim
     val ord = priority.map { case (n, desc) => if (desc) col(n).desc else col(n).asc }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(ord: _*)
-    base.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val selected = base.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .filter(col("cum_tokens") - col(tokenCol) < budget)
+    idCol match {
+      case Some(id) =>
+        df.join(selected.select(col(id), col("cum_tokens")), Seq(id))
+      case None => selected
+    }
   }
 
   /** Deterministic global TRAINING-ORDER shuffle + shard assignment:

@@ -73,20 +73,31 @@ object Similarity {
       bits.reduce(_ + _)
     }
 
-    /** The signature plus its `nBits` 1-bit-flip neighbors (multi-probe). */
-    def probeSignatures(vec: Column): Column = {
+    /** The signature plus its Hamming-ball neighbors (multi-probe):
+      * radius 0 = own bucket only, 1 = + all 1-bit flips (the default,
+      * nBits+1 probes), 2 = + all 2-bit flips (1 + nBits + C(nBits,2)
+      * probes). The probe budget is the ANN recall/cost knob — see the
+      * measured recall@k table in PERFORMANCE.md. */
+    def probeSignatures(vec: Column, radius: Int = 1): Column = {
+      require(radius >= 0 && radius <= 2, "supported probe radius: 0..2")
       val sig = signature(vec)
-      array(sig +: (0 until nBits).map(i => sig.bitwiseXOR(lit(1 << i))): _*)
+      val flips1 = (0 until nBits).map(i => sig.bitwiseXOR(lit(1 << i)))
+      val flips2 = for { i <- 0 until nBits; j <- i + 1 until nBits }
+        yield sig.bitwiseXOR(lit((1 << i) | (1 << j)))
+      val probes = sig +: ((if (radius >= 1) flips1 else Nil) ++
+        (if (radius >= 2) flips2 else Nil))
+      array(probes: _*)
     }
 
     /** Approximate cosine top-k: candidates share a (probed) bucket. */
     def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                queryIdCol: String = "query_id"): DataFrame = {
+                queryIdCol: String = "query_id",
+                probeRadius: Int = 1): DataFrame = {
       val c = corpus.select(col(idCol).as("cand_id"),
           col(vecCol).cast("array<double>").as("__cv"))
         .withColumn("__sig", signature(col("__cv")))
-      topKFromSigned(c, queries, k, vecCol, queryIdCol)
+      topKFromSigned(c, queries, k, vecCol, queryIdCol, probeRadius)
     }
 
     /** Shared probe-join + rank over a corpus that already carries its
@@ -94,11 +105,12 @@ object Similarity {
       * the parquet partition column by [[annTopKFromIndex]]). */
     private def topKFromSigned(signedCorpus: DataFrame, queries: DataFrame,
                                k: Int, vecCol: String,
-                               queryIdCol: String): DataFrame = {
+                               queryIdCol: String,
+                               probeRadius: Int = 1): DataFrame = {
       val c = signedCorpus.withColumn("__cn", VF.norm(col("__cv")))
       val q = queries.select(col(queryIdCol),
           col(vecCol).cast("array<double>").as("__qv"))
-        .withColumn("__sig", explode(probeSignatures(col("__qv"))))
+        .withColumn("__sig", explode(probeSignatures(col("__qv"), probeRadius)))
         .withColumn("__qn", VF.norm(col("__qv")))
       val sims = c.join(broadcast(q), Seq("__sig"))
         .filter(col("cand_id") =!= col(queryIdCol))
@@ -280,14 +292,11 @@ object Similarity {
     semanticDedupEvery(corpus, step, tau, idCol, vecCol)
   }
 
-  private def semanticDedupBy(corpus: DataFrame, seedPred: Column => Column, tau: Double,
-                              idCol: String, vecCol: String): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("__vid"),
-      col(vecCol).cast("array<double>").as("__cv"))
-    val seeds = c0.filter(seedPred(col("__vid")))
-      .select(col("__vid").as("cluster_id"), col("__cv").as("__sv"))
-      .withColumn("__sn", VF.norm(col("__sv")))
-    val assigned = c0.withColumn("__n", VF.norm(col("__cv")))
+  /** Nearest-centroid assignment against a (cluster_id, __sv, __sn)
+    * seed frame (ties → smallest cluster_id, exactly as the SQL oracle
+    * replays it). Returns (__vid, __cv, __n, cluster_id, __csim). */
+  private def assignToSeeds(c0: DataFrame, seeds: DataFrame): DataFrame =
+    c0.withColumn("__n", VF.norm(col("__cv")))
       .crossJoin(broadcast(seeds))
       .withColumn("__asim", VF.dot(col("__cv"), col("__sv"))
         / nullif(col("__n") * col("__sn"), lit(0.0)))
@@ -297,6 +306,15 @@ object Similarity {
       .filter(col("__ar") === 1)
       .select(col("__vid"), col("__cv"), col("__n"), col("cluster_id"),
         col("__asim").as("__csim"))
+
+  private def semanticDedupBy(corpus: DataFrame, seedPred: Column => Column, tau: Double,
+                              idCol: String, vecCol: String): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val seeds = c0.filter(seedPred(col("__vid")))
+      .select(col("__vid").as("cluster_id"), col("__cv").as("__sv"))
+      .withColumn("__sn", VF.norm(col("__sv")))
+    val assigned = assignToSeeds(c0, seeds)
     val x = assigned.select(col("cluster_id"), col("__vid").as("id_x"),
       col("__cv").as("vx"), col("__n").as("nx"), col("__csim").as("cx"))
     val y = assigned.select(col("cluster_id"), col("__vid").as("id_y"),
@@ -310,6 +328,83 @@ object Similarity {
         (col("cy") === col("cx") && col("id_y") < col("id_x")))
       .select(col("id_x").as("__vid"))
       .distinct()
+    assigned.join(dominated, Seq("__vid"), "left_anti")
+      .select(col("__vid").as(idCol), col("cluster_id"),
+        col("__csim").as("centroid_sim"))
+  }
+
+  /** Persist the SemDeDup CENTROID + ASSIGNMENT store — the semantic
+    * analog of the MinHash signature store (graft.ops.Dedup
+    * .writeMinHashSignatures): at 100 TB a daily delta must assign
+    * against FROZEN centroids and compare only within its clusters,
+    * not re-cluster the corpus. Centroids follow the balanced rule
+    * (seedEvery = ceil(√n), same as [[semanticDedupBalanced]]);
+    * `<path>/centroids` holds (cluster_id, __sv, __sn) — tiny, the
+    * probe side broadcasts it — and `<path>/assignments` holds every
+    * corpus vector with its cluster and centroid similarity,
+    * PARTITIONED BY a bucket of cluster_id so a delta's cluster-keyed
+    * neighbor join prunes to touched buckets. */
+  def writeSemanticDedupStore(corpus: DataFrame, path: String,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Unit = {
+    val n = corpus.count()
+    val step = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val c0 = corpus.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val seeds = c0.filter(pmod(col("__vid"), lit(step)) === 0)
+      .select(col("__vid").as("cluster_id"), col("__cv").as("__sv"))
+      .withColumn("__sn", VF.norm(col("__sv")))
+    seeds.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToSeeds(c0, seeds)
+      .withColumn("__cb", pmod(col("cluster_id"), lit(64)))
+      .write.mode("overwrite").partitionBy("__cb")
+      .parquet(s"$path/assignments")
+  }
+
+  /** INCREMENTAL SemDeDup: dedup a DELTA batch against a persisted
+    * store. The delta assigns to the store's FROZEN centroids (one
+    * broadcast, no re-clustering), then two domination checks run over
+    * the cluster-keyed neighbor join:
+    *  - vs the STORE: a store neighbor at cosine ≥ tau drops the delta
+    *    row unconditionally — store members are PRIOR ART, already
+    *    kept, and will not be dropped retroactively (re-judging them
+    *    would leave both copies when the newcomer sits closer to the
+    *    centroid). This is the skip-processed-keys idiom of the
+    *    reference's incremental scans, applied to semantic identity.
+    *  - within the DELTA: the batch variant's rule (neighbor closer to
+    *    the centroid wins, ties to smaller id) — identical to
+    *    [[semanticDedupBalanced]], so a batch processed incrementally
+    *    in one piece drops exactly what the batch operator drops.
+    * Corpus vectors outside touched clusters are never read (the
+    * assignment store is partitioned by cluster bucket), and no corpus
+    * text is anywhere in the plan. Returns delta survivors
+    * (id, cluster_id, centroid_sim). Delta ids must not collide with
+    * store ids. */
+  def incrementalSemanticDedup(delta: DataFrame, storePath: String, tau: Double,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val spark = delta.sparkSession
+    val seeds = spark.read.parquet(s"$storePath/centroids")
+    val d0 = delta.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val assigned = assignToSeeds(d0, seeds).localCheckpoint()
+    val store = spark.read.parquet(s"$storePath/assignments")
+    val x = assigned.select(col("cluster_id"), col("__vid").as("id_x"),
+      col("__cv").as("vx"), col("__n").as("nx"), col("__csim").as("cx"))
+    def simTo(y: DataFrame) = x.join(y, Seq("cluster_id"))
+      .filter(col("id_x") =!= col("id_y"))
+      .withColumn("__sim", VF.dot(col("vx"), col("vy"))
+        / nullif(col("nx") * col("ny"), lit(0.0)))
+      .filter(col("__sim") >= tau)
+    val vsStore = simTo(store.select(col("cluster_id"), col("__vid").as("id_y"),
+        col("__cv").as("vy"), col("__n").as("ny")))
+      .select(col("id_x").as("__vid"))
+    val vsDelta = simTo(assigned.select(col("cluster_id"), col("__vid").as("id_y"),
+        col("__cv").as("vy"), col("__n").as("ny"), col("__csim").as("cy")))
+      .filter(col("cy") > col("cx") ||
+        (col("cy") === col("cx") && col("id_y") < col("id_x")))
+      .select(col("id_x").as("__vid"))
+    val dominated = vsStore.unionByName(vsDelta).distinct()
     assigned.join(dominated, Seq("__vid"), "left_anti")
       .select(col("__vid").as(idCol), col("cluster_id"),
         col("__csim").as("centroid_sim"))

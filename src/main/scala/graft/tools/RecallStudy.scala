@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** ANN recall-vs-probe-budget measurement (PERFORMANCE.md "ANN
+  * recall"): for the sign-LSH multi-probe path (s1) and the IVF path
+  * (s2-style), measure recall@10 against brute force across probe
+  * settings — the one number a user choosing nBits/probeRadius/nProbe
+  * actually needs. Local dev/bench tooling — not part of any
+  * registered query plan.
+  *
+  * Usage: runMain graft.tools.RecallStudy <sfDir> [nQueries]
+  * Prints a markdown table; paste into PERFORMANCE.md.
+  */
+object RecallStudy {
+
+  private def topSets(df: DataFrame): Map[Long, Set[Long]] = {
+    import df.sparkSession.implicits._
+    df.select(col("query_id"), col("cand_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+  }
+
+  private def recall(ann: DataFrame, bf: Map[Long, Set[Long]]): Double = {
+    val a = topSets(ann)
+    bf.map { case (q, s) =>
+      a.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }.sum / bf.size
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQueries = if (args.length > 1) args(1).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus = graft.Tables.embeddings(spark, sfDir).localCheckpoint()
+    val n = corpus.count()
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val k = 10
+    val bf = topSets(Similarity.bruteForceTopK(corpus, queries, k))
+
+    println(s"## ANN recall@$k vs probe budget ($sfDir, n=$n, $nQueries queries)")
+    println()
+    println("| path | setting | probes | candidate frac (expected) | recall@10 | sec |")
+    println("|---|---|---|---|---|---|")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    for (nBits <- Seq(8, 12); radius <- Seq(0, 1, 2)) {
+      val lsh = new Similarity.SignRandomProjectionLsh(dim = 64, nBits = nBits)
+      val nProbes = radius match {
+        case 0 => 1
+        case 1 => 1 + nBits
+        case 2 => 1 + nBits + nBits * (nBits - 1) / 2
+      }
+      val frac = nProbes.toDouble / (1 << nBits)
+      val (r, sec) = timed(recall(
+        lsh.annTopK(corpus, queries, k, probeRadius = radius), bf))
+      println(f"| sign-LSH | nBits=$nBits radius=$radius | $nProbes | $frac%.4f | $r%.3f | $sec%.1f |")
+    }
+    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      val (r, sec) = timed(recall(
+        Similarity.ivfTopK(corpus, queries, k, nLists = 16, nProbe = nProbe), bf))
+      println(f"| IVF k-means | nLists=16 nProbe=$nProbe | $nProbe | ${nProbe / 16.0}%.4f | $r%.3f | $sec%.1f |")
+    }
+    spark.stop()
+  }
+}

@@ -62,6 +62,76 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count { case (a, b, h) => b - a == 500000 && h == 0 } == 5)
   }
 
+  test("band width rule: integer-exact ceil(log2 n) + slack, capped use at 30") {
+    // bitLength(n-1) == ceil(log2 n) for every n ≥ 2, including exact
+    // powers of two where floating-point log2 could round either way
+    assert(Dedup.simHashBandWidthFor(2) == 1 + 5)
+    assert(Dedup.simHashBandWidthFor(1024) == 10 + 5)
+    assert(Dedup.simHashBandWidthFor(1025) == 11 + 5)
+    assert(Dedup.simHashBandWidthFor(1L << 25) == 30)
+    assert(Dedup.simHashBandWidthFor(300000) == 19 + 5)
+    // the SQL replay: length(bin(n-1)) + 5
+    val ns = Seq(2L, 1000L, 1024L, 1025L, 300000L, 1L << 25)
+    val sql = ns.toDF("n")
+      .select((length(bin($"n" - 1)) + 5).cast("int")).as[Int].collect()
+    assert(sql.toSeq == ns.map(n => Dedup.simHashBandWidthFor(n)))
+  }
+
+  test("wide simhash: finds EVERY pair within hamming 3 (pigeonhole) and no false positives") {
+    val df = docs.limit(200).select($"doc_id", $"text")
+      .unionByName(docs.limit(8).select(($"doc_id" + 700000).as("doc_id"), $"text"))
+    // ground truth: brute-force 120-bit Hamming over the wide signatures
+    val sigs = Dedup.simHashSignaturesWide(df, "doc_id", "text")
+      .select($"__id", $"__sig0", $"__sig1").as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, a0, a1) <- sigs; (b, b0, b1) <- sigs if a < b
+      h = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simHashNearDupsWide(df, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"wide=${got.size} brute=${brute.size}")
+    assert(brute.exists { case (a, b, h) => b - a == 700000 && h == 0 },
+      "planted identical copies must collide at hamming 0")
+  }
+
+  test("wide simhash: second lane is independent (catches 60-bit lane-0 collisions)") {
+    import graft.functions.{PolyHash, PolyHashB}
+    // different strings, so near-identical docs differing in them are
+    // distinguished by SOME bit even if one lane's word hashes collide
+    val ws = Seq("alpha", "beta", "gamma", "delta")
+    val l0 = ws.map(PolyHash.hash)
+    val l1 = ws.map(PolyHashB.hash)
+    assert(l0.distinct.size == ws.size && l1.distinct.size == ws.size)
+    assert(l0.zip(l1).forall { case (a, b) => a != b })
+    // codegen agrees with driver-side fold for the B lane too
+    val got = ws.toDF("w").select(PolyHash.polyHashB($"w")).as[Long].collect()
+    assert(got.toSeq == l1)
+  }
+
+  test("incremental simhash: delta vs persisted store equals full re-run; store-only scan") {
+    val store = java.nio.file.Files.createTempDirectory("sh_store").toString
+    Dedup.writeSimHashSignatures(docs, "doc_id", "text", store)
+    val delta = docs.filter($"doc_id" < 3)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+      .unionByName(Seq((999999L,
+        "zyx wvu tsr qpo nml kji hgf edc ba completely unlike anything"))
+        .toDF("doc_id", "text"))
+    val deltaIds = Set(900000L, 900001L, 900002L, 999999L)
+    val inc = Dedup.incrementalSimHashNearDups(delta, "doc_id", "text", store, 3)
+    val got = inc.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.simHashNearDups(
+      docs.select($"doc_id", $"text").unionByName(delta), "doc_id", "text", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(got == full, s"inc=${got.size} full-restricted=${full.size}")
+    assert(got.nonEmpty, "id-shifted copies must pair with their originals")
+    val p = inc.queryExecution.executedPlan.toString
+    assert(p.contains(store), s"expected a store scan:\n${p.take(1500)}")
+    assert(!p.contains("documents.parquet"),
+      "incremental plan must not re-scan the corpus text")
+  }
+
   test("PolyHash matches the DuckDB oracle formulation bit-for-bit") {
     import graft.functions.PolyHash
     // pinned values computed with DuckDB's list_reduce reproduction

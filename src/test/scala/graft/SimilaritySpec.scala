@@ -133,4 +133,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(100L) && !out.contains(1L) && !out.contains(2L))
     assert(out.contains(3L) && out.contains(200L) && out.contains(4L))
   }
+
+  test("incremental semdedup: store neighbors drop deltas unconditionally, " +
+      "delta-delta uses the batch rule; store-only scan") {
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    // corpus: 16 spread vectors so ceil(sqrt(16)) = 4 → seeds at ids 0,4,8,12
+    val corpus = (0L until 16L).map { i =>
+      val base = Array.fill(4)(0.0)
+      base(i.toInt % 4) = 1.0
+      base((i.toInt + 1) % 4) = 0.1 * (i / 4)
+      (i, base.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val store = java.nio.file.Files.createTempDirectory("sd_store").toString
+    Similarity.writeSemanticDedupStore(corpus, store)
+    val delta = Seq(
+      (101L, v(1, 0.01, 0, 0)),   // ~duplicate of corpus id 0 → dropped (prior art)
+      (102L, v(0.1, 0.1, 0.99, 0.05)), // novel direction → survives
+      (103L, v(0.1, 0.1, 0.985, 0.08)), // near-dup OF 102 → batch rule decides
+      (104L, v(-1, -1, -1, -1))   // far from everything → survives
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.incrementalSemanticDedup(delta, store, tau = 0.95)
+    val kept = out.select($"vec_id").as[Long].collect().toSet
+    assert(!kept.contains(101L), "store near-dup must be dropped")
+    assert(kept.contains(104L), "isolated delta vector must survive")
+    // exactly one of the 102/103 pocket survives (centroid-closer wins)
+    assert(Seq(102L, 103L).count(kept) == 1, s"kept=$kept")
+    // delta ids only — corpus members are never re-judged or re-emitted
+    assert(kept.forall(_ >= 101L))
+    // the probe plan reads the persisted store, never the corpus frame
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains(store), s"expected a store scan:\n${p.take(1500)}")
+    assert(!p.contains("embeddings.parquet"),
+      "incremental plan must not re-scan the corpus embeddings")
+  }
 }

@@ -38,4 +38,19 @@ class SinksSpec extends SparkSpec {
     assert(nBefore == 20 && nAfter == 1, s"$nBefore -> $nAfter")
     assert(after == before)
   }
+
+  test("run summary escapes quotes, newlines and tabs in metric values") {
+    val path = java.nio.file.Files.createTempDirectory("summary").toString + "/s/summary.json"
+    Sinks.runSummary(path, scala.collection.immutable.ListMap(
+      "rows" -> 42,
+      "note" -> "he said \"hi\"\nline2\tend\\",
+      "nul" -> "ctl"))
+    val body = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    // must be machine-parseable JSON with the value intact
+    val parsed = spark.read.json(Seq(body).toDS())
+    val row = parsed.select("rows", "note", "nul").head()
+    assert(row.getLong(0) == 42L)
+    assert(row.getString(1) == "he said \"hi\"\nline2\tend\\")
+    assert(row.getString(2) == "ctl")
+  }
 }

@@ -124,9 +124,10 @@ class TranscriptsSpec extends SparkSpec {
     }
   }
 
-  test("tf-idf embedder: corpus-wide terms weigh zero, rare terms dominate") {
+  test("tf-idf embedder: all-common-term docs fall back to unit-norm TF vectors") {
     // "common" appears in every doc → IDF log((n+1)/(n+1)) = 0; a doc of
-    // only corpus-wide terms embeds as the zero vector
+    // only corpus-wide terms has a ZERO tf-idf vector, so it falls back
+    // to its normalized term-frequency vector (unit-norm contract)
     val docs = Seq(
       (1L, "common shared everywhere"),
       (2L, "common shared everywhere"),
@@ -134,11 +135,31 @@ class TranscriptsSpec extends SparkSpec {
       (4L, "common shared everywhere")
     ).toDF("doc_id", "text")
     val out = new TfIdfEmbedder(64).embed(docs, "text", "vec")
-      .select($"doc_id", aggregate(transform($"vec", _.cast("double")),
-        lit(0.0), (a, x) => a + abs(x)).as("l1"))
-      .as[(Long, Double)].collect().toMap
-    assert(out(1L) == 0.0 && out(2L) == 0.0 && out(4L) == 0.0)
-    assert(out(3L) > 0.0) // rareword carries all the weight
+      .select($"doc_id", $"vec",
+        sqrt(aggregate(transform($"vec", x => x.cast("double") * x),
+          lit(0.0), (a, x) => a + x)).as("l2"))
+      .as[(Long, Seq[Float], Double)].collect()
+      .map { case (id, v, n) => id -> ((v, n)) }.toMap
+    // every tokenizable doc is unit-norm — including the all-common ones
+    out.values.foreach { case (_, n) => assert(math.abs(n - 1.0) < 1e-5, s"norm $n") }
+    // the fallback is deterministic: identical all-common docs agree
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(4L)._1)
+    // the rareword doc differs — its idf-weighted vector survives
+    assert(out(3L)._1 != out(1L)._1)
+  }
+
+  test("tf-idf fit/transform: a doc embeds identically regardless of batch") {
+    val corpus = Tables.documents(spark, sfDir).limit(20)
+    val fitted = new TfIdfEmbedder(64).fit(corpus, "text")
+    val batchA = corpus.filter($"doc_id" < 5)
+    val batchB = corpus.filter($"doc_id" < 15) // different batch, shared docs
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      fitted.embed(df, "text", "vec").select($"doc_id", $"vec")
+        .as[(Long, Seq[Float])].collect().toMap
+    val a = vecs(batchA); val b = vecs(batchB)
+    a.keys.foreach { id =>
+      assert(a(id) == b(id), s"doc $id embeds differently across batches")
+    }
   }
 
   test("embedder factory: stub and a registered 'real' model share the exact code path") {

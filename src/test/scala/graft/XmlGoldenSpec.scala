@@ -59,4 +59,21 @@ class XmlGoldenSpec extends SparkSpec {
     assert(xml.contains("speaker_id=\"id&amp;1\""))
     assert(xml.contains(">He said \"x &lt; y &amp; z &gt; w\".</utterance>"))
   }
+
+  test("null/empty text serializes self-closing (ElementTree form), never dropped") {
+    val utterances = Seq(
+      ("c", "o", 0, "A", "a1", "first"),
+      ("c", "o", 1, "B", "b1", null.asInstanceOf[String]),
+      ("c", "o", 2, "C", "c1", ""),
+      ("c", "o", 3, "D", "d1", "last")
+    ).toDF("case_id", "oa_id", "utterance_index", "speaker_name", "speaker_id", "text")
+    val xml = Transcripts.toXml(utterances).select("xml").as[String].head()
+    // all four utterances present, in order — the null/empty ones as
+    // self-closing elements exactly as ElementTree writes empty text
+    assert(xml.contains("<utterance speaker=\"A\" speaker_id=\"a1\">first</utterance>"))
+    assert(xml.contains("<utterance speaker=\"B\" speaker_id=\"b1\" />"))
+    assert(xml.contains("<utterance speaker=\"C\" speaker_id=\"c1\" />"))
+    assert(xml.contains("<utterance speaker=\"D\" speaker_id=\"d1\">last</utterance>"))
+    assert(xml.indexOf("speaker=\"B\"") < xml.indexOf("speaker=\"C\""))
+  }
 }
