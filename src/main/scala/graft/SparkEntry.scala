@@ -1633,7 +1633,8 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "d5_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 2000)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  floor((list_dot_product(a.v, b.v) /
         |    nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0))

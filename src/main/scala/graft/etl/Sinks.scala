@@ -111,6 +111,18 @@ object Sinks {
                     bucketCols: Seq[String],
                     sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty && buckets > 0)
+    val spark = df.sparkSession
+    // A managed table's location can outlive the catalog entry (a new
+    // process starts with an empty in-memory catalog but the same
+    // warehouse dir), and CTAS refuses an existing location even under
+    // Overwrite — so drop the entry AND clear any orphaned directory,
+    // or a restarted process can never rebuild its layout.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val orphan = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(orphan)) fs.delete(orphan, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val s = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

@@ -22,8 +22,11 @@ object TextFunctions {
   /** U1 — token array. */
   def tokens(text: Column): Column = regexp_extract_all(text, lit(TokenPattern), lit(0))
 
-  /** U1 — token count (0 for empty/null-safe via size semantics). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** U1 — token count (0 for empty/null-safe via size semantics).
+    * Counted natively ([[TokenCount]], one codegen loop) instead of
+    * `size(tokens(text))`, which materializes every token just to
+    * count it — same values, no per-token allocation. */
+  def tokenCount(text: Column): Column = TokenCount.tokenCount(text)
 
   /** F5 — whitespace word count, as len(text.split()) in the reference
     * (helpers.py:162): split on runs of whitespace after trim. */

@@ -134,6 +134,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(3L) && out.contains(200L) && out.contains(4L))
   }
 
+  test("near-dup regime recall floor: planted near-identical queries retrieve " +
+      "their source at rank 1 (>= 0.9) at default knobs") {
+    // the regime the ANN paths serve in a dedup pipeline: the query IS
+    // a near-duplicate (cosine ~1) of some corpus vector. The measured
+    // random-gaussian recall@10 lives in PERFORMANCE.md; this spec
+    // floors the operative near-dup contract at the default knobs.
+    val probes = corpus.filter($"vec_id" < 20)
+      .select(($"vec_id" + 1000000L).as("query_id"),
+        transform($"embedding", (x, i) =>
+          when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    def rank1Hits(ann: org.apache.spark.sql.DataFrame): Double =
+      ann.filter($"rank" === 1 && $"cand_id" === $"query_id" - 1000000L)
+        .count().toDouble / 20.0
+    val lsh = new Similarity.SignRandomProjectionLsh(dim = 64, nBits = 8)
+    assert(rank1Hits(lsh.annTopK(corpus, probes, 10, probeRadius = 1)) >= 0.9)
+    assert(rank1Hits(Similarity.ivfTopK(corpus, probes, 10,
+      nLists = 8, nProbe = 4)) >= 0.9)
+  }
+
+  test("sign-LSH multi-probe: widening the probe radius only adds candidates") {
+    val lsh = new Similarity.SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val r0 = topSets(lsh.annTopK(corpus, queries, 10, probeRadius = 0))
+    val r2 = topSets(lsh.annTopK(corpus, queries, 10, probeRadius = 2))
+    val bf = topSets(Similarity.bruteForceTopK(corpus, queries, 10))
+    def recall(a: Map[Long, Set[Long]]) = bf.map { case (q, s) =>
+      a.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }.sum / bf.size
+    assert(recall(r2) >= recall(r0), "radius 2 must not lose recall vs radius 0")
+  }
+
   test("incremental semdedup: store neighbors drop deltas unconditionally, " +
       "delta-delta uses the batch rule; store-only scan") {
     def v(xs: Double*) = xs.toArray.map(_.toFloat)
