@@ -108,13 +108,17 @@ object TextAnalysis {
 
   /** Normalization for pre-dedup text canonicalization: lowercase,
     * strip non-alphanumeric-non-space characters, collapse whitespace
-    * runs, trim. Pure codegen'd string expressions, portable to the
-    * oracle engine op-for-op. Canonicalizing BEFORE MinHash/SimHash is
+    * runs, trim — semantically
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))`,
+    * which is exactly how the SQL oracle replays it. Implemented as the
+    * native one-pass [[graft.functions.NormalizeText]] automaton: the
+    * two java-regex passes (plus two intermediate document copies) were
+    * the dominant term of the corpus build at the 100x point, paid
+    * twice because the dedup key and the non-empty filter both
+    * reference the column. Canonicalizing BEFORE MinHash/SimHash is
     * what makes near-dup detection robust to case/punctuation noise. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
-      "\\s+", " "))
+    graft.functions.NormalizeText.normalize(text)
 
   /** Rolling-hash document fingerprint over word lengths:
     * acc = (acc*31 + len(word)+1) mod 1e9+7, starting at 0. Uses word
@@ -237,23 +241,28 @@ object TextAnalysis {
     * is the detection table (source, gram, df_docs, n_src_docs,
     * doc_frac); [[stripBoilerplate]] applies it.
     *
-    * Shape at 100 TB: per-doc DISTINCT grams ride the shingle window's
-    * doc-key shuffle; the (source, gram) doc-frequency count is the
-    * second shuffle; per-source doc counts are a tiny aggregate that
-    * broadcasts into the final join. The detection table needs the
-    * gram SURFACE FORM, so gram strings do shuffle here — a corpus
-    * with adversarially long grams would hash them first (d8's 8-byte
-    * PolyHash keys) and join surface forms back for survivors only. */
+    * Shape at 100 TB: gram assembly and the per-doc DISTINCT are both
+    * MAP-SIDE, inside one codegen'd expression — each doc's distinct
+    * grams come out of [[graft.functions.WordNGrams]] as byte-slices of
+    * the doc's own text (no per-word explode, no doc-key shuffle, no
+    * window sort, no split array), so the ONLY corpus-sized exchange is
+    * the (source, gram) doc-frequency count; per-source doc counts are
+    * a tiny aggregate that broadcasts into the final join. Measured at
+    * the 100x point (sf10): the first cut shuffled every word row
+    * through a doc-key window (48–56 s); the second built grams with
+    * `transform`+`slice`+`concat_ws`+`array_distinct`, map-side but
+    * interpreted per element because HOFs are CodegenFallback (33.5 s;
+    * DiagT20 timed the interpreted assembly alone at 46 s); the native
+    * expression assembles the same grams in one generated byte scan.
+    * The detection table needs the gram SURFACE FORM, so gram strings
+    * do shuffle here — a corpus with adversarially long grams would
+    * hash them first (d8's 8-byte PolyHash keys) and join surface
+    * forms back for survivors only. */
   def boilerplateGrams(df: DataFrame, idCol: String, srcCol: String,
                        textCol: String, n: Int, minFrac: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-    val leads = (1 until n).map(k => lead(col("col"), k).over(w))
-    val grams = df.select(col(idCol).as("__id"), col(srcCol).as("source"),
-        posexplode(split(col(textCol), " ")))
-      .withColumn("gram", concat_ws(" ", col("col") +: leads: _*))
-      .filter(size(split(col("gram"), " ")) === n)
-      .select(col("__id"), col("source"), col("gram")).distinct()
+    val grams = df
+      .select(col(srcCol).as("source"),
+        explode(graft.functions.WordNGrams.grams(col(textCol), n)).as("gram"))
     val srcSizes = df.groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("n_src_docs"))
     grams.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("df_docs"))
