@@ -297,26 +297,18 @@ object Dedup {
   private val SimHashBands = 4
   private val SimHashBandWidth = SimHashBits / SimHashBands // 15
 
-  /** SimHash signatures via explode + codegen'd aggregation: tokens
-    * hash once (native codegen PolyHash), each of the 60 bits is a
-    * sum() vote aggregate (interpreted array lambdas stay out of the
-    * hot path, as in [[minHashSignatures]]); the signature assembles
-    * from the vote signs. Returns (__id, __sig). */
-  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.PolyHash
-    val hashed = df
-      .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__w"))
-      .select(col("__id"), PolyHash.polyHash(col("__w")).as("__h"))
-    val votes = hashed.groupBy(col("__id")).agg(
-      sum(when(shiftright(col("__h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
-      (1 until SimHashBits).map(i =>
-        sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          .as(s"v$i")): _*)
-    val sig = (0 until SimHashBits)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    votes.select(col("__id"), sig.as("__sig"))
-  }
+  /** SimHash signatures as a PURE PROJECTION: the whole 60-bit
+    * signature — word PolyHash folds, per-bit ±1 votes, sign pack —
+    * runs inside [[graft.functions.SimHashSig]], one generated call
+    * per document. (The first formulation exploded every word as a row
+    * and pushed 150M+ rows at sf10 through a 60-column conditional-sum
+    * aggregate whose generated code alone took ~5 s of Janino/JIT; the
+    * expression is bit-identical — SimHashSigSpec asserts equality
+    * against the explode+aggregate formulation, and the d3/d3b/d3c
+    * oracle hashes replay it in SQL.) Returns (__id, __sig). */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      graft.functions.SimHashSig.sig(col(textCol)).as("__sig"))
 
   /** SimHash candidate pairs: 4 bands of 15 bits — any pair within
     * Hamming distance 3 shares at least one exact band (pigeonhole);
@@ -354,27 +346,15 @@ object Dedup {
   /** Wide SimHash signatures: TWO independent 60-bit lanes (120 usable
     * bits) — lane 0 votes on [[graft.functions.PolyHash]] bits, lane 1
     * on [[graft.functions.PolyHashB]] (independent multipliers/moduli).
-    * Both words hash once in the same codegen'd projection and all 120
-    * bit votes ride ONE aggregate, so the cost over the 60-bit exemplar
-    * is arithmetic width, not an extra shuffle. Returns
-    * (__id, __sig0, __sig1). */
-  def simHashSignaturesWide(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.PolyHash
-    val hashed = df
-      .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__w"))
-      .select(col("__id"),
-        PolyHash.polyHash(col("__w")).as("__h0"),
-        PolyHash.polyHashB(col("__w")).as("__h1"))
-    def votes(h: String, lane: Int) = (0 until SimHashBits).map(i =>
-      sum(when(shiftright(col(h), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        .as(s"v${lane}_$i"))
-    val agg = hashed.groupBy(col("__id"))
-      .agg(votes("__h0", 0).head, (votes("__h0", 0).tail ++ votes("__h1", 1)): _*)
-    def sig(lane: Int) = (0 until SimHashBits)
-      .map(i => when(col(s"v${lane}_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("__id"), sig(0).as("__sig0"), sig(1).as("__sig1"))
-  }
+    * Each word hashes ONCE for both lanes inside the same
+    * [[graft.functions.SimHashSig]] scan (see [[simHashSignatures]]),
+    * so the cost over the 60-bit exemplar is arithmetic width — the
+    * stage stays a pure projection. Returns (__id, __sig0, __sig1). */
+  def simHashSignaturesWide(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        graft.functions.SimHashSig.sigWide(col(textCol)).as("__w"))
+      .select(col("__id"), col("__w.sig0").as("__sig0"),
+        col("__w.sig1").as("__sig1"))
 
   /** The four (lane, bit-offset) band slots of the wide signature:
     * bands 0-1 read lane 0 at offsets 0 and `width`, bands 2-3 lane 1.

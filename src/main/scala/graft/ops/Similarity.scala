@@ -294,18 +294,29 @@ object Similarity {
 
   /** Nearest-centroid assignment against a (cluster_id, __sv, __sn)
     * seed frame (ties → smallest cluster_id, exactly as the SQL oracle
-    * replays it). Returns (__vid, __cv, __n, cluster_id, __csim). */
-  private def assignToSeeds(c0: DataFrame, seeds: DataFrame): DataFrame =
+    * replays it). Returns (__vid, __cv, __n, cluster_id, __csim).
+    *
+    * The seed frame is COLLECTED (√n rows under the balanced rule —
+    * the same bounded-collect class as the persisted-ANN probe
+    * signatures; ~16 MB at a billion docs) and the argmax runs inside
+    * [[graft.functions.NearestCentroid]], one generated call per
+    * vector. The prior formulations paid for materializing n·nlist
+    * candidate ROWS: as a `row_number` window that is a shuffle + sort
+    * of every candidate row (vector payloads included), and even as a
+    * `max_by` aggregate the struct buffer is not UnsafeRow-mutable so
+    * Spark falls back to a partial SortAggregate over the same rows
+    * (both measured as d11's dominant term on the 100× sweep). The
+    * expression materializes nothing: assignment is now a pure map. */
+  private def assignToSeeds(c0: DataFrame, seeds: DataFrame): DataFrame = {
+    val cents = seeds.select(col("cluster_id"), col("__sv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     c0.withColumn("__n", VF.norm(col("__cv")))
-      .crossJoin(broadcast(seeds))
-      .withColumn("__asim", VF.dot(col("__cv"), col("__sv"))
-        / nullif(col("__n") * col("__sn"), lit(0.0)))
-      .withColumn("__ar", row_number().over(
-        Window.partitionBy(col("__vid"))
-          .orderBy(col("__asim").desc, col("cluster_id"))))
-      .filter(col("__ar") === 1)
-      .select(col("__vid"), col("__cv"), col("__n"), col("cluster_id"),
-        col("__asim").as("__csim"))
+      .withColumn("__best",
+        graft.functions.NearestCentroid.nearest(col("__cv"), cents))
+      .select(col("__vid"), col("__cv"), col("__n"),
+        col("__best.cluster_id").as("cluster_id"),
+        col("__best.sim").as("__csim"))
+  }
 
   private def semanticDedupBy(corpus: DataFrame, seedPred: Column => Column, tau: Double,
                               idCol: String, vecCol: String): DataFrame = {
