@@ -54,10 +54,13 @@ object Dedup {
       .select(col("__id"), col("__s"))
   }
 
-  /** Distinct shingle rows, for consumers that need set semantics. */
+  /** Distinct shingle rows, for consumers that need set semantics.
+    * Map-side via the WordNGrams byte-slicer: per-doc distinct equals
+    * the global (id, shingle) distinct, so no distinct() exchange. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
-    rawShingleRows(df, idCol, textCol, n).distinct()
+    df.select(col(idCol).as("__id"),
+      explode(graft.functions.WordNGrams.grams(col(textCol), n)).as("__s"))
 
   /** Exact Jaccard over two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -202,7 +205,16 @@ object Dedup {
     * signature slot. This is the unit the incremental path persists. */
   private[graft] def minHashPerDoc(df: DataFrame, idCol: String, textCol: String,
                                    numHashes: Int, shingleN: Int): DataFrame =
-    rawShingleRows(df, idCol, textCol, shingleN)
+    // Shingles come out of the WordNGrams byte-slicer MAP-SIDE (already
+    // distinct per doc — min slots and collect_set are multiplicity-
+    // insensitive, so results are identical to the raw positioned
+    // rows), and each doc's rows stay in its own input partition, so
+    // the partial aggregate collapses to one row per doc BEFORE the
+    // exchange. The previous rawShingleRows assembly window-sorted
+    // every word row on the doc key first — at the 100× point that
+    // sort was d2's dominant term (~2/3 of a 15.6 s best-case run).
+    df.select(col(idCol).as("__id"),
+        explode(graft.functions.WordNGrams.grams(col(textCol), shingleN)).as("__s"))
       .withColumn("__h", pmod(xxhash64(col("__s")), lit(MinHashPrime)))
       .groupBy(col("__id"))
       .agg(collect_set(col("__s")).as("__sh"),
@@ -583,9 +595,12 @@ object Dedup {
     * via the left join from the id spine. */
   def duplicatedGramStats(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
-    val grams = rawShingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+    // map-side distinct grams (WordNGrams byte-slicer); no distinct()
+    // exchange needed after hashing — rows are unique per (id, hash)
+    // up to intra-doc 60-bit collisions (~n_grams²/2^60, never)
+    val grams = df.select(col(idCol).as("__id"),
+        explode(graft.functions.WordNGrams.grams(col(textCol), n)).as("__s"))
       .select(col("__id"), PolyHash.polyHash(col("__s")).as("__g"))
-      .distinct()
     val gramDocCount = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__dc"))
     val perDoc = grams.join(gramDocCount, Seq("__g"))
