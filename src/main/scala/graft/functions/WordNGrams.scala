@@ -40,17 +40,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * t20/t21 oracle hashes cross-check it against DuckDB's list
   * comprehension on real data.
   */
-case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
   require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    WordNGrams.distinctGrams(input.asInstanceOf[UTF8String], n)
+    WordNGrams.grams(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, sVar => {
-      s"${ev.value} = graft.functions.WordNGrams$$.MODULE$$.distinctGrams($sVar, $n);"
+      s"${ev.value} = graft.functions.WordNGrams$$.MODULE$$.grams($sVar, $n, $distinct);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -59,10 +60,13 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
 
 object WordNGrams {
 
-  /** Distinct n-grams of `u`'s single-space-separated words, in first
-    * occurrence order, as byte-slices of the input. Called once per row
-    * from both eval and generated code. */
-  def distinctGrams(u: UTF8String, n: Int): ArrayData = {
+  /** n-grams of `u`'s single-space-separated words as byte-slices of
+    * the input — distinct in first-occurrence order (matching
+    * `array_distinct`), or ALL positioned grams in document order when
+    * `distinct = false` (the multiplicity consumers: repetition stats,
+    * bigram surprisal). Called once per row from eval and generated
+    * code. */
+  def grams(u: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     // The gram UTF8Strings are byte-slices over `bytes`, so we must own
     // it: getBytes copies whenever the string is a slice of a larger
     // buffer (UnsafeRow field, column-vector page), but returns the
@@ -84,19 +88,31 @@ object WordNGrams {
       if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
       i += 1
     }
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    var g = 0
     val last = nWords - n
-    while (g <= last) {
-      val from = starts(g)
-      val until = if (g + n < nWords) starts(g + n) - 1 else len
-      seen.add(UTF8String.fromBytes(bytes, from, until - from))
-      g += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var g = 0
+      while (g <= last) {
+        val from = starts(g)
+        val until = if (g + n < nWords) starts(g + n) - 1 else len
+        seen.add(UTF8String.fromBytes(bytes, from, until - from))
+        g += 1
+      }
+      val arr = new Array[Any](seen.size)
+      val it = seen.iterator(); var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      new GenericArrayData(arr)
+    } else {
+      val arr = new Array[Any](last + 1)
+      var g = 0
+      while (g <= last) {
+        val from = starts(g)
+        val until = if (g + n < nWords) starts(g + n) - 1 else len
+        arr(g) = UTF8String.fromBytes(bytes, from, until - from)
+        g += 1
+      }
+      new GenericArrayData(arr)
     }
-    val arr = new Array[Any](seen.size)
-    val it = seen.iterator(); var j = 0
-    while (it.hasNext) { arr(j) = it.next(); j += 1 }
-    new GenericArrayData(arr)
   }
 
   /** Distinct word n-grams of a text column (see class scaladoc). */
@@ -104,5 +120,13 @@ object WordNGrams {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(WordNGrams(
       GraftColumnBridge.expression(text.cast("string")), n))
+  }
+
+  /** ALL positioned word n-grams (multiplicity kept, document order). */
+  def allGrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WordNGrams(
+      GraftColumnBridge.expression(text.cast("string")), n,
+      distinct = false))
   }
 }

@@ -36,24 +36,6 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
   }
 
-  /** Corpus-wide shingle rows (__id, __s) via explode + lead() window —
-    * fully codegen'd, one shuffle on the doc id. NOT deduplicated: the
-    * consumers (min-aggregate signatures, collect_set) are idempotent
-    * over duplicates, and skipping the distinct keeps the output on the
-    * window's __id hash partitioning so downstream per-doc aggregates
-    * need no further exchange. */
-  def rawShingleRows(df: DataFrame, idCol: String, textCol: String,
-                     n: Int): DataFrame = {
-    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-    val leads = (1 until n).map(k => lead(col("col"), k).over(w))
-    df.select(col(idCol).as("__id"), posexplode(split(col(textCol), " ")))
-      .withColumn("__s", concat_ws(" ", col("col") +: leads: _*))
-      // concat_ws drops NULL leads, so run-off-the-end windows have
-      // fewer than n words — filter them by word count
-      .filter(size(split(col("__s"), " ")) === n)
-      .select(col("__id"), col("__s"))
-  }
-
   /** Distinct shingle rows, for consumers that need set semantics.
     * Map-side via the WordNGrams byte-slicer: per-doc distinct equals
     * the global (id, shingle) distinct, so no distinct() exchange. */
@@ -210,7 +192,7 @@ object Dedup {
     // insensitive, so results are identical to the raw positioned
     // rows), and each doc's rows stay in its own input partition, so
     // the partial aggregate collapses to one row per doc BEFORE the
-    // exchange. The previous rawShingleRows assembly window-sorted
+    // exchange. The previous posexplode+lead() window assembly sorted
     // every word row on the doc key first — at the 100× point that
     // sort was d2's dominant term (~2/3 of a 15.6 s best-case run).
     df.select(col(idCol).as("__id"),

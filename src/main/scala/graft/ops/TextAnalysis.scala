@@ -133,12 +133,15 @@ object TextAnalysis {
   /** Repetition signal (the published pre-training quality rule:
     * excessive top-n-gram mass marks boilerplate/spam): per doc, the
     * count of the single most frequent word n-gram and its fraction of
-    * all n-grams. Two hash aggregations, both satisfied by the shingle
-    * window's doc-id partitioning — one shuffle total, no UDFs. */
+    * all n-grams. Positioned grams come out of the WordNGrams
+    * byte-slicer map-side (multiplicity kept — the count IS the
+    * signal); the per-(doc, gram) partial aggregate collapses inside
+    * the scan partition, so the first exchange already carries
+    * per-doc distinct gram counts. No window sort, no UDFs. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {
-    val grams = Dedup.rawShingleRows(
-      df.select(col(idCol), col(textCol)), idCol, textCol, n)
+    val grams = df.select(col(idCol).as("__id"),
+      explode(graft.functions.WordNGrams.allGrams(col(textCol), n)).as("__s"))
     grams.groupBy(col("__id"), col("__s")).agg(count(lit(1)).as("__c"))
       .groupBy(col("__id"))
       .agg(max(col("__c")).as("top_gram_count"),
@@ -210,15 +213,16 @@ object TextAnalysis {
     * no smoothing constant to tune). Degenerate repetition scores
     * near 0 bits; incoherent word salad scores near log2(vocab).
     *
-    * Shape at 100 TB: the bigram stream comes from the shingle window
-    * (one doc-key shuffle); the two count tables are vocab²- and
+    * Shape at 100 TB: the bigram stream is assembled map-side
+    * (WordNGrams byte-slicer, multiplicity kept — no doc-key shuffle,
+    * no window sort); the two count tables are vocab²- and
     * vocab-sized aggregates that broadcast back (AQE converts the
     * joins when the model fits, the usual case); the per-doc rollup
     * is the remaining shuffle. No driver-side model, no global
     * window. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val g = Dedup.rawShingleRows(df.select(col(idCol), col(textCol)),
-        idCol, textCol, 2)
+    val g = df.select(col(idCol).as("__id"),
+        explode(graft.functions.WordNGrams.allGrams(col(textCol), 2)).as("__s"))
       .withColumn("__w1", substring_index(col("__s"), " ", 1))
     val bgc = g.groupBy(col("__s")).agg(count(lit(1)).as("__cbg"))
     val w1c = g.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))

@@ -73,6 +73,24 @@ class WordNGramsSpec extends SparkSpec {
     Seq(2, 3).foreach(assertAgree(texts, _))
   }
 
+  test("allGrams keeps multiplicity and document order (vs HOF transform)") {
+    val texts = Seq("", "a", "a b c a b c", "x x x x", "a  b  a  b",
+      "p q r s p q r s p q")
+    Seq(2, 3).foreach { n =>
+      val ws = split(col("text"), " ")
+      val hofAll = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val bad = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(graft.functions.WordNGrams.allGrams(col("text"), n).as("native"),
+          hofAll.as("hof"))
+        .filter(not(col("native") <=> col("hof"))).collect()
+      assert(bad.isEmpty, s"allGrams != hof (n=$n): ${bad.mkString("; ")}")
+    }
+  }
+
   test("interpreted eval path (nullSafeEval) matches the DF path") {
     val cases = Seq("", "a b c d", "a  b c", "x x x x", "語 a 語 a 語")
     cases.foreach { s =>
