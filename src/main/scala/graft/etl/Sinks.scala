@@ -38,6 +38,27 @@ object Sinks {
     n
   }
 
+  /** [[idempotentAppend]] for a PARTITIONED store: appends land in
+    * their partition directories (`partitionBy`), so a bucketed store
+    * (e.g. the SemDeDup assignment store, partitioned by cluster
+    * bucket) keeps its partition-pruning layout across incremental
+    * upkeep. Same exactly-once discipline as the flat variant. */
+  def idempotentAppendPartitioned(df: DataFrame, path: String,
+                                  keys: Seq[String],
+                                  partitionCol: String): Long = {
+    val spark = df.sparkSession
+    val novel =
+      if (Files.exists(Paths.get(path))) {
+        val existing = spark.read.parquet(path).select(keys.map(col): _*).distinct()
+        df.join(existing, keys, "left_anti")
+      } else df
+    val materialized = novel.localCheckpoint()
+    val n = materialized.count()
+    if (n > 0) materialized.write.mode(SaveMode.Append)
+      .partitionBy(partitionCol).parquet(path)
+    n
+  }
+
   /** K1 — partitioned JSON sink (ingest/main.py:299-310 writes
     * raw/oral_arguments/term_{t}/...). */
   def partitionedJson(df: DataFrame, path: String, partitionCol: String): Unit =

@@ -372,6 +372,47 @@ object Similarity {
       .parquet(s"$path/assignments")
   }
 
+  /** Freeze centroids from a bootstrap corpus (balanced √n rule)
+    * WITHOUT assigning it — the streaming bootstrap: the first
+    * micro-batch freezes the quantizer, then flows through
+    * [[incrementalSemanticDedup]] like every later batch (so the
+    * bootstrap batch dedups against itself through the same code
+    * path). Writes `path/centroids`; the partitioned assignment store
+    * materializes on the first [[appendSemanticAssignments]] (a
+    * zero-row partitioned write would leave no files to infer a
+    * schema from, so [[incrementalSemanticDedup]] treats a missing
+    * assignments dir as an empty store instead). */
+  def writeSemanticCentroids(corpus: DataFrame, path: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Unit = {
+    val n = corpus.count()
+    require(n > 0, "cannot bootstrap centroids from an empty corpus")
+    val step = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val c0 = corpus.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val seeds = c0.filter(pmod(col("__vid"), lit(step)) === 0)
+      .select(col("__vid").as("cluster_id"), col("__cv").as("__sv"))
+      .withColumn("__sn", VF.norm(col("__sv")))
+    seeds.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Store upkeep after a delta's survivors are decided: assign the
+    * surviving delta rows to the FROZEN centroids and append their
+    * assignment rows, idempotent on the vector id — the semantic
+    * analog of appending a delta's MinHash signatures. Only survivors
+    * should be appended (dropped rows must not become prior art). */
+  def appendSemanticAssignments(delta: DataFrame, storePath: String,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): Long = {
+    val seeds = delta.sparkSession.read.parquet(s"$storePath/centroids")
+    val d0 = delta.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val rows = assignToSeeds(d0, seeds)
+      .withColumn("__cb", pmod(col("cluster_id"), lit(64)))
+    graft.etl.Sinks.idempotentAppendPartitioned(
+      rows, s"$storePath/assignments", Seq("__vid"), "__cb")
+  }
+
   /** INCREMENTAL SemDeDup: dedup a DELTA batch against a persisted
     * store. The delta assigns to the store's FROZEN centroids (one
     * broadcast, no re-clustering), then two domination checks run over
@@ -399,7 +440,14 @@ object Similarity {
     val d0 = delta.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__cv"))
     val assigned = assignToSeeds(d0, seeds).localCheckpoint()
-    val store = spark.read.parquet(s"$storePath/assignments")
+    // a store bootstrapped by writeSemanticCentroids has no
+    // assignments yet — treat the missing dir as an empty prior corpus
+    val store =
+      if (new org.apache.hadoop.fs.Path(s"$storePath/assignments")
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(s"$storePath/assignments")))
+        spark.read.parquet(s"$storePath/assignments")
+      else assigned.limit(0).withColumn("__cb", pmod(col("cluster_id"), lit(64)))
     val x = assigned.select(col("cluster_id"), col("__vid").as("id_x"),
       col("__cv").as("vx"), col("__n").as("nx"), col("__csim").as("cx"))
     def simTo(y: DataFrame) = x.join(y, Seq("cluster_id"))

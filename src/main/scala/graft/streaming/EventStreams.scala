@@ -163,6 +163,45 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAMING SemDeDup: the semantic face of
+    * [[incrementalDedupStream]]. The first micro-batch freezes the
+    * centroid quantizer (balanced √n rule on that batch); every batch
+    * — including the first — then runs
+    * `Similarity.incrementalSemanticDedup` against the store: drop a
+    * row when a STORE neighbor sits at cosine ≥ tau (prior art is
+    * never re-judged), dedup within the batch by the batch rule, and
+    * append the survivors' assignments to the store (idempotent on the
+    * vector id, partition layout preserved) so each batch dedups
+    * against everything ingested before it. Survivors land in
+    * `survivorsPath`, keyed idempotent — a replayed micro-batch
+    * inserts nothing new. Per-batch cost is delta-vs-touched-clusters,
+    * never corpus-vs-corpus. */
+  def semanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
+                          storePath: String, survivorsPath: String,
+                          checkpoint: String, tau: Double = 0.95)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.ops.Similarity
+        if (batch.count() > 0) {
+          val centP = new org.apache.hadoop.fs.Path(s"$storePath/centroids")
+          val fs = centP.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.exists(centP))
+            Similarity.writeSemanticCentroids(batch, storePath, idCol, vecCol)
+          val survivors = Similarity.incrementalSemanticDedup(
+            batch, storePath, tau, idCol, vecCol).localCheckpoint()
+          graft.etl.Sinks.idempotentAppend(
+            survivors, survivorsPath, Seq(idCol))
+          Similarity.appendSemanticAssignments(
+            batch.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+            storePath, idCol, vecCol): Unit
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming training-data router: quality-gate + deterministic
     * train/val split assigned in-flight (the streaming face of
     * ops.Sampling / ops.TextAnalysis). Stateless column expressions

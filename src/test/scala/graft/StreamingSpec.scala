@@ -121,6 +121,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == nSigs)
   }
 
+  test("streaming SemDeDup: prior art wins across batches; replay is idempotent") {
+    // dim-8 one-hot basis: batch 1's eight orthogonal vectors all
+    // survive (pairwise cosine 0) and freeze the centroid quantizer;
+    // batch 2 plants one exact dup of a store vector (dropped: store
+    // neighbors are prior art), one oblique mix (survives), another
+    // store dup (dropped), and an in-batch identical pair (smaller id
+    // survives by the batch tie rule)
+    def unit(i: Int): Seq[Double] = (0 until 8).map(j => if (j == i) 1.0 else 0.0)
+    val mix01 = { val r = math.sqrt(0.5); Seq(r, r, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) }
+    val mix0123 = Seq(0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0)
+    val b1 = (0L until 8L).map(i => (i, unit(i.toInt)))
+    val b2 = Seq(100L -> unit(0), 101L -> mix01, 102L -> unit(1),
+      103L -> mix0123, 104L -> mix0123)
+    val src = java.nio.file.Files.createTempDirectory("sem-src").toString
+    val store = java.nio.file.Files.createTempDirectory("sem-store").toString + "/store"
+    val out = java.nio.file.Files.createTempDirectory("sem-out").toString + "/survivors"
+    b1.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(src + "/a=1")
+    val schema = spark.read.parquet(src + "/a=1").schema
+
+    def run(cp: String): Unit = EventStreams.semanticDedupStream(
+      spark.readStream.schema(schema).parquet(src + "/*"),
+      "vec_id", "embedding", store, out, cp, tau = 0.95).awaitTermination()
+
+    // phase 1: only batch 1 exists — bootstraps centroids, all survive
+    val cp = java.nio.file.Files.createTempDirectory("sem-cp1").toString
+    run(cp)
+    assert(spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+      == (0L until 8L).toSet)
+    // phase 2: batch 2 arrives — SAME checkpoint processes only it
+    b2.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(src + "/a=2")
+    run(cp)
+    val survivors = spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+    assert(survivors == (0L until 8L).toSet ++ Set(101L, 103L),
+      s"got $survivors")
+    // dropped rows must NOT be prior art in the store
+    val stored = spark.read.parquet(store + "/assignments")
+      .select("__vid").as[Long].collect().toSet
+    assert(stored == survivors, s"store=$stored")
+    // full replay from a fresh checkpoint: both sinks keyed idempotent
+    val nSurv = spark.read.parquet(out).count()
+    run(java.nio.file.Files.createTempDirectory("sem-cp2").toString)
+    assert(spark.read.parquet(out).count() == nSurv)
+    assert(spark.read.parquet(store + "/assignments").count() == stored.size)
+  }
+
   test("K1: partitioned JSON sink writes term directories") {
     val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
     graft.etl.Sinks.partitionedJson(
