@@ -112,6 +112,7 @@ object SparkEntry {
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
     "st3_stream_join"       -> (StreamQueries.clickViewPairs _),
+    "st4_stream_semdedup"   -> (StreamQueries.streamSemanticDedup _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "u1_set_ops"            -> (SqlQueries.setOps _),
     "a11_distinct"          -> (SqlQueries.distinctPairs _),
@@ -543,6 +544,40 @@ object SparkEntry {
       |  LEFT JOIN sb s ON u.case_id = s.case_id AND u.oa_id = s.oa_id
       |  LEFT JOIN es e ON u.case_id = e.case_id)""".stripMargin
 
+  /** SemDeDup oracle (balanced √n seeds, nearest-centroid assignment,
+    * within-cluster domination) — shared by d11 (batch operator) and
+    * st4 (the STREAMING path, whose single AvailableNow batch freezes
+    * the quantizer on the full corpus and therefore drops exactly the
+    * batch operator's rows). */
+  private lazy val semanticDedupOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+        s" * sqrt(list_dot_product($b, $b)), 0.0)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |st AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), 1) AS s FROM e),
+       |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e, st
+       |          WHERE vec_id % st.s = 0),
+       |ca AS (
+       |  SELECT vec_id, v, list_id AS cluster_id, csim FROM (
+       |    SELECT c.vec_id, c.v, s.list_id,
+       |      ${cos("c.v", "s.sv")} AS csim,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+       |    FROM e c CROSS JOIN seeds s)
+       |  WHERE ar = 1),
+       |dom AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM ca x JOIN ca y
+       |    ON x.cluster_id = y.cluster_id AND x.vec_id != y.vec_id
+       |  WHERE ${cos("x.v", "y.v")} >= 0.45
+       |    AND (y.csim > x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id)))
+       |SELECT ca.vec_id, ca.cluster_id,
+       |  floor(ca.csim * 1000000 + 0.5) / 1000000 AS centroid_sim
+       |FROM ca LEFT JOIN dom ON ca.vec_id = dom.vec_id
+       |WHERE dom.vec_id IS NULL
+       |ORDER BY ca.vec_id""".stripMargin
+  }
+
   /** DuckDB equivalents, runnable on views named after the parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "md1_silver_case_summaries" ->
@@ -794,34 +829,11 @@ object SparkEntry {
     // d11: replay the seeded assignment, then the within-cluster
     // domination rule (neighbor at cos >= tau closer to the centroid,
     // ties to the smaller id); survivors are the non-dominated rows.
-    "d11_semantic_dedup" -> {
-      val cos = (a: String, b: String) =>
-        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
-          s" * sqrt(list_dot_product($b, $b)), 0.0)"
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |st AS (SELECT greatest(CAST(ceil(sqrt(count(*))) AS BIGINT), 1) AS s FROM e),
-         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e, st
-         |          WHERE vec_id % st.s = 0),
-         |ca AS (
-         |  SELECT vec_id, v, list_id AS cluster_id, csim FROM (
-         |    SELECT c.vec_id, c.v, s.list_id,
-         |      ${cos("c.v", "s.sv")} AS csim,
-         |      row_number() OVER (PARTITION BY c.vec_id
-         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
-         |    FROM e c CROSS JOIN seeds s)
-         |  WHERE ar = 1),
-         |dom AS (
-         |  SELECT DISTINCT x.vec_id
-         |  FROM ca x JOIN ca y
-         |    ON x.cluster_id = y.cluster_id AND x.vec_id != y.vec_id
-         |  WHERE ${cos("x.v", "y.v")} >= 0.45
-         |    AND (y.csim > x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id)))
-         |SELECT ca.vec_id, ca.cluster_id,
-         |  floor(ca.csim * 1000000 + 0.5) / 1000000 AS centroid_sim
-         |FROM ca LEFT JOIN dom ON ca.vec_id = dom.vec_id
-         |WHERE dom.vec_id IS NULL
-         |ORDER BY ca.vec_id""".stripMargin
-    },
+    "d11_semantic_dedup" -> semanticDedupOracle,
+    // st4 runs the STREAMING SemDeDup path (AvailableNow single batch
+    // freezes the quantizer on the full corpus = the batch operator's
+    // seeds), so the batch oracle replays its survivors exactly
+    "st4_stream_semdedup" -> semanticDedupOracle,
     "c2_corpus_build" ->
       s"""WITH n AS (
          |  SELECT doc_id, source, n_chars, text,
