@@ -23,18 +23,12 @@ import graft.functions.PolyHash
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles; empty array when the text is too
-    * short (guards Spark's descending `sequence` when stop < start).
-    * NOTE: HOF form — fine for per-pair verification of candidate sets;
-    * for corpus-wide signature computation use [[shingleRows]] (the HOF
-    * lambda is interpreted and dominates at scale). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = split(text, " ")
-    when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
-  }
+  /** Distinct word n-gram shingles as an array column — the
+    * [[graft.functions.WordNGrams]] byte-slicer (short texts yield an
+    * empty array). One generated call per row; the former HOF
+    * formulation evaluated its lambda interpreted per element. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordNGrams.grams(text, n)
 
   /** Distinct shingle rows, for consumers that need set semantics.
     * Map-side via the WordNGrams byte-slicer: per-doc distinct equals

@@ -76,7 +76,6 @@ class PlanSpec extends SparkSpec {
     // per-row SMALL-array transforms — so a new interpreted lambda in a
     // full-scan hot path fails here.
     val whitelist = Set(
-      "d4_ngram_jaccard",   // bounded (doc_id < 300) quadratic baseline
       "v2_quantized_cosine", // 64-element per-row quantize transforms
       "f10_json_extract",    // 5-row JSON exemplar
       "m1_binary_meta", "m2_frame_sample", // small per-row meta arrays
