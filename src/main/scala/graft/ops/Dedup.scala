@@ -175,10 +175,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Per-doc MinHash state: (__id, __sh distinct shingle set,
-    * m0..m{n-1} signature slots) — ONE aggregate riding the shingle
-    * window's __id partitioning computes both the verify set and every
-    * signature slot. This is the unit the incremental path persists. */
+  /** Per-doc MinHash state: (__id, __sh distinct shingle-DIGEST set,
+    * m0..m{n-1} signature slots) — ONE aggregate computes both the
+    * verify set and every signature slot. This is the unit the
+    * incremental path persists.
+    *
+    * The verify set holds full 64-bit xxhash64 digests, NOT shingle
+    * strings: exact Jaccard is a ratio of set-intersection/union
+    * SIZES, which digest sets preserve exactly up to a within-pair
+    * collision (~|union|²/2^65 ≈ 3e-16 per pair — never), so the
+    * d2/d9 exchange and the persisted signature store carry 8 bytes
+    * per shingle instead of the shingle text (~3× the corpus). The
+    * oracle keeps computing Jaccard from the strings — equal set
+    * sizes ⇒ bit-equal ratios. (Note the digest is the UN-reduced
+    * hash: the signature slots reduce mod 2^31-1, fine for min-races
+    * but too collidable for set semantics.) */
   private[graft] def minHashPerDoc(df: DataFrame, idCol: String, textCol: String,
                                    numHashes: Int, shingleN: Int): DataFrame =
     // Shingles come out of the WordNGrams byte-slicer MAP-SIDE (already
@@ -191,9 +202,10 @@ object Dedup {
     // sort was d2's dominant term (~2/3 of a 15.6 s best-case run).
     df.select(col(idCol).as("__id"),
         explode(graft.functions.WordNGrams.grams(col(textCol), shingleN)).as("__s"))
-      .withColumn("__h", pmod(xxhash64(col("__s")), lit(MinHashPrime)))
+      .withColumn("__d", xxhash64(col("__s")))
+      .withColumn("__h", pmod(col("__d"), lit(MinHashPrime)))
       .groupBy(col("__id"))
-      .agg(collect_set(col("__s")).as("__sh"),
+      .agg(collect_set(col("__d")).as("__sh"),
         (0 until numHashes).map(minHashSlot): _*)
 
   /** (__id, band, band_hash) rows from a per-doc signature frame. */
