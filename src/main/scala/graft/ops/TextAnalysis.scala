@@ -188,13 +188,20 @@ object TextAnalysis {
     * a 1-row aggregate broadcast via cross join; the per-doc rollup is
     * the remaining shuffle. No driver-side vocab, no global window. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the token stream carries an 8-byte xxhash64 word DIGEST, not the
+    // word string: the count aggregate and the count join both shuffle
+    // on the word key, and digest counts equal string counts up to a
+    // vocabulary collision (~V²/2^65, never) — the same trade the
+    // dedup family makes (d1 group keys, c1/d8 gram keys). The oracle
+    // keeps counting strings; equal counts ⇒ bit-equal surprisals.
     val tok = df.select(col(idCol).as("__id"),
       explode(split(col(textCol), " ")).as("__w"))
-    val counts = tok.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .select(col("__id"), xxhash64(col("__w")).as("__wd"))
+    val counts = tok.groupBy(col("__wd")).agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__total"))
     // -log2(c/total) = log2(total) - log2(c), associated exactly as in
     // the oracle SQL so float noise stays below the rounding cut
-    tok.join(counts, Seq("__w"))
+    tok.join(counts, Seq("__wd"))
       .crossJoin(broadcast(total))
       .select(col("__id"),
         (log2(col("__total")) - log2(col("__c"))).as("__nll"))
