@@ -113,6 +113,7 @@ object SparkEntry {
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
     "st3_stream_join"       -> (StreamQueries.clickViewPairs _),
     "st4_stream_semdedup"   -> (StreamQueries.streamSemanticDedup _),
+    "st5_stream_minhash"    -> (StreamQueries.streamMinhashDedup _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "u1_set_ops"            -> (SqlQueries.setOps _),
     "a11_distinct"          -> (SqlQueries.distinctPairs _),
@@ -145,6 +146,27 @@ object SparkEntry {
           s"(((least($y, $cap) >> $i) & 1) << ${2 * i + 1})")
     }.mkString("(CAST(", " + ", " AS BIGINT))")
   }
+
+  /** Brute-force word-3-shingle Jaccard pairs at ≥ 0.8 — the oracle
+    * for BOTH the batch MinHash+LSH near-dup (d2) and its streaming
+    * face (st5, single AvailableNow batch vs empty store): banding at
+    * 32/8 has ~1-1e-6 recall at J ≥ 0.9 and the corpus's planted
+    * near-dups sit at J ≥ 0.95 with a cliff to ≤ 0.1, so LSH+verify
+    * equals brute force on this data. */
+  private val minhashBruteOracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  floor((len(list_intersect(a.s, b.s))::DOUBLE
+      |         / len(list_distinct(a.s || b.s))) * 10000 + 0.5) / 10000 AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / len(list_distinct(a.s || b.s)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Full SimHash pipeline in DuckDB SQL (signatures, 15-bit bands,
     * Hamming verify) — generated to keep the 60 vote columns in exact
@@ -1532,20 +1554,11 @@ object SparkEntry {
         |GROUP BY text
         |HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
-    "d2_minhash_neardup" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |                   for i in range(1, len(ws) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        |  WHERE len(ws) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  floor((len(list_intersect(a.s, b.s))::DOUBLE
-        |         / len(list_distinct(a.s || b.s))) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(a.s || b.s)) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+    "d2_minhash_neardup" -> minhashBruteOracleSql,
+    // st5 runs the STREAMING MinHash dedup path (AvailableNow single
+    // batch against an empty signature store) whose pair sink equals
+    // the d2 batch result — same brute-force oracle replays it.
+    "st5_stream_minhash" -> minhashBruteOracleSql,
     "d3_simhash_neardup" -> simhashOracleSql,
     "d3b_simhash_wide" -> simhashWideOracleSql,
     "d3c_incremental_simhash" -> simhashIncrementalOracleSql,

@@ -59,6 +59,36 @@ object StreamQueries {
   private val streamedSurvivors =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st5 — STREAMING MinHash near-dup dedup
+    * (EventStreams.incrementalDedupStream) run as a GENUINE stream,
+    * st4's trick applied to the MinHash family: the documents table
+    * arrives as one AvailableNow micro-batch, the signature store
+    * bootstraps empty, and the incremental band join therefore finds
+    * exactly the within-batch verified pairs — the d2 batch operator's
+    * result — so the d2-shaped brute-force Jaccard oracle replays the
+    * stream's pair sink bit-for-bit. Fresh temp store/checkpoint per
+    * call; the result is a plain batch read of the pair sink. */
+  def streamMinhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = streamedPairs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st5_").toString
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      EventStreams.incrementalDedupStream(
+        spark.readStream.schema(schema).parquet(s"$tmp/src"),
+        "doc_id", "text", s"$tmp/store", s"$tmp/pairs",
+        s"$tmp/cp", threshold = 0.8).awaitTermination()
+      s"$tmp/pairs"
+    })
+    spark.read.parquet(pairs)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Rounding.exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val streamedPairs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,
     * batch face): clicks × same-user views in the trailing 10 minutes.
     * StreamingSpec runs the identical transform as a genuine two-file-

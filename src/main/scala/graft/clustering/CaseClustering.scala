@@ -32,6 +32,35 @@ object CaseClustering {
   def clampMinClusterSize(m: Int, n: Long): Int =
     math.max(2, math.min(m, math.max(2, (n / 8).toInt)))
 
+  /** Ceiling for the driver-local algorithms' input (t-SNE / HDBSCAN
+    * are O(n²) in time AND driver memory — at 32k rows the pairwise
+    * matrices alone are ~8 GiB). The reference feeds them the
+    * case-level matrix (≤ thousands of rows); this guard is what keeps
+    * a caller from accidentally handing them a corpus. */
+  val DefaultMaxDriverRows = 32768
+
+  /** Deterministic guarded collect for the driver-local algorithms:
+    * (id, vector) pairs sorted by id. Collects AT MOST
+    * `maxDriverRows + 1` rows (single job, `limit` pushed into the
+    * scan) and fails fast when the input exceeds the budget instead of
+    * OOM-ing the driver mid-O(n²) — pointing at the distributed
+    * substitutes for corpus-scale inputs. */
+  private[clustering] def collectMatrix(df: DataFrame, inCol: String,
+                                        maxDriverRows: Int, op: String)
+      : Array[(String, Array[Double])] = {
+    val idCol = df.columns.head
+    val rows = df.select(col(idCol).cast("string"), col(inCol).cast("array<double>"))
+      .limit(maxDriverRows + 1)
+      .collect()
+    require(rows.length <= maxDriverRows,
+      s"$op is driver-local and O(n²) — input exceeds maxDriverRows=" +
+        s"$maxDriverRows. For corpus-scale data use the distributed " +
+        "substitutes instead: CaseClustering.PcaProjector / KMeansClusterer, " +
+        "graft.ops.Similarity (NearestCentroid assignment, semanticDedup), " +
+        "or reduce first with graft.ops.Sampling.")
+    rows.map(r => (r.getString(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+  }
+
   /** A1 + P2 + F1/F2 — per-case token-weighted mean embedding with
     * stats, from the chunk-embedding table. `HAVING COUNT(*) >= 1` is
     * implicit in groupBy. */

@@ -30,16 +30,14 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *      chain, else -1. Label ids follow condensed-tree (BFS) order —
   *      deterministic for a given input.
   */
-final class HdbscanClusterer(minClusterSize: Int = 5, minSamples: Int = 0)
+final class HdbscanClusterer(minClusterSize: Int = 5, minSamples: Int = 0,
+                             maxDriverRows: Int = CaseClustering.DefaultMaxDriverRows)
     extends CaseClustering.Clusterer {
 
   override def cluster(df: DataFrame, inCol: String): DataFrame = {
     val spark = df.sparkSession
     val idCol = df.columns.head
-    val rows = df.select(col(idCol).cast("string"), col(inCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val rows = CaseClustering.collectMatrix(df, inCol, maxDriverRows, "HdbscanClusterer")
     val n = rows.length
     val mcs = CaseClustering.clampMinClusterSize(minClusterSize, n)
     val ms = math.min(if (minSamples > 0) minSamples else mcs, n)

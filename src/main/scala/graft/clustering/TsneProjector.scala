@@ -24,16 +24,15 @@ final class TsneProjector(
     perplexity: Double = 30.0,
     iterations: Int = 500,
     learningRate: Double = 0.0, // <= 0: auto = max(10, n/48), à la sklearn
-    seed: Long = 42L) extends CaseClustering.Projector {
+    seed: Long = 42L,
+    maxDriverRows: Int = CaseClustering.DefaultMaxDriverRows)
+  extends CaseClustering.Projector {
 
   override def project(df: DataFrame, inCol: String): DataFrame = {
     val spark = df.sparkSession
-    // deterministic driver-local collect, sorted by the first column (id)
+    // deterministic guarded driver-local collect, sorted by id
     val idCol = df.columns.head
-    val rows = df.select(col(idCol).cast("string"), col(inCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val rows = CaseClustering.collectMatrix(df, inCol, maxDriverRows, "TsneProjector")
     val n = rows.length
     require(n >= 2, "t-SNE needs at least 2 points")
     val X = rows.map(_._2)

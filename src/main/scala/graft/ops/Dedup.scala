@@ -243,10 +243,20 @@ object Dedup {
                                  storePath: String, threshold: Double = 0.8,
                                  numHashes: Int = 32, bands: Int = 8,
                                  shingleN: Int = 3,
-                                 saltBuckets: Int = 1): DataFrame = {
-    val spark = delta.sparkSession
-    val deltaSig = minHashPerDoc(delta, idCol, textCol, numHashes, shingleN)
-      .localCheckpoint()
+                                 saltBuckets: Int = 1): DataFrame =
+    incrementalMinHashNearDupsFromSigs(
+      minHashPerDoc(delta, idCol, textCol, numHashes, shingleN).localCheckpoint(),
+      storePath, threshold, numHashes, bands, saltBuckets)
+
+  /** [[incrementalMinHashNearDups]] from PRE-COMPUTED delta signatures
+    * (a `minHashPerDoc` frame, ideally checkpointed) — the entry point
+    * for callers that also need the signatures afterwards (the
+    * streaming dedup appends them to the store), so the delta text is
+    * shingled exactly once per micro-batch. */
+  private[graft] def incrementalMinHashNearDupsFromSigs(
+      deltaSig: DataFrame, storePath: String, threshold: Double,
+      numHashes: Int, bands: Int, saltBuckets: Int): DataFrame = {
+    val spark = deltaSig.sparkSession
     val store = spark.read.parquet(storePath)
     val all = store.unionByName(deltaSig)
     val l = bandedFromPerDoc(deltaSig, numHashes, bands)
@@ -385,18 +395,23 @@ object Dedup {
     * verify-before-dedupe so the distinct exchange carries true
     * near-dups only).
     *
-    * Costs one driver count() to size the width; the SQL oracle derives
+    * Width sizing costs one count() over the checkpointed 16-byte
+    * signatures (no second corpus-text scan); the SQL oracle derives
     * the identical width from `least(30, length(bin(count(*) - 1)) +
     * 5)` — integer math both engines replay bit-for-bit (see
     * [[simHashBandWidthFor]]). */
   def simHashNearDupsWide(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, saltBuckets: Int = 1,
                           bandWidth: Int = 0): DataFrame = {
+    val sigs = simHashSignaturesWide(df, idCol, textCol).localCheckpoint()
+    // width sizing counts the CHECKPOINTED per-doc signatures (16 bytes/
+    // row, already materialized) — not a second full scan of the corpus
+    // text. One signature per distinct id, so this equals the oracle's
+    // count(*) whenever ids are unique (the documents contract).
     val width =
       if (bandWidth > 0) bandWidth
-      else math.min(30, simHashBandWidthFor(df.count()))
+      else math.min(30, simHashBandWidthFor(sigs.count()))
     require(width <= 30, s"band width $width exceeds the 30-bit lane budget")
-    val sigs = simHashSignaturesWide(df, idCol, textCol).localCheckpoint()
     val banded = sigs
       .withColumn("__b", explode(wideBands(col("__sig0"), col("__sig1"), width)))
       .select(col("__id"), col("__sig0"), col("__sig1"),

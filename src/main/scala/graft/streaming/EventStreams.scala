@@ -145,19 +145,21 @@ object EventStreams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import graft.ops.Dedup
+        // the batch is shingled+signed exactly ONCE per micro-batch; the
+        // checkpointed signatures feed both the pair search and the
+        // store append (previously two independent minHashPerDoc plans)
+        val sigs = Dedup.minHashPerDoc(batch, idCol, textCol, numHashes, shingleN)
+          .localCheckpoint()
         val storeP = new org.apache.hadoop.fs.Path(storePath)
         val fs = storeP.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
         if (!fs.exists(storeP))
-          Dedup.minHashPerDoc(batch.limit(0), idCol, textCol, numHashes, shingleN)
-            .write.parquet(storePath)
-        val pairs = Dedup.incrementalMinHashNearDups(
-          batch, idCol, textCol, storePath, threshold,
-          numHashes = numHashes, shingleN = shingleN)
+          sigs.limit(0).write.parquet(storePath)
+        val pairs = Dedup.incrementalMinHashNearDupsFromSigs(
+          sigs, storePath, threshold,
+          numHashes = numHashes, bands = 8, saltBuckets = 1)
         graft.etl.Sinks.idempotentAppend(pairs, pairsPath, Seq("id_a", "id_b"))
-        graft.etl.Sinks.idempotentAppend(
-          Dedup.minHashPerDoc(batch, idCol, textCol, numHashes, shingleN),
-          storePath, Seq("__id")): Unit
+        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id")): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -183,18 +185,23 @@ object EventStreams {
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import graft.ops.Similarity
-        if (batch.count() > 0) {
+        // materialize the micro-batch ONCE: it feeds up to three actions
+        // (centroid freeze, dedup, assignment append) which would each
+        // recompute the source otherwise — and isEmpty peeks at one
+        // partition instead of count()'s full extra pass
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
           val centP = new org.apache.hadoop.fs.Path(s"$storePath/centroids")
           val fs = centP.getFileSystem(
-            batch.sparkSession.sparkContext.hadoopConfiguration)
+            b.sparkSession.sparkContext.hadoopConfiguration)
           if (!fs.exists(centP))
-            Similarity.writeSemanticCentroids(batch, storePath, idCol, vecCol)
+            Similarity.writeSemanticCentroids(b, storePath, idCol, vecCol)
           val survivors = Similarity.incrementalSemanticDedup(
-            batch, storePath, tau, idCol, vecCol).localCheckpoint()
+            b, storePath, tau, idCol, vecCol).localCheckpoint()
           graft.etl.Sinks.idempotentAppend(
             survivors, survivorsPath, Seq(idCol))
           Similarity.appendSemanticAssignments(
-            batch.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+            b.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
             storePath, idCol, vecCol): Unit
         }
       }

@@ -73,6 +73,25 @@ class ClusteringSpec extends SparkSpec {
     assert(neighbors.filter(abs($"similarity") > 1.0 + 1e-9).count() == 0)
   }
 
+  test("driver-local guard: oversized input fails fast, pointing at distributed substitutes") {
+    import graft.clustering.{HdbscanClusterer, TsneProjector}
+    val scaled = CaseClustering.scale(cases) // 50 rows
+    val eT = intercept[IllegalArgumentException] {
+      new TsneProjector(maxDriverRows = 10).project(scaled, "scaled")
+    }
+    assert(eT.getMessage.contains("maxDriverRows") &&
+      eT.getMessage.contains("Sampling"), eT.getMessage)
+    val eH = intercept[IllegalArgumentException] {
+      new HdbscanClusterer(maxDriverRows = 10).cluster(scaled, "scaled")
+    }
+    assert(eH.getMessage.contains("maxDriverRows") &&
+      eH.getMessage.contains("KMeansClusterer"), eH.getMessage)
+    // at exactly the budget the guard stays silent (boundary: n == max)
+    val ok = new HdbscanClusterer(minClusterSize = 5, maxDriverRows = 50)
+      .cluster(scaled, "scaled")
+    assert(ok.count() == 50)
+  }
+
   test("t-SNE projector: deterministic, finite, preserves local structure") {
     val scaled = CaseClustering.scale(cases)
     val tsne = new graft.clustering.TsneProjector(perplexity = 30, iterations = 300)

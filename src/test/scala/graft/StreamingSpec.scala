@@ -168,6 +168,52 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store + "/assignments").count() == stored.size)
   }
 
+  test("streaming SemDeDup: no count() pre-pass — bounded job count per micro-batch") {
+    // regression canary for the emptiness guard: the old
+    // `batch.count() > 0` + unpersisted recompute cost a full extra
+    // pass per action (count, centroid write, dedup, assignment each
+    // re-read the source). With localCheckpoint + isEmpty the whole
+    // first micro-batch (checkpoint, guard, centroid freeze, dedup,
+    // two idempotent appends) runs in a BOUNDED number of jobs —
+    // measured 22 on this fixed 8-row input; the bound leaves slack
+    // for AQE variation but catches any reintroduced full pre-pass.
+    def unit(i: Int): Seq[Double] = (0 until 8).map(j => if (j == i) 1.0 else 0.0)
+    val src = java.nio.file.Files.createTempDirectory("semjc-src").toString
+    val store = java.nio.file.Files.createTempDirectory("semjc-store").toString + "/store"
+    val out = java.nio.file.Files.createTempDirectory("semjc-out").toString + "/survivors"
+    (0L until 8L).map(i => (i, unit(i.toInt))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(src + "/a=1")
+    val schema = spark.read.parquet(src + "/a=1").schema
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      EventStreams.semanticDedupStream(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        "vec_id", "embedding", store, out,
+        java.nio.file.Files.createTempDirectory("semjc-cp").toString,
+        tau = 0.95).awaitTermination()
+      Thread.sleep(500) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(spark.read.parquet(out).count() == 8)
+    assert(jobs.get() <= 25, s"micro-batch ran ${jobs.get()} jobs — " +
+      "did a count()/recompute pre-pass sneak back in?")
+  }
+
+  test("st5 rehearsal: streamed MinHash pair sink equals the batch d2 result") {
+    // the driver's oracle replays d2's brute-force SQL against st5's
+    // stream output — assert the equivalence the shared oracle rests
+    // on: one AvailableNow batch vs an empty store IS the batch dedup
+    val st5 = SparkEntry.queries("st5_stream_minhash")(spark, sfDir).collect().toSeq
+    val d2 = SparkEntry.queries("d2_minhash_neardup")(spark, sfDir).collect().toSeq
+    assert(st5 == d2, s"st5 ${st5.size} rows vs d2 ${d2.size}")
+    assert(st5.nonEmpty)
+  }
+
   test("K1: partitioned JSON sink writes term directories") {
     val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
     graft.etl.Sinks.partitionedJson(
