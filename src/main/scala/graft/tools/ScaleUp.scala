@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-curve data generator: writes an N× upscaled copy of an
@@ -22,18 +22,79 @@ import org.apache.spark.sql.functions._
   *    component — distinct vectors, near-identical geometry;
   *  - event ids/user ids shift, timestamps keep their distribution.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
+  * Replication strategy scales with the factor: small N builds an
+  * N-branch union (one scan per replica — matches the layout of the
+  * earlier sf1/sf10 studies); large N (≥ [[ExplodeThreshold]], e.g.
+  * the sf100 third-decade run at N=1000) explodes a 0..N-1 replica
+  * sequence per source row instead, because a 1000-branch union plan
+  * costs more in Catalyst analysis than the whole generation. The
+  * explode path repartitions the (tiny) source first so output files
+  * stay balanced.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor> [tables-csv]
+  *   tables-csv (optional): subset to scale, e.g. "documents,embeddings"
+  *   — the third-decade study only needs the text/vector tables, and
+  *   skipping a 1000× lineitem saves most of the generation time.
   */
 object ScaleUp {
   private val Stride = 100000000L
+  private val ExplodeThreshold = 32
 
-  private def replicate(df: DataFrame, n: Int)(per: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until n).map(r => per(df, r)).reduce(_ unionAll _)
+  /** Per-replica transform, parameterized by the replica id as a
+    * Column so one definition serves both replication strategies. */
+  private def scaleTable(spark: SparkSession, src: String, t: String, n: Int,
+                         cpus: Int): DataFrame = {
+    val df = spark.read.parquet(s"$src/$t.parquet")
+    def shifted(r: Column)(base: DataFrame): DataFrame = t match {
+      case "customer" => base.withColumn("c_custkey", col("c_custkey") + r * Stride)
+      case "supplier" => base.withColumn("s_suppkey", col("s_suppkey") + r * Stride)
+      case "part"     => base.withColumn("p_partkey", col("p_partkey") + r * Stride)
+      case "orders" => base
+        .withColumn("o_orderkey", col("o_orderkey") + r * Stride)
+        .withColumn("o_custkey", col("o_custkey") + r * Stride)
+      case "lineitem" => base
+        .withColumn("l_orderkey", col("l_orderkey") + r * Stride)
+        .withColumn("l_partkey", col("l_partkey") + r * Stride)
+        .withColumn("l_suppkey", col("l_suppkey") + r * Stride)
+      case "events" => base
+        .withColumn("event_id", col("event_id") + r * Stride)
+        .withColumn("user_id", col("user_id") + r * Stride)
+      case "documents" => base
+        // every token suffixed per replica → zero shared shingles
+        // across replicas, identical shingle structure within one
+        .withColumn("text", when(r === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1~"), r.cast("string")))))
+        .withColumn("doc_id", col("doc_id") + r * Stride)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      case "embeddings" => base
+        .withColumn("embedding", when(r === 0, col("embedding")).otherwise(
+          concat(
+            array((element_at(col("embedding"), 1) + r.cast("float") * lit(1e-3f)).cast("float")),
+            slice(col("embedding"), 2, 100000))))
+        .withColumn("vec_id", col("vec_id") + r * Stride)
+      case _ => base
+    }
+    if (n < ExplodeThreshold) {
+      (0 until n).map(rep => shifted(lit(rep.toLong))(df)).reduce(_ unionAll _)
+    } else {
+      // one exploded replica column instead of an n-branch union; the
+      // source is tiny, so the pre-explode repartition is free and
+      // keeps every output file ~1/(8·cpus) of the scaled table
+      val withR = df.repartition(cpus * 8)
+        .withColumn("__r", explode(sequence(lit(0L), lit(n - 1L))))
+      shifted(col("__r"))(withR).drop("__r")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val n = args(2).toInt
+    val defaultTables = Seq("customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+    val tables =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else defaultTables
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,55 +105,18 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
-    // dims: copied once
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
-
-    def shift(c: String, r: Int) = col(c) + lit(r.toLong * Stride)
-
-    wr(replicate(rd("customer"), n) { (df, r) =>
-      df.withColumn("c_custkey", shift("c_custkey", r))
-    }, "customer")
-    wr(replicate(rd("supplier"), n) { (df, r) =>
-      df.withColumn("s_suppkey", shift("s_suppkey", r))
-    }, "supplier")
-    wr(replicate(rd("part"), n) { (df, r) =>
-      df.withColumn("p_partkey", shift("p_partkey", r))
-    }, "part")
-    wr(replicate(rd("orders"), n) { (df, r) =>
-      df.withColumn("o_orderkey", shift("o_orderkey", r))
-        .withColumn("o_custkey", shift("o_custkey", r))
-    }, "orders")
-    wr(replicate(rd("lineitem"), n) { (df, r) =>
-      df.withColumn("l_orderkey", shift("l_orderkey", r))
-        .withColumn("l_partkey", shift("l_partkey", r))
-        .withColumn("l_suppkey", shift("l_suppkey", r))
-    }, "lineitem")
-    wr(replicate(rd("events"), n) { (df, r) =>
-      df.withColumn("event_id", shift("event_id", r))
-        .withColumn("user_id", shift("user_id", r))
-    }, "events")
-    // every token suffixed per replica → zero shared shingles across
-    // replicas, identical shingle structure within one
-    wr(replicate(rd("documents"), n) { (df, r) =>
-      val t = if (r == 0) df else df.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", "$1" + s"~$r"))
-      t.withColumn("doc_id", shift("doc_id", r))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }, "documents")
-    wr(replicate(rd("embeddings"), n) { (df, r) =>
-      val e = if (r == 0) df else df.withColumn("embedding",
-        concat(
-          array((element_at(col("embedding"), 1) + lit(r * 1e-3f)).cast("float")),
-          slice(col("embedding"), 2, 100000)))
-      e.withColumn("vec_id", shift("vec_id", r))
-    }, "embeddings")
-
-    println(s"""{"scaled":"$out","factor":$n}""")
+    // dims: copied once, never replicated (like real dims)
+    if (args.length <= 3) {
+      wr(spark.read.parquet(s"$src/region.parquet"), "region")
+      wr(spark.read.parquet(s"$src/nation.parquet"), "nation")
+    }
+    tables.foreach { t =>
+      wr(scaleTable(spark, src, t, n, cpus.toInt), t)
+    }
+    println(s"""{"scaled":"$out","factor":$n,"tables":"${tables.mkString(",")}"}""")
     spark.stop()
   }
 }
