@@ -15,8 +15,13 @@ object Catalog {
   /** Register the synthetic tables as temp views named after the files. */
   def registerTestdata(spark: SparkSession, dir: String): Unit = {
     testdataTables.foreach { t =>
-      val df = if (t == "events") Tables.events(spark, dir)
-               else Tables.table(spark, dir, t)
+      val df = t match {
+        // typed loaders normalize timestamp columns (Tables.tsNormalized)
+        case "events"   => Tables.events(spark, dir)
+        case "orders"   => Tables.orders(spark, dir)
+        case "lineitem" => Tables.lineitem(spark, dir)
+        case _          => Tables.table(spark, dir, t)
+      }
       df.createOrReplaceTempView(t)
     }
   }

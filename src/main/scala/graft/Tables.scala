@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
   * single parquet files per table.
   */
 object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+  /** Timestamp columns normalize to TimestampType regardless of how the
+    * generator wrote them — the parquet files have carried TIMESTAMP(NANOS)
+    * (reads as long under spark.sql.legacy.parquet.nanosAsLong, set in
+    * every session builder here) and plain non-UTC-adjusted TIMESTAMP(µs)
+    * (reads as TIMESTAMP_NTZ under Spark 4's NTZ inference) across
+    * regenerations. Sessions run in UTC, so the NTZ→TZ cast is
+    * value-preserving and downstream code always sees one type. */
+  private def tsNormalized(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType => d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType => d.withColumn(c, col(c).cast("timestamp"))
+        case _ => d
+      }
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -22,16 +40,13 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   =
+    tsNormalized(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    tsNormalized(table(s, d, "lineitem"), "l_shipdate")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 only
-    * reads via spark.sql.legacy.parquet.nanosAsLong (set in every session
-    * builder here). Normalize to a proper TimestampType column (µs,
-    * truncating sub-µs) so downstream code sees a timestamp. */
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsNormalized(table(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
