@@ -12,19 +12,14 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register the synthetic tables as temp views named after the files. */
-  def registerTestdata(spark: SparkSession, dir: String): Unit = {
+  /** Register the synthetic tables as temp views named after the files.
+    * Loader choice (typed/timestamp-normalizing vs plain) lives in
+    * [[Tables.loaders]] — single source of truth for both surfaces. */
+  def registerTestdata(spark: SparkSession, dir: String): Unit =
     testdataTables.foreach { t =>
-      val df = t match {
-        // typed loaders normalize timestamp columns (Tables.tsNormalized)
-        case "events"   => Tables.events(spark, dir)
-        case "orders"   => Tables.orders(spark, dir)
-        case "lineitem" => Tables.lineitem(spark, dir)
-        case _          => Tables.table(spark, dir, t)
-      }
-      df.createOrReplaceTempView(t)
+      Tables.loaders.getOrElse(t, Tables.table(_, _, t))
+        .apply(spark, dir).createOrReplaceTempView(t)
     }
-  }
 
   /** Register graft's vector/text primitives under SQL names, so the
     * spark.sql surface covers them: e.g.

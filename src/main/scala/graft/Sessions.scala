@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The single place a graft entry point builds its SparkSession.
+  *
+  * Centralized so the timestamp contract holds in EVERY session, not just
+  * the driver-facing ones (ADVICE r7): [[Tables.tsNormalized]] is only
+  * value-preserving when
+  *
+  *  - `spark.sql.session.timeZone = UTC` — the NTZ→TZ cast reinterprets
+  *    wall-clock fields in the session zone, and the generator wrote UTC
+  *    wall clocks;
+  *  - `spark.sql.legacy.parquet.nanosAsLong = true` — Spark 4 refuses
+  *    TIMESTAMP(NANOS) parquet columns outside this flag, and the long it
+  *    yields under the flag is what the LongType branch rescales.
+  *
+  * A session built elsewhere (a pre-r8 measurement tool, say) would either
+  * fail to read a nanos regeneration outright or silently shift NTZ values
+  * — so tools, pipelines, tests, Bench and Verify all come through here.
+  */
+object Sessions {
+
+  /** Default parallelism: the driver exports SPARK_GRAFT_CPUS (32 on the
+    * bench container); local dev falls back to 4. */
+  def cpus(default: String = "4"): String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", default)
+
+  /** A local session with the graft config contract applied.
+    *
+    * `spark.sql.shuffle.partitions` is sized to the core count, not the
+    * 200 default: at local[32] on sf0.1 every shuffle fits in 32 healthy
+    * partitions, and 200 would fragment post-shuffle stages into
+    * sub-window tasks. On a real cluster this knob (and AQE coalescing)
+    * is sized to executors × cores instead.
+    */
+  def local(appName: String,
+            cpusDefault: String = "4",
+            extra: Map[String, String] = Map.empty): SparkSession = {
+    val c = cpus(cpusDefault)
+    val b = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$c]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", c)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -16,15 +16,7 @@ object ClusteringPipeline {
     val chunkPath = args(0)
     val outDir = args(1)
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-clustering")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local("graft-clustering")
 
     val chunks = spark.read.parquet(chunkPath)
     val cases = CaseClustering.caseEmbeddings(chunks).cache()

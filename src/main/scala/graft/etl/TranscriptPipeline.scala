@@ -15,15 +15,7 @@ object TranscriptPipeline {
     val outDir = args(1)
     val dim = if (args.length > 2) args(2).toInt else 1024
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-transcript-pipeline")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local("graft-transcript-pipeline")
 
     val t0 = System.nanoTime()
     val raw = Transcripts.readRaw(spark, rawPath)

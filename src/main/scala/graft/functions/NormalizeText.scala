@@ -62,6 +62,8 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Generated lines must never BEGIN with '|' (Spark's Block.toString
+    // stripMargins the assembled code again — see TokenCount.doGenCode).
     nullSafeCodeGen(ctx, ev, sVar => {
       val str = ctx.freshName("str")
       val sb = ctx.freshName("sb")
@@ -82,8 +84,8 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
          |    if ($pending && $sb.length() > 0) $sb.append(' ');
          |    $pending = false;
          |    $sb.append((char) $lc);
-         |  } else if ($cp == ' ' || $cp == '\\t' || $cp == '\\n' || $cp == 0x0B
-         |      || $cp == '\\f' || $cp == '\\r') {
+         |  } else if ($cp == ' ' || $cp == '\\t' || $cp == '\\n' || $cp == 0x0B ||
+         |      $cp == '\\f' || $cp == '\\r') {
          |    $pending = true;
          |  }
          |  $i += java.lang.Character.charCount($cp);

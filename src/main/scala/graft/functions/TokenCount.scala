@@ -55,6 +55,11 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Generated lines must never BEGIN with '|': Spark's Block.toString
+    // runs stripMargin over the assembled code again, silently eating
+    // line-leading "||" and leaving uncompilable Java that falls back to
+    // interpreted eval (the exact hot-path tax this expression exists to
+    // remove).
     nullSafeCodeGen(ctx, ev, sVar => {
       val str = ctx.freshName("str")
       val n = ctx.freshName("n")
@@ -68,8 +73,8 @@ case class TokenCount(child: Expression) extends UnaryExpression {
          |int $len = $str.length();
          |while ($i < $len) {
          |  int $cp = $str.codePointAt($i);
-         |  if (($cp >= 'A' && $cp <= 'Z') || ($cp >= 'a' && $cp <= 'z')
-         |      || ($cp >= '0' && $cp <= '9') || $cp == '_' || $cp == '\\'') {
+         |  if (($cp >= 'A' && $cp <= 'Z') || ($cp >= 'a' && $cp <= 'z') ||
+         |      ($cp >= '0' && $cp <= '9') || $cp == '_' || $cp == '\\'') {
          |    if (!$inWord) $n++;
          |    $inWord = true;
          |  } else {

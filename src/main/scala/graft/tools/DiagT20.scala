@@ -9,13 +9,7 @@ import org.apache.spark.sql.functions._
 object DiagT20 {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local("graft-diag-t20", cpusDefault = "32")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n = 3
 

@@ -32,13 +32,7 @@ object RecallStudy {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nQueries = if (args.length > 1) args(1).toInt else 20
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local("graft-recall-study")
     val corpus = graft.Tables.embeddings(spark, sfDir).localCheckpoint()
     val n = corpus.count()
     val queries = corpus.filter(col("vec_id") < nQueries)

@@ -95,15 +95,7 @@ object ScaleUp {
     val tables =
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       else defaultTables
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local("graft-scale-up", cpusDefault = "32")
 
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -114,7 +106,7 @@ object ScaleUp {
       wr(spark.read.parquet(s"$src/nation.parquet"), "nation")
     }
     tables.foreach { t =>
-      wr(scaleTable(spark, src, t, n, cpus.toInt), t)
+      wr(scaleTable(spark, src, t, n, graft.Sessions.cpus("32").toInt), t)
     }
     println(s"""{"scaled":"$out","factor":$n,"tables":"${tables.mkString(",")}"}""")
     spark.stop()

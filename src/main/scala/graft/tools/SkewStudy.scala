@@ -33,13 +33,7 @@ object SkewStudy {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val hot = if (args.length > 1) args(1).toInt else 1000
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local("graft-skew-study")
 
     // corpus + a planted template clique: `hot` docs share one long
     // boilerplate text with a per-doc unique tail token, so every
