@@ -15,9 +15,41 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Environment-contention probe: a fixed CPU-bound workload (LCG spin)
+    * timed single-threaded and across all cores. The workload never
+    * changes, so its wall time is a pure function of how contended the
+    * container is — BENCH_r07 recorded 2-30x per-query slowdowns vs r6
+    * that did not reproduce locally (r6-identical code), and without a
+    * calibration number a contended round is indistinguishable from a
+    * plan regression. ~0.9s on an idle 32-core box (st+mt, pre+post).
+    * Interpretation: mt/st ratios near the r8 reference (see
+    * PERFORMANCE.md "Bench noise") = clean run; 2x+ = contended, compare
+    * per-query medians against queries_min before reading a regression. */
+  private def spin(iters: Long): Long = {
+    var acc = 0L; var i = 0L
+    while (i < iters) { acc = acc * 6364136223846793005L + 1442695040888963407L + i; i += 1 }
+    acc
+  }
+  private def probe(threads: Int): Double = {
+    // every thread runs the SAME fixed spin, so idle wall time is flat
+    // in `threads` (~0.35s) and inflation directly reads as CPU
+    // oversubscription
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => { if (spin(400000000L) == 42L) println("") })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val nCores = Runtime.getRuntime.availableProcessors()
+    spin(400000000L) // JIT-warm the probe loop so pre isn't a compile outlier
+    val probePreSt = probe(1)
+    val probePreMt = probe(nCores)
     val spark = Sessions.local("graft-bench")
     // untimed warmup: JVM/codegen/parquet-footer caches — otherwise the
     // alphabetically-first query absorbs ~4s of JIT cost. Per-query JIT
@@ -57,6 +89,11 @@ object Bench {
       .mkString("{", ",", "}")
     val medians = samples.map { case (k, ts) => k -> median(ts) }
     val total = medians.map(_._2).sum
+    val probePostSt = probe(1)
+    val probePostMt = probe(nCores)
+    val probeJson =
+      s""""probe":{"st_pre":${r3(probePreSt)},"mt_pre":${r3(probePreMt)},""" +
+      s""""st_post":${r3(probePostSt)},"mt_post":${r3(probePostMt)},"cores":$nCores}"""
     // Full per-query detail (median/min/max for the variance record) goes
     // to a file and an EARLY stdout line; the FINAL line is the compact
     // contract JSON and must stay well under the harness's 2000-char
@@ -68,7 +105,7 @@ object Bench {
       s""""iters":$iters,"queries":${jsonMap(medians)},""" +
       s""""queries_min":${jsonMap(samples.map { case (k, ts) => k -> ts.min })},""" +
       s""""queries_max":${jsonMap(samples.map { case (k, ts) => k -> ts.max })},""" +
-      s""""sf":"$sfDir"}"""
+      s"""$probeJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     println(detail)
@@ -92,7 +129,7 @@ object Bench {
         jsonMap(keep.sortBy(_._1).toSeq)
       }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""iters":$iters,"n_queries":${samples.size},""" +
+      s""""iters":$iters,"n_queries":${samples.size},$probeJson,""" +
       s""""queries":$compactQueries,"sf":"$sfDir"}""")
     spark.stop()
   }
