@@ -115,6 +115,10 @@ object SparkEntry {
     "st4_stream_semdedup"   -> (StreamQueries.streamSemanticDedup _),
     "st5_stream_minhash"    -> (StreamQueries.streamMinhashDedup _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
+    "t25_gopher_rules"      -> (TextQueries.gopherRules _),
+    "d12_dsir_select"       -> (TextQueries.dsirSelect _),
+    "s3_pq_adc"             -> (VectorQueries.pqAdcTopK _),
+    "w11_sessionize"        -> (CoreQueries.sessionize _),
     "u1_set_ops"            -> (SqlQueries.setOps _),
     "a11_distinct"          -> (SqlQueries.distinctPairs _),
     "f4_ilike"              -> (SqlQueries.ilikeFilter _),
@@ -1783,5 +1787,105 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "t25_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS word_count,
+        |    len(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS nonspace,
+        |    len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |        ['the','of','and','to','in','a','is','that','for','it'])) AS stopword_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, word_count, stopword_hits,
+        |    nonspace / nullif(word_count::DOUBLE, 0.0) AS mwl,
+        |    alpha / nullif(nonspace, 0.0) AS ar
+        |  FROM s)
+        |SELECT doc_id, word_count,
+        |  floor(mwl * 10000 + 0.5) / 10000 AS mean_word_len,
+        |  stopword_hits,
+        |  floor(ar * 10000 + 0.5) / 10000 AS alpha_ratio,
+        |  (word_count BETWEEN 30 AND 100000) AS r_word_count,
+        |  (mwl BETWEEN 4.0 AND 5.0) AS r_mean_word_len,
+        |  (stopword_hits >= 2) AS r_stopwords,
+        |  (ar >= 0.6) AS r_alpha,
+        |  ((word_count BETWEEN 30 AND 100000) AND (mwl BETWEEN 4.0 AND 5.0)
+        |   AND (stopword_hits >= 2) AND (ar >= 0.6)) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "d12_dsir_select" -> {
+      val b = s"${polyHash64Sql("w")} % 512"
+      s"""WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |pb AS (SELECT doc_id, tgt, $b AS b FROM tok WHERE len(w) > 0),
+        |pdb AS (SELECT doc_id, tgt, b, count(*) AS c FROM pb GROUP BY 1, 2, 3),
+        |rawd AS (SELECT b, CAST(sum(c) AS BIGINT) AS rc FROM pdb GROUP BY b),
+        |tgtd AS (SELECT b, CAST(sum(c) AS BIGINT) AS tc FROM pdb WHERE tgt GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM rawd) AS rtot,
+        |               (SELECT CAST(sum(tc) AS BIGINT) FROM tgtd) AS ttot),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    sum(c::DOUBLE * (ln((coalesce(tc, 0) + 1)::DOUBLE) - ln((rc + 1)::DOUBLE))) AS s
+        |  FROM pdb JOIN rawd USING (b) LEFT JOIN tgtd USING (b)
+        |  GROUP BY doc_id),
+        |wt AS (
+        |  SELECT doc_id, n_tokens,
+        |    s - n_tokens::DOUBLE * (ln((ttot + 512)::DOUBLE) - ln((rtot + 512)::DOUBLE)) AS w
+        |  FROM sc CROSS JOIN tot)
+        |SELECT doc_id, n_tokens, floor(w * 10000 + 0.5) / 10000 AS weight
+        |FROM wt ORDER BY w DESC, doc_id LIMIT 100""".stripMargin
+    },
+    "s3_pq_adc" -> {
+      val seedList = graft.analytics.VectorQueries.PqSeedIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS sv
+        |          FROM e WHERE vec_id IN ($seedList)),
+        |slt AS (SELECT list(sv ORDER BY j) AS sl FROM seeds),
+        |enc AS (
+        |  SELECT c.vec_id, g.mi, s.j,
+        |    list_sum(list_transform(range(1, 9), d ->
+        |      (c.v[CAST(g.mi * 8 + d AS INTEGER)] - s.sv[CAST(g.mi * 8 + d AS INTEGER)]) ^ 2)) AS dist
+        |  FROM e c CROSS JOIN (SELECT unnest(range(0, 8)) AS mi) g CROSS JOIN seeds s),
+        |codes AS (
+        |  SELECT vec_id, list(j ORDER BY mi) AS cl FROM (
+        |    SELECT vec_id, mi, j,
+        |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist, j) AS rn
+        |    FROM enc) WHERE rn = 1 GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |ad AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (q.qv[CAST(i AS INTEGER)]
+        |       - slt.sl[CAST(c.cl[CAST((i - 1) // 8 + 1 AS INTEGER)] + 1 AS INTEGER)]
+        |               [CAST(i AS INTEGER)]) ^ 2)) AS dist
+        |  FROM q CROSS JOIN codes c CROSS JOIN slt),
+        |rk AS (
+        |  SELECT query_id, cand_id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rank
+        |  FROM ad)
+        |SELECT query_id, cand_id, floor(dist * 1000000 + 0.5) / 1000000 AS adc_dist, rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    "w11_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

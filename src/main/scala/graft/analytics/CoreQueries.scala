@@ -477,4 +477,38 @@ object CoreQueries {
           .as("running_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** w11 — BATCH sessionization, the batch face of st2's streaming
+    * session windows: a session breaks when the gap to the user's
+    * previous event exceeds 30 minutes. ONE shuffle total: the lag /
+    * running-sum window partitions by user_id, and the session
+    * aggregate's (user_id, session_idx) key is a refinement of that
+    * partitioning, so AQE/EnsureRequirements reuses the exchange. Gap
+    * arithmetic is in epoch MICROSECONDS (unix_micros vs the oracle's
+    * epoch_us) — second-truncated arithmetic would mis-break sessions
+    * whose gap straddles 1800s at sub-second precision. At 100 TB the
+    * events table is date-partitioned and users don't span shards, so
+    * the one exchange is bounded by the day's data, not history. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(Tables.events(spark, dir), gapUs = 1800L * 1000000L)
+
+  /** The operator body, parameterized for tests: `events` needs
+    * (user_id, event_id, ts). */
+  def sessionizeEvents(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
 }

@@ -336,6 +336,32 @@ object TextQueries {
   /** m2 — multimodal frame sampling: every-8th frame index for video
     * rows, generated columnar (ops.Multimodal.frameSample) and
     * exploded to (media_id, frame_idx) rows. */
+  /** d12 — DSIR importance selection (ops.Sampling.dsirSelect): the
+    * 100 raw documents whose hashed-unigram bags look most like the
+    * English slice of the corpus. Weight sums are order-dependent
+    * doubles → rounded to 4, same contract as t12's mean surprisal. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.dsirSelect(Tables.documents(spark, dir),
+        "doc_id", "text", col("lang") === "en", k = 100)
+      .select(col("doc_id"), col("n_tokens"),
+        exactRound(col("weight"), 4).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+
+  /** t25 — Gopher-style rule-based quality filter: every signal and
+    * per-rule verdict is kept in the output (auditability is the
+    * operator's point — see ops.TextAnalysis.gopherRules), so the
+    * oracle checks the full signal computation, not just the kept
+    * set. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("word_count"),
+        exactRound(col("mean_word_len"), 4).as("mean_word_len"),
+        col("stopword_hits"),
+        exactRound(col("alpha_ratio"), 4).as("alpha_ratio"),
+        col("r_word_count"), col("r_mean_word_len"),
+        col("r_stopwords"), col("r_alpha"), col("keep"))
+      .orderBy(col("doc_id"))
+
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.frameSample(
       graft.ops.Multimodal.toMediaTable(Tables.documents(spark, dir)), 8)

@@ -47,6 +47,27 @@ object VectorQueries {
     * with the generated oracle SQL). */
   val IvfSeedIds: Seq[Long] = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
 
+  /** Fixed seed ids for the s3 PQ codebook — low ids so the same
+    * codebook exists at every sf including the sf0.001 spec fixtures
+    * (embeddings count 50 there). */
+  val PqSeedIds: Seq[Long] = Seq(10L, 15L, 20L, 25L, 30L, 35L, 40L, 45L)
+
+  /** s3 — product-quantization ADC top-10 (ops.Quantize.pqTopK): the
+    * corpus compresses to 8 codes/vector against a SEEDED codebook, so
+    * the oracle replays encode + asymmetric distance bit-for-bit (both
+    * engines fold dims in ascending global order). Self-matches stay
+    * in — rank 1's distance IS the vector's own quantization error,
+    * which the operator exists to measure. */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Quantize.pqTopK(e, queries, PqSeedIds, k = 10)
+      .select(col("query_id"), col("cand_id"),
+        exactRound(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s2 — seeded IVF ANN (ops.Similarity.ivfTopKSeeded): inverted
     * lists seeded by fixed corpus vectors, so the full index build +
     * probe is replayed exactly by the SQL oracle — the oracle-checked

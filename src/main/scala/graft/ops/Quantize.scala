@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => VF}
 
@@ -48,4 +48,42 @@ object Quantize {
   /** Cosine over quantized vectors (exact integer dot, sqrt norms). */
   def cosine(qa: Column, qb: Column): Column =
     VF.dot(qa, qb) / nullif(VF.norm(qa) * VF.norm(qb), lit(0.0))
+
+  /** Product-quantization ADC top-k (see
+    * [[graft.functions.ProductQuantizer]] for the construction and the
+    * 100 TB rationale): encode the corpus once to `m` small-int codes
+    * per vector, then rank candidates for each query by asymmetric
+    * (exact-query vs codeword) squared L2.
+    *
+    * Scale shape: the corpus-side pass is a pure projection (one
+    * codegen loop/row, codes are ~m bytes vs 4·dim for the raw
+    * vector); queries broadcast; the per-query top-k runs through the
+    * bounded-heap [[TopK.perGroup]] operator, so no corpus-wide sort
+    * or window shuffle exists anywhere. The seed collect is
+    * |seedIds| rows (the documented bounded-collect pattern, same as
+    * NearestCentroid's √n seed matrix).
+    *
+    * `corpus` needs (vec_id, embedding); `queries` (query_id,
+    * embedding). dim must equal m·subDim. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, seedIds: Seq[Long],
+             k: Int, m: Int = 8, subDim: Int = 8): DataFrame = {
+    import graft.functions.ProductQuantizer
+    val seeds = corpus.filter(col("vec_id").isin(seedIds: _*))
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    require(seeds.nonEmpty, s"no seed vectors found for ids $seedIds")
+    val kw = seeds.length
+    val cb = ProductQuantizer.flatten(seeds, m, subDim)
+    val codes = corpus.select(col("vec_id").as("cand_id"),
+      ProductQuantizer.encode(col("embedding"), cb, m, kw, subDim).as("__codes"))
+    val q = queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("__qv"))
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        ProductQuantizer.adcDist(col("__qv"), col("__codes"), cb, m, kw, subDim)
+          .as("adc_dist"))
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(("adc_dist", false), ("cand_id", false)), k, rankName = "rank")
+  }
 }

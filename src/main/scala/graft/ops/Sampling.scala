@@ -191,6 +191,75 @@ object Sampling {
     * the smallest stratum — the rate table a mixture-controlled
     * training-data build feeds into [[stratifiedSample]]. One tiny
     * aggregate; the min is a broadcast scalar, never a global window. */
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET distribution than under the RAW distribution, then
+    * keep the top-k. Features are hashed n-grams exactly as in the
+    * paper — here unigrams → `nBuckets` buckets via the portable
+    * [[PolyHash]] (so the DuckDB oracle replays bucket assignment
+    * bit-for-bit); both distributions are add-1-smoothed over the
+    * bucket vocabulary.
+    *
+    * Scale shape (the reason this composes to 100 TB):
+    *  - ONE corpus-wide exchange: words hash map-side and partially
+    *    aggregate to (doc, bucket) counts inside the scan partition
+    *    before the doc_id shuffle.
+    *  - The two distribution tables are ≤ `nBuckets` rows each —
+    *    broadcast; totals ride along as literal-free scalar columns of
+    *    the same broadcast frames (no driver collect).
+    *  - The final top-k is TakeOrdered (per-partition heaps), never a
+    *    global sort.
+    *
+    * `targetPred` marks the target slice (e.g. `col("lang") === "en"`:
+    * select raw docs that look most like the English slice). Weight =
+    * Σ_buckets c_doc,b · [log p_target(b) − log p_raw(b)].
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, k: Int,
+                 nBuckets: Int = 512): DataFrame = {
+    val words = df
+      .select(col(idCol).as("__id"), targetPred.as("__tgt"),
+        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .select(col("__id"), col("__tgt"),
+        pmod(PolyHash.polyHash(col("__w")), lit(nBuckets.toLong)).as("__b"))
+    // one shuffle: (doc, bucket) counts with map-side partial agg;
+    // carries __tgt (functional on __id) so both distributions derive
+    // from this one pass
+    val perDocB = words.groupBy(col("__id"), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // reused 3x below; avoids re-scanning the corpus
+    val rawDist = perDocB.groupBy(col("__b")).agg(sum(col("__c")).as("__rc"))
+    val tgtDist = perDocB.filter(col("__tgt"))
+      .groupBy(col("__b")).agg(sum(col("__c")).as("__tc"))
+    // corpus-constant totals: two 1-row aggregates broadcast-cross-
+    // joined onto the scored docs (no driver collect, no action)
+    val totals = rawDist.agg(sum(col("__rc")).as("__rtot"))
+      .crossJoin(tgtDist.agg(sum(col("__tc")).as("__ttot")))
+    perDocB
+      .join(broadcast(rawDist), Seq("__b"))
+      .join(broadcast(tgtDist), Seq("__b"), "left")
+      .na.fill(0L, Seq("__tc"))
+      .groupBy(col("__id"))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        sum(col("__c").cast("double") *
+          (log((col("__tc") + 1).cast("double")) - log((col("__rc") + 1).cast("double"))))
+          .as("__s"))
+      .crossJoin(broadcast(totals))
+      // the smoothing denominators log(T+B) − log(R+B) are constant
+      // per corpus; fold them in once per doc (× token count) instead
+      // of per bucket
+      .withColumn("weight",
+        col("__s") - col("n_tokens").cast("double") *
+          (log((col("__ttot") + nBuckets).cast("double")) -
+           log((col("__rtot") + nBuckets).cast("double"))))
+      .select(col("__id").as(idCol), col("n_tokens"), col("weight"))
+      .orderBy(col("weight").desc, col(idCol))
+      .limit(k)
+  }
+
   def balancedRates(df: DataFrame, stratumCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
     val minc = counts.agg(min(col("n_docs")).as("__min"))

@@ -324,6 +324,57 @@ object TextAnalysis {
         (log2(col("n_chars")) - col("__s") / col("n_chars")).as("entropy"))
   }
 
+  /** Gopher-style stopwords (Rae et al. 2021 §A1.1 uses a short
+    * function-word list; this is the classic English head). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "of", "and", "to", "in", "a", "is", "that", "for", "it")
+
+  /** Rule-based quality filtering, the Gopher/C4/Dolma shape (Rae et
+    * al. 2021 §A1.1; Raffel et al. 2020 §2.2): per-document scalar
+    * signals, one boolean per rule, and a conjunctive keep flag. The
+    * point of the operator is auditability at corpus scale — every
+    * rule's pass/fail survives into the output so "why was this
+    * dropped" is a filter, not a re-run.
+    *
+    * All signals are single-pass column expressions over the text (two
+    * regexp_replace passes + one split; whole-stage codegen, no
+    * interpreted array lambdas — stopword hits via array_intersect on
+    * the already-split words, a native collection expression). At
+    * 100 TB this is a pure map: no shuffle, no state, trivially
+    * partition-parallel; thresholds are corpus-tunable parameters.
+    *
+    * Thresholds are calibrated to the synthetic corpus so every rule
+    * actually discriminates (word counts run 10-99, mean word lengths
+    * 3.7-5.3): minWords=30, meanWordLen in [4.0, 5.0], ≥2 distinct
+    * stopwords, alpha ratio ≥ 0.6.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 30L, maxWords: Long = 100000L,
+                  minMeanWordLen: Double = 4.0, maxMeanWordLen: Double = 5.0,
+                  minStopwordHits: Int = 2, minAlphaRatio: Double = 0.6): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    // char counts: alpha chars vs all non-whitespace chars
+    val nonSpace = length(regexp_replace(t, "\\s", "")).cast("double")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    df.select(
+        col(idCol),
+        size(words).cast("long").as("word_count"),
+        (nonSpace / nullif(size(words).cast("double"), lit(0.0))).as("mean_word_len"),
+        size(array_intersect(array_distinct(words),
+          array(GopherStopwords.map(lit): _*))).as("stopword_hits"),
+        (alpha / nullif(nonSpace, lit(0.0))).as("alpha_ratio"))
+      .withColumn("r_word_count",
+        col("word_count").between(minWords, maxWords))
+      .withColumn("r_mean_word_len",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("r_stopwords", col("stopword_hits") >= minStopwordHits)
+      .withColumn("r_alpha", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_stopwords") && col("r_alpha"))
+  }
+
   /** Convenience: attach all text-analysis columns to a DataFrame. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

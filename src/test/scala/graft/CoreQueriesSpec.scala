@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.analytics.CoreQueries
 
 class CoreQueriesSpec extends SparkSpec {
+  import spark.implicits._
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -45,5 +47,38 @@ class CoreQueriesSpec extends SparkSpec {
     val over = CoreQueries.top3PerSupplier(spark, sfDir)
       .groupBy("l_suppkey").count().filter(col("count") > 3).count()
     assert(over == 0)
+  }
+  test("sessionize: 1800s gap keeps the session, 1801s breaks it, per user") {
+    import java.sql.Timestamp
+    val base = 1700000000L * 1000000L // epoch micros
+    val events = Seq(
+      // user 1: gap exactly 1800s -> SAME session (strict >); next gap
+      // 1801s -> new session (java.sql.Timestamp carries millis, so
+      // the fixture keeps gaps ms-exact; the µs comparison itself is
+      // exercised by the w11 oracle at sf0.01)
+      (1L, 10L, base),
+      (1L, 11L, base + 1800L * 1000000L),
+      (1L, 12L, base + 1800L * 1000000L + 1801L * 1000000L),
+      // user 2: one event
+      (2L, 20L, base)
+    ).map { case (u, e, us) => (u, e, new Timestamp(us / 1000)) }
+      .toDF("user_id", "event_id", "ts")
+    val out = CoreQueries.sessionizeEvents(events, gapUs = 1800L * 1000000L)
+      .orderBy(col("user_id"), col("session_idx")).collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+      r.getAs[Long]("n_events"))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    // duration of user 1's first session is exactly the 1800s gap
+    assert(out(0).getAs[Long]("duration_us") == 1800L * 1000000L)
+  }
+
+  test("w11 query shape: contiguous session_idx from 1 per user, duration consistent") {
+    val out = CoreQueries.sessionize(spark, sfDir)
+    assert(out.filter(col("duration_us") < 0).count() == 0)
+    val perUser = out.groupBy("user_id")
+      .agg(min("session_idx").as("lo"), max("session_idx").as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count()
+    assert(perUser == 0) // session_idx is 1..n per user, no holes
   }
 }

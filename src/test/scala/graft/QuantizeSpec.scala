@@ -46,4 +46,39 @@ class QuantizeSpec extends SparkSpec {
     assert(r1.sameElements(r2))
     assert(r1.groupBy(_.getLong(0)).forall(_._2.length == 5))
   }
+  test("pqTopK: a seed vector queries to itself at distance 0, rank 1") {
+    import graft.ops.Quantize
+    val e = Tables.embeddings(spark, sfDir)
+    // corpus = the seeds themselves: each seed's codes reconstruct it
+    // exactly, so its own ADC distance is 0 and it must rank first
+    val seeds = e.filter(col("vec_id").isin(graft.analytics.VectorQueries.PqSeedIds: _*))
+    val queries = seeds.select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Quantize.pqTopK(seeds, queries,
+      graft.analytics.VectorQueries.PqSeedIds, k = 1)
+    val rows = top.collect()
+    assert(rows.length == graft.analytics.VectorQueries.PqSeedIds.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") == r.getAs[Long]("cand_id"))
+      assert(math.abs(r.getAs[Double]("adc_dist")) < 1e-12)
+    }
+  }
+
+  test("PqEncode: codes in range, argmin ties keep the lowest codeword index") {
+    import graft.functions.ProductQuantizer
+    // 2 subspaces x 2 dims; codewords 0 and 1 IDENTICAL, codeword 2 far
+    val seeds = Seq(
+      Array(1.0, 1.0, 5.0, 5.0),
+      Array(1.0, 1.0, 5.0, 5.0),
+      Array(9.0, 9.0, 0.0, 0.0))
+    val cb = ProductQuantizer.flatten(seeds, m = 2, subDim = 2)
+    val df = Seq((1L, Seq(1.1, 0.9, 4.8, 5.1)), (2L, Seq(8.0, 9.5, 0.2, 0.1)))
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+        ProductQuantizer.encode(col("v"), cb, m = 2, k = 3, subDim = 2).as("codes"))
+      .orderBy("id").collect()
+    // row 1: nearest is the duplicated codeword -> index 0 (not 1) in both subspaces
+    assert(out(0).getSeq[Int](1) == Seq(0, 0))
+    // row 2: nearest is codeword 2 in both subspaces
+    assert(out(1).getSeq[Int](1) == Seq(2, 2))
+  }
 }

@@ -118,4 +118,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(a == b && a.nonEmpty)
   }
+  test("dsirSelect: target-looking docs outrank off-target, deterministic, k rows") {
+    import graft.ops.Sampling
+    // two disjoint vocabularies: target docs speak "alpha beta gamma",
+    // off-target "zeta eta theta"; candidates mix them
+    val rows = Seq(
+      (1L, "t", "alpha beta gamma alpha beta"),
+      (2L, "t", "beta gamma alpha gamma"),
+      (3L, "r", "zeta eta theta zeta eta"),
+      (4L, "r", "theta zeta eta theta"),
+      (5L, "r", "alpha beta gamma beta alpha"), // raw doc that LOOKS target
+      (6L, "r", "zeta zeta eta eta theta")
+    ).toDF("doc_id", "kind", "text")
+    val out = Sampling.dsirSelect(rows, "doc_id", "text",
+      col("kind") === "t", k = 3).collect()
+    assert(out.length == 3)
+    // the target-vocabulary docs (1, 2, 5) carry the top weights
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    // weights strictly above the off-target docs'
+    val all = Sampling.dsirSelect(rows, "doc_id", "text",
+      col("kind") === "t", k = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Set(1L, 2L, 5L).map(all).min > Set(3L, 4L, 6L).map(all).max)
+    // deterministic across partitionings
+    val again = Sampling.dsirSelect(rows.repartition(7), "doc_id", "text",
+      col("kind") === "t", k = 3).collect().map(_.getLong(0)).toSet
+    assert(again == Set(1L, 2L, 5L))
+  }
 }

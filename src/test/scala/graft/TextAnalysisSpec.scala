@@ -110,4 +110,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("wordstats") || plan.contains("WordStats"), plan.take(2000))
     assert(!plan.contains("lambdafunction"), plan.take(2000))
   }
+  test("gopherRules: signals, per-rule flags and conjunctive keep") {
+    val df = Seq(
+      // 31 words, mean len (3+2+29*5)/31 ≈ 4.84, stopwords the+of,
+      // all-alpha -> keep
+      (1L, (Seq("the", "of") ++ Seq.fill(29)("abcde")).mkString(" ")),
+      (2L, "the of tiny"),                        // fails word count
+      (3L, (Seq.fill(31)("abcdefghijkl")).mkString(" ")) // long words, no stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.gopherRules(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("word_count") == 31)
+    assert(math.abs(r1.getAs[Double]("mean_word_len") - (3 + 2 + 29 * 5) / 31.0) < 1e-9)
+    assert(r1.getAs[Int]("stopword_hits") == 2)
+    assert(r1.getAs[Double]("alpha_ratio") == 1.0)
+    assert(r1.getAs[Boolean]("keep"))
+    val r2 = out(1)
+    assert(!r2.getAs[Boolean]("r_word_count") && !r2.getAs[Boolean]("keep"))
+    assert(r2.getAs[Boolean]("r_stopwords")) // the + of present
+    val r3 = out(2)
+    assert(r3.getAs[Boolean]("r_word_count"))
+    assert(!r3.getAs[Boolean]("r_mean_word_len")) // mean 12 > 5
+    assert(!r3.getAs[Boolean]("r_stopwords"))
+    assert(!r3.getAs[Boolean]("keep"))
+  }
 }
