@@ -78,8 +78,16 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
+          val t = (System.nanoTime() - t0) / 1e9
+          // OUTSIDE the timed span: drop cached tables AND every
+          // persistent RDD (localCheckpoint blocks). Checkpoints
+          // otherwise accumulate across queries in the block manager —
+          // at sf100 that measured d6 at 174 s after d2 vs 39 s alone
+          // (GC/cleaner churn), corrupting exactly the per-query
+          // attribution the bench exists for.
           spark.catalog.clearCache()
-          (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          t
         }
         name -> times
       }

@@ -99,10 +99,13 @@ object Dedup {
   /** LSH band rows from signature columns: (band_idx, band_hash). */
   private def bandRowsFromCols(numHashes: Int, bands: Int): Column = {
     val r = numHashes / bands
+    // xxhash64 over the signature LONGS directly: the concat_ws form
+    // decimal-formats r longs per band into a string first — measured
+    // at sf100 as the dominant term of the band explode (159 s for
+    // 40M bands). Fixed arity per band ⇒ identical equality classes.
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", (0 until r).map(j =>
-          col(s"m${b * r + j}")): _*)).as("band_hash"))
+        xxhash64((0 until r).map(j => col(s"m${b * r + j}")): _*).as("band_hash"))
     }: _*)
   }
 
@@ -142,34 +145,47 @@ object Dedup {
                       threshold: Double = 0.8, numHashes: Int = 32,
                       bands: Int = 8, shingleN: Int = 3,
                       saltBuckets: Int = 1): DataFrame = {
-    // Shingle sets are big (one string per word); keep them OUT of the
-    // band self-join — join ids only, dedupe candidate pairs, then
-    // re-join the shingle sets for just those pairs. At scale this is
-    // the difference between shuffling ids and shuffling the corpus.
+    // Stage shapes, each sized by the sf100 profile (DiagD2, 5M docs):
     //
-    // ONE aggregate computes BOTH the distinct shingle set (collect_set)
-    // and every signature slot (min over the raw, duplicated shingle
-    // stream — min is idempotent, so no distinct pass exists at all).
-    // The aggregate reuses the lead-window's hash partitioning on __id,
-    // so the whole per-doc phase is a single shuffle. localCheckpoint
-    // (eager) materializes it exactly once: a lazy .cache() here lets
-    // the three consumer stages race on cold partitions and compute the
-    // pipeline 2-3x concurrently; the checkpoint's blocks are released
-    // by the ContextCleaner when the result goes out of scope, so no
-    // storage leak across repeated calls in a long session.
-    val perDoc = minHashPerDoc(df, idCol, textCol, numHashes, shingleN)
+    // 1. SIGNATURES ONLY in the corpus pass — no collect_set. The old
+    //    one-aggregate-does-both design dragged a per-doc shingle SET
+    //    through the corpus aggregate, which silently demotes the whole
+    //    aggregate from codegen HashAggregate to the object-hash path
+    //    (heap sets per group, GC-bound: 363 s of a 540 s run at sf100,
+    //    with run-to-run variance from GC alone). The 32 min() slots
+    //    are pure codegen with map-side partial aggregation; the verify
+    //    sets are recomputed LAZILY below for just the candidate ids
+    //    (≈1% of docs at sf100) — same trade the t22 metadata prune and
+    //    the c2 survivors-join-back make.
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
       .localCheckpoint()
-    val withSh = perDoc.select(col("__id"), col("__sh"))
-    val banded = bandedFromPerDoc(perDoc, numHashes, bands)
+    // 2. Band rows from the slim (id + 32 longs) signature frame.
+    val banded = bandedFromPerDoc(sigs, numHashes, bands)
     val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
     val candidates = bandCandidates(a, b, Seq("band", "band_hash"), saltBuckets)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair can collide in >1 band
+      .localCheckpoint() // pins the TRUE (small) size for the joins below
+    // 3. Verify sets on demand: rescan ONLY candidate docs (broadcast
+    //    semi-join on the raw scan — candidate ids ≪ corpus is the
+    //    near-dup sparsity assumption; a corpus where candidates
+    //    approach n² has quadratic OUTPUT and no plan shape saves it).
+    //    The join runs BEFORE the shingle projection, so grams compute
+    //    for pruned rows only, and the arrays stay as shingle STRINGS —
+    //    the digest-set economy only mattered when sets crossed the
+    //    corpus exchange, which they no longer do.
+    val candIds = candidates.select(col("id_a").as("__id"))
+      .union(candidates.select(col("id_b").as("__id")))
+      .distinct()
+    val neededSh = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .join(broadcast(candIds), Seq("__id"))
+      .select(col("__id"), shingles(col("__t"), shingleN).as("__sh"))
+      .localCheckpoint()
     candidates
-      .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .join(neededSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(neededSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -178,7 +194,12 @@ object Dedup {
   /** Per-doc MinHash state: (__id, __sh distinct shingle-DIGEST set,
     * m0..m{n-1} signature slots) — ONE aggregate computes both the
     * verify set and every signature slot. This is the unit the
-    * incremental path persists.
+    * incremental path persists (the STORE needs the sets so delta
+    * verification never re-scans corpus text). The one-shot batch path
+    * (minHashNearDups) deliberately does NOT use it: collect_set
+    * demotes the corpus aggregate to the object-hash path (no codegen,
+    * GC-bound — 363 s of a 540 s sf100 run), so the batch path runs
+    * signature-only and recomputes sets for just the candidate ids.
     *
     * The verify set holds full 64-bit xxhash64 digests, NOT shingle
     * strings: exact Jaccard is a ratio of set-intersection/union
@@ -209,7 +230,7 @@ object Dedup {
         (0 until numHashes).map(minHashSlot): _*)
 
   /** (__id, band, band_hash) rows from a per-doc signature frame. */
-  private def bandedFromPerDoc(perDoc: DataFrame, numHashes: Int,
+  private[graft] def bandedFromPerDoc(perDoc: DataFrame, numHashes: Int,
                                bands: Int): DataFrame =
     perDoc
       .select(col("__id"),

@@ -230,17 +230,20 @@ object Sampling {
     val perDocB = words.groupBy(col("__id"), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint() // reused 3x below; avoids re-scanning the corpus
-    val rawDist = perDocB.groupBy(col("__b")).agg(sum(col("__c")).as("__rc"))
-    val tgtDist = perDocB.filter(col("__tgt"))
-      .groupBy(col("__b")).agg(sum(col("__c")).as("__tc"))
-    // corpus-constant totals: two 1-row aggregates broadcast-cross-
-    // joined onto the scored docs (no driver collect, no action)
-    val totals = rawDist.agg(sum(col("__rc")).as("__rtot"))
-      .crossJoin(tgtDist.agg(sum(col("__tc")).as("__ttot")))
+    // BOTH distributions in one pass over the checkpointed counts: one
+    // exchange keyed on the bucket, conditional sum for the target lane
+    // (absent buckets get tc=0 for free - no left join, no null fill).
+    // localCheckpoint (<= nBuckets rows) so the totals aggregate below
+    // reads these 512 rows instead of re-planning the corpus pass.
+    val dist = perDocB.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__rc"),
+        sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__tc"))
+      .localCheckpoint()
+    // corpus-constant totals: a 1-row aggregate of the 512-row table,
+    // broadcast-cross-joined onto the scored docs (no driver collect)
+    val totals = dist.agg(sum(col("__rc")).as("__rtot"), sum(col("__tc")).as("__ttot"))
     perDocB
-      .join(broadcast(rawDist), Seq("__b"))
-      .join(broadcast(tgtDist), Seq("__b"), "left")
-      .na.fill(0L, Seq("__tc"))
+      .join(broadcast(dist), Seq("__b"))
       .groupBy(col("__id"))
       .agg(
         sum(col("__c")).as("n_tokens"),
