@@ -42,6 +42,16 @@ object Sessions {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$c]"))
       .appName(appName)
       .config("spark.sql.shuffle.partitions", c)
+      // AQE picks the REAL post-shuffle partition count: start wide
+      // (8× cores) and let coalescing shrink to ~64MB targets. At
+      // sf0.1 every exchange coalesces back to a handful of
+      // partitions (no change); at sf100 the corpus-sized aggregates
+      // get 256-way parallelism instead of 32 × ~400MB hash maps
+      // per task — the GC regime that dominated t20 at the third
+      // decade. On a real cluster this is executors × cores × small
+      // factor, same rule.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (c.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

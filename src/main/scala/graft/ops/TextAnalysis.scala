@@ -265,22 +265,38 @@ object TextAnalysis {
     * interpreted per element because HOFs are CodegenFallback (33.5 s;
     * DiagT20 timed the interpreted assembly alone at 46 s); the native
     * expression assembles the same grams in one generated byte scan.
-    * The detection table needs the gram SURFACE FORM, so gram strings
-    * do shuffle here — a corpus with adversarially long grams would
-    * hash them first (d8's 8-byte PolyHash keys) and join surface
-    * forms back for survivors only. */
+    * The detection table needs the gram SURFACE FORM, but gram STRINGS
+    * must not ride the corpus exchange: at sf100 (260M gram rows, ~95%
+    * singletons) the string-keyed count measured 435 s of a ~500 s run
+    * (DiagT20). The count therefore runs on (source, 8-byte xxhash64)
+    * — a 24 B shuffle row — and surface forms join back via a second
+    * map-side gram pass against the BROADCAST survivor table (tiny
+    * after the doc_frac filter; survivors-join-back, the c2/t22/d2
+    * discipline). A 64-bit within-source gram collision would merge
+    * two grams' counts (~#grams²/2^65 — the d1/c1 digest trade);
+    * distinct() collapses the per-occurrence duplicates of each
+    * surviving gram. */
   def boilerplateGrams(df: DataFrame, idCol: String, srcCol: String,
                        textCol: String, n: Int, minFrac: Double): DataFrame = {
-    val grams = df
+    def grams = df
       .select(col(srcCol).as("source"),
         explode(graft.functions.WordNGrams.grams(col(textCol), n)).as("gram"))
     val srcSizes = df.groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("n_src_docs"))
-    grams.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("df_docs"))
+    val survivors = grams
+      .select(col("source"), xxhash64(col("gram")).as("__g"))
+      .groupBy(col("source"), col("__g")).agg(count(lit(1)).as("df_docs"))
       .join(broadcast(srcSizes), Seq("source"))
       .withColumn("doc_frac",
         col("df_docs").cast("double") / col("n_src_docs"))
       .filter(col("doc_frac") >= minFrac)
+      .localCheckpoint() // tiny; pins true size for the broadcast below
+    grams
+      .withColumn("__g", xxhash64(col("gram")))
+      .join(broadcast(survivors), Seq("source", "__g"))
+      .select(col("source"), col("gram"), col("df_docs"),
+        col("n_src_docs"), col("doc_frac"))
+      .distinct()
   }
 
   /** Apply a boilerplate detection table: remove every occurrence of
