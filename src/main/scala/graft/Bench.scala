@@ -30,6 +30,26 @@ object Bench {
     while (i < iters) { acc = acc * 6364136223846793005L + 1442695040888963407L + i; i += 1 }
     acc
   }
+  /** Disk probe: 256 MB written + fsynced to the same tmp filesystem
+    * shuffle spills use. The r8 sf100 study saw shuffle-heavy queries
+    * swing up to 6× between identical-code runs while the CPU probe
+    * stayed flat — the missing signal was I/O-level host contention,
+    * which this makes visible (idle reference ~0.4 s at ~650 MB/s). */
+  private def ioProbe(): Double = {
+    val f = java.io.File.createTempFile("graft_bench_io", ".bin")
+    val buf = new Array[Byte](8 * 1024 * 1024)
+    new java.util.Random(42).nextBytes(buf)
+    val t0 = System.nanoTime()
+    val out = new java.io.FileOutputStream(f)
+    try {
+      var i = 0
+      while (i < 32) { out.write(buf); i += 1 } // 256 MB
+      out.getFD.sync()
+    } finally out.close()
+    f.delete()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def probe(threads: Int): Double = {
     // every thread runs the SAME fixed spin, so idle wall time is flat
     // in `threads` (~0.35s) and inflation directly reads as CPU
@@ -50,6 +70,7 @@ object Bench {
     spin(400000000L) // JIT-warm the probe loop so pre isn't a compile outlier
     val probePreSt = probe(1)
     val probePreMt = probe(nCores)
+    val probePreIo = ioProbe()
     val spark = Sessions.local("graft-bench")
     // untimed warmup: JVM/codegen/parquet-footer caches — otherwise the
     // alphabetically-first query absorbs ~4s of JIT cost. Per-query JIT
@@ -99,9 +120,11 @@ object Bench {
     val total = medians.map(_._2).sum
     val probePostSt = probe(1)
     val probePostMt = probe(nCores)
+    val probePostIo = ioProbe()
     val probeJson =
       s""""probe":{"st_pre":${r3(probePreSt)},"mt_pre":${r3(probePreMt)},""" +
-      s""""st_post":${r3(probePostSt)},"mt_post":${r3(probePostMt)},"cores":$nCores}"""
+      s""""io_pre":${r3(probePreIo)},"st_post":${r3(probePostSt)},""" +
+      s""""mt_post":${r3(probePostMt)},"io_post":${r3(probePostIo)},"cores":$nCores}"""
     // Full per-query detail (median/min/max for the variance record) goes
     // to a file and an EARLY stdout line; the FINAL line is the compact
     // contract JSON and must stay well under the harness's 2000-char

@@ -47,6 +47,25 @@ class CodegenCompileSpec extends SparkSpec {
     }
   }
 
+  test("PQ expressions compile and agree with interpreted eval under CODEGEN_ONLY") {
+    import graft.functions.ProductQuantizer
+    val seeds = Seq(Array(0.0, 0.0, 1.0, 1.0), Array(2.0, 2.0, 3.0, 3.0))
+    val cb = ProductQuantizer.flatten(seeds, m = 2, subDim = 2)
+    val df = Seq((1L, Seq(0.1, 0.2, 2.9, 3.0)), (2L, Seq(1.9, 2.1, 1.2, 0.8)))
+      .toDF("id", "v")
+    val out = withCodegenOnly {
+      df.select(col("id"), col("v"),
+          ProductQuantizer.encode(col("v"), cb, 2, 2, 2).as("codes"))
+        .withColumn("d", ProductQuantizer.adcDist(col("v"), col("codes"), cb, 2, 2, 2))
+        .orderBy("id").collect()
+    }
+    // interpreted reference via nullSafeEval paths (fresh exprs, no plan)
+    assert(out(0).getSeq[Int](out(0).fieldIndex("codes")) == Seq(0, 1))
+    assert(out(1).getSeq[Int](out(1).fieldIndex("codes")) == Seq(1, 0))
+    // ADC dist of row 1: q=(0.1,0.2) vs cw0=(0,0) -> 0.05 ; (2.9,3.0) vs cw1=(3,3) -> 0.01+0.0
+    assert(math.abs(out(0).getAs[Double]("d") - (0.01 + 0.04 + 0.01 + 0.0)) < 1e-12)
+  }
+
   test("flatten + sectionChunks pipeline compiles under CODEGEN_ONLY") {
     withCodegenOnly {
       val raw = graft.etl.Transcripts.readRaw(spark,
