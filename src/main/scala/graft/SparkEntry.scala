@@ -45,6 +45,7 @@ object SparkEntry {
     "q19_heavy_hitters"     -> (SketchQueries.heavyHitters _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
+    "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
     "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
@@ -1181,6 +1182,12 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "j10_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON b.c_custkey > a.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer

@@ -511,4 +511,16 @@ object CoreQueries {
         (max(col("us")) - min(col("us"))).as("duration_us"))
       .orderBy(col("user_id"), col("session_idx"))
   }
+
+  /** j10 — fuzzy (edit-distance <= 1) self-join over customer names
+    * (ops.FuzzyJoin.editDistanceJoin): deletion-neighborhood blocking
+    * on 8-byte key hashes + levenshtein verification, never the
+    * quadratic all-pairs pass. The oracle IS the quadratic all-pairs
+    * pass (DuckDB can afford it at sf0.01) — byte-equality against it
+    * is the blocking-completeness proof on real data. */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.editDistanceJoin(
+        Tables.customer(spark, dir), "c_custkey", "c_name", maxDist = 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.FuzzyJoin
+import graft.functions.DeletionHoods
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference edit distance (classic DP) for the brute-force oracle. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Deterministic dirty-strings fixture: substitutions, inserts,
+    * deletes, transpositions (= lev 2), and exact duplicates, across
+    * MIXED lengths so the deletion-neighborhood handles non-Hamming
+    * cases. */
+  private def fixture: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val bases = Seq("wolfram", "spark", "catalyst", "tungsten",
+      "shuffle", "parquet", "arrow", "beam")
+    (0L until 400L).map { id =>
+      val b = bases((id % bases.size).toInt)
+      val s = (id / bases.size) % 5 match {
+        case 0 => b
+        case 1 => // substitution
+          val i = rnd.nextInt(b.length)
+          b.updated(i, ('a' + rnd.nextInt(26)).toChar)
+        case 2 => // insertion
+          val i = rnd.nextInt(b.length + 1)
+          b.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + b.substring(i)
+        case 3 => // deletion
+          val i = rnd.nextInt(b.length)
+          b.substring(0, i) + b.substring(i + 1)
+        case _ => // transposition (lev 2 unless adjacent chars equal)
+          val i = rnd.nextInt(b.length - 1)
+          b.substring(0, i) + b(i + 1) + b(i) + b.substring(i + 2)
+      }
+      (id, s)
+    }
+  }
+
+  private def bruteForce(rows: Seq[(Long, String)], maxDist: Int) =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      d = lev(sa, sb)
+      if d <= maxDist
+    } yield (ia, ib, d)).toSet
+
+  test("matches brute-force levenshtein at maxDist = 1 (mixed lengths)") {
+    val rows = fixture
+    val got = FuzzyJoin
+      .editDistanceJoin(rows.toDF("id", "s"), "id", "s", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == bruteForce(rows, 1))
+  }
+
+  test("matches brute-force levenshtein at maxDist = 2") {
+    val rows = fixture.take(200)
+    val got = FuzzyJoin
+      .editDistanceJoin(rows.toDF("id", "s"), "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == bruteForce(rows, 2))
+  }
+
+  test("exact duplicates on distinct ids surface at dist 0, once") {
+    val rows = Seq((1L, "same"), (2L, "same"), (3L, "same"))
+    val got = FuzzyJoin
+      .editDistanceJoin(rows.toDF("id", "s"), "id", "s", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
+
+  test("deletion neighborhood: identity first, distinct keys, unicode-safe") {
+    val df = Seq(("ab")).toDF("s")
+      .select(DeletionHoods.hoods($"s", 2).as("h"))
+    val h = df.as[Seq[Long]].head()
+    // "ab" with <=2 deletions: {ab, b, a, ""} — 4 distinct keys
+    assert(h.size == 4 && h.distinct.size == 4)
+    // deletions count code points, not UTF-16 units: a surrogate-pair
+    // char deletes as one unit
+    val wide = Seq(("a😀b")).toDF("s")
+      .select(size(DeletionHoods.hoods($"s", 1)).as("n")).as[Int].head()
+    assert(wide == 4) // identity + 3 single-deletions
+  }
+
+  test("plans with no cartesian/nested-loop join — blocking equi-join only") {
+    val plan = FuzzyJoin
+      .editDistanceJoin(fixture.toDF("id", "s"), "id", "s", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
