@@ -99,6 +99,7 @@ object SparkEntry {
     "t22_token_budget"      -> (TextQueries.tokenBudget _),
     "t23_shuffle_order"     -> (TextQueries.shuffleOrder _),
     "t21_boilerplate_strip" -> (TextQueries.boilerplateStrip _),
+    "t26_bpe_pairs"         -> (TextQueries.bpePairs _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "c1_contamination"      -> (TextQueries.contamination _),
@@ -1794,6 +1795,18 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // t26: direct per-instance pair counting — equal by algebra to the
+    // engine's word-frequency-weighted two-phase form. The inner range
+    // cap (32) only needs to exceed the corpus's max word length (8).
+    "t26_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |pairs AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM words, (SELECT unnest(range(1, 32)) AS i)
+        |  WHERE i <= len(w) - 1)
+        |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "t25_gopher_rules" ->
       """WITH s AS (
         |  SELECT doc_id,

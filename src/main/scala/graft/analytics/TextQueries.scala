@@ -419,4 +419,15 @@ object TextQueries {
         length(col("payload")).as("n_bytes"),
         md5(col("payload")).as("digest"))
       .orderBy(col("media_id"))
+
+  /** t26 — BPE merge-candidate table (ops.Bpe.pairCounts): the top-30
+    * corpus-weighted adjacent character pairs inside words — round 1
+    * of tokenizer training, surfaced as a query so the oracle checks
+    * the corpus-pass + vocab-weighting algebra that the full
+    * [[graft.ops.Bpe.train]] loop (BpeSpec) builds on. Ties broken by
+    * pair text; the limit rides TakeOrderedAndProject. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.pairCounts(Tables.documents(spark, dir), "text")
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
 }
