@@ -100,6 +100,7 @@ object SparkEntry {
     "t23_shuffle_order"     -> (TextQueries.shuffleOrder _),
     "t21_boilerplate_strip" -> (TextQueries.boilerplateStrip _),
     "t26_bpe_pairs"         -> (TextQueries.bpePairs _),
+    "t27_perplexity_tiers"  -> (TextQueries.perplexityBuckets _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "c1_contamination"      -> (TextQueries.contamination _),
@@ -1795,6 +1796,30 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // t27: the oracle uses the WINDOW ntile the engine's exactNtile
+    // replays distributively; the surprisal CTEs mirror t12's exactly
+    "t27_perplexity_tiers" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS total FROM wc),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |    avg(log2(total) - log2(c)) AS ms
+        |  FROM tok JOIN wc USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, n_words,
+        |    floor(ms * 10000 + 0.5) / 10000 AS score
+        |  FROM per),
+        |b AS (
+        |  SELECT n_words, score,
+        |    ntile(3) OVER (ORDER BY score, doc_id) AS bucket
+        |  FROM scored)
+        |SELECT bucket, count(*) AS n_docs,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // t26: direct per-instance pair counting — equal by algebra to the
     // engine's word-frequency-weighted two-phase form. The inner range
     // cap (32) only needs to exceed the corpus's max word length (8).

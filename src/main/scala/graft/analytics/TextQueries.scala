@@ -430,4 +430,25 @@ object TextQueries {
     graft.ops.Bpe.pairCounts(Tables.documents(spark, dir), "text")
       .orderBy(col("n").desc, col("pair"))
       .limit(30)
+
+  /** t27 — CCNet-style perplexity tiers: every doc scored by the t12
+    * unigram-LM surprisal, then split into equal-mass head/middle/tail
+    * thirds by [[graft.ops.Sampling.exactNtile]] — the distributed
+    * exact replay of `ntile(3) OVER (ORDER BY score, doc_id)` with no
+    * corpus-sized global sort (the histogram trick; see the op's
+    * scaladoc). Scores are rounded to 4 places BEFORE bucketing so the
+    * total order itself is engine-portable. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis
+      .unigramSurprisal(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"),
+        exactRound(col("mean_surprisal"), 4).as("score"))
+    graft.ops.Sampling.exactNtile(scored, "score", "doc_id", 3)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        sum(col("n_words")).as("total_words"))
+      .orderBy(col("bucket"))
+  }
 }

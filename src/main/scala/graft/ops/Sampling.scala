@@ -263,6 +263,52 @@ object Sampling {
       .limit(k)
   }
 
+  /** Distributed exact NTILE: adds `bucketCol` = the bucket (1..k)
+    * that `ntile(k) OVER (ORDER BY scoreCol, idCol)` would assign —
+    * WITHOUT the global single-partition sort the window formulation
+    * executes (every row through one task: the canonical scale
+    * killer; this is the equal-MASS bucketing CCNet-style quality
+    * tiering needs, where approximate percentile thresholds would
+    * break oracle-exactness).
+    *
+    * Construction: (1) score histogram (distinct-score-sized — for
+    * rounded quality scores, thousands of rows where the corpus has
+    * billions); (2) exclusive prefix counts over the histogram (the
+    * only unpartitioned window, histogram-sized; range-partitioned
+    * prefix sums are the escalation if score cardinality ever rivals
+    * the corpus); (3) rows rank within their score group by `idCol`
+    * (a PARTITIONED window — per-score groups, bounded); global rank
+    * = prefix + group rank, and the bucket falls out of ntile's
+    * integer size rule (first n % k buckets take one extra row).
+    * Ties across a boundary split exactly as the total order (score,
+    * id) dictates — bit-identical to the SQL window on any engine. */
+  def exactNtile(df: DataFrame, scoreCol: String, idCol: String, k: Int,
+                 bucketCol: String = "bucket"): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+    val cum = hist.select(col(scoreCol),
+      coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col(scoreCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__before"))
+    val total = hist.agg(sum(col("__cnt")).as("__n"))
+    val grpRank = row_number().over(
+      Window.partitionBy(col(scoreCol)).orderBy(col(idCol)))
+    df.join(cum, Seq(scoreCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__r", col("__before") + grpRank)
+      // ntile's rule in integer arithmetic: sizes are base+1 for the
+      // first rem buckets, base after; base = 0 (n < k) keeps every
+      // row in the first branch, so the base-divisor lane never runs
+      .withColumn(bucketCol, expr(s"""
+        CASE WHEN __r <= (__n % $k) * (__n DIV $k + 1)
+             THEN (__r + __n DIV $k) DIV (__n DIV $k + 1)
+             ELSE __n % $k + (__r - (__n % $k) * (__n DIV $k + 1)
+                              + __n DIV $k - 1) DIV (__n DIV $k)
+        END"""))
+      .drop("__before", "__n", "__r")
+  }
+
   def balancedRates(df: DataFrame, stratumCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
     val minc = counts.agg(min(col("n_docs")).as("__min"))
