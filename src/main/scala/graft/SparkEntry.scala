@@ -101,6 +101,7 @@ object SparkEntry {
     "t21_boilerplate_strip" -> (TextQueries.boilerplateStrip _),
     "t26_bpe_pairs"         -> (TextQueries.bpePairs _),
     "t27_perplexity_tiers"  -> (TextQueries.perplexityBuckets _),
+    "t28_leakage_free_split" -> (TextQueries.leakageFreeSplit _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "c1_contamination"      -> (TextQueries.contamination _),
@@ -1796,6 +1797,25 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // t28: recursive components (the d6 CTE) + the t5 PolyHash bucket
+    // rule applied to the component root instead of the doc id
+    "t28_leakage_free_split" ->
+      (componentsCte + s""",
+         |labeled AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    (c.node IS NOT NULL) AS in_group,
+         |    coalesce(c.component, d.doc_id) AS root
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |h AS (
+         |  SELECT in_group, n_chars, ${polyHash64Sql("w")} % 10000 AS bucket
+         |  FROM (SELECT in_group, n_chars,
+         |          CAST(root AS VARCHAR) || 'v1' AS w FROM labeled))
+         |SELECT CASE WHEN bucket < 8000 THEN 'train'
+         |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN in_group THEN 1 ELSE 0 END) AS BIGINT) AS n_grouped,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM h GROUP BY 1 ORDER BY split""".stripMargin),
     // t27: the oracle uses the WINDOW ntile the engine's exactNtile
     // replays distributively; the surprisal CTEs mirror t12's exactly
     "t27_perplexity_tiers" ->

@@ -431,6 +431,28 @@ object TextQueries {
       .orderBy(col("n").desc, col("pair"))
       .limit(30)
 
+  /** t28 — duplicate-aware split (ops.Sampling.leakageFreeSplit):
+    * t5's deterministic split, but keyed on the near-dup COMPONENT
+    * root (d6's verified MinHash components) so a test doc can never
+    * have a near-copy in train. The oracle replays components
+    * recursively in SQL, roots singletons at their own id, and applies
+    * the identical PolyHash bucket rule — the hash match proves both
+    * the grouping and the no-straddle property (same root ⇒ same
+    * bucket ⇒ same split, by construction on both engines). */
+  def leakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comps = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text", 0.8),
+      "id_a", "id_b")
+    graft.ops.Sampling.leakageFreeSplit(docs, "doc_id", comps,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "v1")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("in_dup_group").cast("long")).as("n_grouped"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"))
+  }
+
   /** t27 — CCNet-style perplexity tiers: every doc scored by the t12
     * unigram-LM surprisal, then split into equal-mass head/middle/tail
     * thirds by [[graft.ops.Sampling.exactNtile]] — the distributed

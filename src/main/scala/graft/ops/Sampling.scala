@@ -263,6 +263,37 @@ object Sampling {
       .limit(k)
   }
 
+  /** Leakage-free (duplicate-aware) train/val/test split: every row is
+    * assigned by the hash bucket of its duplicate-GROUP root, not its
+    * own id, so near-duplicates can never straddle splits — the
+    * classic eval-contamination path (a test doc whose near-copy sits
+    * in train inflates the metric exactly like test-set leakage).
+    *
+    * `components` is (node, component) from
+    * [[Dedup.connectedComponents]] over VERIFIED near-dup pairs; rows
+    * absent from it (singletons) root at their own id, so the split
+    * degenerates to [[splitLabel]] on a dup-free corpus.
+    *
+    * Scale: one id-keyed left join (components only carries docs that
+    * HAVE a near-dup — a small fraction of the corpus, and AQE
+    * broadcast-converts when it fits) + the map-side hash label. The
+    * expensive part is the near-dup pass itself, which a pipeline has
+    * already run for dedup — this op REUSES its output rather than
+    * re-discovering pairs. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, components: DataFrame,
+                       fractions: Seq[(String, Double)],
+                       salt: String = "v1",
+                       nodeCol: String = "node",
+                       componentCol: String = "component"): DataFrame = {
+    val comps = components.select(col(nodeCol).as(idCol),
+      col(componentCol).as("__comp"))
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("split_root", coalesce(col("__comp"), col(idCol)))
+      .withColumn("in_dup_group", col("__comp").isNotNull)
+      .withColumn("split", splitLabel(col("split_root"), fractions, salt))
+      .drop("__comp")
+  }
+
   /** Distributed exact NTILE: adds `bucketCol` = the bucket (1..k)
     * that `ntile(k) OVER (ORDER BY scoreCol, idCol)` would assign —
     * WITHOUT the global single-partition sort the window formulation
