@@ -46,6 +46,7 @@ object SparkEntry {
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
+    "cdc1_snapshot_diff"    -> (CoreQueries.snapshotDiff _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
     "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "a1_weighted_vec_mean"  -> (VectorQueries.weightedMeanByLabel _),
     "v1_cosine_top5"        -> (VectorQueries.cosineTop5 _),
     "w4_centroid_rep"       -> (VectorQueries.centroidRepresentative _),
+    "km1_kmeans"            -> (VectorQueries.kmeansSummary _),
     "a7_label_stats"        -> (VectorQueries.labelStats _),
     "g1_word_explode"       -> (NestedQueries.wordExplode _),
     "g2_ordered_reassembly" -> (NestedQueries.orderedReassembly _),
@@ -85,6 +87,7 @@ object SparkEntry {
     "t8_repetition"         -> (TextQueries.repetition _),
     "t9_pii_redact"         -> (TextQueries.pii _),
     "r1_bm25_search"        -> (TextQueries.bm25Search _),
+    "r2_hybrid_rrf"         -> (TextQueries.hybridRrf _),
     "t10_oov_rate"          -> (TextQueries.oovRate _),
     "t11_mixture_rates"     -> (TextQueries.mixtureRates _),
     "t12_surprisal"         -> (TextQueries.surprisal _),
@@ -427,7 +430,9 @@ object SparkEntry {
     * expressions, and the per-term scores are summed in the fixed
     * `BmTerms` order — so the only engine difference left is ln()'s
     * last ulp, absorbed by the 4-decimal exact round. */
-  private lazy val bm25OracleSql: String = {
+  /** Shared r1/r2 lexical-lane pieces: the CTE chain ending in `piv`
+    * and the fixed-order per-term score sum over it. */
+  private lazy val bm25Parts: (String, String) = {
     import graft.ops.Retrieval.{K1, B}
     val terms = TextQueries.BmTerms
     // terms interpolate into SQL string literals; pivot identifiers
@@ -459,12 +464,64 @@ object SparkEntry {
        |piv AS (
        |  SELECT doc_id, dl,
        |    $pivots
-       |  FROM sc GROUP BY doc_id, dl)
+       |  FROM sc GROUP BY doc_id, dl)""".stripMargin -> sumExpr
+  }
+
+  private lazy val bm25OracleSql: String = {
+    val (ctes, sumExpr) = bm25Parts
+    s"""$ctes
        |SELECT doc_id, CAST(dl AS INTEGER) AS dl,
        |  floor(($sumExpr) * 10000 + 0.5) / 10000 AS score
        |FROM piv
        |ORDER BY score DESC, doc_id
        |LIMIT 20""".stripMargin
+  }
+
+  /** r2 oracle: the r1 lexical lane and the v1-style dense cosine lane
+    * each ranked on their ROUNDED score grids (4dp / 6dp — the same
+    * grids the Spark side rounds on before ranking), cut to lane
+    * top-50, full-outer fused by `1/(60+lrank) + 1/(60+drank)` in that
+    * fixed order, top-20. RRF ordering uses the RAW fused double
+    * (exact int divisions — bit-identical across engines); the final
+    * 6dp round is the display grid only. */
+  private lazy val hybridRrfOracleSql: String = {
+    val (ctes, sumExpr) = bm25Parts
+    s"""$ctes,
+       |lexall AS (
+       |  SELECT doc_id, floor(($sumExpr) * 10000 + 0.5) / 10000 AS lscore
+       |  FROM piv),
+       |lexcut AS (
+       |  SELECT doc_id, lscore FROM lexall
+       |  ORDER BY lscore DESC, doc_id LIMIT 50),
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY lscore DESC, doc_id) AS INTEGER) AS lrank
+       |  FROM lexcut),
+       |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |pr AS (SELECT v AS pv FROM e WHERE doc_id = 0),
+       |densecut AS (
+       |  SELECT e.doc_id,
+       |    floor((list_dot_product(pr.pv, e.v) /
+       |      nullif(sqrt(list_dot_product(pr.pv, pr.pv)) *
+       |             sqrt(list_dot_product(e.v, e.v)), 0.0))
+       |      * 1000000 + 0.5) / 1000000 AS dscore
+       |  FROM e CROSS JOIN pr WHERE e.doc_id != 0
+       |  ORDER BY dscore DESC, doc_id LIMIT 50),
+       |dense AS (
+       |  SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY dscore DESC, doc_id) AS INTEGER) AS drank
+       |  FROM densecut),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lrank, d.drank,
+       |    coalesce(1.0 / (60.0 + l.lrank), 0.0) +
+       |    coalesce(1.0 / (60.0 + d.drank), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+       |cut AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+       |SELECT doc_id, lrank, drank,
+       |  floor(rrf * 1000000 + 0.5) / 1000000 AS rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
+       |FROM cut ORDER BY rn""".stripMargin
   }
 
   /** Shared CTE prefix for the t20/t21 boilerplate oracles: the planted
@@ -774,6 +831,78 @@ object SparkEntry {
           |ORDER BY p.doc_id""".stripMargin),
     "t9_pii_redact" -> piiOracleSql,
     "r1_bm25_search" -> bm25OracleSql,
+    "r2_hybrid_rrf" -> hybridRrfOracleSql,
+    // km1: both Lloyd rounds replayed — assignment = argmax cosine
+    // (ties to the SMALLEST centroid id: DESC NULLS LAST, cid — the
+    // SQL mirror of NearestCentroid's strict-> ascending scan; all-
+    // null sims also land on the lowest cid, matching the ids(0)
+    // sentinel), update = per-dim mean QUANTIZED to the 1e-6 grid
+    // before the next round (what makes iterate-then-compare
+    // engine-exact), empty clusters keep their previous centroid.
+    "km1_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (list_dot_product(e.v, c0.c) /
+        |         nullif(sqrt(list_dot_product(e.v, e.v)) *
+        |                sqrt(list_dot_product(c0.c, c0.c)), 0.0))
+        |        DESC NULLS LAST, c0.cid) AS rn
+        |    FROM e CROSS JOIN c0)
+        |  WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS val
+        |  FROM (
+        |    SELECT a1.cid, generate_subscripts(e.v, 1) AS dim,
+        |           unnest(e.v) AS val
+        |    FROM a1 JOIN e USING (vec_id))
+        |  GROUP BY cid, dim),
+        |c1 AS (
+        |  SELECT c0.cid,
+        |    CASE WHEN count(m1.val) = 0 THEN c0.c
+        |         ELSE list(m1.val ORDER BY m1.dim) END AS c
+        |  FROM c0 LEFT JOIN m1 ON c0.cid = m1.cid
+        |  GROUP BY c0.cid, c0.c),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c1.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (list_dot_product(e.v, c1.c) /
+        |         nullif(sqrt(list_dot_product(e.v, e.v)) *
+        |                sqrt(list_dot_product(c1.c, c1.c)), 0.0))
+        |        DESC NULLS LAST, c1.cid) AS rn
+        |    FROM e CROSS JOIN c1)
+        |  WHERE rn = 1),
+        |cnt AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+        |SELECT c1.cid AS cluster_id, coalesce(cnt.n, 0) AS n,
+        |  floor(sqrt(list_dot_product(c1.c, c1.c)) * 1000000 + 0.5)
+        |    / 1000000 AS cnorm
+        |FROM c1 LEFT JOIN cnt ON c1.cid = cnt.cid
+        |ORDER BY cluster_id""".stripMargin,
+    "cdc1_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |n AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 != 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey, op FROM (
+        |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'I'
+        |         WHEN n.c_custkey IS NULL THEN 'D'
+        |         WHEN o.c_name != n.c_name OR o.c_acctbal != n.c_acctbal
+        |              OR o.c_mktsegment != n.c_mktsegment THEN 'U' END AS op
+        |  FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+        |WHERE op IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
     "t10_oov_rate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

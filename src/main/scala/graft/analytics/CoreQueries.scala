@@ -523,4 +523,26 @@ object CoreQueries {
         Tables.customer(spark, dir), "c_custkey", "c_name", maxDist = 1)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** cdc1 — snapshot diff (ops.Cdc.snapshotDiff): the "new" snapshot
+    * is derived deterministically from customer (every 7th key
+    * deleted, every remaining 5th key's balance bumped, every 13th
+    * key re-inserted under a shifted key), so the oracle can derive
+    * the identical pair and diff it by direct column comparison while
+    * the Spark side diffs by 64-bit value digest — agreement proves
+    * the digest classification exact on real data. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val newSnap = c.filter(col("c_custkey") % 7 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .unionByName(
+        c.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+    graft.ops.Cdc.snapshotDiff(c, newSnap,
+        keyCols = Seq("c_custkey"),
+        valueCols = Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -26,6 +26,16 @@ object TextQueries {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  /** r2 — hybrid BM25 + dense-cosine retrieval fused by RRF
+    * (ops.Retrieval.hybridRrf): the r1 lexical lane and a v1-style
+    * probe-cosine dense lane (probe = vec_id 0), each cut to its lane
+    * top-50 by TakeOrderedAndProject, fused by 1/(60+rank) in fixed
+    * order. documents.doc_id and embeddings.vec_id are aligned ids. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.hybridRrf(
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      "doc_id", "text", "vec_id", "embedding", BmTerms, probeId = 0L)
+
   /** c2 — end-to-end corpus build, the flagship COMPOSITION exemplar:
     * normalize → exact-dedup survivors → quality gate → deterministic
     * split → per-(split, source) manifest. Every stage is one of this

@@ -169,6 +169,16 @@ object VectorQueries {
         exactRound(stddev_samp(col("x")), 6).as("std_x"))
       .orderBy(col("label"))
 
+  /** km1 — distributed spherical k-means (ops.KMeans.lloydSummary):
+    * two Lloyd rounds over the embeddings, k=8, seeded by vec_id<8.
+    * The oracle replays both rounds in SQL; agreement is only possible
+    * because each updated centroid is quantized to the 1e-6 grid
+    * before the next assignment (see the op's scaladoc) — an
+    * oracle-exact ITERATIVE float algorithm. */
+  def kmeansSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.KMeans.lloydSummary(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, rounds = 2)
+
   /** U5/F9 + W5 — cosine top-5 neighbors for the first 5 vectors
     * (reference: top-5 nearest neighbors per cluster,
     * clustering/helpers.py:185-226). The probe side is tiny and

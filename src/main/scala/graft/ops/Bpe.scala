@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   * The word-count exchange carries the word STRINGS (not digests):
   * unlike t12's count-join, the downstream pair extraction needs the
   * characters themselves, and a word string is digest-scale (~8 bytes)
-  * anyway. Pair extraction uses `transform`/`sequence` HOFs —
-  * interpreted, but over the VOCAB table, not the corpus; the corpus
-  * pass is pure codegen split+explode.
+  * anyway. Pair extraction is codegen'd position-explode + substring
+  * (no interpreted HOF lambda); the corpus pass is pure codegen
+  * split+explode.
   */
 object Bpe {
 
@@ -38,13 +38,18 @@ object Bpe {
     * the merge-candidate table of BPE round 1, and a corpus statistic
     * in its own right (the t26 oracle query). Weighting via the
     * word-frequency table is exactly equal to counting over every word
-    * instance (the formulation the DuckDB oracle replays). */
+    * instance (the formulation the DuckDB oracle replays).
+    *
+    * Pair extraction is `explode(sequence) + substring` — position
+    * rows, not an interpreted `transform` lambda: same row count
+    * either way (one per pair), but every expression stays inside
+    * whole-stage codegen (the t26 PlanSpec lambda guard). */
   def pairCounts(df: DataFrame, textCol: String): DataFrame =
     wordFrequencies(df, textCol)
       .where(length(col("word")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
-        .as("pair"), col("freq"))
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("freq"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
 
   /** Merge every non-overlapping (a, b) occurrence left-to-right —

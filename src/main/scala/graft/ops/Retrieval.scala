@@ -59,4 +59,98 @@ object Retrieval {
       .withColumn("score", score)
       .select(col("doc_id"), col("dl"), col("score"))
   }
+
+  /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    * (Cormack et al., SIGIR'09: score = Σ_lanes 1/(k + rank)) — the
+    * standard first-stage retriever of a RAG / targeted-corpus-slicing
+    * pipeline, where BM25 catches exact-term matches and the embedding
+    * lane catches paraphrases.
+    *
+    * Scale shape: each lane ends in `orderBy(...).limit(k)` =
+    * TakeOrderedAndProject (per-partition partial top-k; the corpus is
+    * never globally sorted). Ranks over the ALREADY-BOUNDED k rows are
+    * assigned WINDOWLESSLY (a broadcast O(k²) comparison join —
+    * trivially cheap at k=50 and it keeps the whole query surface free
+    * of unpartitioned windows, the PlanSpec invariant), and the fuse
+    * is a k×k full-outer join on ids. The only corpus-sized work is
+    * the two scans: BM25's pruned token shuffle and one broadcast-
+    * probe cosine pass. At 100 TB both lanes stay map-side +
+    * TakeOrdered; the fusion cost is O(k²) with k fixed.
+    *
+    * Engine-portable determinism: lane ranks are computed on ROUNDED
+    * scores (4dp lexical / 6dp dense — the same grids r1/v1 use) with
+    * id tie-breaks, and the RRF sum `1/(K+lr) + 1/(K+dr)` is two
+    * exact-int divisions added in fixed order, so an SQL oracle
+    * reproduces the exact ranking.
+    *
+    * @param docs  (idCol, textCol) corpus for the lexical lane
+    * @param embs  (embIdCol, vecCol) embeddings for the dense lane;
+    *              embIdCol aligns with docs' idCol
+    * @param probeId probe row of embs (the query embedding), excluded
+    *              from dense candidates
+    */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, idCol: String,
+                textCol: String, embIdCol: String, vecCol: String,
+                terms: Seq[String], probeId: Long, laneK: Int = 50,
+                rrfK: Int = 60, topK: Int = 20): DataFrame = {
+    import graft.functions.Rounding.exactRound
+    import graft.functions.{VectorFunctions => VF}
+
+    val lexTop = bm25(docs, idCol, textCol, terms)
+      .select(col("doc_id"), exactRound(col("score"), 4).as("lscore"))
+      .orderBy(col("lscore").desc, col("doc_id"))
+      .limit(laneK)
+    val lex = rankBounded(lexTop, "lscore", "lrank")
+
+    val e = embs.select(col(embIdCol).cast("long").as("doc_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val p = e.filter(col("doc_id") === probeId)
+      .select(col("v").as("pv"))
+    val denseTop = e.crossJoin(broadcast(p))
+      .filter(col("doc_id") =!= probeId)
+      .select(col("doc_id"),
+        exactRound(VF.cosine(col("pv"), col("v")), 6).as("dscore"))
+      .orderBy(col("dscore").desc, col("doc_id"))
+      .limit(laneK)
+    val dense = rankBounded(denseTop, "dscore", "drank")
+
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lrank"), col("drank"),
+        // fixed association order: lexical term first, then dense
+        (coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("lrank")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("drank")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+    // ordering/rank is decided on the RAW rrf doubles (bit-identical
+    // across engines: exact int divisions summed in fixed order); the
+    // 6dp round is display-grid only
+    rankBounded(fused.select(col("doc_id"), col("lrank"), col("drank"),
+        col("rrf")), "rrf", "rn",
+        carry = Seq("lrank", "drank"))
+      .select(col("doc_id"), col("lrank"), col("drank"),
+        exactRound(col("rrf"), 6).as("rrf"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  /** `row_number() OVER (ORDER BY scoreCol DESC, doc_id)` for a
+    * BOUNDED (post-limit) frame, computed without any window: rank =
+    * 1 + |rows strictly ahead in the (score desc, doc_id) total
+    * order|, via a broadcast comparison self-join. O(k²) comparisons
+    * on k ≤ laneK rows — constant-cost, and it keeps unpartitioned
+    * windows out of the plan (the PlanSpec scale invariant: rank
+    * logic that silently works at k rows must not become a global
+    * single-partition sort when someone lifts the limit — this shape
+    * degrades into an obvious O(n²) join instead, which a reviewer
+    * sees immediately). */
+  private def rankBounded(df: DataFrame, scoreCol: String, outCol: String,
+                          carry: Seq[String] = Nil): DataFrame = {
+    val right = df.select(col("doc_id").as("__rid"),
+      col(scoreCol).as("__rs"))
+    val ahead = col("__rs") > col(scoreCol) ||
+      (col("__rs") === col(scoreCol) && col("__rid") < col("doc_id"))
+    df.join(broadcast(right), ahead, "left")
+      .groupBy((col("doc_id") +: col(scoreCol) +: carry.map(col)): _*)
+      .agg((count(col("__rid")) + 1).cast("int").as(outCol))
+  }
 }

@@ -304,24 +304,42 @@ object Sampling {
     *
     * Construction: (1) score histogram (distinct-score-sized — for
     * rounded quality scores, thousands of rows where the corpus has
-    * billions); (2) exclusive prefix counts over the histogram (the
-    * only unpartitioned window, histogram-sized; range-partitioned
-    * prefix sums are the escalation if score cardinality ever rivals
-    * the corpus); (3) rows rank within their score group by `idCol`
-    * (a PARTITIONED window — per-score groups, bounded); global rank
-    * = prefix + group rank, and the bucket falls out of ntile's
-    * integer size rule (first n % k buckets take one extra row).
-    * Ties across a boundary split exactly as the total order (score,
-    * id) dictates — bit-identical to the SQL window on any engine. */
+    * billions); (2) exclusive prefix counts over the histogram via
+    * RANGE-partitioned per-partition windows + driver-cumulated
+    * partition offsets (one bounded nParts-row collect — the same
+    * broadcast-offset layout as q12; NO unpartitioned window even at
+    * histogram size, so the op survives a score cardinality that
+    * rivals the corpus); (3) rows rank within their score group by
+    * `idCol` (a PARTITIONED window — per-score groups, bounded);
+    * global rank = prefix + group rank, and the bucket falls out of
+    * ntile's integer size rule (first n % k buckets take one extra
+    * row). Ties across a boundary split exactly as the total order
+    * (score, id) dictates — bit-identical to the SQL window on any
+    * engine. */
   def exactNtile(df: DataFrame, scoreCol: String, idCol: String, k: Int,
                  bucketCol: String = "bucket"): DataFrame = {
     require(k >= 1)
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint pins the range partitioning so the offset collect
+    // and the final join read ONE materialization with stable pids
     val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
-    val cum = hist.select(col(scoreCol),
-      coalesce(sum(col("__cnt")).over(
-        Window.orderBy(col(scoreCol))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__before"))
+      .repartitionByRange(nParts, col(scoreCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // bounded collect: one (pid, mass) row per partition
+    val parts = hist.groupBy(col("__pid")).agg(sum(col("__cnt")).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = parts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__poff")
+    val wp = Window.partitionBy(col("__pid")).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.join(broadcast(offDf), Seq("__pid"))
+      .select(col(scoreCol),
+        (coalesce(sum(col("__cnt")).over(wp), lit(0L)) + col("__poff"))
+          .as("__before"))
     val total = hist.agg(sum(col("__cnt")).as("__n"))
     val grpRank = row_number().over(
       Window.partitionBy(col(scoreCol)).orderBy(col(idCol)))

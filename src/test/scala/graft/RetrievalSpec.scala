@@ -56,4 +56,50 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("Window"))
   }
+
+  test("hybrid RRF fuses lane ranks; single-lane docs carry null ranks") {
+    val terms = Seq("spark", "hash", "join")
+    val docs = corpus.toDF("doc_id", "text")
+    val embs = Seq(
+      0L -> Seq(1.0f, 0.0f), // probe
+      1L -> Seq(1.0f, 0.0f),
+      2L -> Seq(0.5f, 0.5f),
+      3L -> Seq(0.0f, 1.0f),
+      4L -> Seq(0.9f, 0.1f)).toDF("vec_id", "embedding")
+
+    val out = Retrieval.hybridRrf(docs, embs, "doc_id", "text",
+        "vec_id", "embedding", terms, probeId = 0L)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        r.getDouble(3), r.getInt(4))).toList
+
+    // expected lexical ranks from the (independently verified) bm25,
+    // on the same 4dp grid the operator ranks on
+    val lexRanks = Retrieval.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0),
+        math.floor(r.getDouble(2) * 1e4 + 0.5) / 1e4))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // dense ranks by hand: cos vs [1,0] -> 1:1.0, 4:~0.9939,
+    // 2:~0.7071, 3:0.0 (probe 0 excluded)
+    val denseRanks = Map(1L -> 1, 4L -> 2, 2L -> 3, 3L -> 4)
+    def rrf(id: Long) =
+      lexRanks.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+      denseRanks.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+    val expected = (lexRanks.keySet ++ denseRanks.keySet).toSeq
+      .sortBy(id => (-rrf(id), id)).zipWithIndex
+      .map { case (id, i) => (id, lexRanks.get(id), denseRanks.get(id),
+        math.floor(rrf(id) * 1e6 + 0.5) / 1e6, i + 1) }.toList
+
+    assert(lexRanks.keySet == Set(1L, 2L, 4L)) // doc 3 is dense-only
+    assert(out === expected)
+  }
+
+  test("r2 plan: no window anywhere — bounded ranks come from the comparison join") {
+    val df = graft.analytics.TextQueries.hybridRrf(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(df.count() == 20)
+  }
 }
