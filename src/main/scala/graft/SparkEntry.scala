@@ -47,6 +47,7 @@ object SparkEntry {
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
     "cdc1_snapshot_diff"    -> (CoreQueries.snapshotDiff _),
+    "pr1_pagerank"          -> (CoreQueries.pagerankTop _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
     "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
@@ -61,6 +62,8 @@ object SparkEntry {
     "v1_cosine_top5"        -> (VectorQueries.cosineTop5 _),
     "w4_centroid_rep"       -> (VectorQueries.centroidRepresentative _),
     "km1_kmeans"            -> (VectorQueries.kmeansSummary _),
+    "svd1_power_iteration"  -> (VectorQueries.svdTop _),
+    "mmr1_diversified"      -> (VectorQueries.mmrDiversified _),
     "a7_label_stats"        -> (VectorQueries.labelStats _),
     "g1_word_explode"       -> (NestedQueries.wordExplode _),
     "g2_ordered_reassembly" -> (NestedQueries.orderedReassembly _),
@@ -430,6 +433,124 @@ object SparkEntry {
     * expressions, and the per-term scores are summed in the fixed
     * `BmTerms` order — so the only engine difference left is ln()'s
     * last ulp, absorbed by the 4-decimal exact round. */
+  /** svd1 oracle: the full 3-round power iteration unrolled as CTEs —
+    * each round computes s = x·v (list_dot_product against the
+    * previous QUANTIZED iterate, bit-identical on both engines),
+    * u = Σ s·x per dim, sign-flips on u[1] < 0, normalizes, and
+    * quantizes to the 1e-6 grid exactly as graft.ops.Svd does. The
+    * uniform 1/8 start is binary-exact. */
+  private lazy val svdOracleSql: String = {
+    val dim = 64
+    val v0 = s"CAST([${Seq.fill(dim)("0.125").mkString(", ")}] AS DOUBLE[])"
+    def round(t: Int, vexpr: String): String =
+      s"""s$t AS (SELECT vec_id, list_dot_product(v, $vexpr) AS s FROM e),
+         |u$t AS (
+         |  SELECT dim, sum(s * val) AS uv FROM (
+         |    SELECT s$t.s AS s, generate_subscripts(e.v, 1) AS dim,
+         |           unnest(e.v) AS val
+         |    FROM e JOIN s$t USING (vec_id))
+         |  GROUP BY dim),
+         |f$t AS (
+         |  SELECT dim, CASE WHEN (SELECT uv FROM u$t WHERE dim = 1) < 0
+         |                   THEN -uv ELSE uv END AS uv
+         |  FROM u$t),
+         |n$t AS (SELECT sqrt(sum(uv * uv)) AS nrm FROM f$t),
+         |v$t AS (
+         |  SELECT dim, floor(uv / nrm * 1000000 + 0.5) / 1000000 AS val
+         |  FROM f$t CROSS JOIN n$t)""".stripMargin
+    def prevList(t: Int): String = s"(SELECT list(val ORDER BY dim) FROM v$t)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |${round(1, v0)},
+       |${round(2, prevList(1))},
+       |${round(3, prevList(2))}
+       |SELECT v3.dim, v3.val AS loading,
+       |  (SELECT floor(nrm * 1000000 + 0.5) / 1000000 FROM n3) AS lambda
+       |FROM v3 ORDER BY dim""".stripMargin
+  }
+
+  /** mmr1 oracle: all five greedy MMR selections unrolled. `(1.0-0.7)`
+    * is written as the expression, NOT its shortest decimal 0.3 — both
+    * engines must compute the same 0.30000000000000004 double for the
+    * greedy scores to compare bit-identically. */
+  private lazy val mmrOracleSql: String = {
+    val cos = (x: String, y: String) =>
+      s"list_dot_product($x, $y) / nullif(sqrt(list_dot_product($x, $x)) * " +
+      s"sqrt(list_dot_product($y, $y)), 0.0)"
+    def step(t: Int): String =
+      s"""p$t AS (
+         |  SELECT c.doc_id, c.rel,
+         |    0.7 * c.rel - (1.0 - 0.7) * max(ps.sim) AS mmr
+         |  FROM cand c JOIN ps ON ps.i = c.doc_id
+         |  WHERE ps.j IN (SELECT doc_id FROM s${t - 1})
+         |    AND c.doc_id NOT IN (SELECT doc_id FROM s${t - 1})
+         |  GROUP BY c.doc_id, c.rel
+         |  ORDER BY mmr DESC, c.doc_id LIMIT 1),
+         |s$t AS (SELECT * FROM s${t - 1}
+         |        UNION ALL SELECT $t, doc_id, rel, mmr FROM p$t)""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |pr AS (SELECT v AS pv FROM e WHERE doc_id = 0),
+       |cand AS (
+       |  SELECT e.doc_id, e.v,
+       |    floor((${cos("pr.pv", "e.v")}) * 1000000 + 0.5) / 1000000 AS rel
+       |  FROM e CROSS JOIN pr WHERE e.doc_id != 0
+       |  ORDER BY rel DESC, doc_id LIMIT 50),
+       |ps AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    floor((${cos("a.v", "b.v")}) * 1000000 + 0.5) / 1000000 AS sim
+       |  FROM cand a JOIN cand b ON a.doc_id != b.doc_id),
+       |p1 AS (SELECT doc_id, rel, 0.7 * rel - (1.0 - 0.7) * 0.0 AS mmr
+       |       FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+       |s1 AS (SELECT 1 AS sel_rank, doc_id, rel, mmr FROM p1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT CAST(sel_rank AS INTEGER) AS sel_rank, doc_id, rel,
+       |  floor(mmr * 1000000 + 0.5) / 1000000 AS mmr
+       |FROM s5 ORDER BY sel_rank""".stripMargin
+  }
+
+  /** pr1 oracle: the 3-round PageRank unrolled — same trade-graph
+    * construction, same per-round 1e-9 rank quantization, same
+    * dangling-mass formula written in the identical association order
+    * as ops.PageRank's column expression. */
+  private lazy val pagerankOracleSql: String = {
+    def round(t: Int): String = {
+      val p = s"r${t - 1}"
+      s"""c$t AS (
+         |  SELECT ed.dst AS node, sum(r.rank / r.deg) AS in_mass
+         |  FROM $p r JOIN ed ON r.node = ed.src
+         |  WHERE r.deg > 0 GROUP BY ed.dst),
+         |d$t AS (SELECT coalesce(sum(rank), 0.0) AS dmass
+         |        FROM $p WHERE deg = 0),
+         |r$t AS (
+         |  SELECT p.node, p.deg,
+         |    floor(((1.0 - 0.85) / nn.n
+         |           + 0.85 * (coalesce(c.in_mass, 0.0) + d.dmass / nn.n))
+         |      * 1000000000 + 0.5) / 1000000000 AS rank
+         |  FROM (SELECT node, deg FROM $p) p
+         |  LEFT JOIN c$t c ON p.node = c.node
+         |  CROSS JOIN d$t d CROSS JOIN nn)""".stripMargin
+    }
+    s"""WITH pe AS (
+       |  SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |ed AS (SELECT c AS src, s AS dst FROM pe
+       |       UNION ALL SELECT s, c FROM pe),
+       |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |dg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY src),
+       |b AS (SELECT nd.node, coalesce(dg.deg, 0) AS deg
+       |      FROM nd LEFT JOIN dg USING (node)),
+       |nn AS (SELECT count(*) AS n FROM b),
+       |r0 AS (SELECT node, deg,
+       |         floor(1.0 / nn.n * 1000000000 + 0.5) / 1000000000 AS rank
+       |       FROM b CROSS JOIN nn),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, rank FROM r3
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   /** Shared r1/r2 lexical-lane pieces: the CTE chain ending in `piv`
     * and the fixed-order per-term score sum over it. */
   private lazy val bm25Parts: (String, String) = {
@@ -832,6 +953,9 @@ object SparkEntry {
     "t9_pii_redact" -> piiOracleSql,
     "r1_bm25_search" -> bm25OracleSql,
     "r2_hybrid_rrf" -> hybridRrfOracleSql,
+    "svd1_power_iteration" -> svdOracleSql,
+    "pr1_pagerank" -> pagerankOracleSql,
+    "mmr1_diversified" -> mmrOracleSql,
     // km1: both Lloyd rounds replayed — assignment = argmax cosine
     // (ties to the SMALLEST centroid id: DESC NULLS LAST, cid — the
     // SQL mirror of NearestCentroid's strict-> ascending scan; all-

@@ -524,6 +524,27 @@ object CoreQueries {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** pr1 — PageRank (ops.PageRank.ranks) over the customer↔supplier
+    * trade graph (distinct (o_custkey, l_suppkey) pairs via
+    * orders⋈lineitem, suppliers offset into a disjoint id range,
+    * edges in both directions): top-20 nodes by centrality. Three
+    * rounds, ranks quantized to the 1e-9 grid each round — the same
+    * trick that makes km1/svd1 oracle-exact, applied to graph
+    * iteration. */
+  def pagerankTop(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (lit(1000000L) + col("l_suppkey")).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
   /** cdc1 — snapshot diff (ops.Cdc.snapshotDiff): the "new" snapshot
     * is derived deterministically from customer (every 7th key
     * deleted, every remaining 5th key's balance bumped, every 13th

@@ -179,6 +179,24 @@ object VectorQueries {
     graft.ops.KMeans.lloydSummary(
       Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, rounds = 2)
 
+  /** svd1 — matrix-free truncated SVD (ops.Svd.powerIterationTop):
+    * three power-iteration rounds over the embeddings; the iterate is
+    * sign-canonicalized + 1e-6-quantized after every round, so the
+    * oracle replays the full iteration exactly — distributed linear
+    * algebra under the hash gate. */
+  def svdTop(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Svd.powerIterationTop(
+      Tables.embeddings(spark, dir), "embedding", iters = 3)
+
+  /** mmr1 — MMR-diversified rerank (ops.Retrieval.mmrRerank) of probe
+    * 0's dense top-50 page: 5 greedy selections trading relevance
+    * against redundancy. The oracle unrolls all five selection steps;
+    * quantized sims + exact-constant arithmetic make the greedy
+    * engine-portable. */
+  def mmrDiversified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.mmrRerank(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", probeId = 0L)
+
   /** U5/F9 + W5 — cosine top-5 neighbors for the first 5 vectors
     * (reference: top-5 nearest neighbors per cluster,
     * clustering/helpers.py:185-226). The probe side is tiny and

@@ -71,3 +71,32 @@ object VecWeightedMean
 
   def apply(vec: Column, weight: Column): Column = asUdaf(vec, weight)
 }
+
+/** Σ wᵢ·vᵢ with NO division — the matrix-free `Xᵀ(Xv)` building block
+  * of [[graft.ops.Svd]]'s power iteration (a weighted MEAN is the
+  * wrong primitive there: the weight sum `Σ dot(xᵢ, v)` can be ~0 for
+  * centered data, and its sign would flip the direction). Same
+  * mutable buffer/partial-aggregation shape as [[VecWeightedMean]] —
+  * the shuffle carries dim doubles per partition, never rows. */
+object VecWeightedSum
+    extends Aggregator[(Seq[Float], Double), (Array[Double], Double), Seq[Double]] {
+
+  override def zero: (Array[Double], Double) = VecWeightedMean.zero
+  override def reduce(b: (Array[Double], Double),
+                      a: (Seq[Float], Double)): (Array[Double], Double) =
+    VecWeightedMean.reduce(b, a)
+  override def merge(x: (Array[Double], Double),
+                     y: (Array[Double], Double)): (Array[Double], Double) =
+    VecWeightedMean.merge(x, y)
+  override def finish(b: (Array[Double], Double)): Seq[Double] =
+    if (b._1.isEmpty) null else b._1.toSeq
+
+  override def bufferEncoder: Encoder[(Array[Double], Double)] =
+    Encoders.tuple(ExpressionEncoder[Array[Double]](), Encoders.scalaDouble)
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+
+  lazy val asUdaf =
+    udaf(this, ExpressionEncoder[(Seq[Float], Double)]())
+
+  def apply(vec: Column, weight: Column): Column = asUdaf(vec, weight)
+}

@@ -133,6 +133,71 @@ object Retrieval {
       .orderBy(col("rn"))
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein '98) of
+    * the dense lane's top-k: greedily select `m` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the diversity-aware
+    * second stage every retrieval/RAG pipeline runs on its first-stage
+    * page.
+    *
+    * Scale/boundedness contract: the corpus-sized work is exactly the
+    * first-stage TakeOrdered top-k (one broadcast-probe cosine scan).
+    * Everything after operates on the k-row page: pairwise sims are a
+    * k×k broadcast join of codegen cosines, and the greedy loop runs
+    * on the driver over the COLLECTED k·(k−1) sim table (~20 KB at
+    * k=50 — bounded by construction, the t-SNE-tail pattern). m and k
+    * are rerank-page constants, never data-sized.
+    *
+    * Engine-portability: rel and sims are 1e-6-quantized BEFORE the
+    * greedy; every arithmetic constant is written so both engines
+    * compute identical doubles (`1.0 - λ`, not its shortest decimal) —
+    * the oracle unrolls all `m` selection steps and matches the
+    * hash. */
+  def mmrRerank(embs: DataFrame, idCol: String, vecCol: String,
+                probeId: Long, laneK: Int = 50, m: Int = 5,
+                lam: Double = 0.7): DataFrame = {
+    import graft.functions.Rounding.exactRound
+    import graft.functions.{VectorFunctions => VF}
+    val spark = embs.sparkSession
+    val e = embs.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val p = e.filter(col("doc_id") === probeId).select(col("v").as("pv"))
+    val cand = e.crossJoin(broadcast(p))
+      .filter(col("doc_id") =!= probeId)
+      .select(col("doc_id"), col("v"),
+        exactRound(VF.cosine(col("pv"), col("v")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("doc_id"))
+      .limit(laneK)
+      .localCheckpoint() // bounded page: laneK rows, read twice below
+    val a = cand.select(col("doc_id").as("i"), col("v").as("vi"))
+    val b = cand.select(col("doc_id").as("j"), col("v").as("vj"))
+    // bounded collects: k rels + k(k-1) pairwise sims
+    val sims = a.join(broadcast(b), col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        exactRound(VF.cosine(col("vi"), col("vj")), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rels = cand.select(col("doc_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rels.toSeq: _*)
+    while (selected.size < m && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { case (id, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sims.getOrElse((id, s._1), 0.0)).max
+        (id, rel, lam * rel - (1.0 - lam) * maxSim)
+      }
+      val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+      selected += best
+      remaining.remove(best._1)
+    }
+    val r6 = (x: Double) => math.floor(x * 1000000 + 0.5) / 1000000
+    spark.createDataFrame(selected.toSeq.zipWithIndex.map {
+        case ((id, rel, sc), i) => (i + 1, id, rel, r6(sc)) })
+      .toDF("sel_rank", "doc_id", "rel", "mmr")
+      .orderBy(col("sel_rank"))
+  }
+
   /** `row_number() OVER (ORDER BY scoreCol DESC, doc_id)` for a
     * BOUNDED (post-limit) frame, computed without any window: rank =
     * 1 + |rows strictly ahead in the (score desc, doc_id) total

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1 and 2 cite each other; 3 cites 1; 4 is cited by 3 but cites
+  // nobody (dangling)
+  private val edges = Seq(
+    (1L, 2L), (2L, 1L), (3L, 1L), (3L, 4L))
+
+  private def run(iters: Int = 3) =
+    PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("mass conserves to 1 with dangling redistribution") {
+    val r = run()
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, r.toString)
+  }
+
+  test("the most-cited node ranks highest; the uncited source lowest") {
+    val r = run()
+    assert(r(1L) == r.values.max) // cited by 2 and 3
+    assert(r(3L) == r.values.min) // nobody cites 3
+  }
+
+  test("ranks sit exactly on the 1e-9 grid and repeat deterministically") {
+    val r1 = run(); val r2 = run()
+    assert(r1 == r2)
+    r1.values.foreach { x =>
+      assert(x == math.floor(x * 1e9 + 0.5) / 1e9, s"off-grid: $x")
+    }
+  }
+
+  test("duplicate edges in the input do not double-count") {
+    val dup = (edges ++ edges).toDF("src", "dst")
+    val r = PageRank.ranks(dup, "src", "dst", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r == run())
+  }
+}
