@@ -106,6 +106,7 @@ object SparkEntry {
     "t23_shuffle_order"     -> (TextQueries.shuffleOrder _),
     "t21_boilerplate_strip" -> (TextQueries.boilerplateStrip _),
     "t26_bpe_pairs"         -> (TextQueries.bpePairs _),
+    "lr1_quality_classifier" -> (TextQueries.qualityClassifier _),
     "t27_perplexity_tiers"  -> (TextQueries.perplexityBuckets _),
     "t28_leakage_free_split" -> (TextQueries.leakageFreeSplit _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
@@ -467,6 +468,52 @@ object SparkEntry {
        |SELECT v3.dim, v3.val AS loading,
        |  (SELECT floor(nrm * 1000000 + 0.5) / 1000000 FROM n3) AS lambda
        |FROM v3 ORDER BY dim""".stripMargin
+  }
+
+  /** lr1 oracle: 3 GD steps unrolled. Each step's sigma/gradient is
+    * written in the identical association order as ops.Logistic's
+    * column expressions; weights quantize to the 1e-6 grid per step,
+    * absorbing exp/ln last-ulp engine differences that enter through
+    * the gradient sums. */
+  private lazy val logisticOracleSql: String = {
+    def sg(w: String) =
+      s"1.0 / (1.0 + exp(-($w.w0 * x0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3)))"
+    def step(t: Int): String = {
+      val p = s"w${t - 1}"
+      val g = (0 to 3)
+        .map(j => s"sum((${sg("w")} - y) * x$j) AS g$j").mkString(",\n    ")
+      s"""g$t AS (
+         |  SELECT $g
+         |  FROM f CROSS JOIN $p w),
+         |w$t AS (
+         |  SELECT ${(0 to 3).map(j =>
+              s"floor((w.w$j - 1.0 * (g.g$j / nn.n)) * 1000000 + 0.5) / 1000000 AS w$j")
+              .mkString(",\n    ")}
+         |  FROM g$t g CROSS JOIN $p w CROSS JOIN nn)""".stripMargin
+    }
+    s"""WITH f AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    1.0 AS x0,
+       |    n_chars / 1000.0 AS x1,
+       |    len(string_split(text, ' ')) / 100.0 AS x2,
+       |    n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x3
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM f),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |lsum AS (
+       |  SELECT sum(-(y * ln(${sg("w")}) +
+       |    (1.0 - y) * ln(1.0 - ${sg("w")}))) AS sl
+       |  FROM f CROSS JOIN w3 w),
+       |ls AS (
+       |  SELECT floor((s.sl / nn.n) * 1000000 + 0.5) / 1000000 AS loss
+       |  FROM lsum s CROSS JOIN nn)
+       |${(0 to 3).map(j =>
+            s"SELECT $j AS feature, w.w$j AS weight, l.loss FROM w3 w CROSS JOIN ls l")
+            .mkString("\nUNION ALL\n")}
+       |ORDER BY feature""".stripMargin
   }
 
   /** mmr1 oracle: all five greedy MMR selections unrolled. `(1.0-0.7)`
@@ -2096,6 +2143,7 @@ object SparkEntry {
     // t26: direct per-instance pair counting — equal by algebra to the
     // engine's word-frequency-weighted two-phase form. The inner range
     // cap (32) only needs to exceed the corpus's max word length (8).
+    "lr1_quality_classifier" -> logisticOracleSql,
     "t26_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -540,7 +540,10 @@ object CoreQueries {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-    graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3)
+    // pairs is distinct and the two directed copies live in disjoint
+    // id ranges, so the edge list is distinct by construction
+    graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3,
+        assumeDistinct = true)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
   }

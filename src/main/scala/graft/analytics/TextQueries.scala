@@ -430,6 +430,23 @@ object TextQueries {
         md5(col("payload")).as("digest"))
       .orderBy(col("media_id"))
 
+  /** lr1 — distributed classifier training (ops.Logistic.fit): 3
+    * full-batch GD steps of a logistic English-vs-rest model over four
+    * cheap engine-exact text features (bias, scaled char/word counts,
+    * chars-per-word). The oracle replays training step by step —
+    * weights quantized to 1e-6 after each step make exp/ln's cross-
+    * engine last-ulp noise vanish into the grid. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(split(col("text"), " "))
+    val f = Tables.documents(spark, dir).select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      (col("n_chars") / lit(1000.0)).as("x1"),
+      (nw / lit(100.0)).as("x2"),
+      (col("n_chars") / nw.cast("double")).as("x3"))
+    graft.ops.Logistic.fitSummary(f, "y", Seq("x0", "x1", "x2", "x3"))
+  }
+
   /** t26 — BPE merge-candidate table (ops.Bpe.pairCounts): the top-30
     * corpus-weighted adjacent character pairs inside words — round 1
     * of tokenizer training, surfaced as a query so the oracle checks

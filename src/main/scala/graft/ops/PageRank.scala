@@ -35,19 +35,26 @@ object PageRank {
     floor(c * lit(1000000000L) + lit(0.5)) / lit(1000000000L)
 
   /** PageRank over a directed edge list (srcCol, dstCol). Returns
-    * (node, rank) with rank on the 1e-9 grid. */
+    * (node, rank) with rank on the 1e-9 grid.
+    *
+    * @param assumeDistinct callers that KNOW the edge list is already
+    *   deduplicated (e.g. built from a distinct projection) skip the
+    *   defensive distinct — one corpus-sized exchange saved. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-            iters: Int = 3, damping: Double = 0.85): DataFrame = {
+            iters: Int = 3, damping: Double = 0.85,
+            assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outDeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-    // node table with degree (0 = dangling), reused every round
-    val base = nodes.join(outDeg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint()
+    // node table with out-degree (0 = dangling) in ONE exchange: each
+    // edge contributes its src (deg 1) and dst (deg 0) endpoint rows,
+    // aggregated per node — replaces two distincts + a groupBy + a join
+    val base = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("isrc")),
+        struct(col("dst").as("node"), lit(0L).as("isrc")))).as("x"))
+      .select(col("x.node").as("node"), col("x.isrc").as("isrc"))
+      .groupBy(col("node")).agg(sum(col("isrc")).as("deg"))
       .localCheckpoint()
     val n = base.count() // one bounded action; reused as a literal
     var ranks = base.select(col("node"), col("deg"),
