@@ -72,6 +72,7 @@ object SparkEntry {
     "d1_exact_dedup"        -> (DedupQueries.exactDedup _),
     "d2_minhash_neardup"    -> (DedupQueries.minhashNearDups _),
     "d3b_simhash_wide"      -> (DedupQueries.simhashNearDupsWide _),
+    "d3d_simhash_wide4"     -> (DedupQueries.simhashNearDupsWide4 _),
     "d3c_incremental_simhash" -> (DedupQueries.incrementalSimhashNearDups _),
     "d11b_incremental_semdedup" -> (DedupQueries.incrementalSemanticDedup _),
     "d3_simhash_neardup"    -> (DedupQueries.simhashNearDups _),
@@ -468,6 +469,58 @@ object SparkEntry {
        |SELECT v3.dim, v3.val AS loading,
        |  (SELECT floor(nrm * 1000000 + 0.5) / 1000000 FROM n3) AS lambda
        |FROM v3 ORDER BY dim""".stripMargin
+  }
+
+  /** d3d oracle: the four-lane SimHash replayed — lane hashes from
+    * SimHashSig's constant rows, votes/signature/banding identical to
+    * the d3b oracle but with band = whole lane masked to
+    * least(60, bitlen(n-1)+5). */
+  private lazy val simhashWide4OracleSql: String = {
+    import graft.functions.SimHashSig.{MultA, MultB, PrimeA, PrimeB}
+    val bits = graft.ops.Dedup.SimHashBits
+    def votes(h: String, lane: Int) = (0 until bits)
+      .map(i => s"sum(CASE WHEN ($h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v${lane}_$i")
+      .mkString(",\n    ")
+    def sigTerms(lane: Int) = (0 until bits)
+      .map(i => s"CASE WHEN v${lane}_$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val lanes = 0 to 3
+    val hashed = lanes.map(l =>
+      s"${polyHashSql(MultA(l).toInt, PrimeA(l))} * 1073741824\n    + " +
+      s"${polyHashSql(MultB(l).toInt, PrimeB(l))} AS h$l").mkString(",\n    ")
+    val bandCases = lanes.map(l =>
+      s"WHEN $l THEN sig$l & ((CAST(1 AS BIGINT) << w) - 1)").mkString("\n      ")
+    val ham = lanes.map(l => s"bit_count(xor(a.sig$l, b.sig$l))").mkString("\n    + ")
+    s"""WITH nw AS (
+       |  SELECT least(60, length(bin(count(*) - 1)) + 5) AS w FROM documents
+       |), words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    $hashed
+       |  FROM words
+       |), votes AS (
+       |  SELECT doc_id,
+       |    ${lanes.map(l => votes(s"h$l", l)).mkString(",\n    ")}
+       |  FROM hashed GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    ${lanes.map(l => s"CAST(${sigTerms(l)} AS BIGINT) AS sig$l").mkString(",\n    ")}
+       |  FROM votes
+       |), banded AS (
+       |  SELECT doc_id, sig0, sig1, sig2, sig3, band,
+       |    CASE band
+       |      $bandCases
+       |      END AS band_val
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t CROSS JOIN nw
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST($ham AS INTEGER) AS hamming
+       |FROM banded a
+       |JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** lr1 oracle: 3 GD steps unrolled. Each step's sigma/gradient is
@@ -1875,6 +1928,7 @@ object SparkEntry {
     "st5_stream_minhash" -> minhashBruteOracleSql,
     "d3_simhash_neardup" -> simhashOracleSql,
     "d3b_simhash_wide" -> simhashWideOracleSql,
+    "d3d_simhash_wide4" -> simhashWide4OracleSql,
     "d3c_incremental_simhash" -> simhashIncrementalOracleSql,
     // d11b: assignment of EVERY vector against the frozen corpus-derived
     // seeds replays the store build + the delta probe in one pass;

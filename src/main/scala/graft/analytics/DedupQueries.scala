@@ -145,6 +145,16 @@ object DedupQueries {
     Dedup.simHashNearDupsWide(Tables.documents(spark, dir), "doc_id", "text", 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** d3d — FOUR-lane (240-bit) SimHash near-dups
+    * (ops.Dedup.simHashNearDupsWide4): the fourth-decade variant
+    * whose band width can grow to a whole 60-bit lane, holding the
+    * collision-slack rule where d3b's two-lane layout saturates
+    * (~2^25 docs). Same verify-before-dedupe shape; Hamming summed
+    * over four lanes. */
+  def simhashNearDupsWide4(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupsWide4(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** d3c — INCREMENTAL SimHash: docs with doc_id % 10 == 3 are the new
     * batch; the rest persist their 8-byte signatures once
     * (ops.Dedup.writeSimHashSignatures) and every later batch

@@ -71,55 +71,72 @@ case class SimHashSigWide(child: Expression) extends UnaryExpression {
 object SimHashSig {
   private val Bits = 60
 
-  def narrow(u: UTF8String): Long = sigs(u.toString, twoLanes = false)(0)
+  /** Lane hash constants: lane i folds its words with
+    * (MultA(i), PrimeA(i)) and (MultB(i), PrimeB(i)), packed as
+    * `hA * PolyHash.Pack + hB`. Lanes 0-1 are the historical
+    * PolyHash/PolyHashB pairs (oracle-pinned); lanes 2-3 extend the
+    * signature to 240 bits for the fourth-decade band widths. */
+  val MultA: Array[Long] = Array(31L, 41L, 47L, 59L)
+  val MultB: Array[Long] = Array(37L, 43L, 53L, 61L)
+  val PrimeA: Array[Long] =
+    Array(1073741789L, 1073741741L, 1073741719L, 1073741689L)
+  val PrimeB: Array[Long] =
+    Array(1073741783L, 1073741723L, 1073741717L, 1073741671L)
+
+  def narrow(u: UTF8String): Long = sigs(u.toString, lanes = 1)(0)
 
   def wide(u: UTF8String): GenericInternalRow = {
-    val s = sigs(u.toString, twoLanes = true)
+    val s = sigs(u.toString, lanes = 2)
     new GenericInternalRow(Array[Any](s(0), s(1)))
   }
 
-  private def sigs(str: String, twoLanes: Boolean): Array[Long] = {
-    val v0 = new Array[Int](Bits)
-    val v1 = if (twoLanes) new Array[Int](Bits) else null
-    var h1 = 0L; var h2 = 0L; var h3 = 0L; var h4 = 0L
+  def wide4(u: UTF8String): GenericInternalRow = {
+    val s = sigs(u.toString, lanes = 4)
+    new GenericInternalRow(Array[Any](s(0), s(1), s(2), s(3)))
+  }
+
+  private def sigs(str: String, lanes: Int): Array[Long] = {
+    val votes = Array.ofDim[Int](lanes, Bits)
+    val ha = new Array[Long](lanes)
+    val hb = new Array[Long](lanes)
     val len = str.length
     var i = 0
     while (i <= len) {
       if (i == len || str.charAt(i) == ' ') {
-        // finalize the current word: vote its packed hash bits
-        val p0 = h1 * PolyHash.Pack + h2
-        var b = 0
-        while (b < Bits) {
-          v0(b) += ((((p0 >>> b) & 1L).toInt) << 1) - 1
-          b += 1
-        }
-        if (twoLanes) {
-          val p1 = h3 * PolyHash.Pack + h4
-          b = 0
+        // finalize the current word: vote its packed hash bits per lane
+        var l = 0
+        while (l < lanes) {
+          val p = ha(l) * PolyHash.Pack + hb(l)
+          val v = votes(l)
+          var b = 0
           while (b < Bits) {
-            v1(b) += ((((p1 >>> b) & 1L).toInt) << 1) - 1
+            v(b) += ((((p >>> b) & 1L).toInt) << 1) - 1
             b += 1
           }
+          ha(l) = 0L; hb(l) = 0L
+          l += 1
         }
-        h1 = 0L; h2 = 0L; h3 = 0L; h4 = 0L
         i += 1
       } else {
         val cp = str.codePointAt(i)
-        h1 = (h1 * 31L + cp) % PolyHash.P1
-        h2 = (h2 * 37L + cp) % PolyHash.P2
-        if (twoLanes) {
-          h3 = (h3 * 41L + cp) % PolyHashB.P3
-          h4 = (h4 * 43L + cp) % PolyHashB.P4
+        var l = 0
+        while (l < lanes) {
+          ha(l) = (ha(l) * MultA(l) + cp) % PrimeA(l)
+          hb(l) = (hb(l) * MultB(l) + cp) % PrimeB(l)
+          l += 1
         }
         i += Character.charCount(cp)
       }
     }
-    val out = new Array[Long](if (twoLanes) 2 else 1)
-    var b = 0
-    while (b < Bits) {
-      if (v0(b) > 0) out(0) |= 1L << b
-      if (twoLanes && v1(b) > 0) out(1) |= 1L << b
-      b += 1
+    val out = new Array[Long](lanes)
+    var l = 0
+    while (l < lanes) {
+      var b = 0
+      while (b < Bits) {
+        if (votes(l)(b) > 0) out(l) |= 1L << b
+        b += 1
+      }
+      l += 1
     }
     out
   }
@@ -137,4 +154,34 @@ object SimHashSig {
     GraftColumnBridge.column(SimHashSigWide(
       GraftColumnBridge.expression(text.cast("string"))))
   }
+
+  /** Column API: `struct(sig0..sig3)` of the four-lane (240-bit)
+    * signature — the fourth-decade variant: band width can grow to a
+    * whole 60-bit lane, holding the collision-slack rule to
+    * n ≈ 2^55 docs where the two-lane layout saturates at 2^25. */
+  def sigWide4(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(SimHashSigWide4(
+      GraftColumnBridge.expression(text.cast("string"))))
+  }
+}
+
+/** Four-lane (240-bit) variant: `struct(sig0..sig3)`, lanes hashed
+  * with the [[SimHashSig.MultA]]/[[SimHashSig.PrimeA]] constant rows;
+  * every word still hashes once per lane inside the same scan. */
+case class SimHashSigWide4(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType((0 to 3).map(i =>
+    StructField(s"sig$i", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSig.wide4(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sVar => {
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.expressions.GenericInternalRow)
+         |  graft.functions.SimHashSig$$.MODULE$$.wide4($sVar);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

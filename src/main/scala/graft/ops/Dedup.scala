@@ -451,6 +451,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** FOUR-lane (240-bit) signatures: (__id, __sig0..__sig3) — still a
+    * pure projection, one [[graft.functions.SimHashSigWide4]] call per
+    * document (each word hashes once per lane inside the same scan). */
+  def simHashSignaturesWide4(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        graft.functions.SimHashSig.sigWide4(col(textCol)).as("__w"))
+      .select(col("__id") +: (0 to 3).map(i =>
+        col(s"__w.sig$i").as(s"__sig$i")): _*)
+
+  /** FOURTH-DECADE SimHash near-dups: four lanes, each band = one
+    * whole lane masked to the data-sized width `min(60,
+    * ⌈log2 n⌉ + 5)` — the regime [[simHashNearDupsWide]]'s two-lane
+    * layout cannot reach (its band width saturates at 30 bits around
+    * n ≈ 2^25 docs; a full lane per band holds the slack-5 collision
+    * rule to n ≈ 2^55). Same pigeonhole: 4 bands, Hamming ≤ 3 over
+    * the covered bits ⇒ some band matches; differences confined to
+    * uncovered high bits leave band equality untouched (recall
+    * preserved), and the exact four-lane Hamming verify runs before
+    * the dedupe exchange as always. */
+  def simHashNearDupsWide4(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3, saltBuckets: Int = 1,
+                           bandWidth: Int = 0): DataFrame = {
+    val sigs = simHashSignaturesWide4(df, idCol, textCol).localCheckpoint()
+    val width =
+      if (bandWidth > 0) bandWidth
+      else math.min(60, simHashBandWidthFor(sigs.count()))
+    require(width <= 60, s"band width $width exceeds the 60-bit lane")
+    val mask =
+      if (width == 60) lit((1L << 60) - 1)
+      else lit((1L << width) - 1)
+    val banded = sigs.withColumn("__b", explode(array((0 to 3).map(i =>
+        struct(lit(i).as("band"),
+          col(s"__sig$i").bitwiseAND(mask).as("band_val"))): _*)))
+      .select(col("__id") +: (0 to 3).map(i => col(s"__sig$i")) :+
+        col("__b.band").as("band") :+ col("__b.band_val").as("band_val"): _*)
+    val a = banded.select(col("band") +: col("band_val") +:
+      col("__id").as("id_a") +: (0 to 3).map(i => col(s"__sig$i").as(s"a$i")): _*)
+    val b = banded.select(col("band") +: col("band_val") +:
+      col("__id").as("id_b") +: (0 to 3).map(i => col(s"__sig$i").as(s"b$i")): _*)
+    val hamming = (0 to 3)
+      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
+      .reduceLeft(_ + _)
+    bandCandidates(a, b, Seq("band", "band_val"), saltBuckets)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Persist the per-doc SimHash signature store (overwrite) — the
     * SimHash analog of [[writeMinHashSignatures]]: the corpus text is
     * scanned and vote-aggregated ONCE; every later

@@ -75,6 +75,50 @@ class SimHashSigSpec extends SparkSpec {
     }
   }
 
+  /** Plain-Scala reference for any lane's (multA/primeA, multB/primeB)
+    * constants — independent of the production while-loop. */
+  private def refSig(text: String, lane: Int): Long = {
+    import SimHashSig.{MultA, MultB, PrimeA, PrimeB}
+    val words = text.split(" ", -1)
+    val votes = new Array[Int](Bits)
+    words.foreach { w =>
+      var ha = 0L; var hb = 0L
+      w.codePoints().toArray.foreach { cp =>
+        ha = (ha * MultA(lane) + cp) % PrimeA(lane)
+        hb = (hb * MultB(lane) + cp) % PrimeB(lane)
+      }
+      val p = ha * PolyHash.Pack + hb
+      (0 until Bits).foreach(b =>
+        votes(b) += (if (((p >>> b) & 1L) == 1L) 1 else -1))
+    }
+    (0 until Bits).foldLeft(0L)((acc, b) =>
+      if (votes(b) > 0) acc | (1L << b) else acc)
+  }
+
+  test("four-lane signature: every lane matches the plain-Scala reference") {
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), SimHashSig.sigWide4(col("text")).as("w"))
+      .select(col("id") +: (0 to 3).map(l => col(s"w.sig$l")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    cases.indices.foreach { i =>
+      (0 to 3).foreach { l =>
+        assert(got(i.toLong)(l) == refSig(cases(i), l),
+          s"lane $l mismatch on '${cases(i)}'")
+      }
+    }
+  }
+
+  test("wide4 lanes 0-1 equal the two-lane signature (same constants)") {
+    val w2 = nativeSigs(cases)
+    val w4 = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), SimHashSig.sigWide4(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    cases.indices.foreach(i => assert(w4(i.toLong) == w2(i.toLong)))
+  }
+
   test("operator path: simHashSignatures matches on real documents") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
       .select(col("doc_id"), col("text"))
