@@ -126,6 +126,7 @@ object SparkEntry {
     "st3_stream_join"       -> (StreamQueries.clickViewPairs _),
     "st4_stream_semdedup"   -> (StreamQueries.streamSemanticDedup _),
     "st5_stream_minhash"    -> (StreamQueries.streamMinhashDedup _),
+    "st6_stream_cdc"        -> (StreamQueries.streamSnapshotCdc _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
     "d12_dsir_select"       -> (TextQueries.dsirSelect _),
@@ -568,6 +569,30 @@ object SparkEntry {
             .mkString("\nUNION ALL\n")}
        |ORDER BY feature""".stripMargin
   }
+
+  /** cdc1 AND st6 oracle: the batch diff by direct column compare —
+    * the streaming face must emit the identical op log. */
+  private lazy val cdcOracleSql: String =
+      """WITH o AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |n AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 != 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey, op FROM (
+        |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'I'
+        |         WHEN n.c_custkey IS NULL THEN 'D'
+        |         WHEN o.c_name != n.c_name OR o.c_acctbal != n.c_acctbal
+        |              OR o.c_mktsegment != n.c_mktsegment THEN 'U' END AS op
+        |  FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+        |WHERE op IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin
 
   /** mmr1 oracle: all five greedy MMR selections unrolled. `(1.0-0.7)`
     * is written as the expression, NOT its shortest decimal 0.3 — both
@@ -1106,27 +1131,11 @@ object SparkEntry {
         |    / 1000000 AS cnorm
         |FROM c1 LEFT JOIN cnt ON c1.cid = cnt.cid
         |ORDER BY cluster_id""".stripMargin,
-    "cdc1_snapshot_diff" ->
-      """WITH o AS (
-        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
-        |n AS (
-        |  SELECT c_custkey, c_name,
-        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
-        |         ELSE c_acctbal END AS c_acctbal,
-        |    c_mktsegment
-        |  FROM customer WHERE c_custkey % 7 != 0
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, c_name, c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 13 = 0)
-        |SELECT c_custkey, op FROM (
-        |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
-        |    CASE WHEN o.c_custkey IS NULL THEN 'I'
-        |         WHEN n.c_custkey IS NULL THEN 'D'
-        |         WHEN o.c_name != n.c_name OR o.c_acctbal != n.c_acctbal
-        |              OR o.c_mktsegment != n.c_mktsegment THEN 'U' END AS op
-        |  FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
-        |WHERE op IS NOT NULL
-        |ORDER BY c_custkey""".stripMargin,
+    "cdc1_snapshot_diff" -> cdcOracleSql,
+    // st6 emits the IDENTICAL diff through the streaming face (one
+    // AvailableNow full-snapshot batch vs the seeded store) — same
+    // oracle, proving batch/stream agreement on real data.
+    "st6_stream_cdc" -> cdcOracleSql,
     "t10_oov_rate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -555,16 +555,21 @@ object CoreQueries {
     * the identical pair and diff it by direct column comparison while
     * the Spark side diffs by 64-bit value digest — agreement proves
     * the digest classification exact on real data. */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val newSnap = c.filter(col("c_custkey") % 7 =!= 0)
+  /** The deterministic "today's dump" both cdc1 and st6 diff against
+    * customer: every 7th key deleted, every remaining 5th key's
+    * balance bumped, every 13th key re-inserted under a shifted key. */
+  private[analytics] def derivedNewSnapshot(c: DataFrame): DataFrame =
+    c.filter(col("c_custkey") % 7 =!= 0)
       .withColumn("c_acctbal",
         when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
           .otherwise(col("c_acctbal")))
       .unionByName(
         c.filter(col("c_custkey") % 13 === 0)
           .withColumn("c_custkey", col("c_custkey") + 10000000L))
-    graft.ops.Cdc.snapshotDiff(c, newSnap,
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    graft.ops.Cdc.snapshotDiff(c, derivedNewSnapshot(c),
         keyCols = Seq("c_custkey"),
         valueCols = Seq("c_name", "c_acctbal", "c_mktsegment"))
       .orderBy(col("c_custkey"))

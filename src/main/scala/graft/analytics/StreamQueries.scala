@@ -89,6 +89,35 @@ object StreamQueries {
   private val streamedPairs =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st6 — STREAMING snapshot-CDC (EventStreams.snapshotCdcStream):
+    * yesterday's customer table seeds the store; the derived "today"
+    * full dump (cdc1's exact derivation) arrives as one AvailableNow
+    * micro-batch; the emitted op log must hash-match the batch cdc1
+    * oracle — proving the streaming face computes the identical diff
+    * and leaves the store at the new snapshot. */
+  def streamSnapshotCdc(spark: SparkSession, dir: String): DataFrame = {
+    val ops = streamedCdcOps.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st6_").toString
+      val c = Tables.customer(spark, dir)
+      c.write.parquet(s"$tmp/store")
+      CoreQueries.derivedNewSnapshot(c).write.parquet(s"$tmp/snap")
+      val schema = spark.read.parquet(s"$tmp/snap").schema
+      EventStreams.snapshotCdcStream(
+        spark.readStream.schema(schema).parquet(s"$tmp/snap"),
+        keyCols = Seq("c_custkey"),
+        valueCols = Seq("c_name", "c_acctbal", "c_mktsegment"),
+        storePath = s"$tmp/store", opsPath = s"$tmp/ops",
+        checkpoint = s"$tmp/cp").awaitTermination()
+      s"$tmp/ops"
+    })
+    spark.read.parquet(ops)
+      .select(col("c_custkey"), col("op"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val streamedCdcOps =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,
     * batch face): clicks × same-user views in the trailing 10 minutes.
     * StreamingSpec runs the identical transform as a genuine two-file-

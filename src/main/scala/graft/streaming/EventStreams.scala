@@ -225,6 +225,39 @@ object EventStreams {
       .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"),
         Seq("train" -> 0.9, "val" -> 0.1), salt))
 
+  /** STREAMING snapshot-CDC: each arriving micro-batch is a COMPLETE
+    * table snapshot (the daily-full-dump delivery pattern); the batch
+    * is diffed against the persisted previous snapshot with
+    * [[graft.ops.Cdc.snapshotDiff]] (insert/update/delete ops, keys +
+    * 64-bit digests through the one full-outer exchange), the ops
+    * append to `opsPath` (keyed idempotent on key+op — a replayed
+    * batch inserts nothing), and the store is REPLACED by the batch so
+    * the next snapshot diffs against this one. The op log is what
+    * downstream incremental stages consume (re-embed / re-dedup /
+    * re-index only the delta). Diff ops are materialized to the log
+    * BEFORE the store overwrite — the lazy `old` frame must never read
+    * a half-replaced store. */
+  def snapshotCdcStream(snapshots: DataFrame, keyCols: Seq[String],
+                        valueCols: Seq[String], storePath: String,
+                        opsPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val storeP = new org.apache.hadoop.fs.Path(storePath)
+        val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old =
+          if (fs.exists(storeP)) spark.read.parquet(storePath)
+          else batch.limit(0)
+        val diff = graft.ops.Cdc.snapshotDiff(old, batch, keyCols, valueCols)
+        graft.etl.Sinks.idempotentAppend(diff, opsPath, keyCols :+ "op")
+        // after the ops are durably written, the batch becomes the store
+        batch.write.mode("overwrite").parquet(storePath): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Incremental file-stream run of a transform with
     * Trigger.AvailableNow semantics into an in-memory table — the
     * faithful translation of the reference's scheduled-incremental
