@@ -119,6 +119,7 @@ object SparkEntry {
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
     "s1_ann_topk"           -> (VectorQueries.annTopK _),
     "s2_ivf_seeded"         -> (VectorQueries.ivfSeededTopK _),
+    "s2b_ivf_trained"       -> (VectorQueries.ivfTrainedTopK _),
     "s1b_ann_persisted"     -> (VectorQueries.annTopKPersisted _),
     "s1b_build_index"       -> (VectorQueries.annIndexBuild _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
@@ -569,6 +570,37 @@ object SparkEntry {
             .mkString("\nUNION ALL\n")}
        |ORDER BY feature""".stripMargin
   }
+
+  /** Shared km1/s2b centroid chain: seeds (vec_id<8), one assignment
+    * round, per-dim means QUANTIZED to 1e-6 -> c1, the trained
+    * centroids both the k-means summary and the trained IVF consume. */
+  private lazy val kmeansCentroidCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |      FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c0.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        (list_dot_product(e.v, c0.c) /
+      |         nullif(sqrt(list_dot_product(e.v, e.v)) *
+      |                sqrt(list_dot_product(c0.c, c0.c)), 0.0))
+      |        DESC NULLS LAST, c0.cid) AS rn
+      |    FROM e CROSS JOIN c0)
+      |  WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS val
+      |  FROM (
+      |    SELECT a1.cid, generate_subscripts(e.v, 1) AS dim,
+      |           unnest(e.v) AS val
+      |    FROM a1 JOIN e USING (vec_id))
+      |  GROUP BY cid, dim),
+      |c1 AS (
+      |  SELECT c0.cid,
+      |    CASE WHEN count(m1.val) = 0 THEN c0.c
+      |         ELSE list(m1.val ORDER BY m1.dim) END AS c
+      |  FROM c0 LEFT JOIN m1 ON c0.cid = m1.cid
+      |  GROUP BY c0.cid, c0.c)""".stripMargin
 
   /** cdc1 AND st6 oracle: the batch diff by direct column compare —
     * the streaming face must emit the identical op log. */
@@ -1081,40 +1113,13 @@ object SparkEntry {
     "svd1_power_iteration" -> svdOracleSql,
     "pr1_pagerank" -> pagerankOracleSql,
     "mmr1_diversified" -> mmrOracleSql,
-    // km1: both Lloyd rounds replayed — assignment = argmax cosine
-    // (ties to the SMALLEST centroid id: DESC NULLS LAST, cid — the
-    // SQL mirror of NearestCentroid's strict-> ascending scan; all-
-    // null sims also land on the lowest cid, matching the ids(0)
-    // sentinel), update = per-dim mean QUANTIZED to the 1e-6 grid
-    // before the next round (what makes iterate-then-compare
-    // engine-exact), empty clusters keep their previous centroid.
+    // km1: both Lloyd rounds replayed - assignment = argmax cosine
+    // (ties to the SMALLEST centroid id: DESC NULLS LAST, cid - the
+    // SQL mirror of NearestCentroid's strict-> ascending scan), update
+    // = per-dim mean QUANTIZED to the 1e-6 grid before the next round,
+    // empty clusters keep their previous centroid.
     "km1_kmeans" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c0.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        (list_dot_product(e.v, c0.c) /
-        |         nullif(sqrt(list_dot_product(e.v, e.v)) *
-        |                sqrt(list_dot_product(c0.c, c0.c)), 0.0))
-        |        DESC NULLS LAST, c0.cid) AS rn
-        |    FROM e CROSS JOIN c0)
-        |  WHERE rn = 1),
-        |m1 AS (
-        |  SELECT cid, dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS val
-        |  FROM (
-        |    SELECT a1.cid, generate_subscripts(e.v, 1) AS dim,
-        |           unnest(e.v) AS val
-        |    FROM a1 JOIN e USING (vec_id))
-        |  GROUP BY cid, dim),
-        |c1 AS (
-        |  SELECT c0.cid,
-        |    CASE WHEN count(m1.val) = 0 THEN c0.c
-        |         ELSE list(m1.val ORDER BY m1.dim) END AS c
-        |  FROM c0 LEFT JOIN m1 ON c0.cid = m1.cid
-        |  GROUP BY c0.cid, c0.c),
+      s"""WITH $kmeansCentroidCtes,
         |a2 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT e.vec_id, c1.cid,
@@ -1131,6 +1136,50 @@ object SparkEntry {
         |    / 1000000 AS cnorm
         |FROM c1 LEFT JOIN cnt ON c1.cid = cnt.cid
         |ORDER BY cluster_id""".stripMargin,
+    // s2b: the SAME trained centroids become the IVF coarse quantizer;
+    // assign every candidate to its argmax-cosine list, probe the top-2
+    // lists per query, exact cosine + rank within the probed lists.
+    "s2b_ivf_trained" ->
+      s"""WITH $kmeansCentroidCtes,
+        |ca AS (
+        |  SELECT vec_id, v, cid AS list_id FROM (
+        |    SELECT e.vec_id, e.v, c1.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (list_dot_product(e.v, c1.c) /
+        |         nullif(sqrt(list_dot_product(e.v, e.v)) *
+        |                sqrt(list_dot_product(c1.c, c1.c)), 0.0))
+        |        DESC NULLS LAST, c1.cid) AS ar
+        |    FROM e CROSS JOIN c1)
+        |  WHERE ar = 1),
+        |qa AS (
+        |  SELECT vec_id AS query_id, v AS qv, cid AS list_id FROM (
+        |    SELECT q.vec_id, q.v, c1.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        (list_dot_product(q.v, c1.c) /
+        |         nullif(sqrt(list_dot_product(q.v, q.v)) *
+        |                sqrt(list_dot_product(c1.c, c1.c)), 0.0))
+        |        DESC NULLS LAST, c1.cid) AS ar
+        |    FROM e q CROSS JOIN c1 WHERE q.vec_id < 5)
+        |  WHERE ar <= 2),
+        |sims AS (
+        |  SELECT qa.query_id, ca.vec_id AS cand_id,
+        |    list_dot_product(qa.qv, ca.v) /
+        |      nullif(sqrt(list_dot_product(qa.qv, qa.qv)) *
+        |             sqrt(list_dot_product(ca.v, ca.v)), 0.0) AS sim_raw
+        |  FROM qa JOIN ca USING (list_id)
+        |  WHERE ca.vec_id != qa.query_id)
+        |SELECT query_id, cand_id,
+        |  floor(sim_raw * 1000000 + 0.5) / 1000000 AS cosine,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT query_id, cand_id, sim_raw,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim_raw DESC, cand_id) AS rank
+        |      FROM sims)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // st6 emits the IDENTICAL diff through the streaming face (one
+    // AvailableNow full-snapshot batch vs the seeded store) — same
+    // oracle, proving batch/stream agreement on real data.
     "cdc1_snapshot_diff" -> cdcOracleSql,
     // st6 emits the IDENTICAL diff through the streaming face (one
     // AvailableNow full-snapshot batch vs the seeded store) — same

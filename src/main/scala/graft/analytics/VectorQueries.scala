@@ -68,6 +68,22 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s2b — TRAINED IVF ANN (ops.Similarity.ivfTopKTrained): the
+    * coarse quantizer is km1's quantized-Lloyd centroids (k=8, two
+    * rounds), so — unlike the ML-KMeans variant — the full train +
+    * index build + probe replays exactly in SQL. Same probe shape and
+    * output contract as s2. */
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Similarity.ivfTopKTrained(corpus, queries, k = 5,
+        kClusters = 8, rounds = 2, nProbe = 2)
+      .select(col("query_id"), col("cand_id"),
+        exactRound(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s2 — seeded IVF ANN (ops.Similarity.ivfTopKSeeded): inverted
     * lists seeded by fixed corpus vectors, so the full index build +
     * probe is replayed exactly by the SQL oracle — the oracle-checked

@@ -35,21 +35,19 @@ object KMeans {
 
   private def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
 
-  /** `rounds` assignment passes with `rounds-1` quantized centroid
-    * updates between them, seeded by the k embeddings with id < k.
-    * Returns the per-cluster summary of the final assignment:
-    * (cluster_id, n, cnorm) — cnorm is the norm of the centroid the
-    * final pass assigned against, on the same 1e-6 grid. */
-  def lloydSummary(embs: DataFrame, idCol: String, vecCol: String,
-                   k: Int, rounds: Int = 2): DataFrame = {
+  /** The trained (quantized) centroids after `rounds-1` updates,
+    * seeded by the k embeddings with id < k — the reusable face
+    * consumed by [[lloydSummary]] and the trained-IVF index
+    * ([[Similarity.ivfTopKTrained]]). Bounded driver state: k rows
+    * collected per round (the d11 seed-matrix pattern). */
+  def lloydCentroids(embs: DataFrame, idCol: String, vecCol: String,
+                     k: Int, rounds: Int = 2): Seq[(Long, Array[Double])] = {
     require(k > 0 && rounds >= 1, "k and rounds must be positive")
-    val spark = embs.sparkSession
     val e = embs.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("fv"),
       col(vecCol).cast("array<double>").as("v"))
-    // seed collect is bounded by k (driver-side centroid state, as in
-    // the d11 seed matrix); parquet floats cast to double are exact,
-    // so seeds are bit-identical to the oracle's
+    // parquet floats cast to double are exact, so seeds are
+    // bit-identical to the oracle's
     var cents: Seq[(Long, Array[Double])] = e.filter(col("id") < k)
       .select(col("id"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
@@ -67,6 +65,21 @@ object KMeans {
         .toMap
       cents = cents.map { case (cid, c) => cid -> means.getOrElse(cid, c) }
     }
+    cents
+  }
+
+  /** `rounds` assignment passes with `rounds-1` quantized centroid
+    * updates between them, seeded by the k embeddings with id < k.
+    * Returns the per-cluster summary of the final assignment:
+    * (cluster_id, n, cnorm) — cnorm is the norm of the centroid the
+    * final pass assigned against, on the same 1e-6 grid. */
+  def lloydSummary(embs: DataFrame, idCol: String, vecCol: String,
+                   k: Int, rounds: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    val e = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("fv"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = lloydCentroids(embs, idCol, vecCol, k, rounds)
     val counts = e.select(
         NearestCentroid.nearest(col("v"), cents)
           .getField("cluster_id").as("cluster_id"))

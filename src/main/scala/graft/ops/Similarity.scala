@@ -175,6 +175,38 @@ object Similarity {
       col(vecCol).cast("array<double>").as("__cv"))
     val seeds = c0.filter(col("cand_id").isin(seedIds: _*))
       .select(col("cand_id").as("list_id"), col("__cv").as("__sv"))
+    ivfProbe(c0, queries, seeds, k, nProbe, vecCol, queryIdCol)
+  }
+
+  /** IVF with a TRAINED (and still oracle-exact) coarse quantizer:
+    * the inverted lists are [[KMeans.lloydCentroids]] — quantized
+    * Lloyd iterates, so unlike the ML-KMeans variant the centroids
+    * ARE portably reproducible and the whole train + build + probe
+    * replays in SQL. This closes the seeded-vs-trained gap: s2's
+    * "centroids aren't portably reproducible" caveat no longer binds
+    * when training runs through the quantized-iterate recipe. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                     kClusters: Int, rounds: Int = 2, nProbe: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    require(kClusters > 0 && nProbe > 0)
+    val cents = KMeans.lloydCentroids(corpus, idCol, vecCol, kClusters, rounds)
+    val seeds = corpus.sparkSession
+      .createDataFrame(cents.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("list_id", "__sv")
+    val c0 = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    ivfProbe(c0, queries, seeds, k, nProbe, vecCol, queryIdCol)
+  }
+
+  /** Shared IVF assign + probe: `seeds` = (list_id, __sv) quantizer
+    * rows (corpus members or trained centroids — broadcast either
+    * way). */
+  private def ivfProbe(c0: DataFrame, queries: DataFrame, seeds0: DataFrame,
+                       k: Int, nProbe: Int, vecCol: String,
+                       queryIdCol: String): DataFrame = {
+    val seeds = seeds0
+      .select(col("list_id"), col("__sv").cast("array<double>").as("__sv"))
       .withColumn("__sn", VF.norm(col("__sv")))
     def nearestLists(df: DataFrame, id: String, v: String, n: Int): DataFrame =
       df.withColumn("__n", VF.norm(col(v)))

