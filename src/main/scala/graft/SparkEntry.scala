@@ -38,6 +38,8 @@ object SparkEntry {
     "q11_percentiles"       -> (CoreQueries.quantitySummary _),
     "q13_rollup"            -> (CoreQueries.revenueRollup _),
     "q14_cube"              -> (CoreQueries.revenueCube _),
+    "q20_grouping_sets"     -> (CoreQueries.groupingSets _),
+    "t29_collocations"      -> (TextQueries.collocations _),
     "q15_unpivot"           -> (CoreQueries.priorityUnpivot _),
     "q16_rank_stats"        -> (CoreQueries.priceRankStats _),
     "q17_approx_distinct"   -> (SketchQueries.approxDistinct _),
@@ -1711,6 +1713,42 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY days_since""".stripMargin,
+    "q20_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "t29_collocations" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |un AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        |bgr AS (
+        |  SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 2),
+        |bg AS (SELECT s, count(*) AS c12 FROM bgr GROUP BY s),
+        |tot AS (
+        |  SELECT (SELECT sum(c) FROM un) AS n, (SELECT sum(c12) FROM bg) AS b),
+        |sc AS (
+        |  SELECT string_split(bg.s, ' ')[1] AS w1, string_split(bg.s, ' ')[2] AS w2,
+        |    bg.c12,
+        |    floor(ln((CAST(bg.c12 AS DOUBLE) / t.b) /
+        |      ((CAST(u1.c AS DOUBLE) / t.n) * (CAST(u2.c AS DOUBLE) / t.n)))
+        |      * 10000 + 0.5) / 10000 AS pmi
+        |  FROM bg
+        |  JOIN un u1 ON u1.w = string_split(bg.s, ' ')[1]
+        |  JOIN un u2 ON u2.w = string_split(bg.s, ' ')[2]
+        |  CROSS JOIN tot t
+        |  WHERE bg.c12 >= 5)
+        |SELECT w1, w2, c12, pmi FROM sc
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 20""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,

@@ -184,6 +184,27 @@ object CoreQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** q20 — explicit GROUPING SETS: the irregular set list
+    * ((flag, status), (flag), (status)) that neither ROLLUP (q13) nor
+    * CUBE (q14) can express — per-cell grouping flags emitted as
+    * GROUPING(col) bits (portable across engines, unlike the packed
+    * grouping_id bit order). Same one-shuffle expanded-aggregate plan
+    * shape as rollup/cube. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q20_lineitem")
+    spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        CAST(grouping(l_linestatus) AS INT) AS g_status,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        count(1) AS n
+      FROM q20_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY g_flag, g_status,
+        l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
   /** CUBE grouping sets (all 2^2 combinations — completes the
     * grouping-sets family next to q13's ROLLUP): order counts and
     * revenue by every (status, priority) slice. */

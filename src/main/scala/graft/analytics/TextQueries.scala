@@ -291,6 +291,13 @@ object TextQueries {
         exactRound(col("mean_surprisal"), 4).as("mean_surprisal"))
       .orderBy(col("doc_id"))
 
+  /** t29 — PMI collocations (ops.TextAnalysis.collocations): the
+    * top-20 bigrams by pointwise mutual information with count ≥ 5 —
+    * phrase mining over the corpus. PMI ranks on its 4dp grid with a
+    * bigram-text tie-break, so the top-k cut replays exactly. */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(spark, dir), "text")
+
   /** t20 — per-source boilerplate detection
     * (ops.TextAnalysis.boilerplateGrams). The corpus is synthetic
     * random words with no real boilerplate, so the query PLANTS a

@@ -28,12 +28,15 @@ import graft.functions.DeletionHoods
   *    string rides along instead of a second join-back pass (the
   *    discipline for DOCUMENT-sized payloads — d2/c2/t22 — would
   *    join text back for survivors only);
-  *  - block sizes are bounded by how many strings can share a
-  *    deletion residue — for natural key data (names, codes, titles)
-  *    tens, not thousands. A pathological hot residue (mass-duplicated
-  *    keys) is the same adversarial case as d2's hot band, with the
-  *    same mitigation (pre-aggregate exact duplicates first: exact
-  *    dedup is cheaper than fuzzy and removes the quadratic mass).
+  *  - block sizes are bounded by how many DISTINCT strings can share
+  *    a deletion residue — for natural key data (names, codes,
+  *    titles) tens, not thousands. Mass-DUPLICATED keys (d2's hot-band
+  *    adversary) are neutralized structurally: the operator collapses
+  *    to distinct strings before any fuzzy work and re-expands id
+  *    pairs only at output, so k copies of a key cost one string plus
+  *    the output rows they genuinely produce (measured at 10×-replicated
+  *    names: 161.6 s → 5.8 s, a 36× blowup flattened to 1.05×;
+  *    PERFORMANCE.md).
   *
   * Returns (id_a, id_b, dist) with id_a < id_b, one row per matched
   * pair. Equal strings on different ids match at dist 0.
@@ -44,19 +47,47 @@ object FuzzyJoin {
                        maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2, got $maxDist")
-    val keyed = df.select(
-        col(idCol).as("__id"), col(strCol).cast("string").as("__s"),
-        explode(DeletionHoods.hoods(col(strCol), maxDist)).as("__k"))
-    val a = keyed
-    val b = keyed.select(col("__id").as("__id_b"), col("__s").as("__s_b"),
-      col("__k").as("__k_b"))
-    a.join(b, col("__k") === col("__k_b") && col("__id") < col("__id_b"))
-      // threshold form short-circuits the DP once maxDist is exceeded
-      // (returns -1), so verification cost per candidate is
-      // O(maxDist · len), not O(len²)
-      .select(col("__id").as("id_a"), col("__id_b").as("id_b"),
+    val strs = df.select(col(idCol).as("__id"),
+      col(strCol).cast("string").as("__s"))
+    // THE duplicated-key mitigation, applied unconditionally (it is
+    // free when keys are unique): the entire fuzzy machinery —
+    // neighborhood explode, candidate join, levenshtein verify — runs
+    // over DISTINCT strings, so k copies of a hot key cost 1 string,
+    // not k² candidate rows (measured: 10×-replicated names drove the
+    // id-level formulation to 161.6 s / 36× super-linear; this one
+    // measures 5.8 s / 1.05× — linear in distinct keys + output size). Id pairs are expanded from the
+    // verified STRING pairs at the very end — output-sized work, the
+    // irreducible part.
+    val groups = strs.groupBy(col("__s")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val keyed = groups.select(col("__s"),
+      explode(DeletionHoods.hoods(col("__s"), maxDist)).as("__k"))
+    val b = keyed.select(col("__s").as("__s_b"), col("__k").as("__k_b"))
+    // threshold form short-circuits the DP once maxDist is exceeded
+    // (returns -1), so verification cost per candidate is
+    // O(maxDist · len), not O(len²)
+    val verified = keyed
+      .join(b, col("__k") === col("__k_b") && col("__s") < col("__s_b"))
+      .select(col("__s"), col("__s_b"),
         levenshtein(col("__s"), col("__s_b"), maxDist).as("dist"))
       .where(col("dist") >= 0)
-      .distinct()
+      .distinct() // pairs that met on several deletion keys
+    // expansion 1: near-dup STRING pairs → every cross-group id pair
+    val inter = verified
+      .join(strs, Seq("__s"))
+      .join(strs.select(col("__s").as("__s_b"), col("__id").as("__id_b")),
+        Seq("__s_b"))
+      .select(least(col("__id"), col("__id_b")).as("id_a"),
+        greatest(col("__id"), col("__id_b")).as("id_b"), col("dist"))
+    // expansion 2: exact-duplicate groups → within-group dist-0 pairs
+    val dupStrs = strs.join(
+      groups.filter(col("__cnt") >= 2).select(col("__s")), Seq("__s"),
+      "left_semi")
+    val intra = dupStrs
+      .join(dupStrs.select(col("__s"), col("__id").as("__id_b")), Seq("__s"))
+      .where(col("__id") < col("__id_b"))
+      .select(col("__id").as("id_a"), col("__id_b").as("id_b"),
+        lit(0).as("dist"))
+    inter.unionByName(intra)
   }
 }

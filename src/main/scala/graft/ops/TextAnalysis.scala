@@ -245,6 +245,44 @@ object TextAnalysis {
         col("mean_surprisal"))
   }
 
+  /** Corpus collocation extraction by pointwise mutual information —
+    * the phrase-mining primitive (Mikolov-style word2phrase joins,
+    * terminology extraction, tokenizer merge seeding): a bigram is a
+    * collocation when P(w1 w2) ≫ P(w1)·P(w2).
+    *
+    * Scale shape: bigram assembly is the map-side
+    * [[graft.functions.WordNGrams]] pass (no per-word explode
+    * upstream); the exchanges are the unigram and bigram COUNT
+    * aggregates (word-scale keys, map-side partials) plus two
+    * vocab-scale count joins; corpus totals are one broadcast scalar;
+    * the final top-k is orderBy+limit = TakeOrderedAndProject. PMI is
+    * ranked on its 4dp grid (tie → bigram text) so the cut is
+    * engine-portable. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                   topK: Int = 20): DataFrame = {
+    val bg = df.select(
+        explode(graft.functions.WordNGrams.allGrams(col(textCol), 2)).as("__s"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("c12"))
+      .withColumn("__w1", substring_index(col("__s"), " ", 1))
+      .withColumn("__w2", substring_index(col("__s"), " ", -1))
+    val un = df.select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val totals = un.agg(sum(col("__c")).as("__n"))
+      .crossJoin(bg.agg(sum(col("c12")).as("__b")))
+    val pmi = log(
+      (col("c12").cast("double") / col("__b")) /
+        ((col("c1").cast("double") / col("__n")) *
+         (col("c2").cast("double") / col("__n"))))
+    bg.filter(col("c12") >= minCount)
+      .join(un.select(col("__w").as("__w1"), col("__c").as("c1")), Seq("__w1"))
+      .join(un.select(col("__w").as("__w2"), col("__c").as("c2")), Seq("__w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"), col("c12"),
+        graft.functions.Rounding.exactRound(pmi, 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Per-source boilerplate n-gram detection — the web-corpus cleaning
     * primitive (strip the navigation/footer phrases that repeat across
     * a domain's pages): an n-gram is boilerplate for a source when it

@@ -92,6 +92,28 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(wide == 4) // identity + 3 single-deletions
   }
 
+  test("mass-duplicated keys: output equals the quadratic reference") {
+    // 4 copies of "alpha", 2 of "alphb" (1 edit away), 1 of "omega":
+    // the distinct-string machinery must still produce every id pair
+    val rows = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "alpha"), (4L, "alpha"),
+      (5L, "alphb"), (6L, "alphb"), (7L, "omega"))
+    val got = FuzzyJoin.editDistanceJoin(rows.toDF("id", "s"), "id", "s", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    def lev(a: String, b: String): Int = // tiny reference
+      if (a == b) 0
+      else if (a.zip(b).count { case (x, y) => x != y } == 1
+               && a.length == b.length) 1
+      else 99
+    val ref = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb))).toSet
+    assert(got == ref)
+    // 4 choose 2 + 2 choose 2 intra pairs + 4*2 inter pairs = 6+1+8
+    assert(ref.size == 15)
+  }
+
   test("plans with no cartesian/nested-loop join — blocking equi-join only") {
     val plan = FuzzyJoin
       .editDistanceJoin(fixture.toDF("id", "s"), "id", "s", 1)
