@@ -122,6 +122,7 @@ object SparkEntry {
     "s1_ann_topk"           -> (VectorQueries.annTopK _),
     "s2_ivf_seeded"         -> (VectorQueries.ivfSeededTopK _),
     "s2b_ivf_trained"       -> (VectorQueries.ivfTrainedTopK _),
+    "s3b_pq_trained"        -> (VectorQueries.pqTrainedTopK _),
     "s1b_ann_persisted"     -> (VectorQueries.annTopKPersisted _),
     "s1b_build_index"       -> (VectorQueries.annIndexBuild _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
@@ -2352,6 +2353,70 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, floor(w * 10000 + 0.5) / 10000 AS weight
         |FROM wt ORDER BY w DESC, doc_id LIMIT 100""".stripMargin
     },
+    // s3b: the COMPLETE trained-PQ pipeline replayed — per-subspace
+    // k-means (assignment by the quadratic form c·c − 2·x·c, ties to
+    // the smaller codeword; means on the 1e-6 grid; empty cells keep
+    // their seed), then the same encode + ADC blocks as s3 against
+    // the trained codeword lists.
+    "s3b_pq_trained" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |g AS (SELECT unnest(range(0, 8)) AS mi),
+        |sub AS (
+        |  SELECT e.vec_id, g.mi,
+        |    list_transform(range(1, 9), d ->
+        |      e.v[CAST(g.mi * 8 + d AS INTEGER)]) AS sv
+        |  FROM e CROSS JOIN g),
+        |cw0 AS (SELECT mi, vec_id AS j, sv FROM sub WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, mi, j FROM (
+        |    SELECT s.vec_id, s.mi, c.j,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+        |        (list_dot_product(c.sv, c.sv)
+        |         - 2.0 * list_dot_product(s.sv, c.sv)), c.j) AS rn
+        |    FROM sub s JOIN cw0 c ON s.mi = c.mi)
+        |  WHERE rn = 1),
+        |mn AS (
+        |  SELECT mi, j, dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS val
+        |  FROM (
+        |    SELECT a.mi, a.j, generate_subscripts(s.sv, 1) AS dim,
+        |           unnest(s.sv) AS val
+        |    FROM asg a JOIN sub s ON a.vec_id = s.vec_id AND a.mi = s.mi)
+        |  GROUP BY mi, j, dim),
+        |cw1 AS (
+        |  SELECT c.mi, c.j,
+        |    CASE WHEN count(m.val) = 0 THEN c.sv
+        |         ELSE list(m.val ORDER BY m.dim) END AS sv
+        |  FROM cw0 c LEFT JOIN mn m ON c.mi = m.mi AND c.j = m.j
+        |  GROUP BY c.mi, c.j, c.sv),
+        |enc AS (
+        |  SELECT s.vec_id, s.mi, c.j,
+        |    list_sum(list_transform(range(1, 9), d ->
+        |      (s.sv[CAST(d AS INTEGER)] - c.sv[CAST(d AS INTEGER)]) ^ 2)) AS dist
+        |  FROM sub s JOIN cw1 c ON s.mi = c.mi),
+        |codes AS (
+        |  SELECT vec_id, list(j ORDER BY mi) AS cl FROM (
+        |    SELECT vec_id, mi, j,
+        |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist, j) AS rn
+        |    FROM enc) WHERE rn = 1 GROUP BY vec_id),
+        |pm AS (SELECT mi, list(sv ORDER BY j) AS cws FROM cw1 GROUP BY mi),
+        |slt AS (SELECT list(cws ORDER BY mi) AS sl FROM pm),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |ad AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (q.qv[CAST(i AS INTEGER)]
+        |       - t.sl[CAST((i - 1) // 8 + 1 AS INTEGER)]
+        |              [CAST(c.cl[CAST((i - 1) // 8 + 1 AS INTEGER)] + 1 AS INTEGER)]
+        |              [CAST((i - 1) % 8 + 1 AS INTEGER)]) ^ 2)) AS dist
+        |  FROM q CROSS JOIN codes c CROSS JOIN slt t),
+        |rk AS (
+        |  SELECT query_id, cand_id, dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, cand_id) AS rank
+        |  FROM ad)
+        |SELECT query_id, cand_id,
+        |  floor(dist * 1000000 + 0.5) / 1000000 AS adc_dist, rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "s3_pq_adc" -> {
       val seedList = graft.analytics.VectorQueries.PqSeedIds.mkString(", ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -84,6 +84,22 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s3b — PQ-ADC with TRAINED codebooks (ops.Quantize.pqTopKTrained):
+    * per-subspace k-means (quantized-iterate recipe) trains the m=8
+    * codebooks that s3 seeds from fixed vectors; encode + ADC then run
+    * through the same native expressions. The oracle replays training,
+    * encoding, and ADC — the complete PQ pipeline under the hash
+    * gate. */
+  def pqTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Quantize.pqTopKTrained(e, queries, k = 10)
+      .select(col("query_id"), col("cand_id"),
+        exactRound(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s2 — seeded IVF ANN (ops.Similarity.ivfTopKSeeded): inverted
     * lists seeded by fixed corpus vectors, so the full index build +
     * probe is replayed exactly by the SQL oracle — the oracle-checked

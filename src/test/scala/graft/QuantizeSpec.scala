@@ -63,6 +63,39 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("trained codebooks reduce total ADC self-distance vs seeded") {
+    // the point of training: a vector's ADC distance to ITSELF (query
+    // = corpus row) measures quantization error; trained codebooks
+    // must not be worse in aggregate than the raw seed slices
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.limit(30).select($"vec_id".as("query_id"), $"embedding")
+    def selfErr(df: org.apache.spark.sql.DataFrame): Double = df
+      .where($"query_id" === $"cand_id").agg(sum($"adc_dist"))
+      .as[Double].head()
+    // seeded variant needs cand self-pairs: pqTopK keeps all ranks<=k
+    val seeds = (0L until 8L)
+    val seeded = graft.ops.Quantize.pqTopK(e, q, seeds, k = 200)
+    val trained = graft.ops.Quantize.pqTopKTrained(e, q, k = 200)
+    val (es, et) = (selfErr(seeded), selfErr(trained))
+    assert(et <= es, s"training must not increase self-error: $es -> $et")
+  }
+
+  test("trained codebook cells sit on the 1e-6 grid (non-empty cells)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = graft.ops.Quantize.pqTrainCodebooks(
+      e, "vec_id", "embedding", m = 8, subDim = 8, kw = 8)
+    assert(cb.length == 8 * 8 * 8)
+    // empty cells legitimately keep their raw seed slice (off-grid)
+    val seedVals = e.filter($"vec_id" < 8)
+      .select(explode($"embedding").as("x"))
+      .select($"x".cast("double")).as[Double]
+      .collect().toSet
+    cb.foreach { x =>
+      assert(x == math.floor(x * 1e6 + 0.5) / 1e6 || seedVals.contains(x),
+        s"neither on-grid nor a seed value: $x")
+    }
+  }
+
   test("PqEncode: codes in range, argmin ties keep the lowest codeword index") {
     import graft.functions.ProductQuantizer
     // 2 subspaces x 2 dims; codewords 0 and 1 IDENTICAL, codeword 2 far
