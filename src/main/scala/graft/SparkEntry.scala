@@ -50,6 +50,7 @@ object SparkEntry {
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
     "cdc1_snapshot_diff"    -> (CoreQueries.snapshotDiff _),
     "pr1_pagerank"          -> (CoreQueries.pagerankTop _),
+    "lp1_communities"       -> (CoreQueries.communities _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
     "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
@@ -1115,6 +1116,30 @@ object SparkEntry {
     "r2_hybrid_rrf" -> hybridRrfOracleSql,
     "svd1_power_iteration" -> svdOracleSql,
     "pr1_pagerank" -> pagerankOracleSql,
+    // lp1: three synchronous neighbor-mode rounds, pure integer
+    // arithmetic — the iteration replays with no grids or tolerances.
+    "lp1_communities" -> {
+      def round(t: Int): String =
+        s"""l$t AS (
+           |  SELECT dst AS node, label FROM (
+           |    SELECT e.dst, p.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, p.label) AS rn
+           |    FROM l${t - 1} p JOIN ed e ON p.node = e.src
+           |    GROUP BY e.dst, p.label)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH pe AS (
+         |  SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS s
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |ed AS (SELECT c AS src, s AS dst FROM pe
+         |       UNION SELECT s, c FROM pe),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT label, count(*) AS n_nodes FROM l3
+         |GROUP BY label ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin
+    },
     "mmr1_diversified" -> mmrOracleSql,
     // km1: both Lloyd rounds replayed - assignment = argmax cosine
     // (ties to the SMALLEST centroid id: DESC NULLS LAST, cid - the

@@ -569,6 +569,24 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** lp1 — label-propagation communities (ops.PageRank
+    * .labelPropagation) over the same trade graph as pr1: three
+    * synchronous neighbor-mode rounds (ties to the smallest label),
+    * reported as the top-20 communities by size. Pure integer
+    * iteration — exactly SQL-replayable with no quantization at
+    * all. */
+  def communities(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+    graft.ops.PageRank.labelPropagation(pairs, "src", "dst", iters = 3)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("label"))
+      .limit(20)
+  }
+
   /** cdc1 — snapshot diff (ops.Cdc.snapshotDiff): the "new" snapshot
     * is derived deterministically from customer (every 7th key
     * deleted, every remaining 5th key's balance bumped, every 13th

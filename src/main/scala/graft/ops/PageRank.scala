@@ -34,6 +34,50 @@ object PageRank {
   private def r9(c: org.apache.spark.sql.Column) =
     floor(c * lit(1000000000L) + lit(0.5)) / lit(1000000000L)
 
+  /** Synchronous label propagation — community detection over an
+    * undirected graph (Raghavan et al. 2007): every node starts as its
+    * own label; each round it adopts the most frequent label among its
+    * neighbors (ties to the smallest label; isolated semantics never
+    * arise on an edge-derived node set). Communities are the
+    * coarse-grained sibling of connected components (d6): CC merges
+    * everything reachable, LPA splits a component along its dense
+    * cores — the corpus-organization view dedup families feed on.
+    *
+    * Scale shape per round: one labels⋈edges join (labels carry 16
+    * bytes/row) + one (dst, label) count aggregate + one per-dst
+    * argmax — all map-side-partial'd, the same edge-linear budget as
+    * [[ranks]]. Entirely INTEGER arithmetic: no quantization needed,
+    * every round replays exactly in SQL by construction. Deterministic
+    * synchronous updates (classic LPA is randomized-asynchronous; the
+    * synchronous min-tie variant trades oscillation-resistance for
+    * exact reproducibility — oscillation is bounded out by the fixed
+    * round count). Returns (node, label) after `iters` rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    // undirected: propagate along both directions
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+      .repartition(col("src")).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = labels.join(e, col("node") === col("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst"))
+        .orderBy(col("__c").desc, col("label"))
+      labels = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** PageRank over a directed edge list (srcCol, dstCol). Returns
     * (node, rank) with rank on the 1e-9 grid.
     *

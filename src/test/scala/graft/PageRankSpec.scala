@@ -34,6 +34,26 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: disjoint triangles converge to per-triangle communities") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+                  (10L, 11L), (11L, 12L), (12L, 10L))
+    val labels = PageRank.labelPropagation(tri.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(1L, 2L, 3L).map(labels) == Set(1L))
+    assert(Set(10L, 11L, 12L).map(labels) == Set(10L))
+  }
+
+  test("label propagation is deterministic and direction-agnostic") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val a = PageRank.labelPropagation(e.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toSet
+    val rev = PageRank.labelPropagation(
+        e.map(_.swap).toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toSet
+    assert(a == rev)
+  }
+
   test("duplicate edges in the input do not double-count") {
     val dup = (edges ++ edges).toDF("src", "dst")
     val r = PageRank.ranks(dup, "src", "dst", 3)
