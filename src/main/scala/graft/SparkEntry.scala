@@ -51,6 +51,7 @@ object SparkEntry {
     "cdc1_snapshot_diff"    -> (CoreQueries.snapshotDiff _),
     "pr1_pagerank"          -> (CoreQueries.pagerankTop _),
     "lp1_communities"       -> (CoreQueries.communities _),
+    "mf1_als_rank1"         -> (CoreQueries.alsFactors _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
     "p4_type_classifier"    -> (ScalarQueries.typeClassifier _),
@@ -1116,6 +1117,31 @@ object SparkEntry {
     "r2_hybrid_rrf" -> hybridRrfOracleSql,
     "svd1_power_iteration" -> svdOracleSql,
     "pr1_pagerank" -> pagerankOracleSql,
+    // mf1: both ALS half-steps replayed — u1 = mean rating per user
+    // (v0 = 1 exactly; integer-valued sums are order-exact), v1 =
+    // Σ r·u / Σ u² per item, factors on the 1e-6 grid after each
+    // half-step, squared error written as explicit multiplication
+    // (never pow()) so both engines square identically.
+    "mf1_als_rank1" ->
+      """WITH r AS (
+        |  SELECT l_suppkey AS u, l_partkey AS i,
+        |    CAST(sum(l_quantity) AS DOUBLE) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |u1 AS (
+        |  SELECT u, floor((sum(r) / count(*)) * 1000000 + 0.5) / 1000000 AS uv
+        |  FROM r GROUP BY u),
+        |v1 AS (
+        |  SELECT i, floor((sum(r.r * u1.uv) / sum(u1.uv * u1.uv))
+        |    * 1000000 + 0.5) / 1000000 AS factor
+        |  FROM r JOIN u1 USING (u) GROUP BY i),
+        |ms AS (
+        |  SELECT floor((sum((r.r - u1.uv * v1.factor)
+        |                  * (r.r - u1.uv * v1.factor)) / count(*))
+        |    * 1000000 + 0.5) / 1000000 AS mse
+        |  FROM r JOIN u1 USING (u) JOIN v1 USING (i))
+        |SELECT i AS item, factor, ms.mse
+        |FROM v1 CROSS JOIN ms
+        |ORDER BY factor DESC, i LIMIT 20""".stripMargin,
     // lp1: three synchronous neighbor-mode rounds, pure integer
     // arithmetic — the iteration replays with no grids or tolerances.
     "lp1_communities" -> {

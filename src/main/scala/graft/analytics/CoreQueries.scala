@@ -569,6 +569,19 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** mf1 — rank-1 ALS (ops.Als.rank1Summary) over the sparse
+    * supplier×part quantity matrix (Σ l_quantity per pair — exact
+    * integer-valued sums): one full alternation, top-20 part factors
+    * + observed-cell MSE. The oracle replays both half-steps — the
+    * quantized-iterate recipe with DISTRIBUTED (never driver-held)
+    * factor state. */
+  def alsFactors(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    graft.ops.Als.rank1Summary(ratings, "l_suppkey", "l_partkey", "qty")
+  }
+
   /** lp1 — label-propagation communities (ops.PageRank
     * .labelPropagation) over the same trade graph as pr1: three
     * synchronous neighbor-mode rounds (ties to the smallest label),
