@@ -51,6 +51,7 @@ object SparkEntry {
     "cdc1_snapshot_diff"    -> (CoreQueries.snapshotDiff _),
     "pr1_pagerank"          -> (CoreQueries.pagerankTop _),
     "lp1_communities"       -> (CoreQueries.communities _),
+    "tc1_triangles"         -> (CoreQueries.triangleCounts _),
     "mf1_als_rank1"         -> (CoreQueries.alsFactors _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "d11b_incremental_semdedup" -> (DedupQueries.incrementalSemanticDedup _),
     "d3_simhash_neardup"    -> (DedupQueries.simhashNearDups _),
     "d4_ngram_jaccard"      -> (DedupQueries.ngramJaccard _),
+    "j11_setsim_join"       -> (DedupQueries.setSimJoin _),
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
@@ -1144,6 +1146,19 @@ object SparkEntry {
         |ORDER BY factor DESC, i LIMIT 20""".stripMargin,
     // lp1: three synchronous neighbor-mode rounds, pure integer
     // arithmetic — the iteration replays with no grids or tolerances.
+    "tc1_triangles" ->
+      """WITH sp AS (SELECT DISTINCT l_orderkey k, l_suppkey s FROM lineitem),
+        |co AS (SELECT a.s AS u, b.s AS v, count(*) AS n
+        |       FROM sp a JOIN sp b ON a.k = b.k AND a.s < b.s GROUP BY 1, 2),
+        |thr AS (SELECT min(n) AS t FROM (SELECT n FROM co ORDER BY n DESC
+        |        LIMIT (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT) FROM co))),
+        |e AS (SELECT u, v FROM co, thr WHERE n >= t),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_tri
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
     "lp1_communities" -> {
       def round(t: Int): String =
         s"""l$t AS (
@@ -2172,6 +2187,20 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "j11_setsim_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor((len(list_intersect(a.s, b.s))::DOUBLE
+        |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -569,6 +569,33 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** tc1 — per-node triangle counts ([[graft.ops.Triangles]], degree
+    * orientation) over the supplier co-occurrence graph: suppliers
+    * joined by appearing in the same order, thresholded to the top-20%
+    * of pairs by co-occurrence count (ties included — an integer-exact,
+    * scale-adaptive sparsifier; the raw projection is complete at every
+    * sf). The single driver-held value is the pair-count scalar that
+    * sizes the top-k cut (the Bpe.train argmax pattern); top-20 nodes
+    * by triangle membership. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"), col("l_suppkey").cast("long").as("s"))
+      .distinct()
+    val co = sp.as("a").join(sp.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused by the count, the top-k cut and the filter
+    val nPairs = co.count()
+    val topK = math.ceil(0.2 * nPairs).toInt
+    val thr = co.orderBy(col("n").desc).limit(topK)
+      .agg(min(col("n"))).first().getLong(0)
+    val edges = co.filter(col("n") >= thr).select(col("u"), col("v"))
+    graft.ops.Triangles.perNode(edges, "u", "v", assumeDistinct = true)
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
   /** mf1 — rank-1 ALS (ops.Als.rank1Summary) over the sparse
     * supplier×part quantity matrix (Σ l_quantity per pair — exact
     * integer-valued sums): one full alternation, top-20 part factors

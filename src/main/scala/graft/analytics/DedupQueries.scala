@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, SetSimJoin}
 import graft.functions.Rounding.exactRound
 
 /** Dedup exemplars over the documents/embeddings tables. */
@@ -27,6 +27,18 @@ object DedupQueries {
     * with a cliff to ≤ 0.1, so LSH+verify equals brute force. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashNearDups(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+      .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** j11 — exact-threshold set-similarity self-join
+    * ([[graft.ops.SetSimJoin]], PPJoin/AllPairs family): every pair at
+    * shingle-set Jaccard >= 0.7, found via rarest-first prefix
+    * filtering instead of a quadratic pair scan. The prefix filter is
+    * a theorem (no recall caveat, unlike d2's LSH banding), so the
+    * oracle is the brute-force join and equality is EXACT — the one
+    * contract rider is the shared d1/d2 64-bit digest assumption. */
+  def setSimJoin(spark: SparkSession, dir: String): DataFrame =
+    SetSimJoin.jaccardJoin(Tables.documents(spark, dir), "doc_id", "text", 0.7)
       .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-threshold set-similarity self-join via prefix filtering —
+  * the PPJoin/AllPairs family (Bayardo et al. WWW'07, Xiao et al.
+  * ICDE'08): all pairs of documents whose shingle-set Jaccard
+  * similarity reaches `threshold`, with NO quadratic pair scan and,
+  * unlike the MinHash path ([[Dedup.minHashNearDups]]), NO
+  * probabilistic-recall caveat — the prefix filter is a theorem, not
+  * an estimator, so the output equals the brute-force join exactly.
+  *
+  * Candidate generation: order every document's tokens by ascending
+  * corpus document-frequency (rarest first; ties by token digest — a
+  * single GLOBAL total order). A pair with Jaccard >= t must share at
+  * least ceil(t*|d|) tokens with any qualifying partner, so if a
+  * document's (|d| - ceil(t*|d|) + 1)-token prefix shares nothing
+  * with the other document's prefix, the pair cannot qualify: the
+  * smallest shared token under the global order provably sits in BOTH
+  * prefixes. Rarest-first ordering is what makes the filter sharp —
+  * stopword-like shingles land at the END of the order and never
+  * enter a prefix, so the candidate join fans out on rare tokens
+  * only.
+  *
+  * Shape at 100 TB:
+  *  - tokens are exploded MAP-SIDE from the [[graft.functions.WordNGrams]]
+  *    byte-slicer and immediately collapsed to 8-byte xxhash64
+  *    digests — no exchange in the whole operator carries shingle
+  *    text (the d2/t22 discipline). A digest collision can only merge
+  *    two shingles corpus-wide, inflating an intersection by 1; at
+  *    64 bits this needs ~2^32 DISTINCT shingles per corpus to reach
+  *    even-odds anywhere (the d1 contract, documented there).
+  *  - the document-frequency pass and the per-document rank window
+  *    both shuffle (id, digest) pairs — 16 bytes/token, the same
+  *    metadata-only scale as t12's count join.
+  *  - the candidate join keys on single token digests but only over
+  *    PREFIX rows: each document contributes |d|(1-t)+1 rows, ~20% of
+  *    its tokens at t=0.8, and the hottest (stopword) tokens are
+  *    excluded by construction. Candidate pairs are deduplicated
+  *    before verification.
+  *  - verification never materializes per-document arrays into the
+  *    join: intersection sizes come from re-joining the (id, digest)
+  *    token rows of the CANDIDATE documents only — output-scale work.
+  *
+  * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard exact
+  * (intersection / (|a| + |b| - intersection) over distinct shingle
+  * sets), one row per qualifying pair.
+  */
+object SetSimJoin {
+
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // Map-side: distinct shingles (WordNGrams byte-slicer) -> one row
+    // per (doc, 8-byte token digest); set size attached map-side so no
+    // extra aggregate is needed for it.
+    val toks = df
+      .select(col(idCol).as("__id"),
+        Dedup.shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), size(col("__sh")).as("__sz"),
+        explode(col("__sh")).as("__s"))
+      .select(col("__id"), col("__sz"), xxhash64(col("__s")).as("__tok"))
+    // Corpus document-frequency per token — the global order key.
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // Rarest-first rank inside each document under the (df, digest)
+    // GLOBAL total order; prefix = first (sz - ceil(t*sz) + 1) tokens.
+    val ranked = toks.join(freq, "__tok")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))))
+      .withColumn("__p",
+        col("__sz") - ceil(col("__sz") * lit(threshold)) + lit(1))
+    val prefix = ranked.filter(col("__rk") <= col("__p"))
+      .select(col("__tok"), col("__id"), col("__sz"))
+    // Candidate pairs: a shared PREFIX token + the length filter
+    // (t*|a| <= |b| and t*|b| <= |a| is necessary for J >= t).
+    val a = prefix.select(col("__tok"), col("__id").as("id_a"), col("__sz").as("sz_a"))
+    val b = prefix.select(col("__tok"), col("__id").as("id_b"), col("__sz").as("sz_b"))
+    val cand = a.join(b, "__tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") * lit(threshold) <= col("sz_a") &&
+        col("sz_a") * lit(threshold) <= col("sz_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    // Exact verification on token rows of candidate documents only:
+    // intersection size = count of shared digests per pair.
+    val ta = toks.select(col("__id").as("id_a"), col("__tok"))
+    val tb = toks.select(col("__id").as("id_b"), col("__tok"))
+    val inter = cand
+      .join(ta, "id_a")
+      .join(tb, Seq("id_b", "__tok"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("__int"))
+    inter
+      .withColumn("jaccard",
+        col("__int").cast("double") /
+          (col("sz_a") + col("sz_b") - col("__int")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting via degree orientation — the graph
+  * third leg next to PageRank (pr1) and label propagation (lp1):
+  * clustering-structure measurement over a similarity/co-occurrence
+  * graph (triangle-dense neighborhoods = tight near-dup or community
+  * cores; triangle-free hubs = spam-like link patterns).
+  *
+  * The naive wedge join explodes on hubs: a degree-d node contributes
+  * d² wedges. Degree orientation (Suri & Vassilvitskii WWW'11 shape)
+  * fixes the bound structurally: orient every undirected edge from the
+  * endpoint with the smaller (degree, id) to the larger, making the
+  * graph a DAG where every node's OUT-degree is O(√m) — a node of
+  * out-degree k must have k neighbors of degree ≥ its own. Each
+  * triangle {a ≺ b ≺ c} then exists exactly once as wedges a→b, a→c
+  * closed by b→c, so:
+  *  - wedges = oriented ⋈ oriented on the source (out-degree-bounded
+  *    fan-out, Σ out² = O(m^1.5) worst case instead of Σ deg²);
+  *  - closure = one equi-join of the wedge list against the oriented
+  *    edge list on (b, c) — no membership broadcast, no driver state;
+  *  - per-node counts = explode the 3 corners + one aggregate.
+  *
+  * Every exchange carries (long, long) node pairs — 16 bytes/row.
+  * Input edges may be directed/duplicated/self-looped; normalization
+  * (id-ordering + distinct) happens here unless `assumeDistinct`
+  * promises id-ordered distinct loop-free edges.
+  *
+  * Returns (node, n_tri) for every node in at least one triangle.
+  */
+object Triangles {
+
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String,
+              assumeDistinct: Boolean = false): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val und =
+      if (assumeDistinct) e0
+      else e0.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    // Undirected degree per node (each edge touches both endpoints).
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Orient by the (degree, id) total order; keep the head's order key
+    // so the wedge join can order its two endpoints the same way.
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    // Wedges from each source, endpoints ordered by the SAME
+    // (degree, id) order the orientation used — the closure edge
+    // between them, if present, is then oriented b -> c exactly.
+    val w1 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val w2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    val wedges = w1.join(w2, "s")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("s").as("a"), col("b"), col("c"))
+    val closure = oriented.select(col("s").as("b"), col("t").as("c"))
+    val tris = wedges.join(closure, Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+}

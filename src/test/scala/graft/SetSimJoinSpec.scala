@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import graft.ops.{Dedup, SetSimJoin}
+
+class SetSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("prefix-filter join equals the brute-force quadratic join") {
+    for (t <- Seq(0.7, 0.8, 0.9)) {
+      val fast = SetSimJoin.jaccardJoin(docs, "doc_id", "text", t)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", t)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast === brute, s"threshold $t")
+      assert(fast.nonEmpty, s"fixture has planted near-dups at $t")
+    }
+  }
+
+  test("exact duplicates on distinct ids pair at jaccard 1.0") {
+    val dup = docs.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 5000000L)
+    val out = SetSimJoin.jaccardJoin(docs.unionByName(dup), "doc_id", "text", 0.99)
+      .filter($"id_b" >= 5000000L && $"id_a" === $"id_b" - 5000000L)
+    assert(out.count() === 5)
+    assert(out.filter($"jaccard" < 1.0).count() === 0)
+  }
+
+  test("plan has no cartesian or nested-loop join") {
+    val plan = SetSimJoin.jaccardJoin(docs, "doc_id", "text", 0.8)
+      .queryExecution.executedPlan
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(all)
+    val bad = all(plan).filter(n =>
+      n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"quadratic join in plan:\n$plan")
+  }
+
+  test("short and empty documents are handled") {
+    val tiny = Seq((1L, "a b"), (2L, ""), (3L, "x y z"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = SetSimJoin.jaccardJoin(tiny, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1 and 2 have no 3-shingles; 3 and 4 are identical
+    assert(out === Set((3L, 4L)))
+  }
+}
