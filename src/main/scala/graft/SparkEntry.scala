@@ -45,6 +45,7 @@ object SparkEntry {
     "q17_approx_distinct"   -> (SketchQueries.approxDistinct _),
     "q18_approx_median"     -> (SketchQueries.approxMedian _),
     "q19_heavy_hitters"     -> (SketchQueries.heavyHitters _),
+    "q21_count_min"         -> (SketchQueries.countMinUsers _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
@@ -52,6 +53,7 @@ object SparkEntry {
     "pr1_pagerank"          -> (CoreQueries.pagerankTop _),
     "lp1_communities"       -> (CoreQueries.communities _),
     "tc1_triangles"         -> (CoreQueries.triangleCounts _),
+    "w12_ewma"              -> (CoreQueries.userEwma _),
     "mf1_als_rank1"         -> (CoreQueries.alsFactors _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
@@ -113,6 +115,7 @@ object SparkEntry {
     "t23_shuffle_order"     -> (TextQueries.shuffleOrder _),
     "t21_boilerplate_strip" -> (TextQueries.boilerplateStrip _),
     "t26_bpe_pairs"         -> (TextQueries.bpePairs _),
+    "t30_bpe_encode"        -> (TextQueries.bpeEncode _),
     "lr1_quality_classifier" -> (TextQueries.qualityClassifier _),
     "t27_perplexity_tiers"  -> (TextQueries.perplexityBuckets _),
     "t28_leakage_free_split" -> (TextQueries.leakageFreeSplit _),
@@ -135,6 +138,7 @@ object SparkEntry {
     "st4_stream_semdedup"   -> (StreamQueries.streamSemanticDedup _),
     "st5_stream_minhash"    -> (StreamQueries.streamMinhashDedup _),
     "st6_stream_cdc"        -> (StreamQueries.streamSnapshotCdc _),
+    "st7_stream_heavy_hitters" -> (StreamQueries.streamHeavyHitters _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
     "d12_dsir_select"       -> (TextQueries.dsirSelect _),
@@ -1146,6 +1150,27 @@ object SparkEntry {
         |ORDER BY factor DESC, i LIMIT 20""".stripMargin,
     // lp1: three synchronous neighbor-mode rounds, pure integer
     // arithmetic — the iteration replays with no grids or tolerances.
+    // w12: decay coefficients are the SAME driver doubles Spark uses,
+    // serialized at 17 significant digits (exact double round-trip) —
+    // engine pow() never runs on either side.
+    "w12_ewma" -> {
+      val pows = graft.ops.Recency.decayPowers(0.25, 20)
+        .map(d => f"$d%.17g").mkString("[", ", ", "]")
+      s"""WITH r AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS i
+         |  FROM events),
+         |kk AS (SELECT user_id, value, i FROM r WHERE i <= 20),
+         |m AS (SELECT user_id, count(*) AS m FROM kk GROUP BY 1),
+         |p AS (SELECT $pows AS pw)
+         |SELECT kk.user_id, max(m.m) AS n_recent,
+         |  floor(sum(CASE WHEN kk.i = m.m THEN p.pw[m.m] * kk.value
+         |                 ELSE 0.25 * p.pw[kk.i] * kk.value END)
+         |        * 1000000 + 0.5) / 1000000 AS ewma
+         |FROM kk, m, p WHERE kk.user_id = m.user_id
+         |GROUP BY kk.user_id ORDER BY kk.user_id""".stripMargin
+    },
     "tc1_triangles" ->
       """WITH sp AS (SELECT DISTINCT l_orderkey k, l_suppkey s FROM lineitem),
         |co AS (SELECT a.s AS u, b.s AS v, count(*) AS n
@@ -1865,12 +1890,42 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // st7: under-k Misra-Gries is exact, so the streamed state-store
+    // merge must reproduce plain GROUP BY counts bit-for-bit.
+    "st7_stream_heavy_hitters" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |  count(*) AS est
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY priority, status""".stripMargin,
     "q19_heavy_hitters" ->
       """SELECT o_orderstatus, o_orderpriority AS priority,
         |  count(*) AS est
         |FROM orders
         |GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, priority""".stripMargin,
+    // q21: the whole count-min sketch replayed — hash rows from the
+    // shared PolyHash fragment, constants read off ops.Sketches so the
+    // two engines cannot drift.
+    "q21_count_min" -> {
+      val h = polyHash64Sql("CAST(user_id AS VARCHAR)")
+      val a = graft.ops.Sketches.CmA.take(4).mkString("[", ",", "]")
+      val b = graft.ops.Sketches.CmB.take(4).mkString("[", ",", "]")
+      val p = graft.ops.Sketches.CmP
+      s"""WITH k AS (SELECT user_id, $h AS h
+        |           FROM (SELECT DISTINCT user_id FROM events)),
+        |pr AS (SELECT unnest([0,1,2,3]) AS j, unnest($a) AS a, unnest($b) AS b),
+        |c AS (SELECT pr.j,
+        |        ((k.h % $p) * pr.a + pr.b) % $p % 64 AS bucket, count(*) AS cnt
+        |      FROM events e, k, pr WHERE e.user_id = k.user_id
+        |      GROUP BY 1, 2),
+        |q AS (SELECT k.user_id, pr.j,
+        |        ((k.h % $p) * pr.a + pr.b) % $p % 64 AS bucket FROM k, pr),
+        |est AS (SELECT q.user_id, min(c.cnt) AS est
+        |        FROM q JOIN c ON c.j = q.j AND c.bucket = q.bucket GROUP BY 1),
+        |ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
+        |SELECT user_id, est, exact FROM est JOIN ex USING (user_id)
+        |ORDER BY user_id""".stripMargin
+    },
     "q11_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -2384,6 +2439,53 @@ object SparkEntry {
         |  WHERE i <= len(w) - 1)
         |SELECT pair, count(*) AS n FROM pairs
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    // t30: the full 4-round BPE training loop + vocab encode replayed.
+    // Symbol sequences ride ops.Bpe.Sep's both-sides-wrapped delimited
+    // form (every symbol = chr(1)||sym||chr(1)), so one literal
+    // replace() per round/merge is the exact left-to-right
+    // non-overlapping BPE apply on both engines; symbols come back via
+    // string_split on the doubled chr(1) between neighbors after
+    // trimming the outermost pair.
+    "t30_bpe_encode" -> {
+      val nM = 4
+      // pattern chr(1)||a||chr(1)||chr(1)||b||chr(1) -> chr(1)||a||b||chr(1)
+      def rep(s: String): String =
+        s"replace($s, chr(1) || a || chr(1) || chr(1) || b || chr(1), " +
+          "chr(1) || a || b || chr(1))"
+      def pairsOf(v: String): String =
+        s"""SELECT ws[i] AS a, ws[i + 1] AS b, sum(freq) AS n
+           |      FROM (SELECT freq, ws, unnest(range(1, len(ws))) AS i
+           |            FROM (SELECT freq,
+           |                  string_split(trim(s, chr(1)), chr(1) || chr(1)) AS ws
+           |                  FROM $v))
+           |      GROUP BY 1, 2""".stripMargin
+      val rounds = (0 until nM).map { r =>
+        s"""b$r AS (SELECT a, b FROM (${pairsOf(s"v$r")})
+           |      ORDER BY n DESC, a, b LIMIT 1),
+           |v${r + 1} AS (SELECT word, freq, ${rep("s")} AS s FROM v$r, b$r)""".stripMargin
+      }.mkString(",\n")
+      val encs = (0 until nM).map { r =>
+        s"e${r + 1} AS (SELECT word, ${rep("s")} AS s FROM e$r, b$r)"
+      }.mkString(",\n")
+      s"""WITH wf AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) >= 2 GROUP BY word),
+         |v0 AS (SELECT word, freq,
+         |       regexp_replace(word, '(.)', concat(chr(1), '\\1', chr(1)), 'g') AS s FROM wf),
+         |$rounds,
+         |occ AS (SELECT doc_id, word
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |        WHERE len(word) >= 1),
+         |e0 AS (SELECT word, regexp_replace(word, '(.)', concat(chr(1), '\\1', chr(1)), 'g') AS s
+         |       FROM (SELECT DISTINCT word FROM occ)),
+         |$encs,
+         |wt AS (SELECT word,
+         |       CAST((len(s) - len(replace(s, chr(1), ''))) / 2 AS BIGINT) AS wtok FROM e$nM)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(wtok) AS BIGINT) AS n_tokens
+         |FROM occ JOIN wt USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "t25_gopher_rules" ->
       """WITH s AS (
         |  SELECT doc_id,

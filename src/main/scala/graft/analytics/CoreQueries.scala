@@ -569,6 +569,19 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** w12 — recency-weighted activity (ops.Recency.ewmaLastK): per-user
+    * EWMA of event values over the 20 most recent events, the
+    * "sequential" recurrence closed into one rank-filtered weighted
+    * sum. Decay coefficients are a driver-computed literal table
+    * shared with the oracle (no engine pow()), so the only float op
+    * is the bounded 20-term sum (6dp grid). */
+  def userEwma(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Recency.ewmaLastK(Tables.events(spark, dir),
+        "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("n_recent"),
+        exactRound(col("ewma"), 6).as("ewma"))
+      .orderBy(col("user_id"))
+
   /** tc1 — per-node triangle counts ([[graft.ops.Triangles]], degree
     * orientation) over the supplier co-occurrence graph: suppliers
     * joined by appearing in the same order, thresholded to the top-20%

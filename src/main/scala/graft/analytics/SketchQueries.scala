@@ -29,6 +29,23 @@ object SketchQueries {
       .select(col("l_returnflag"), col("within_bound"))
       .orderBy(col("l_returnflag"))
 
+  /** q21 — count-min sketch point queries (ops.Sketches.countMin) for
+    * per-user event counts: the estimate from a 4×64 sketch next to
+    * the exact count. Unlike q17/q18's contract-style oracles, the
+    * PolyHash-family hash rows make the ENTIRE sketch replayable in
+    * SQL — the oracle rebuilds counter cells, point-query minima and
+    * all, so the hash gate proves the sketch arithmetic end-to-end
+    * through real shuffled partials (width 64 over ~150+ users forces
+    * genuine collisions: est > exact on real rows). */
+  def countMinUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val est = Sketches.countMinEstimates(ev, "user_id")
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    est.join(exact, "user_id")
+      .select(col("user_id"), col("est"), col("exact"))
+      .orderBy(col("user_id"))
+  }
+
   /** q19 — Misra-Gries heavy hitters per order status
     * (functions.MisraGries, the custom mergeable Aggregator). The
     * priority domain (5 values) sits under k = 8, the regime where MG

@@ -115,6 +115,40 @@ object StreamQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** st7 — STREAMING Misra-Gries heavy hitters: the q19 sketch
+    * ([[graft.functions.MisraGries]]) held in the streaming
+    * aggregation STATE STORE and merged micro-batch by micro-batch —
+    * the orders table arrives as 8 one-file micro-batches
+    * (maxFilesPerTrigger = 1), so the final complete-mode state is the
+    * product of 7 real cross-batch sketch merges, not one batch agg.
+    * The status domain (3 values) sits under k = 8 where MG is
+    * provably exact, so the final state must hash-match a plain
+    * GROUP BY oracle — gating the state-store merge path the way
+    * st5/st6 gate dedup and CDC. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedHh.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st7_").toString
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"), col("o_orderstatus"))
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st7_${math.abs(dir.hashCode)}"
+      val mg = graft.functions.MisraGries.heavyHitters(8)
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => df.groupBy(col("o_orderpriority"))
+          .agg(mg(col("o_orderstatus")).as("hh")),
+        name, maxFilesPerTrigger = Some(1))
+      name
+    })
+    spark.table(table)
+      .select(col("o_orderpriority").as("priority"),
+        explode(col("hh")).as(Seq("status", "est")))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  private val streamedHh =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private val streamedCdcOps =
     scala.collection.concurrent.TrieMap[String, String]()
 

@@ -465,6 +465,20 @@ object TextQueries {
       .orderBy(col("n").desc, col("pair"))
       .limit(30)
 
+  /** t30 — BPE tokenizer APPLY (ops.Bpe.encodedTokenCounts): the four
+    * merges learned by [[graft.ops.Bpe.train]] applied back to the
+    * corpus at vocab scale; per-doc word + BPE-token counts. The
+    * oracle replays the ENTIRE training loop — all four pair-count +
+    * argmax rounds — and the delimited-symbol replace-chain encode in
+    * SQL, so the hash gate covers train AND apply end-to-end (t26
+    * gates round 1's candidate table; this gates the loop). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 4).map(_._1)
+    graft.ops.Bpe.encodedTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   /** t28 — duplicate-aware split (ops.Sampling.leakageFreeSplit):
     * t5's deterministic split, but keyed on the near-dup COMPONENT
     * root (d6's verified MinHash components) so a test doc can never

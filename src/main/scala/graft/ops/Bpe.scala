@@ -66,6 +66,59 @@ object Bpe {
     out.toIndexedSeq
   }
 
+  /** Separator for the delimited-symbol string encoding of a symbol
+    * sequence: every symbol is wrapped on BOTH sides,
+    * `["a","bc"] -> "␁a␁␁bc␁"` (␁ = U+0001). Applying one merge
+    * (a, b) is then literally
+    * `replace(s, "␁a␁␁b␁", "␁ab␁")` — java/DuckDB `replace` scans
+    * left-to-right non-overlapping, which IS the BPE apply rule
+    * ([[mergePair]]). Both anchors matter: the LEADING ␁ stops the
+    * pattern matching a suffix of a longer symbol ("␁xa␁␁b␁" must not
+    * match merge (a, b) — a trailing-only encoding does, wrongly),
+    * and wrapping each symbol individually (doubled ␁␁ between
+    * neighbors) means consecutive matches share no characters, so
+    * "a a a a" still merges leftmost-first to "aa aa" exactly like
+    * the array form. Token count = separator count / 2. Precondition:
+    * input text must not contain U+0001 (and symbols are code UNITS
+    * here — BMP text only; the corpus tables are ASCII). */
+  val Sep = "\u0001"
+
+  /** Vocab-scale BPE encode: the learned merges applied to every
+    * DISTINCT word exactly once — the shape real tokenizer pipelines
+    * use (encode the vocab, join counts), so the corpus is never
+    * re-scanned per merge. The whole chain (regexp explode to
+    * delimited symbols, one literal `replace` per merge, separator
+    * count = token count) is codegen'd string ops, no UDF, and
+    * replays verbatim in SQL. Returns (word, wtok). */
+  def wordTokenCounts(df: DataFrame, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .distinct()
+    val seq0 = regexp_replace(col("word"), "(.)", Sep + "$1" + Sep)
+    val seqN = merges.foldLeft(seq0) { case (s, (a, b)) =>
+      call_function("replace", s,
+        lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
+    }
+    words.select(col("word"),
+      ((length(seqN) -
+        length(call_function("replace", seqN, lit(Sep), lit("")))) / 2)
+        .cast("long").as("wtok"))
+  }
+
+  /** Per-document BPE token counts under the learned merges:
+    * explode word occurrences, join the encoded vocab (word-string
+    * keys — the [[wordFrequencies]] exchange argument), aggregate.
+    * Returns (id, n_words, n_tokens). */
+  def encodedTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                         merges: Seq[(String, String)]): DataFrame = {
+    val occ = df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+    occ.join(wordTokenCounts(df, textCol, merges), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("wtok")).as("n_tokens"))
+  }
+
   /** Learn `numMerges` merges. Each round: distributed pair-count over
     * the vocab table, argmax by (count desc, pair asc — deterministic
     * across partitionings), driver receives ONE row, vocab symbol

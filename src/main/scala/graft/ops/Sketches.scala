@@ -38,6 +38,59 @@ object Sketches {
         abs(col("approx_distinct") - col("exact_distinct"))
           <= col("exact_distinct") * (rsd * tolFactor) + lit(1.0))
 
+  /** Count-min sketch (Cormode & Muthukrishnan '05) — bounded-state
+    * frequency estimation where even Misra-Gries is too big: `depth`
+    * counter rows of `width` cells each, a few KB of associatively
+    * mergeable state regardless of key cardinality, overestimate-only
+    * error ≤ e·n/width with probability 1−e^−depth.
+    *
+    * Unlike q17/q18's engine-internal sketches (HLL++/KLL), this one
+    * is built from the portable [[graft.functions.PolyHash]] family,
+    * so the WHOLE sketch — hash rows, cell counts, point-query minima
+    * — replays bit-for-bit in ANSI SQL: the row hashes are
+    * `((h mod P) · a_j + b_j) mod P mod width` with P = 2^31−1 and
+    * fixed odd constants, every product < 2^62 (no BIGINT overflow on
+    * either engine).
+    *
+    * Scale shape: the counter table is built in ONE map-side
+    * explode(depth) + aggregate over (j, bucket) — at most
+    * depth·width distinct groups, so partial aggregation collapses
+    * each task's contribution to sketch size before the exchange
+    * (that collapse IS the sketch's merge property, exercised through
+    * real shuffled partials). Point queries join the counter table —
+    * sketch-sized, broadcastable — not the corpus. */
+  val CmP: Long = 2147483647L // 2^31 − 1 (Mersenne)
+  val CmA: Seq[Long] = Seq(1664525L, 69069L, 22695477L, 1103515245L)
+  val CmB: Seq[Long] = Seq(1013904223L, 362437L, 1L, 12345L)
+
+  private def cmBucket(h: Column, j: Int, width: Int): Column =
+    pmod(pmod(pmod(h, lit(CmP)) * lit(CmA(j)) + lit(CmB(j)), lit(CmP)), lit(width))
+
+  /** The counter table (j, bucket, cnt) over every row of `df`. */
+  def countMin(df: DataFrame, keyCol: String, width: Int = 64,
+               depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= CmA.size, s"depth must be 1..${CmA.size}")
+    val h = graft.functions.PolyHash.polyHash(col(keyCol))
+    df.select(posexplode(array((0 until depth).map(j => cmBucket(h, j, width)): _*))
+        .as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates for every DISTINCT key in `df`:
+    * est(k) = min over rows j of cnt[j][h_j(k)] — the CMS guarantee
+    * est >= true count always, with the e·n/width overshoot bound. */
+  def countMinEstimates(df: DataFrame, keyCol: String, width: Int = 64,
+                        depth: Int = 4): DataFrame = {
+    val counters = countMin(df, keyCol, width, depth)
+    val h = graft.functions.PolyHash.polyHash(col(keyCol))
+    df.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        posexplode(array((0 until depth).map(j => cmBucket(h, j, width)): _*))
+          .as(Seq("j", "bucket")))
+      .join(counters, Seq("j", "bucket"))
+      .groupBy(col(keyCol)).agg(min(col("cnt")).as("est"))
+  }
+
   /** Per-group approximate median vs the exact median, bounded by a
     * RANK tolerance: the approx median must sit between the exact
     * p(0.5-eps) and p(0.5+eps) quantiles — the guarantee

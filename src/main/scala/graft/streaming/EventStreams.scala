@@ -265,8 +265,12 @@ object EventStreams {
   def runAvailableNow(spark: SparkSession, sourceDir: String,
                       schema: org.apache.spark.sql.types.StructType,
                       transform: DataFrame => DataFrame,
-                      queryName: String): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+                      queryName: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
     val q = transform(stream).writeStream
       .format("memory").queryName(queryName)
       .outputMode(OutputMode.Complete())

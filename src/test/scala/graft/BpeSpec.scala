@@ -86,6 +86,36 @@ class BpeSpec extends SparkSpec {
     assert(got == Map("ab" -> 5L, "bc" -> 1L))
   }
 
+  test("replace-chain encode equals the symbol-array merge reference") {
+    // random words over a tiny alphabet force dense merge collisions
+    // (aaa-style overlaps) — exactly where replace semantics could slip
+    val rnd = new scala.util.Random(23)
+    val words = (0 until 120).map(_ =>
+      (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val docs = words.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 6).map(_._1)
+    val got = Bpe.wordTokenCounts(docs, "text", merges)
+      .as[(String, Long)].collect().toMap
+    val want = words.distinct.map { w =>
+      val syms = merges.foldLeft(w.map(_.toString).toVector) {
+        case (s, (a, b)) => mergeRef(s, a, b)
+      }
+      w -> syms.length.toLong
+    }.toMap
+    assert(got === want)
+  }
+
+  test("encode with zero merges counts characters; with merges it compresses") {
+    val docs = Seq((1L, "low low lowest"), (2L, "ab")).toDF("doc_id", "text")
+    val plain = Bpe.encodedTokenCounts(docs, "doc_id", "text", Nil)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(plain === Map(1L -> (3L, 12L), 2L -> (1L, 2L)))
+    val merges = Bpe.train(docs, "text", numMerges = 4).map(_._1)
+    val enc = Bpe.encodedTokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(enc(1L) < 12L, s"merges must compress: $enc")
+  }
+
   test("corpus pass is codegen (split+explode), no HOF before the word agg") {
     val plan = Bpe.wordFrequencies(
       Seq("a b").toDF("text"), "text").queryExecution.executedPlan.toString

@@ -214,6 +214,19 @@ class StreamingSpec extends SparkSpec {
     assert(st5.nonEmpty)
   }
 
+  test("st7 rehearsal: streamed Misra-Gries state equals batch GROUP BY counts") {
+    // 8 one-file micro-batches force 7 real state-store sketch merges;
+    // under k = 8 with 3 distinct statuses the sketch is exact, so the
+    // final complete-mode state must equal a plain batch aggregate
+    val st7 = SparkEntry.queries("st7_stream_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority", "o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(st7 === batch)
+    assert(st7.nonEmpty)
+  }
+
   test("K1: partitioned JSON sink writes term directories") {
     val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
     graft.etl.Sinks.partitionedJson(
