@@ -54,6 +54,8 @@ object SparkEntry {
     "lp1_communities"       -> (CoreQueries.communities _),
     "tc1_triangles"         -> (CoreQueries.triangleCounts _),
     "w12_ewma"              -> (CoreQueries.userEwma _),
+    "w13_throttle_dedup"    -> (CoreQueries.throttleDedup _),
+    "gc1_kcore"             -> (CoreQueries.supplierKCore _),
     "mf1_als_rank1"         -> (CoreQueries.alsFactors _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
     "p3_range_filter"       -> (ScalarQueries.sourceRangeFilter _),
@@ -92,6 +94,7 @@ object SparkEntry {
     "d10_span_strip"        -> (DedupQueries.spanStrip _),
     "d11_semantic_dedup"    -> (DedupQueries.semanticDedup _),
     "d5_embedding_neardup"  -> (DedupQueries.embeddingNearDups _),
+    "e1_hyperplane_neardup" -> (DedupQueries.hyperplaneEmbeddingNearDups _),
     "t1_lang_id"            -> (TextQueries.langId _),
     "t5_hash_split"         -> (TextQueries.hashSplit _),
     "t6_stratified_sample"  -> (TextQueries.stratifiedSample _),
@@ -116,6 +119,7 @@ object SparkEntry {
     "t21_boilerplate_strip" -> (TextQueries.boilerplateStrip _),
     "t26_bpe_pairs"         -> (TextQueries.bpePairs _),
     "t30_bpe_encode"        -> (TextQueries.bpeEncode _),
+    "t31_winsorize"         -> (TextQueries.winsorizedQuality _),
     "lr1_quality_classifier" -> (TextQueries.qualityClassifier _),
     "t27_perplexity_tiers"  -> (TextQueries.perplexityBuckets _),
     "t28_leakage_free_split" -> (TextQueries.leakageFreeSplit _),
@@ -154,6 +158,18 @@ object SparkEntry {
     "md3_gold_oral_arguments" -> (MedallionQueries.goldOralArgumentsQuery _),
     "k6_xml"                -> (MedallionQueries.xmlSerializationQuery _),
   )
+
+  /** Shared tc1/gc1 graph CTEs: supplier co-occurrence pairs
+    * sparsified to the top-20% by co-count (ties kept). The oracle's
+    * ORDER BY/LIMIT threshold is semantically identical to the Spark
+    * side's histogram read-off (thr = max v with |{n >= v}| >= k). */
+  private val tradeEdgesCte: String =
+    """sp AS (SELECT DISTINCT l_orderkey k, l_suppkey s FROM lineitem),
+      |co AS MATERIALIZED (SELECT a.s AS u, b.s AS v, count(*) AS n
+      |       FROM sp a JOIN sp b ON a.k = b.k AND a.s < b.s GROUP BY 1, 2),
+      |thr AS (SELECT min(n) AS t FROM (SELECT n FROM co ORDER BY n DESC
+      |        LIMIT (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT) FROM co))),
+      |e0 AS MATERIALIZED (SELECT u, v FROM co, thr WHERE n >= t)""".stripMargin
 
   /** DuckDB reproduction of graft.functions.PolyHash: polynomial fold
     * over code points, `(h * mult + cp) mod prime`. */
@@ -1150,6 +1166,16 @@ object SparkEntry {
         |ORDER BY factor DESC, i LIMIT 20""".stripMargin,
     // lp1: three synchronous neighbor-mode rounds, pure integer
     // arithmetic — the iteration replays with no grids or tolerances.
+    "w13_throttle_dedup" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type,
+        |  count(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 END) AS n_kept,
+        |  count(CASE WHEN gap IS NOT NULL AND gap <= 3600000000 THEN 1 END) AS n_dropped
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     // w12: decay coefficients are the SAME driver doubles Spark uses,
     // serialized at 17 significant digits (exact double round-trip) —
     // engine pow() never runs on either side.
@@ -1172,18 +1198,36 @@ object SparkEntry {
          |GROUP BY kk.user_id ORDER BY kk.user_id""".stripMargin
     },
     "tc1_triangles" ->
-      """WITH sp AS (SELECT DISTINCT l_orderkey k, l_suppkey s FROM lineitem),
-        |co AS (SELECT a.s AS u, b.s AS v, count(*) AS n
-        |       FROM sp a JOIN sp b ON a.k = b.k AND a.s < b.s GROUP BY 1, 2),
-        |thr AS (SELECT min(n) AS t FROM (SELECT n FROM co ORDER BY n DESC
-        |        LIMIT (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT) FROM co))),
-        |e AS (SELECT u, v FROM co, thr WHERE n >= t),
+      s"""WITH $tradeEdgesCte,
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
-        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+        |                   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT node, count(*) AS n_tri
         |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
         |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    // gc1: data-adaptive k = max(2, ceil(0.7·avg-degree)), then 6
+    // unrolled peel rounds — more than the data's cascade depth (4 at
+    // sf0.01); post-fixpoint rounds are no-ops on both engines.
+    "gc1_kcore" -> {
+      // MATERIALIZED: every e_r is referenced three times (degree CTE
+      // + two NOT INs); inlining would re-evaluate the whole peel
+      // chain per reference — exponential replay cost in DuckDB.
+      val rounds = (0 until 6).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT nd, count(*) AS d
+           |        FROM (SELECT unnest([u, v]) AS nd FROM e$r) GROUP BY nd),
+           |e${r + 1} AS MATERIALIZED (SELECT u, v FROM e$r
+           |        WHERE u NOT IN (SELECT nd FROM d$r, kk WHERE d < k)
+           |          AND v NOT IN (SELECT nd FROM d$r, kk WHERE d < k))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $tradeEdgesCte,
+         |kk AS (SELECT greatest(2, CAST(ceil(0.7 * (2.0 * (SELECT count(*) FROM e0)
+         |       / (SELECT count(DISTINCT nd)
+         |          FROM (SELECT unnest([u, v]) AS nd FROM e0)))) AS BIGINT)) AS k),
+         |$rounds
+         |SELECT nd AS node, count(*) AS core_degree
+         |FROM (SELECT unnest([u, v]) AS nd FROM e6)
+         |GROUP BY nd ORDER BY node""".stripMargin
+    },
     "lp1_communities" -> {
       def round(t: Int): String =
         s"""l$t AS (
@@ -2257,6 +2301,22 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // e1: brute force over the planted fixture — valid as the LSH
+    // oracle by the recall argument in Dedup.hyperplaneNearDups
+    // (miss < 1e-9/pair at the fixture's cosine margin).
+    "e1_hyperplane_neardup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0
+        |      UNION ALL
+        |      SELECT vec_id + 1000000, [v[1] + 0.001] || v[2:] FROM e0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  floor((list_dot_product(a.v, b.v) /
+        |    nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0))
+        |    * 1000000 + 0.5) / 1000000 AS cosine
+        |FROM e a JOIN e b ON b.vec_id > a.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 2000)
@@ -2404,6 +2464,34 @@ object SparkEntry {
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin),
     // t27: the oracle uses the WINDOW ntile the engine's exactNtile
     // replays distributively; the surprisal CTEs mirror t12's exactly
+    // t31: t27's score chain, 20-tile clamp bounds, integer-exact mean
+    // (sum of score·10⁴ is an integer in double, order-independent).
+    "t31_winsorize" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS total FROM wc),
+        |per AS (
+        |  SELECT doc_id, avg(log2(total) - log2(c)) AS ms
+        |  FROM tok JOIN wc USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT p.doc_id, d.source,
+        |    floor(ms * 10000 + 0.5) / 10000 AS score
+        |  FROM per p JOIN documents d USING (doc_id)),
+        |b AS (
+        |  SELECT doc_id, source, score,
+        |    ntile(20) OVER (ORDER BY score, doc_id) AS bucket
+        |  FROM scored),
+        |bounds AS (
+        |  SELECT max(CASE WHEN bucket = 1 THEN score END) AS lo,
+        |         min(CASE WHEN bucket = 20 THEN score END) AS hi
+        |  FROM b),
+        |wz AS (SELECT source, least(greatest(score, lo), hi) AS w FROM b, bounds)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(w * 10000.0) / (10000.0 * count(*)) AS mean_w,
+        |  min(w) AS min_w, max(w) AS max_w
+        |FROM wz GROUP BY source ORDER BY source""".stripMargin,
     "t27_perplexity_tiers" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

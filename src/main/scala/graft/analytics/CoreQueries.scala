@@ -569,6 +569,28 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** w13 — time-gap throttle dedup: drop an event when the SAME
+    * (user, type) fired within the preceding hour (the
+    * bot-double-fire / retry-storm cleanup; the batch face of the
+    * streaming watermark dedup, with lag-gap semantics — each event
+    * compares to its immediate predecessor, kept or not). One
+    * partitioned window, exact integer microsecond arithmetic; the
+    * 1-hour gap sits at ~p2 of the fixture's same-key gaps, so real
+    * rows drop at every sf. Output: per event type, kept vs dropped
+    * counts. */
+  def throttleDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .withColumn("__keep", col("__gap").isNull || col("__gap") > lit(3600000000L))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("__keep"), 1)).as("n_kept"),
+        count(when(!col("__keep"), 1)).as("n_dropped"))
+      .orderBy(col("event_type"))
+  }
+
   /** w12 — recency-weighted activity (ops.Recency.ewmaLastK): per-user
     * EWMA of event values over the 20 most recent events, the
     * "sequential" recurrence closed into one rank-filtered weighted
@@ -590,7 +612,45 @@ object CoreQueries {
     * sf). The single driver-held value is the pair-count scalar that
     * sizes the top-k cut (the Bpe.train argmax pattern); top-20 nodes
     * by triangle membership. */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Triangles.perNode(supplierCoEdges(spark, dir), "u", "v",
+        assumeDistinct = true)
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+
+  /** gc1 — k-core of the same sparsified supplier graph
+    * ([[graft.ops.KCore]]): the link-pruning face of the graph family.
+    * k is DATA-ADAPTIVE — max(2, ceil(0.7·avg-degree)) — because the
+    * graph's density is sf-dependent (a fixed k empties the sf0.001
+    * graph and is a no-op at sf0.1): at sf0.01 this lands on k = 16
+    * and the peel cascades 4 genuine rounds before a 69-node core
+    * stabilizes; at sf0.001, k = 2 leaves the two-triangle core. The
+    * two graph-stat scalars are the only driver-held values (the
+    * Bpe.train pattern). The oracle unrolls 6 peel rounds; the
+    * operator's fixpoint stop makes extra budget a no-op, so the
+    * replay is exact whenever the cascade fits the unroll (observed
+    * max 4; spec asserts the fixpoint invariant). */
+  def supplierKCore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supplierCoEdges(spark, dir).localCheckpoint()
+    val nE = edges.count()
+    val nV = edges.select(explode(array(col("u"), col("v"))).as("nd"))
+      .distinct().count()
+    val k = math.max(2L, math.ceil(0.7 * (2.0 * nE / nV)).toLong).toInt
+    graft.ops.KCore.kCore(edges, "u", "v", k, maxRounds = 6,
+        assumeDistinct = true)
+      .orderBy(col("node"))
+  }
+
+  /** Shared tc1/gc1 graph: supplier co-occurrence edges (same order),
+    * sparsified to the top-20% of pairs by co-count, ties kept. The
+    * threshold — the k-th-largest co-count — is read off the co-count
+    * HISTOGRAM: dozens of distinct values however many pairs exist.
+    * The first formulation ran orderBy(n).limit(0.2·|pairs|): a
+    * TakeOrdered whose heap and driver merge grow WITH the data
+    * (measured 11.6× at 10× data); the histogram is a fixed-size
+    * aggregate and tc1 returned to output-bound scaling. Identical
+    * semantics: thr = max v with |{n >= v}| >= ceil(0.2·|pairs|). */
+  private def supplierCoEdges(spark: SparkSession, dir: String): DataFrame = {
     val sp = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("k"), col("l_suppkey").cast("long").as("s"))
       .distinct()
@@ -598,15 +658,24 @@ object CoreQueries {
         col("a.k") === col("b.k") && col("a.s") < col("b.s"))
       .select(col("a.s").as("u"), col("b.s").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
-      .localCheckpoint() // reused by the count, the top-k cut and the filter
-    val nPairs = co.count()
-    val topK = math.ceil(0.2 * nPairs).toInt
-    val thr = co.orderBy(col("n").desc).limit(topK)
-      .agg(min(col("n"))).first().getLong(0)
-    val edges = co.filter(col("n") >= thr).select(col("u"), col("v"))
-    graft.ops.Triangles.perNode(edges, "u", "v", assumeDistinct = true)
-      .orderBy(col("n_tri").desc, col("node"))
-      .limit(20)
+      .localCheckpoint() // reused by the histogram pass and the filter
+    val hist = co.groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n").desc)
+      .collect() // distinct co-count VALUES — bounded, not pair-sized
+    val nPairs = hist.map(_.getLong(1)).sum
+    val topK = math.ceil(0.2 * nPairs).toLong
+    val thr = {
+      var cum = 0L
+      var t = hist.last.getLong(0)
+      val it = hist.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val r = it.next(); cum += r.getLong(1)
+        if (cum >= topK) { t = r.getLong(0); found = true }
+      }
+      t
+    }
+    co.filter(col("n") >= thr).select(col("u"), col("v"))
   }
 
   /** mf1 — rank-1 ALS (ops.Als.rank1Summary) over the sparse

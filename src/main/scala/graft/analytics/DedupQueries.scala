@@ -135,6 +135,26 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** e1 — hyperplane-LSH embedding near-dups (ops.Dedup
+    * .hyperplaneNearDups): the scale path next to d5's quadratic
+    * baseline, on a d1-style planted fixture — every vector unioned
+    * with a perturbed copy (+0.001 on component 1, ids +1000000,
+    * cosine ≥ 1−5e−7 to its original). At τ = 0.9 the answer is
+    * exactly the planted pairs: the corpus's own cross-pair cosine
+    * ceiling is ~0.51, so the brute-force oracle equals the LSH
+    * output whenever banding recall holds (miss < 1e−9/pair at
+    * 4 × 16 bits — the d2-style recall argument, sharper). */
+  def hyperplaneEmbeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.001)),
+        slice(col("embedding"), 2, 100000)).as("embedding"))
+    Dedup.hyperplaneNearDups(base.unionByName(pert), "vec_id", "embedding", 0.9)
+      .select(col("id_a"), col("id_b"), exactRound(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-dup pairs, brute force — the BOUNDED
     * quadratic verification baseline (id-windowed like d4: at bench
     * scale factors every vec_id is < 2000 so the window is a no-op; at

@@ -508,6 +508,28 @@ object TextQueries {
     * corpus-sized global sort (the histogram trick; see the op's
     * scaladoc). Scores are rounded to 4 places BEFORE bucketing so the
     * total order itself is engine-portable. */
+  /** t31 — winsorized per-source quality (ops.Sampling.winsorize over
+    * t27's surprisal score): clamp to the exact 5%/95% ntile edges,
+    * then per-source stats. The mean is computed as
+    * `sum(w·10⁴) / (10⁴·n)` — the 4dp-gridded scores scale to exact
+    * integers, so the sum (and the mean) is bit-deterministic under
+    * ANY accumulation order: no output grid needed, the oracle matches
+    * to the last bit by construction. */
+  def winsorizedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .select(col("doc_id"), exactRound(col("mean_surprisal"), 4).as("score"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    graft.ops.Sampling.winsorize(scored, "score", "doc_id", 20, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("w") * lit(10000.0)) / (lit(10000.0) * count(lit(1))))
+          .as("mean_w"),
+        min(col("w")).as("min_w"),
+        max(col("w")).as("max_w"))
+      .orderBy(col("source"))
+  }
+
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis
       .unigramSurprisal(Tables.documents(spark, dir), "doc_id", "text")

@@ -766,6 +766,50 @@ object Dedup {
     * per-pair cosine recomputes both norms n times each); the pair
     * expression is a single dot product + scalar division, matching
     * the oracle's dot/(na*nb) op-for-op. */
+  /** Hyperplane-LSH embedding near-duplicates — the scale path for
+    * [[embeddingNearDups]]'s labeled quadratic baseline, completing
+    * for the vector column what MinHash banding (d2) does for text:
+    * sign-LSH band signatures ([[graft.functions.HyperplaneSig]], one
+    * codegen call/row), candidates from equi-joins on (band, value),
+    * exact cosine verification identical op-for-op to the brute
+    * force's expression.
+    *
+    * Shape at 100 TB: the signature is a pure map (no stored
+    * hyperplane matrix — components derive from the bit index); the
+    * candidate exchange carries (band, 8-byte value, id) rows; vectors
+    * enter a join only id-keyed for verification of candidate pairs.
+    * Recall: a pair at cosine 1−ε has per-bit flip probability
+    * √(2ε)/π, so 4 bands × 16 bits give miss ≈ (16·√(2ε)/π)^4 — at
+    * the planted-dup margins this operator is for (ε ≤ 5e−7, miss
+    * < 1e−9) banding equals brute force; random pairs collide on a
+    * band with probability 2^−16. */
+  def hyperplaneNearDups(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bands: Int = 4,
+                         bits: Int = 16): DataFrame = {
+    import graft.functions.{HyperplaneSig, VectorFunctions => VF}
+    val e = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", VF.norm(col("__v")))
+    val sigs = e.select(col("__id"),
+        posexplode(HyperplaneSig.bandSigs(col("__v"), bands, bits))
+          .as(Seq("__band", "__val")))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__val") === col("b.__val") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("__id").as("id_a"), col("__v").as("v_a"),
+        col("__n").as("n_a")), "id_a")
+      .join(e.select(col("__id").as("id_b"), col("__v").as("v_b"),
+        col("__n").as("n_b")), "id_b")
+      .withColumn("cosine",
+        VF.dot(col("v_a"), col("v_b")) / nullif(col("n_a") * col("n_b"), lit(0.0)))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     import graft.functions.{VectorFunctions => VF}

@@ -316,6 +316,28 @@ object Sampling {
     * row). Ties across a boundary split exactly as the total order
     * (score, id) dictates — bit-identical to the SQL window on any
     * engine. */
+  /** Winsorized robust scaling — the outlier clamp quality-score
+    * pipelines apply before averaging/thresholding (a single
+    * garbage-extreme document must not drag a source's mean): scores
+    * clamp to the inner edges of the extreme 1/k-tails, with the tails
+    * cut EXACTLY by [[exactNtile]] under the (score, id) total order —
+    * no approximate percentiles, so the bounds (and therefore every
+    * clamped value) replay bit-for-bit on any engine. lo = max score
+    * of bucket 1, hi = min score of bucket k, both broadcast scalars.
+    * Returns the input plus `outCol`. */
+  def winsorize(df: DataFrame, scoreCol: String, idCol: String,
+                k: Int = 20, outCol: String = "winsorized"): DataFrame = {
+    require(k >= 3, s"k >= 3 (two tails + interior), got $k")
+    val b = exactNtile(df, scoreCol, idCol, k)
+    val bounds = b.agg(
+      max(when(col("bucket") === 1, col(scoreCol))).as("__lo"),
+      min(when(col("bucket") === k, col(scoreCol))).as("__hi"))
+    b.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        least(greatest(col(scoreCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi", "bucket")
+  }
+
   def exactNtile(df: DataFrame, scoreCol: String, idCol: String, k: Int,
                  bucketCol: String = "bucket"): DataFrame = {
     require(k >= 1)

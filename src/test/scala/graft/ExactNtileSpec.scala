@@ -59,4 +59,29 @@ class ExactNtileSpec extends SparkSpec {
     val hist = windows.filterNot(_.contains("row_number"))
     assert(hist.head.contains("__cnt"), hist.mkString)
   }
+
+  test("winsorize clamps to the exact tail edges of 1..100") {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "s")
+    val w = Sampling.winsorize(df, "s", "id", 20, "w")
+      .select($"id", $"w").as[(Long, Double)].collect().toMap
+    // buckets of 5: bucket 1 = 1..5 (lo = 5), bucket 20 = 96..100 (hi = 96)
+    assert(w(1L) === 5.0 && w(4L) === 5.0 && w(5L) === 5.0)
+    assert(w(100L) === 96.0 && w(96L) === 96.0)
+    assert(w(50L) === 50.0 && w(6L) === 6.0 && w(95L) === 95.0)
+    assert(w.size === 100)
+  }
+
+  test("winsorize: interior values pass through, row count preserved") {
+    val rnd = new scala.util.Random(3)
+    val df = (1L to 500L).map(i => (i, rnd.nextGaussian() * 10)).toDF("id", "s")
+    val out = Sampling.winsorize(df, "s", "id", 20, "w")
+      .select($"s", $"w").as[(Double, Double)].collect()
+    assert(out.length === 500)
+    val lo = out.map(_._2).min
+    val hi = out.map(_._2).max
+    // every clamped value sits inside [lo, hi]; unclamped rows unchanged
+    assert(out.forall { case (s, w) => (w == s) || (w == lo && s <= lo) || (w == hi && s >= hi) })
+    // tails really were clamped on gaussian data
+    assert(out.exists { case (s, w) => w != s })
+  }
 }
