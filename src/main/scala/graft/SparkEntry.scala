@@ -87,6 +87,7 @@ object SparkEntry {
     "d3_simhash_neardup"    -> (DedupQueries.simhashNearDups _),
     "d4_ngram_jaccard"      -> (DedupQueries.ngramJaccard _),
     "j11_setsim_join"       -> (DedupQueries.setSimJoin _),
+    "j11b_incr_setsim"      -> (DedupQueries.incrementalSetSimJoin _),
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "st5_stream_minhash"    -> (StreamQueries.streamMinhashDedup _),
     "st6_stream_cdc"        -> (StreamQueries.streamSnapshotCdc _),
     "st7_stream_heavy_hitters" -> (StreamQueries.streamHeavyHitters _),
+    "st8_stream_count_min"  -> (StreamQueries.streamCountMin _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
     "d12_dsir_select"       -> (TextQueries.dsirSelect _),
@@ -158,6 +160,30 @@ object SparkEntry {
     "md3_gold_oral_arguments" -> (MedallionQueries.goldOralArgumentsQuery _),
     "k6_xml"                -> (MedallionQueries.xmlSerializationQuery _),
   )
+
+  /** Shared q21/st8 oracle: the full count-min replay — hash rows
+    * from the shared PolyHash fragment, constants read off
+    * ops.Sketches so the engines cannot drift. */
+  private lazy val cmOracleSql: String = {
+    val h = polyHash64Sql("CAST(user_id AS VARCHAR)")
+    val a = graft.ops.Sketches.CmA.take(4).mkString("[", ",", "]")
+    val b = graft.ops.Sketches.CmB.take(4).mkString("[", ",", "]")
+    val p = graft.ops.Sketches.CmP
+    s"""WITH k AS (SELECT user_id, $h AS h
+      |           FROM (SELECT DISTINCT user_id FROM events)),
+      |pr AS (SELECT unnest([0,1,2,3]) AS j, unnest($a) AS a, unnest($b) AS b),
+      |c AS (SELECT pr.j,
+      |        ((k.h % $p) * pr.a + pr.b) % $p % 64 AS bucket, count(*) AS cnt
+      |      FROM events e, k, pr WHERE e.user_id = k.user_id
+      |      GROUP BY 1, 2),
+      |q AS (SELECT k.user_id, pr.j,
+      |        ((k.h % $p) * pr.a + pr.b) % $p % 64 AS bucket FROM k, pr),
+      |est AS (SELECT q.user_id, min(c.cnt) AS est
+      |        FROM q JOIN c ON c.j = q.j AND c.bucket = q.bucket GROUP BY 1),
+      |ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
+      |SELECT user_id, est, exact FROM est JOIN ex USING (user_id)
+      |ORDER BY user_id""".stripMargin
+  }
 
   /** Shared tc1/gc1 graph CTEs: supplier co-occurrence pairs
     * sparsified to the top-20% by co-count (ties kept). The oracle's
@@ -1950,26 +1976,10 @@ object SparkEntry {
     // q21: the whole count-min sketch replayed — hash rows from the
     // shared PolyHash fragment, constants read off ops.Sketches so the
     // two engines cannot drift.
-    "q21_count_min" -> {
-      val h = polyHash64Sql("CAST(user_id AS VARCHAR)")
-      val a = graft.ops.Sketches.CmA.take(4).mkString("[", ",", "]")
-      val b = graft.ops.Sketches.CmB.take(4).mkString("[", ",", "]")
-      val p = graft.ops.Sketches.CmP
-      s"""WITH k AS (SELECT user_id, $h AS h
-        |           FROM (SELECT DISTINCT user_id FROM events)),
-        |pr AS (SELECT unnest([0,1,2,3]) AS j, unnest($a) AS a, unnest($b) AS b),
-        |c AS (SELECT pr.j,
-        |        ((k.h % $p) * pr.a + pr.b) % $p % 64 AS bucket, count(*) AS cnt
-        |      FROM events e, k, pr WHERE e.user_id = k.user_id
-        |      GROUP BY 1, 2),
-        |q AS (SELECT k.user_id, pr.j,
-        |        ((k.h % $p) * pr.a + pr.b) % $p % 64 AS bucket FROM k, pr),
-        |est AS (SELECT q.user_id, min(c.cnt) AS est
-        |        FROM q JOIN c ON c.j = q.j AND c.bucket = q.bucket GROUP BY 1),
-        |ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
-        |SELECT user_id, est, exact FROM est JOIN ex USING (user_id)
-        |ORDER BY user_id""".stripMargin
-    },
+    // st8: the SAME oracle — the streamed state-store build must
+    // produce the identical sketch, cell for cell, or the minima shift.
+    "st8_stream_count_min" -> cmOracleSql,
+    "q21_count_min" -> cmOracleSql,
     "q11_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -2286,6 +2296,22 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // j11b: brute force restricted to pairs touching the delta split.
+    "j11b_incr_setsim" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor((len(list_intersect(a.s, b.s))::DOUBLE
+        |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
     "j11_setsim_join" ->
       """WITH sh AS (

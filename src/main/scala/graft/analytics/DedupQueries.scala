@@ -42,6 +42,29 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** j11b — INCREMENTAL set-similarity join (ops.SetSimJoin
+    * .incrementalJaccardJoin): the daily-delta face of j11, same
+    * d9-style split (delta = doc_id % 10 == 3, store = the rest,
+    * persisted as digest token rows). One-sided prefix filtering under
+    * the combined-frequency order keeps it EXACT — the store is never
+    * re-shingled and never re-prefixed. */
+  def incrementalSetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 10 === 3)
+    val store = setSimStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ss_store").toString
+      SetSimJoin.writeTokenStore(
+        docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", p)
+      p
+    })
+    SetSimJoin.incrementalJaccardJoin(delta, "doc_id", "text", store, 0.7)
+      .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val setSimStoreCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** Brute-force n-gram Jaccard pairs (id-windowed) — the dedup
     * verification baseline, oracle-identical by construction. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -147,10 +170,20 @@ object DedupQueries {
   def hyperplaneEmbeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint() // reused by the count and both union branches
     val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
       concat(array(element_at(col("embedding"), 1) + lit(0.001)),
         slice(col("embedding"), 2, 100000)).as("embedding"))
-    Dedup.hyperplaneNearDups(base.unionByName(pert), "vec_id", "embedding", 0.9)
+    // Band width is DATA-SIZED (the d3b lesson): random pairs collide
+    // on a band with probability 2^-bits, so bits must track log2 n or
+    // candidate generation goes quadratic — at 16 fixed bits, 10M
+    // vectors mean ~150 vectors/bucket/band. The d3b slack-5 rule
+    // floors at 16 (= the oracle-pinned width at bench sfs); recall at
+    // the fixture's margin stays > 1 - 1e-8 out to bits ~ 30.
+    val n = 2L * base.count()
+    val bits = math.max(16, Dedup.simHashBandWidthFor(n))
+    Dedup.hyperplaneNearDups(base.unionByName(pert), "vec_id", "embedding",
+        0.9, bands = 4, bits = bits)
       .select(col("id_a"), col("id_b"), exactRound(col("cosine"), 6).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }

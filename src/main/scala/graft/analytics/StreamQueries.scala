@@ -149,6 +149,38 @@ object StreamQueries {
   private val streamedHh =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st8 — STREAMING count-min sketch: q21's counter table built as a
+    * streaming aggregation over 8 one-file micro-batches — the cell
+    * counts live in the state store and merge by INTEGER addition
+    * (the CMS merge law, zero float risk), then the point queries run
+    * as a batch step against the final streamed counters. Must
+    * hash-match q21's full-replay oracle exactly: the stream and the
+    * batch build are the same sketch or the gate fails. */
+  def streamCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedCms.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st8_").toString
+      Tables.events(spark, dir).select(col("user_id"))
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st8_${math.abs(dir.hashCode)}"
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => graft.ops.Sketches.cmBucketPairs(df, "user_id")
+          .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt")),
+        name, maxFilesPerTrigger = Some(1))
+      name
+    })
+    val ev = Tables.events(spark, dir)
+    val est = graft.ops.Sketches.countMinEstimatesFrom(
+      spark.table(table), ev, "user_id")
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    est.join(exact, "user_id")
+      .select(col("user_id"), col("est"), col("exact"))
+      .orderBy(col("user_id"))
+  }
+
+  private val streamedCms =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private val streamedCdcOps =
     scala.collection.concurrent.TrieMap[String, String]()
 

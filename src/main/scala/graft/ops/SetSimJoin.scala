@@ -50,6 +50,90 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Map-side token rows: one (doc id, set size, 8-byte shingle
+    * digest) row per distinct shingle — the exchange/storage format of
+    * both the batch and incremental faces (never shingle text). */
+  private[ops] def tokenRows(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        Dedup.shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), size(col("__sh")).as("__sz"),
+        explode(col("__sh")).as("__s"))
+      .select(col("__id"), col("__sz"), xxhash64(col("__s")).as("__tok"))
+
+  /** Persist a corpus's token rows — the set-similarity store the
+    * incremental face joins deltas against (the d9/d3c store pattern:
+    * the stored corpus is never re-shingled). */
+  def writeTokenStore(df: DataFrame, idCol: String, textCol: String,
+                      path: String, shingleN: Int = 3): Unit =
+    tokenRows(df, idCol, textCol, shingleN)
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental exact-threshold set-similarity join: every pair at
+    * Jaccard >= `threshold` with AT LEAST ONE side in `delta`, against
+    * a [[writeTokenStore]] corpus. The daily-ingest shape: only the
+    * delta is shingled; the store contributes digest rows.
+    *
+    * The prefix filter is ONE-SIDED and still exact: document
+    * frequencies are recomputed over store ∪ delta (a digest-row
+    * aggregate — no text), the delta documents take prefixes under the
+    * combined (df, digest) order, and candidates join delta PREFIX
+    * tokens against the FULL token rows of the union. A qualifying
+    * pair shares >= ceil(t·|d_delta|) tokens, so the delta side's
+    * prefix provably contains a shared token, and the full-set side
+    * always holds it — 100% recall with no store-side prefix
+    * recomputation (store prefixes under the OLD frequency order would
+    * be stale; full-set joining sidesteps that entirely).
+    *
+    * Returns (id_a, id_b, jaccard), id_a < id_b; delta ids must not
+    * collide with store ids. */
+  def incrementalJaccardJoin(delta: DataFrame, idCol: String,
+                             textCol: String, storePath: String,
+                             threshold: Double,
+                             shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = delta.sparkSession
+    val dRows = tokenRows(delta, idCol, textCol, shingleN).localCheckpoint()
+    val all = spark.read.parquet(storePath).unionByName(dRows)
+    val freq = all.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val ranked = dRows.join(freq, "__tok")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))))
+      .withColumn("__p",
+        col("__sz") - ceil(col("__sz") * lit(threshold)) + lit(1))
+    val aPre = ranked.filter(col("__rk") <= col("__p"))
+      .select(col("__tok"), col("__id").as("ia"), col("__sz").as("sa"))
+    val bAll = all.select(col("__tok"), col("__id").as("ib"), col("__sz").as("sb"))
+    val cand = aPre.join(bAll, "__tok")
+      .filter(col("ia") =!= col("ib") &&
+        col("sb") * lit(threshold) <= col("sa") &&
+        col("sa") * lit(threshold) <= col("sb"))
+      .select(when(col("ia") < col("ib"),
+          struct(col("ia").as("id_a"), col("ib").as("id_b"),
+            col("sa").as("sz_a"), col("sb").as("sz_b")))
+        .otherwise(
+          struct(col("ib").as("id_a"), col("ia").as("id_b"),
+            col("sb").as("sz_a"), col("sa").as("sz_b"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
+      .distinct()
+    val ta = all.select(col("__id").as("id_a"), col("__tok"))
+    val tb = all.select(col("__id").as("id_b"), col("__tok"))
+    cand
+      .join(ta, "id_a")
+      .join(tb, Seq("id_b", "__tok"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("__int"))
+      .withColumn("jaccard",
+        col("__int").cast("double") /
+          (col("sz_a") + col("sz_b") - col("__int")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
@@ -57,13 +141,7 @@ object SetSimJoin {
     // Map-side: distinct shingles (WordNGrams byte-slicer) -> one row
     // per (doc, 8-byte token digest); set size attached map-side so no
     // extra aggregate is needed for it.
-    val toks = df
-      .select(col(idCol).as("__id"),
-        Dedup.shingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("__id"), size(col("__sh")).as("__sz"),
-        explode(col("__sh")).as("__s"))
-      .select(col("__id"), col("__sz"), xxhash64(col("__s")).as("__tok"))
+    val toks = tokenRows(df, idCol, textCol, shingleN)
     // Corpus document-frequency per token — the global order key.
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     // Rarest-first rank inside each document under the (df, digest)

@@ -66,30 +66,47 @@ object Sketches {
   private def cmBucket(h: Column, j: Int, width: Int): Column =
     pmod(pmod(pmod(h, lit(CmP)) * lit(CmA(j)) + lit(CmB(j)), lit(CmP)), lit(width))
 
-  /** The counter table (j, bucket, cnt) over every row of `df`. */
-  def countMin(df: DataFrame, keyCol: String, width: Int = 64,
-               depth: Int = 4): DataFrame = {
+  /** One (j, bucket) row per input row per hash row — the map-side
+    * projection both the batch counter build and the STREAMING
+    * aggregation (st8) run; its groupBy-count partials collapse to
+    * sketch size, which is the merge property. */
+  def cmBucketPairs(df: DataFrame, keyCol: String, width: Int = 64,
+                    depth: Int = 4): DataFrame = {
     require(depth >= 1 && depth <= CmA.size, s"depth must be 1..${CmA.size}")
     val h = graft.functions.PolyHash.polyHash(col(keyCol))
     df.select(posexplode(array((0 until depth).map(j => cmBucket(h, j, width)): _*))
-        .as(Seq("j", "bucket")))
-      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .as(Seq("j", "bucket")))
   }
 
-  /** Point-query estimates for every DISTINCT key in `df`:
-    * est(k) = min over rows j of cnt[j][h_j(k)] — the CMS guarantee
-    * est >= true count always, with the e·n/width overshoot bound. */
-  def countMinEstimates(df: DataFrame, keyCol: String, width: Int = 64,
-                        depth: Int = 4): DataFrame = {
-    val counters = countMin(df, keyCol, width, depth)
+  /** The counter table (j, bucket, cnt) over every row of `df`. */
+  def countMin(df: DataFrame, keyCol: String, width: Int = 64,
+               depth: Int = 4): DataFrame =
+    cmBucketPairs(df, keyCol, width, depth)
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Point-query estimates against a PRE-BUILT counter table (cols
+    * j, bucket, cnt — e.g. the final state of the streaming build):
+    * est(k) = min over rows j of cnt[j][h_j(k)]. */
+  def countMinEstimatesFrom(counters: DataFrame, keys: DataFrame,
+                            keyCol: String, width: Int = 64,
+                            depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= CmA.size, s"depth must be 1..${CmA.size}")
     val h = graft.functions.PolyHash.polyHash(col(keyCol))
-    df.select(col(keyCol)).distinct()
+    keys.select(col(keyCol)).distinct()
       .select(col(keyCol),
         posexplode(array((0 until depth).map(j => cmBucket(h, j, width)): _*))
           .as(Seq("j", "bucket")))
       .join(counters, Seq("j", "bucket"))
       .groupBy(col(keyCol)).agg(min(col("cnt")).as("est"))
   }
+
+  /** Point-query estimates for every DISTINCT key in `df`:
+    * est(k) = min over rows j of cnt[j][h_j(k)] — the CMS guarantee
+    * est >= true count always, with the e·n/width overshoot bound. */
+  def countMinEstimates(df: DataFrame, keyCol: String, width: Int = 64,
+                        depth: Int = 4): DataFrame =
+    countMinEstimatesFrom(countMin(df, keyCol, width, depth), df,
+      keyCol, width, depth)
 
   /** Per-group approximate median vs the exact median, bounded by a
     * RANK tolerance: the approx median must sit between the exact

@@ -41,6 +41,22 @@ class SetSimJoinSpec extends SparkSpec {
     assert(bad.isEmpty, s"quadratic join in plan:\n$plan")
   }
 
+  test("incremental face equals the batch join restricted to delta pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ss_spec").toString
+    val delta = docs.filter($"doc_id" % 10 === 3)
+    SetSimJoin.writeTokenStore(docs.filter($"doc_id" % 10 =!= 3),
+      "doc_id", "text", tmp)
+    val inc = SetSimJoin.incrementalJaccardJoin(delta, "doc_id", "text", tmp, 0.7)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = SetSimJoin.jaccardJoin(docs, "doc_id", "text", 0.7)
+      .filter($"id_a" % 10 === 3 || $"id_b" % 10 === 3)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "delta split must hit planted near-dups")
+  }
+
   test("short and empty documents are handled") {
     val tiny = Seq((1L, "a b"), (2L, ""), (3L, "x y z"), (4L, "x y z"))
       .toDF("doc_id", "text")

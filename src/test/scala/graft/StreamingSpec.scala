@@ -227,6 +227,15 @@ class StreamingSpec extends SparkSpec {
     assert(st7.nonEmpty)
   }
 
+  test("st8 rehearsal: streamed count-min counters equal the batch sketch") {
+    val st8 = SparkEntry.queries("st8_stream_count_min")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val q21 = SparkEntry.queries("q21_count_min")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(st8 === q21)
+    assert(st8.nonEmpty)
+  }
+
   test("K1: partitioned JSON sink writes term directories") {
     val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
     graft.etl.Sinks.partitionedJson(
