@@ -125,6 +125,7 @@ object SparkEntry {
     "t27_perplexity_tiers"  -> (TextQueries.perplexityBuckets _),
     "t28_leakage_free_split" -> (TextQueries.leakageFreeSplit _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
+    "m3_decode_batches"     -> (TextQueries.decodeBatchPlan _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "c1_contamination"      -> (TextQueries.contamination _),
     "c2_corpus_build"       -> (TextQueries.corpusBuild _),
@@ -2409,6 +2410,26 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
     "sql1_region_revenue" -> SqlQueries.q5Sql,
     "sql2_nation_profit" -> SqlQueries.q9Sql,
+    // m3: shard hash (PolyHash of id||'m3'), exclusive window pixel
+    // sum, integer division — the whole schedule replayed.
+    "m3_decode_batches" -> {
+      val h = polyHash64Sql("CAST(doc_id AS VARCHAR) || 'm3'")
+      s"""WITH nb AS (SELECT CAST((count(*) + 199) // 200 AS BIGINT) AS b FROM documents),
+        |m AS (SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    CAST((doc_id % 64 + 16) * ((doc_id * 7) % 64 + 16) AS BIGINT) AS pixels,
+        |    $h % (SELECT b FROM nb) AS bucket
+        |  FROM documents),
+        |w AS (SELECT kind, bucket, media_id, pixels,
+        |    coalesce(sum(pixels) OVER (PARTITION BY kind, bucket ORDER BY media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+        |  FROM m)
+        |SELECT kind, bucket, pb // 65536 AS batch_id,
+        |  count(*) AS n_media, CAST(sum(pixels) AS BIGINT) AS total_pixels,
+        |  min(media_id) AS first_media
+        |FROM w GROUP BY 1, 2, 3
+        |ORDER BY kind, bucket, batch_id""".stripMargin
+    },
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -386,6 +386,22 @@ object TextQueries {
       .select(col("media_id"), explode(col("sampled_frames")).as("frame_idx"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** m3 — decode-batch scheduling (ops.Multimodal.decodeBatches): the
+    * GPU-decode manifest, rolled up per batch — whole items, capacity-
+    * bounded pixel loads, deterministic under retries. The oracle
+    * replays shard hash, window sum and integer division; the batch
+    * invariant (load <= capacity + max item) is spec-checked. */
+  def decodeBatchPlan(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.ops.Multimodal.toMediaTable(Tables.documents(spark, dir))
+    graft.ops.Multimodal.decodeBatches(media, capacity = 65536,
+        buckets = graft.ops.Packing.sizedBuckets(media, 200))
+      .groupBy(col("kind"), col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("pixels")).as("total_pixels"),
+        min(col("media_id")).as("first_media"))
+      .orderBy(col("kind"), col("bucket"), col("batch_id"))
+  }
+
   /** t14 — per-domain quality sampling through the CUSTOM TopKPerGroup
     * operator: top-5 docs per source by composite quality score (the
     * training-data "best N per domain" selection shape — exactly the

@@ -119,6 +119,40 @@ object Multimodal {
         sequence(lit(0), col("meta.n_frames") - 1, lit(everyN)))
         .otherwise(array().cast("array<int>")))
 
+  /** Decode-batch scheduling: group media into decode batches of
+    * bounded total pixel load — the GPU-decode manifest a multimodal
+    * ingest pipeline feeds its codec workers (batches must be
+    * same-modality, capacity-bounded, and DETERMINISTIC so a retried
+    * worker decodes the identical batch).
+    *
+    * Items stay WHOLE — an image cannot split across decode batches —
+    * which is the structural contrast with [[graft.ops.Packing]]'s
+    * concat-then-chop for text. The assignment is start-aligned
+    * next-fit inside deterministic PolyHash shards: per (kind, shard),
+    * order by media_id, exclusive running pixel sum, batch =
+    * running ÷ capacity. A batch's true load can overshoot capacity
+    * by at most ONE item (the straddler keeps its start batch) —
+    * bounded by max item size, the usual scheduling contract.
+    * One partitioned window over (id, pixels) metadata rows; shard
+    * count must be data-sized by the caller (Packing.sizedBuckets). */
+  def decodeBatches(media: DataFrame, capacity: Long,
+                    buckets: Int): DataFrame = {
+    require(capacity > 0 && buckets > 0)
+    val bucket = pmod(
+      graft.functions.PolyHash.polyHash(
+        concat(col("media_id").cast("string"), lit("m3"))),
+      lit(buckets))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("bucket")).orderBy(col("media_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    media.select(col("media_id"), col("meta.kind").as("kind"),
+        (col("meta.width") * col("meta.height")).cast("long").as("pixels"),
+        bucket.as("bucket"))
+      .withColumn("__before", coalesce(sum(col("pixels")).over(w), lit(0L)))
+      .withColumn("batch_id", expr(s"__before DIV $capacity"))
+      .drop("__before")
+  }
+
   /** Feature extraction from the payload: reuses the batched-inference
     * embedding stage over a text view of the bytes (stand-in for a
     * vision/audio encoder). */

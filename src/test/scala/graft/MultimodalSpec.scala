@@ -81,4 +81,32 @@ class MultimodalSpec extends SparkSpec {
         lit(0.0), (a, x) => a + x))).as[Double].collect()
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
   }
+
+  test("decode batches: whole items, bounded overshoot, deterministic") {
+    val cap = 4096L
+    val b = Multimodal.decodeBatches(media, cap, buckets = 2).localCheckpoint()
+    // whole items: every media id appears exactly once
+    assert(b.count() === media.count())
+    assert(b.select($"media_id").distinct().count() === media.count())
+    // batch load <= capacity + max item in that batch
+    val loads = b.groupBy($"kind", $"bucket", $"batch_id")
+      .agg(sum($"pixels").as("load"), max($"pixels").as("mx"))
+      .collect()
+    assert(loads.forall(r => r.getLong(3) <= cap + r.getLong(4)),
+      loads.filterNot(r => r.getLong(3) <= cap + r.getLong(4)).mkString(","))
+    // contiguous batch ids from 0 per (kind, bucket)
+    val perGroup = b.groupBy($"kind", $"bucket")
+      .agg(min($"batch_id").as("mn"), max($"batch_id").as("mxb"),
+        countDistinct($"batch_id").as("nd"))
+      .collect()
+    assert(perGroup.forall(r => r.getLong(2) === 0L &&
+      r.getLong(4) === r.getLong(3) + 1), perGroup.mkString(","))
+    // deterministic under repartitioning
+    val again = Multimodal.decodeBatches(media.repartition(13), cap, buckets = 2)
+      .select($"media_id", $"batch_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = b.select($"media_id", $"batch_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first === again)
+  }
 }
