@@ -55,6 +55,9 @@ object SparkEntry {
     "tc1_triangles"         -> (CoreQueries.triangleCounts _),
     "w12_ewma"              -> (CoreQueries.userEwma _),
     "w13_throttle_dedup"    -> (CoreQueries.throttleDedup _),
+    "w14_trailing_window"   -> (CoreQueries.trailingHourWindow _),
+    "q22_correlated_agg"    -> (SqlQueries.richIdleCustomers _),
+    "u4_multiset_ops"       -> (SqlQueries.multisetOps _),
     "gc1_kcore"             -> (CoreQueries.supplierKCore _),
     "mf1_als_rank1"         -> (CoreQueries.alsFactors _),
     "p1_word_filter"        -> (ScalarQueries.wordFilter _),
@@ -121,12 +124,14 @@ object SparkEntry {
     "t26_bpe_pairs"         -> (TextQueries.bpePairs _),
     "t30_bpe_encode"        -> (TextQueries.bpeEncode _),
     "t31_winsorize"         -> (TextQueries.winsorizedQuality _),
+    "t32_temperature_mix"   -> (TextQueries.temperatureMix _),
     "lr1_quality_classifier" -> (TextQueries.qualityClassifier _),
     "t27_perplexity_tiers"  -> (TextQueries.perplexityBuckets _),
     "t28_leakage_free_split" -> (TextQueries.leakageFreeSplit _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
     "m3_decode_batches"     -> (TextQueries.decodeBatchPlan _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
+    "v3_hard_negatives"     -> (VectorQueries.hardNegatives _),
     "c1_contamination"      -> (TextQueries.contamination _),
     "c2_corpus_build"       -> (TextQueries.corpusBuild _),
     "t2_quality_score"      -> (TextQueries.quality _),
@@ -1193,6 +1198,43 @@ object SparkEntry {
         |ORDER BY factor DESC, i LIMIT 20""".stripMargin,
     // lp1: three synchronous neighbor-mode rounds, pure integer
     // arithmetic — the iteration replays with no grids or tolerances.
+    "w14_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // q22: the above-average filter replayed multiplicatively —
+    // bal·n > total in DECIMAL, division never runs on either engine.
+    "q22_correlated_agg" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |             CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |s AS (SELECT sum(bal) AS tot, count(*) AS n FROM c WHERE bal > 0)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |  CAST(sum(bal) AS DOUBLE) AS total_bal
+        |FROM c, s
+        |WHERE bal * n > tot
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "u4_multiset_ops" ->
+      """WITH hi AS (SELECT o_orderstatus FROM orders
+        |            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |lo AS (SELECT o_orderstatus FROM orders
+        |       WHERE o_orderpriority = '3-MEDIUM'),
+        |ea AS (SELECT o_orderstatus, count(*) AS n_except_all
+        |       FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM lo)
+        |       GROUP BY 1),
+        |ia AS (SELECT o_orderstatus, count(*) AS n_intersect_all
+        |       FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM lo)
+        |       GROUP BY 1)
+        |SELECT o_orderstatus,
+        |  coalesce(n_except_all, 0) AS n_except_all,
+        |  coalesce(n_intersect_all, 0) AS n_intersect_all
+        |FROM ea FULL OUTER JOIN ia USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
     "w13_throttle_dedup" ->
       """WITH g AS (
         |  SELECT event_type,
@@ -2328,6 +2370,24 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // v3: per-anchor argmax under the non-duplicate constraint,
+    // unrounded-cosine tie-break by id — the TopKPerGroup semantics.
+    "v3_hard_negatives" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 2000),
+        |e AS (SELECT vec_id, v FROM e0
+        |      UNION ALL
+        |      SELECT vec_id + 1000000, [v[1] + 0.001] || v[2:] FROM e0),
+        |p AS (SELECT a.vec_id, b.vec_id AS neg_id,
+        |        list_dot_product(a.v, b.v) /
+        |        nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) AS cosine
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |f AS (SELECT vec_id, neg_id, cosine,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cosine DESC, neg_id) AS rn
+        |      FROM p WHERE cosine < 0.99)
+        |SELECT vec_id, neg_id, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine
+        |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // e1: brute force over the planted fixture — valid as the LSH
     // oracle by the recall argument in Dedup.hyperplaneNearDups
     // (miss < 1e-9/pair at the fixture's cosine margin).
@@ -2511,6 +2571,26 @@ object SparkEntry {
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin),
     // t27: the oracle uses the WINDOW ntile the engine's exactNtile
     // replays distributively; the surprisal CTEs mirror t12's exactly
+    // t32: largest-remainder apportionment replayed — floors, 6dp
+    // quotas, and the remainder rank as a correlated count (the same
+    // windowless formulation the engine plans).
+    "t32_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c),
+        |q AS (SELECT source, n_docs,
+        |        floor((pow(n_docs, 0.7) / z * 100000) * 1000000 + 0.5) / 1000000 AS quota
+        |      FROM c, z),
+        |f AS (SELECT source, n_docs, quota,
+        |        CAST(floor(quota) AS BIGINT) AS fl, quota - floor(quota) AS fr
+        |      FROM q),
+        |l AS (SELECT 100000 - sum(fl) AS lft FROM f),
+        |a AS (SELECT f.source, f.n_docs, f.quota, f.fl,
+        |        (SELECT count(*) FROM f g
+        |         WHERE g.fr > f.fr OR (g.fr = f.fr AND g.source < f.source)) AS ahead
+        |      FROM f)
+        |SELECT source, n_docs, quota,
+        |  fl + CASE WHEN ahead < (SELECT lft FROM l) THEN 1 ELSE 0 END AS alloc
+        |FROM a ORDER BY source""".stripMargin,
     // t31: t27's score chain, 20-tile clamp bounds, integer-exact mean
     // (sum of score·10⁴ is an integer in double, order-independent).
     "t31_winsorize" ->

@@ -569,6 +569,24 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** w14 — trailing RANGE-frame window: for every event, the count and
+    * value sum of the same user's events in the trailing hour — a
+    * VALUE-range frame (microsecond range predicate), not a row frame:
+    * how many rows fall in the hour varies per row, the feature row
+    * frames (q8/q12) cannot express. DECIMAL accumulation keeps the
+    * sliding sum order-independent. */
+  def trailingHourWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__v", col("value").cast(DecimalType(18, 2)))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("__v")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** w13 — time-gap throttle dedup: drop an event when the SAME
     * (user, type) fired within the preceding hour (the
     * bot-double-fire / retry-storm cleanup; the batch face of the

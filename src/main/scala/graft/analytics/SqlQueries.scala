@@ -19,6 +19,56 @@ object SqlQueries {
     en.union(es).distinct().except(zh).orderBy(col("source"))
   }
 
+  /** q22 — correlated-aggregate anti join (TPC-H Q22 shape on this
+    * schema): customers with above-average positive balance and NO
+    * URGENT orders (the "no recent orders" analog on this schema;
+    * plain no-orders is empty — order coverage is near-total), rolled
+    * up per market segment. The average comparison is
+    * done MULTIPLICATIVELY — `bal · n > total` in DECIMAL(18,2) ×
+    * BIGINT — so no division ever runs and the filter is exact integer
+    * -scaled arithmetic on both engines (a decimal-division average
+    * would round differently per engine). */
+  def richIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("__bal", col("c_acctbal").cast("decimal(18,2)"))
+    val pos = c.filter(col("__bal") > 0)
+    val stats = pos.agg(sum(col("__bal")).as("__tot"),
+      count(lit(1)).as("__n"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(stats))
+      .filter(col("__bal") * col("__n") > col("__tot"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("__bal")).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** u4 — multiset (ALL) set operations: EXCEPT ALL subtracts
+    * multiplicities, INTERSECT ALL takes their minimum — bag semantics
+    * the u1 set variants cannot express. Statuses of high-priority
+    * orders vs medium-priority orders, counted per status after each
+    * ALL operation; full-outer stitch so a status appearing in only
+    * one result still shows (coalesced 0). */
+  def multisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderstatus"))
+    val lo = o.filter(col("o_orderpriority") === "3-MEDIUM")
+      .select(col("o_orderstatus"))
+    val ea = hi.exceptAll(lo).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_except_all"))
+    val ia = hi.intersectAll(lo).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_intersect_all"))
+    ea.join(ia, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A11 — dedup-distinct on a composite key. */
   def distinctPairs(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -251,6 +251,17 @@ object TextQueries {
       .select(col("lang"), col("n_docs"), exactRound(col("rate"), 6).as("rate"))
       .orderBy(col("lang"))
 
+  /** t32 — temperature-scaled source mixing
+    * (ops.Sampling.temperatureAllocation, alpha = 0.7, budget 100k):
+    * the mT5/XLM-R sampling-temperature allocation with largest-
+    * remainder integer apportionment — allocations sum to the budget
+    * exactly (spec-pinned); quotas 6dp-gridded so pow() ulp noise
+    * cannot move a seat. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureAllocation(
+        Tables.documents(spark, dir), "source", budget = 100000L, alpha = 0.7)
+      .orderBy(col("source"))
+
   /** t9 — PII detect + redact. The synthetic corpus carries no PII, so
     * the query PLANTS deterministic PII per doc (the oracle side builds
     * the identical string) and then counts + redacts it — exercising

@@ -11,6 +11,36 @@ import graft.functions.Rounding.exactRound
   * synthetic embeddings table. */
 object VectorQueries {
 
+  /** v3 — hard-negative mining for contrastive training: for each
+    * anchor in the e1 planted fixture, the MOST similar neighbor that
+    * is NOT a near-duplicate (cosine < 0.99 excludes the planted copy
+    * and self) — the "hard but not false" negative an embedding
+    * trainer wants. Candidate scan is the bounded d5-style quadratic
+    * (vec_id < 2000 cap; the scale path is an ANN shortlist — s1/s2 —
+    * feeding the same constraint filter); the per-anchor argmax rides
+    * the custom TopKPerGroup operator with (cosine desc, id) ties. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.001)),
+        slice(col("v"), 2, 100000)).as("v"))
+    val e = base.unionByName(pert).withColumn("__n", VF.norm(col("v")))
+    val a = e.select(col("vec_id"), col("v").as("va"), col("__n").as("na"))
+    val b = e.select(col("vec_id").as("neg_id"), col("v").as("vb"),
+      col("__n").as("nb"))
+    val pairs = a.crossJoin(b).filter(col("vec_id") =!= col("neg_id"))
+      .withColumn("cosine",
+        VF.dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
+      .filter(col("cosine") < 0.99)
+      .select(col("vec_id"), col("neg_id"), col("cosine"))
+    graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
+        Seq(("cosine", true), ("neg_id", false)), k = 1, rankName = "rn")
+      .select(col("vec_id"), col("neg_id"),
+        exactRound(col("cosine"), 6).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** A1 — weighted mean embedding per label, exploded to (label, dim,
     * value) rows so the oracle compare is scalar. Weight is a
     * deterministic function of vec_id (stands in for token_count).

@@ -380,6 +380,51 @@ object Sampling {
       .drop("__before", "__n", "__r")
   }
 
+  /** Temperature-scaled mixture allocation (the multilingual /
+    * source-balancing sampler of mT5/XLM-R-style pipelines): each
+    * stratum gets budget share ∝ count^alpha — alpha = 1 reproduces
+    * natural proportions, alpha → 0 uniform; alpha ≈ 0.7 is the
+    * published sweet spot that up-weights tails without drowning
+    * heads. Fractional quotas become INTEGER allocations by largest-
+    * remainder apportionment (floor everything, hand the leftover
+    * seats to the largest fractional parts, ties by stratum value) —
+    * allocations sum to exactly `budget` and the whole computation is
+    * stratum-table-sized (one aggregate + broadcast scalars + one
+    * tiny window). Quotas are 6dp-gridded before flooring so the
+    * pow() in the weights cannot flip a seat across engines. */
+  def temperatureAllocation(df: DataFrame, stratumCol: String,
+                            budget: Long, alpha: Double): DataFrame = {
+    require(budget > 0 && alpha > 0.0 && alpha <= 1.0)
+    import graft.functions.Rounding.exactRound
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(pow(col("n_docs"), lit(alpha))).as("__z"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        exactRound(pow(col("n_docs"), lit(alpha)) / col("__z") * lit(budget), 6))
+      .withColumn("__floor", floor(col("quota")).cast("long"))
+      .withColumn("__frac", col("quota") - col("__floor"))
+      .drop("__z")
+    // leftover seats = budget - sum(floors): a broadcast scalar. The
+    // remainder RANK is a bounded broadcast self-join count over the
+    // stratum table (strata are dozens-to-thousands; quadratic there
+    // is nothing) — deliberately NOT a global window, which the plan
+    // guard bans everywhere regardless of input size.
+    val left = quota.agg((lit(budget) - sum(col("__floor"))).as("__left"))
+    val other = broadcast(quota.select(col("__frac").as("__f2"),
+      col(stratumCol).as("__s2")))
+    quota
+      .join(other,
+        col("__f2") > col("__frac") ||
+          (col("__f2") === col("__frac") && col("__s2") < col(stratumCol)),
+        "left")
+      .groupBy(col(stratumCol), col("n_docs"), col("quota"), col("__floor"))
+      .agg(count(col("__s2")).as("__ahead"))
+      .crossJoin(broadcast(left))
+      .withColumn("alloc",
+        col("__floor") + when(col("__ahead") < col("__left"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("n_docs"), col("quota"), col("alloc"))
+  }
+
   def balancedRates(df: DataFrame, stratumCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
     val minc = counts.agg(min(col("n_docs")).as("__min"))

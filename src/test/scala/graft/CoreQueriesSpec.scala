@@ -23,6 +23,28 @@ class CoreQueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
 
+  test("multiset ops: EXCEPT ALL + INTERSECT ALL partition the left bag") {
+    import org.apache.spark.sql.functions._
+    val u4 = SparkEntry.queries("u4_multiset_ops")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hi = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per status: |hi| = except_all + intersect_all (bag identity)
+    u4.foreach { case (s, ex, in) =>
+      assert(hi.getOrElse(s, 0L) === ex + in, s"status $s")
+    }
+  }
+
+  test("trailing range window: every row counts itself; frame is time-bounded") {
+    import org.apache.spark.sql.functions._
+    val w14 = SparkEntry.queries("w14_trailing_window")(spark, sfDir)
+    assert(w14.filter(col("n_1h") < 1).count() === 0)
+    // a RANGE frame must be able to hold a different row count per row
+    assert(w14.select(col("n_1h")).distinct().count() >= 2)
+  }
+
   test("pricing summary groups are disjoint and counts add up") {
     val df = CoreQueries.pricingSummary(spark, sfDir)
     val total = df.agg(org.apache.spark.sql.functions.sum("count_order"))

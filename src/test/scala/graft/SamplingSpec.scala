@@ -145,4 +145,32 @@ class SamplingSpec extends SparkSpec {
       col("kind") === "t", k = 3).collect().map(_.getLong(0)).toSet
     assert(again == Set(1L, 2L, 5L))
   }
+
+  test("temperature allocation: sums to budget, monotone, tail-up-weighted") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.ops.Sampling.temperatureAllocation(docs, "source", 10000L, 0.7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._4).sum === 10000L, "largest remainder must hit the budget exactly")
+    // alloc within 1 of quota
+    assert(out.forall { case (_, _, q, a) => math.abs(a - q) < 1.0 })
+    // bigger stratum never gets FEWER seats (alpha <= 1 keeps monotonicity)
+    val byN = out.sortBy(_._2)
+    assert(byN.zip(byN.tail).forall { case ((_, n1, _, a1), (_, n2, _, a2)) =>
+      n1 > n2 || a1 <= a2 + 1 })
+    // temperature flattens: the biggest stratum's share shrinks vs natural
+    val nTot = out.map(_._2).sum.toDouble
+    val big = out.maxBy(_._2)
+    assert(big._4.toDouble / 10000.0 < big._2 / nTot + 1e-9,
+      s"alpha<1 must shrink the head share: $big")
+  }
+
+  test("temperature allocation at alpha=1 reproduces natural proportions") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.ops.Sampling.temperatureAllocation(docs, "source", 10000L, 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val nTot = out.map(_._2).sum.toDouble
+    assert(out.map(_._3).sum === 10000L)
+    assert(out.forall { case (_, n, a) => math.abs(a - 10000.0 * n / nTot) <= 1.0 })
+  }
 }

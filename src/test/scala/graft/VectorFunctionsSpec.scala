@@ -84,4 +84,16 @@ class VectorFunctionsSpec extends SparkSpec {
       assert(l1 == l2); assert(math.abs(x - y) < 1e-9)
     }
   }
+
+  test("v3 hard negatives: never the planted duplicate, one per anchor") {
+    val out = SparkEntry.queries("v3_hard_negatives")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nBase = Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 2000).count()
+    assert(out.length === 2 * nBase, "every anchor (original + copy) gets a negative")
+    // the planted copy (id +- 1000000) is a near-dup and must be excluded
+    assert(out.forall { case (a, n, _) => math.abs(a - n) != 1000000L })
+    // hard negatives live below the dup threshold
+    assert(out.forall(_._3 < 0.99))
+  }
 }
