@@ -134,6 +134,7 @@ object SparkEntry {
     "v3_hard_negatives"     -> (VectorQueries.hardNegatives _),
     "c1_contamination"      -> (TextQueries.contamination _),
     "c2_corpus_build"       -> (TextQueries.corpusBuild _),
+    "c3_training_mix"       -> (TextQueries.trainingMix _),
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
@@ -2571,6 +2572,83 @@ object SparkEntry {
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin),
     // t27: the oracle uses the WINDOW ntile the engine's exactNtile
     // replays distributively; the surprisal CTEs mirror t12's exactly
+    // c3: four operator families replayed in ONE statement — the t25
+    // predicate, the d2-pair + recursive-CC + survivor chain on the
+    // gated pool, t32's apportionment over the deduped pool (budget =
+    // pool·6 DIV 10, exact integers), and the PolyHash selection rank.
+    // sum_sel_ids pins exactly WHICH docs ship.
+    "c3_training_mix" -> {
+      val selHash = polyHash64Sql("CAST(doc_id AS VARCHAR) || 'c3'")
+      s"""WITH RECURSIVE g AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS wc,
+        |      len(regexp_replace(text, '\\s', '', 'g'))::DOUBLE AS nonspace,
+        |      len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+        |      len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+        |          ['the','of','and','to','in','a','is','that','for','it'])) AS swh
+        |    FROM documents)
+        |  WHERE (wc BETWEEN 30 AND 100000)
+        |    AND (nonspace / nullif(wc::DOUBLE, 0.0) BETWEEN 4.0 AND 5.0)
+        |    AND swh >= 2 AND alpha / nullif(nonspace, 0.0) >= 0.6),
+        |p0 AS MATERIALIZED (SELECT d.* FROM documents d JOIN g USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM p0)
+        |  WHERE len(ws) >= 3),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(a.s || b.s)) >= 0.8),
+        |undirected AS (
+        |  SELECT id_a AS a, id_b AS b FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM undirected)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+        |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+        |mem AS (SELECT p0.doc_id AS node, p0.n_chars, c.component
+        |        FROM p0 JOIN comp c ON p0.doc_id = c.node),
+        |drops AS (SELECT node FROM (
+        |    SELECT node, row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, node) AS rn FROM mem) WHERE rn > 1),
+        |pool AS MATERIALIZED (
+        |  SELECT * FROM p0 WHERE doc_id NOT IN (SELECT node FROM drops)),
+        |nb AS (SELECT count(*) * 6 // 10 AS budget FROM pool),
+        |cts AS (SELECT source, count(*) AS n_docs FROM pool GROUP BY source),
+        |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM cts),
+        |q AS (SELECT source, n_docs,
+        |        floor((pow(n_docs, 0.7) / z * (SELECT budget FROM nb)) * 1000000 + 0.5) / 1000000 AS quota
+        |      FROM cts, z),
+        |f AS (SELECT source, n_docs, quota,
+        |        CAST(floor(quota) AS BIGINT) AS fl, quota - floor(quota) AS fr
+        |      FROM q),
+        |l AS (SELECT (SELECT budget FROM nb) - sum(fl) AS lft FROM f),
+        |aa AS (SELECT f.source, f.n_docs, f.quota, f.fl,
+        |        (SELECT count(*) FROM f gg
+        |         WHERE gg.fr > f.fr OR (gg.fr = f.fr AND gg.source < f.source)) AS ahead
+        |      FROM f),
+        |al AS (SELECT source, n_docs, quota,
+        |        fl + CASE WHEN ahead < (SELECT lft FROM l) THEN 1 ELSE 0 END AS alloc
+        |      FROM aa),
+        |selr AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY $selHash, doc_id) AS rn
+        |      FROM pool),
+        |sel AS (SELECT s.source, count(*) AS n_selected,
+        |        CAST(sum(s.doc_id) AS BIGINT) AS sum_sel_ids
+        |      FROM selr s JOIN al ON s.source = al.source AND s.rn <= al.alloc
+        |      GROUP BY s.source)
+        |SELECT al.source, al.n_docs AS n_pool, al.quota, al.alloc,
+        |  coalesce(sel.n_selected, 0) AS n_selected,
+        |  coalesce(sel.sum_sel_ids, 0) AS sum_sel_ids
+        |FROM al LEFT JOIN sel ON al.source = sel.source
+        |ORDER BY al.source""".stripMargin
+    },
     // t32: largest-remainder apportionment replayed — floors, 6dp
     // quotas, and the remainder rank as a correlated count (the same
     // windowless formulation the engine plans).

@@ -251,6 +251,54 @@ object TextQueries {
       .select(col("lang"), col("n_docs"), exactRound(col("rate"), 6).as("rate"))
       .orderBy(col("lang"))
 
+  /** c3 — training-mix manifest (the capstone composition of this
+    * round's operator families): Gopher quality gate (t25) → MinHash
+    * near-dup survivorship on the surviving pool (d2/d6/d7) →
+    * temperature-scaled source allocation over the deduped pool (t32,
+    * budget = 60% of the pool in EXACT integer math) → deterministic
+    * per-source selection by PolyHash order. The per-source output
+    * pins the pool size, quota, integer allocation, selected count AND
+    * the sum of selected doc ids — the hash gate therefore proves not
+    * just the counts but exactly WHICH documents ship in the mix,
+    * through four composed operator families in one plan. */
+  def trainingMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val keepIds = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val pool0 = docs.join(keepIds, "doc_id")
+    val pairs = graft.ops.Dedup.minHashNearDups(pool0, "doc_id", "text", 0.8)
+    val comp = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val members = pool0.select(col("doc_id").as("node"), col("n_chars"))
+      .join(comp, "node")
+    val dropIds = members
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("n_chars").desc, col("node"))))
+      .filter(col("__rn") > 1)
+      .select(col("node").as("doc_id"))
+    val pool = pool0.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val budget = pool.count() * 6L / 10L // exact integer 60%
+    val alloc = graft.ops.Sampling.temperatureAllocation(
+      pool, "source", budget, 0.7)
+    val sel = pool.select(col("doc_id"), col("source"),
+        graft.functions.PolyHash.polyHash(
+          concat(col("doc_id").cast("string"), lit("c3"))).as("__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))))
+      .join(alloc.select(col("source"), col("alloc").as("__a")), "source")
+      .filter(col("__rn") <= col("__a"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("doc_id")).as("sum_sel_ids"))
+    alloc.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs").as("n_pool"), col("quota"),
+        col("alloc"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sum_sel_ids"), lit(0L)).as("sum_sel_ids"))
+      .orderBy(col("source"))
+  }
+
   /** t32 — temperature-scaled source mixing
     * (ops.Sampling.temperatureAllocation, alpha = 0.7, budget 100k):
     * the mT5/XLM-R sampling-temperature allocation with largest-

@@ -23,4 +23,20 @@ class CorpusBuildSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
   }
+
+  test("c3 training mix: budget-exact, within-pool, deterministic composition") {
+    val out = SparkEntry.queries("c3_training_mix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val poolTotal = out.map(_._2).sum
+    // the integer-60% budget is hit exactly by the apportionment
+    assert(out.map(_._4).sum === poolTotal * 6 / 10)
+    // selection fills every allocation that fits its source pool
+    assert(out.forall { case (_, np, _, al, ns, _) => ns === math.min(al, np) })
+    // two runs agree exactly (the whole chain is deterministic)
+    val again = SparkEntry.queries("c3_training_mix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(5))).toMap
+    assert(out.map(r => (r._1, r._6)).toMap === again)
+  }
 }
