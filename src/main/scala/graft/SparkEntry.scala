@@ -152,6 +152,7 @@ object SparkEntry {
     "st6_stream_cdc"        -> (StreamQueries.streamSnapshotCdc _),
     "st7_stream_heavy_hitters" -> (StreamQueries.streamHeavyHitters _),
     "st8_stream_count_min"  -> (StreamQueries.streamCountMin _),
+    "st9_stream_throttle"   -> (StreamQueries.streamThrottleDedup _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
     "d12_dsir_select"       -> (TextQueries.dsirSelect _),
@@ -1236,6 +1237,18 @@ object SparkEntry {
         |  coalesce(n_intersect_all, 0) AS n_intersect_all
         |FROM ea FULL OUTER JOIN ia USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
+    // st9: the streaming stateful face must reproduce the batch LAG
+    // rule exactly — same oracle as w13.
+    "st9_stream_throttle" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type,
+        |  count(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 END) AS n_kept,
+        |  count(CASE WHEN gap IS NOT NULL AND gap <= 3600000000 THEN 1 END) AS n_dropped
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w13_throttle_dedup" ->
       """WITH g AS (
         |  SELECT event_type,

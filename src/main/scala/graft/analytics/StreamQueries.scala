@@ -181,6 +181,51 @@ object StreamQueries {
   private val streamedCms =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st9 — STREAMING throttle dedup (EventStreams.throttleDedupStream,
+    * the stateful face of w13's lag-gap rule): per-(user, type) state
+    * holds the last event's micros; the source replays as FOUR
+    * time-sliced single-file micro-batches (written oldest-first, so
+    * the oldest-first file order IS event-time order), and a real
+    * gap can straddle a slice boundary — the cross-batch state path is
+    * what the oracle gates. Rollup must hash-match w13's batch oracle
+    * verbatim. */
+  def streamThrottleDedup(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedThrottle.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st9_").toString
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val Array(mn, mx) = ev.agg(
+          unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val step = math.max(1L, (mx - mn) / 4 + 1)
+      // sequential single-file writes: modification-time order (the
+      // FileStreamSource processing order) = time-slice order
+      for (k <- 0L until 4L) {
+        ev.filter(unix_micros(col("ts")) >= mn + k * step &&
+            unix_micros(col("ts")) < mn + (k + 1) * step)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      }
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st9_${math.abs(dir.hashCode)}"
+      import spark.implicits._
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => EventStreams.throttleDedupStream(
+          df.as[EventStreams.Event], gapUs = 3600000000L).toDF(),
+        name, maxFilesPerTrigger = Some(1),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      name
+    })
+    spark.table(table)
+      .groupBy(col("event_type"))
+      .agg(count(when(col("keep"), 1)).as("n_kept"),
+        count(when(!col("keep"), 1)).as("n_dropped"))
+      .orderBy(col("event_type"))
+  }
+
+  private val streamedThrottle =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private val streamedCdcOps =
     scala.collection.concurrent.TrieMap[String, String]()
 

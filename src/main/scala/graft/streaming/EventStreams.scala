@@ -258,6 +258,42 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  case class TypeKeep(event_type: String, keep: Boolean)
+
+  /** STREAMING throttle dedup — the stateful face of the batch w13
+    * lag-gap rule: per (user, type), an event is kept when its gap to
+    * the PREVIOUS event (kept or not — lag semantics) exceeds `gapUs`;
+    * the state is one long (the last event's epoch micros) per key.
+    *
+    * Equality with the batch LAG window needs event-TIME-ordered
+    * replay: the caller stages the source as time-sliced files (one
+    * file per slice, processed oldest-first), so cross-batch order is
+    * the event order; within a micro-batch each group sorts by
+    * (ts, event_id) exactly like the window. Emits one
+    * (event_type, keep) row per event — the rollup after the stream
+    * must hash-match the batch oracle verbatim. */
+  def throttleDedupStream(events: Dataset[Event],
+                          gapUs: Long): Dataset[TypeKeep] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, TypeKeep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), rows: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = sorted.map { e =>
+            val us = micros(e.ts)
+            val keep = last == Long.MinValue || us - last > gapUs
+            last = us
+            TypeKeep(e.event_type, keep)
+          }
+          if (sorted.nonEmpty) state.update(last)
+          out.iterator
+      }
+  }
+
   /** Incremental file-stream run of a transform with
     * Trigger.AvailableNow semantics into an in-memory table — the
     * faithful translation of the reference's scheduled-incremental
@@ -266,14 +302,15 @@ object EventStreams {
                       schema: org.apache.spark.sql.types.StructType,
                       transform: DataFrame => DataFrame,
                       queryName: String,
-                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                      maxFilesPerTrigger: Option[Int] = None,
+                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(sourceDir)
     val q = transform(stream).writeStream
       .format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

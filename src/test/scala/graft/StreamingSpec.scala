@@ -236,6 +236,15 @@ class StreamingSpec extends SparkSpec {
     assert(st8.nonEmpty)
   }
 
+  test("st9 rehearsal: streamed stateful throttle equals the batch lag rule") {
+    val st9 = SparkEntry.queries("st9_stream_throttle")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w13 = SparkEntry.queries("w13_throttle_dedup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st9 === w13)
+    assert(st9.nonEmpty)
+  }
+
   test("K1: partitioned JSON sink writes term directories") {
     val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
     graft.etl.Sinks.partitionedJson(
