@@ -149,11 +149,14 @@ object SetSimJoin {
       s"threshold must be in (0, 1], got $threshold")
     // Map-side: distinct shingles (WordNGrams byte-slicer) -> one row
     // per (doc, 8-byte token digest); set size attached map-side so no
-    // extra aggregate is needed for it. Materialized ONCE: the frame
-    // feeds the frequency count, the rank window and both verify
-    // sides — without the checkpoint each reference re-shingles the
-    // corpus text (the ngramJaccardPairs precedent).
-    val toks = tokenRows(df, idCol, textCol, shingleN).localCheckpoint()
+    // extra aggregate is needed for it. Materialized ONCE (without the
+    // checkpoint each reference re-shingles the corpus text — the
+    // ngramJaccardPairs precedent) and PARTITIONED BY DIGEST, the
+    // j9-style co-location: the frequency aggregate and the frequency
+    // join both cluster on __tok, so neither moves a row — two
+    // corpus-sized exchanges gone.
+    val toks = tokenRows(df, idCol, textCol, shingleN)
+      .repartition(col("__tok")).localCheckpoint()
     // Corpus document-frequency per token — the global order key.
     val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     // Rarest-first rank inside each document under the (df, digest)
