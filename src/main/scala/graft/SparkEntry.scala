@@ -91,6 +91,7 @@ object SparkEntry {
     "d4_ngram_jaccard"      -> (DedupQueries.ngramJaccard _),
     "j11_setsim_join"       -> (DedupQueries.setSimJoin _),
     "j11b_incr_setsim"      -> (DedupQueries.incrementalSetSimJoin _),
+    "j11c_bucketed_setsim"  -> (DedupQueries.bucketedIncrementalSetSimJoin _),
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
@@ -168,6 +169,23 @@ object SparkEntry {
     "md3_gold_oral_arguments" -> (MedallionQueries.goldOralArgumentsQuery _),
     "k6_xml"                -> (MedallionQueries.xmlSerializationQuery _),
   )
+
+  /** Shared j11b/j11c oracle: brute force over delta-touching pairs. */
+  private val setSimDeltaOracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  floor((len(list_intersect(a.s, b.s))::DOUBLE
+      |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000 + 0.5) / 10000 AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
+      |  AND len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared q21/st8 oracle: the full count-min replay — hash rows
     * from the shared PolyHash fragment, constants read off
@@ -2354,22 +2372,10 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
-    // j11b: brute force restricted to pairs touching the delta split.
-    "j11b_incr_setsim" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |                   for i in range(1, len(ws) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        |  WHERE len(ws) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  floor((len(list_intersect(a.s, b.s))::DOUBLE
-        |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
-        |  AND len(list_intersect(a.s, b.s))::DOUBLE
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin,
+    // j11b/j11c: brute force restricted to pairs touching the delta
+    // split — the bucketed face must produce the identical result.
+    "j11c_bucketed_setsim" -> setSimDeltaOracleSql,
+    "j11b_incr_setsim" -> setSimDeltaOracleSql,
     "j11_setsim_join" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -65,6 +65,29 @@ object DedupQueries {
   private val setSimStoreCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** j11c — the incremental set-sim join against a BUCKETED catalog
+    * store (ops.SetSimJoin.incrementalJaccardJoinBucketed): identical
+    * semantics and oracle as j11b; the difference under the hood is
+    * the j9 layout — the store-side document-frequency aggregate reads
+    * pre-clustered buckets with no shuffle (plan-asserted in
+    * SetSimJoinSpec). */
+  def bucketedIncrementalSetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 10 === 3)
+    val table = bucketedSetSimStore.getOrElseUpdate(dir, {
+      val t = s"ss_store_${math.abs(dir.hashCode)}"
+      SetSimJoin.writeBucketedTokenStore(
+        docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", t, buckets = 8)
+      t
+    })
+    SetSimJoin.incrementalJaccardJoinBucketed(delta, "doc_id", "text", table, 0.7)
+      .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val bucketedSetSimStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** Brute-force n-gram Jaccard pairs (id-windowed) — the dedup
     * verification baseline, oracle-identical by construction. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =

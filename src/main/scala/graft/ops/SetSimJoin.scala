@@ -70,6 +70,87 @@ object SetSimJoin {
     tokenRows(df, idCol, textCol, shingleN)
       .write.mode("overwrite").parquet(path)
 
+  /** Bucketed token store (catalog table, bucketBy __tok) — the j9
+    * zero-exchange layout applied to the dedup store: the store-side
+    * document-frequency aggregate reads pre-clustered buckets and
+    * plans NO shuffle (asserted in SetSimJoinSpec), which at 100 TB is
+    * the daily job's dominant exchange gone. */
+  def writeBucketedTokenStore(df: DataFrame, idCol: String, textCol: String,
+                              table: String, buckets: Int,
+                              shingleN: Int = 3): Unit =
+    graft.etl.Sinks.writeBucketed(
+      tokenRows(df, idCol, textCol, shingleN), table, buckets, Seq("__tok"))
+
+  /** Exact verification on per-document digest arrays, restricted to
+    * CANDIDATE documents (a semi-join — only ids that appear in a
+    * candidate pair ever assemble an array, so the collect is
+    * candidate-scale, not corpus-scale). Shared by every face. */
+  private def verifyWithArrays(cand: DataFrame, tokens: DataFrame,
+                               threshold: Double): DataFrame = {
+    val ids = cand.select(col("id_a").as("__id"))
+      .unionByName(cand.select(col("id_b").as("__id"))).distinct()
+    val arrs = tokens.join(ids, Seq("__id"), "left_semi")
+      .groupBy(col("__id"), col("__sz"))
+      .agg(collect_list(col("__tok")).as("__arr"))
+    cand
+      .join(arrs.select(col("__id").as("id_a"), col("__arr").as("__aa")), "id_a")
+      .join(arrs.select(col("__id").as("id_b"), col("__arr").as("__ab")), "id_b")
+      .withColumn("__int", size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .withColumn("jaccard",
+        col("__int").cast("double") /
+          (col("sz_a") + col("sz_b") - col("__int")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[incrementalJaccardJoin]] against a [[writeBucketedTokenStore]]
+    * catalog table: identical output and the same one-sided prefix
+    * theorem; the difference is pure layout — the corpus-sized
+    * frequency count comes from a bucket-clustered aggregate merged
+    * with the delta's counts (full-outer sum), so the STORE never
+    * shuffles for it. */
+  def incrementalJaccardJoinBucketed(delta: DataFrame, idCol: String,
+                                     textCol: String, storeTable: String,
+                                     threshold: Double,
+                                     shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val spark = delta.sparkSession
+    val dRows = tokenRows(delta, idCol, textCol, shingleN).localCheckpoint()
+    val store = spark.table(storeTable)
+    val sf = store.groupBy(col("__tok")).agg(count(lit(1)).as("__cs"))
+    val df2 = dRows.groupBy(col("__tok")).agg(count(lit(1)).as("__cd"))
+    val freq = sf.join(df2, Seq("__tok"), "full_outer")
+      .select(col("__tok"),
+        (coalesce(col("__cs"), lit(0L)) + coalesce(col("__cd"), lit(0L)))
+          .as("__df"))
+    val all = store.unionByName(dRows)
+    val ranked = dRows.join(freq, "__tok")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))))
+      .withColumn("__p",
+        col("__sz") - ceil(col("__sz") * lit(threshold)) + lit(1))
+    val aPre = ranked.filter(col("__rk") <= col("__p"))
+      .select(col("__tok"), col("__id").as("ia"), col("__sz").as("sa"),
+        col("__rk").as("ra"))
+    val bAll = all.select(col("__tok"), col("__id").as("ib"), col("__sz").as("sb"))
+    val oMin = ceil((col("sa") + col("sb")) * lit(threshold / (1.0 + threshold)))
+    val cand = aPre.join(bAll, "__tok")
+      .filter(col("ia") =!= col("ib") &&
+        col("sb") * lit(threshold) <= col("sa") &&
+        col("sa") * lit(threshold) <= col("sb") &&
+        (col("sa") - col("ra") + 1) >= oMin)
+      .select(when(col("ia") < col("ib"),
+          struct(col("ia").as("id_a"), col("ib").as("id_b"),
+            col("sa").as("sz_a"), col("sb").as("sz_b")))
+        .otherwise(
+          struct(col("ib").as("id_a"), col("ia").as("id_b"),
+            col("sb").as("sz_a"), col("sa").as("sz_b"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
+      .distinct()
+    verifyWithArrays(cand, all, threshold)
+  }
+
   /** Incremental exact-threshold set-similarity join: every pair at
     * Jaccard >= `threshold` with AT LEAST ONE side in `delta`, against
     * a [[writeTokenStore]] corpus. The daily-ingest shape: only the
@@ -128,19 +209,7 @@ object SetSimJoin {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
       .distinct()
-    // Array verification (see jaccardJoin): candidate-count rows, no
-    // token-row explosion.
-    val arrs = all.groupBy(col("__id"), col("__sz"))
-      .agg(collect_list(col("__tok")).as("__arr"))
-    cand
-      .join(arrs.select(col("__id").as("id_a"), col("__arr").as("__aa")), "id_a")
-      .join(arrs.select(col("__id").as("id_b"), col("__arr").as("__ab")), "id_b")
-      .withColumn("__int", size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
-      .withColumn("jaccard",
-        col("__int").cast("double") /
-          (col("sz_a") + col("sz_b") - col("__int")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyWithArrays(cand, all, threshold)
   }
 
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
@@ -191,24 +260,15 @@ object SetSimJoin {
         (col("sz_b") - col("rk_b") + 1) >= oMin)
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .distinct()
-    // Exact verification on per-document DIGEST ARRAYS: two id-equi
-    // joins ship one ~|d|·8-byte array per side per candidate, and the
-    // intersection size is computed IN PLACE per row. The first
-    // formulation verified via token-row joins — |cand| × |d| rows
-    // through an exchange and a grouped count, measured 297 s of
-    // j11's 327 s at the 100× point with 10.4M candidates × ~150
-    // tokens ≈ 1.5G rows. Arrays keep verification row count equal to
-    // the candidate count.
-    val arrs = toks.groupBy(col("__id"), col("__sz"))
-      .agg(collect_list(col("__tok")).as("__arr"))
-    cand
-      .join(arrs.select(col("__id").as("id_a"), col("__arr").as("__aa")), "id_a")
-      .join(arrs.select(col("__id").as("id_b"), col("__arr").as("__ab")), "id_b")
-      .withColumn("__int", size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
-      .withColumn("jaccard",
-        col("__int").cast("double") /
-          (col("sz_a") + col("sz_b") - col("__int")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Exact verification on per-document DIGEST ARRAYS
+    // ([[verifyWithArrays]]): two id-equi joins ship one ~|d|·8-byte
+    // array per side per candidate, and the intersection size is
+    // computed IN PLACE per row. The first formulation verified via
+    // token-row joins — |cand| × |d| rows through an exchange and a
+    // grouped count, measured 297 s of j11's 327 s at the 100× point
+    // with 10.4M candidates × ~150 tokens ≈ 1.5G rows. Arrays keep
+    // verification row count equal to the candidate count, and the
+    // semi-join inside the helper keeps array assembly candidate-scale.
+    verifyWithArrays(cand, toks, threshold)
   }
 }

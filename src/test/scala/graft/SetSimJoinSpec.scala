@@ -57,6 +57,33 @@ class SetSimJoinSpec extends SparkSpec {
     assert(inc.nonEmpty, "delta split must hit planted near-dups")
   }
 
+  test("bucketed store face: same result as the path store, zero-exchange freq scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val delta = docs.filter($"doc_id" % 10 === 3)
+    val rest = docs.filter($"doc_id" % 10 =!= 3)
+    SetSimJoin.writeBucketedTokenStore(rest, "doc_id", "text",
+      "ss_spec_store", buckets = 4)
+    val bucketed = SetSimJoin.incrementalJaccardJoinBucketed(
+        delta, "doc_id", "text", "ss_spec_store", 0.7)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ss_spec2").toString
+    SetSimJoin.writeTokenStore(rest, "doc_id", "text", tmp)
+    val plain = SetSimJoin.incrementalJaccardJoin(delta, "doc_id", "text", tmp, 0.7)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed === plain)
+    assert(bucketed.nonEmpty)
+    // the store-side document-frequency aggregate must read the bucket
+    // layout with NO shuffle below it
+    val freqPlan = spark.table("ss_spec_store")
+      .groupBy($"__tok").count().queryExecution.executedPlan
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(all)
+    assert(!all(freqPlan).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"bucketed freq aggregate must not shuffle:\n$freqPlan")
+  }
+
   test("short and empty documents are handled") {
     val tiny = Seq((1L, "a b"), (2L, ""), (3L, "x y z"), (4L, "x y z"))
       .toDF("doc_id", "text")
