@@ -81,15 +81,24 @@ object SetSimJoin {
     graft.etl.Sinks.writeBucketed(
       tokenRows(df, idCol, textCol, shingleN), table, buckets, Seq("__tok"))
 
-  /** Exact verification on per-document digest arrays, restricted to
-    * CANDIDATE documents (a semi-join — only ids that appear in a
-    * candidate pair ever assemble an array, so the collect is
-    * candidate-scale, not corpus-scale). Shared by every face. */
+  /** Exact verification on per-document digest arrays, shared by
+    * every face. `restrict = true` semi-joins the token rows to
+    * candidate ids first, so array assembly is candidate-scale — the
+    * right default for SPARSE-duplicate corpora where candidates touch
+    * a small fraction of documents. On the dup-dense bench fixture
+    * (every doc has a planted pair) the restriction is pure overhead —
+    * measured +16%/+84% on j11/j11b at sf10 — so the registered faces
+    * default it OFF; both paths are correctness-equal (spec). */
   private def verifyWithArrays(cand: DataFrame, tokens: DataFrame,
-                               threshold: Double): DataFrame = {
-    val ids = cand.select(col("id_a").as("__id"))
-      .unionByName(cand.select(col("id_b").as("__id"))).distinct()
-    val arrs = tokens.join(ids, Seq("__id"), "left_semi")
+                               threshold: Double,
+                               restrict: Boolean): DataFrame = {
+    val base =
+      if (!restrict) tokens
+      else tokens.join(
+        cand.select(col("id_a").as("__id"))
+          .unionByName(cand.select(col("id_b").as("__id"))).distinct(),
+        Seq("__id"), "left_semi")
+    val arrs = base
       .groupBy(col("__id"), col("__sz"))
       .agg(collect_list(col("__tok")).as("__arr"))
     cand
@@ -112,7 +121,8 @@ object SetSimJoin {
   def incrementalJaccardJoinBucketed(delta: DataFrame, idCol: String,
                                      textCol: String, storeTable: String,
                                      threshold: Double,
-                                     shingleN: Int = 3): DataFrame = {
+                                     shingleN: Int = 3,
+                                     restrictVerify: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
     val spark = delta.sparkSession
     val dRows = tokenRows(delta, idCol, textCol, shingleN).localCheckpoint()
@@ -148,7 +158,7 @@ object SetSimJoin {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
       .distinct()
-    verifyWithArrays(cand, all, threshold)
+    verifyWithArrays(cand, all, threshold, restrictVerify)
   }
 
   /** Incremental exact-threshold set-similarity join: every pair at
@@ -172,7 +182,8 @@ object SetSimJoin {
   def incrementalJaccardJoin(delta: DataFrame, idCol: String,
                              textCol: String, storePath: String,
                              threshold: Double,
-                             shingleN: Int = 3): DataFrame = {
+                             shingleN: Int = 3,
+                             restrictVerify: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val spark = delta.sparkSession
@@ -209,11 +220,12 @@ object SetSimJoin {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
       .distinct()
-    verifyWithArrays(cand, all, threshold)
+    verifyWithArrays(cand, all, threshold, restrictVerify)
   }
 
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-                  threshold: Double, shingleN: Int = 3): DataFrame = {
+                  threshold: Double, shingleN: Int = 3,
+                  restrictVerify: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // Map-side: distinct shingles (WordNGrams byte-slicer) -> one row
@@ -269,6 +281,6 @@ object SetSimJoin {
     // with 10.4M candidates × ~150 tokens ≈ 1.5G rows. Arrays keep
     // verification row count equal to the candidate count, and the
     // semi-join inside the helper keeps array assembly candidate-scale.
-    verifyWithArrays(cand, toks, threshold)
+    verifyWithArrays(cand, toks, threshold, restrictVerify)
   }
 }

@@ -84,6 +84,18 @@ class SetSimJoinSpec extends SparkSpec {
       s"bucketed freq aggregate must not shuffle:\n$freqPlan")
   }
 
+  test("candidate-restricted verification equals the unrestricted path") {
+    val a = SetSimJoin.jaccardJoin(docs, "doc_id", "text", 0.7)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = SetSimJoin.jaccardJoin(docs, "doc_id", "text", 0.7,
+        restrictVerify = true)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("short and empty documents are handled") {
     val tiny = Seq((1L, "a b"), (2L, ""), (3L, "x y z"), (4L, "x y z"))
       .toDF("doc_id", "text")
