@@ -96,6 +96,22 @@ class SetSimJoinSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("a corpus-wide hot shingle never enters prefixes (no candidate blowup)") {
+    // plant one identical 3-gram at the END of every doc: its df = n,
+    // so rarest-first ordering pushes it past every prefix — the
+    // candidate count must not grow quadratically, and results must
+    // still equal brute force on the polluted corpus
+    val polluted = docs.withColumn("text",
+      concat($"text", lit(" zz zz zz")))
+    val fast = SetSimJoin.jaccardJoin(polluted, "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.ngramJaccardPairs(polluted, "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === brute)
+  }
+
   test("short and empty documents are handled") {
     val tiny = Seq((1L, "a b"), (2L, ""), (3L, "x y z"), (4L, "x y z"))
       .toDF("doc_id", "text")
