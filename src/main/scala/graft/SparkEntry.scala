@@ -2491,7 +2491,12 @@ object SparkEntry {
     "sql1_region_revenue" -> SqlQueries.q5Sql,
     "sql2_nation_profit" -> SqlQueries.q9Sql,
     // m3: shard hash (PolyHash of id||'m3'), exclusive window pixel
-    // sum, integer division — the whole schedule replayed.
+    // sum, integer division — the whole schedule replayed. The window
+    // sum is CAST to BIGINT at definition (sum(BIGINT) is HUGEINT in
+    // DuckDB; uncast, batch_id inherits HUGEINT and the driver's
+    // arrow/pandas canonicalization can widen it to float64, flipping
+    // the value hash while rows/schema still match — the r8 red row).
+    // t18 (the green twin) casts its window sum the same way.
     "m3_decode_batches" -> {
       val h = polyHash64Sql("CAST(doc_id AS VARCHAR) || 'm3'")
       s"""WITH nb AS (SELECT CAST((count(*) + 199) // 200 AS BIGINT) AS b FROM documents),
@@ -2501,11 +2506,11 @@ object SparkEntry {
         |    $h % (SELECT b FROM nb) AS bucket
         |  FROM documents),
         |w AS (SELECT kind, bucket, media_id, pixels,
-        |    coalesce(sum(pixels) OVER (PARTITION BY kind, bucket ORDER BY media_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+        |    CAST(coalesce(sum(pixels) OVER (PARTITION BY kind, bucket ORDER BY media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pb
         |  FROM m)
-        |SELECT kind, bucket, pb // 65536 AS batch_id,
-        |  count(*) AS n_media, CAST(sum(pixels) AS BIGINT) AS total_pixels,
+        |SELECT kind, bucket, CAST(pb // 65536 AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_media, CAST(sum(pixels) AS BIGINT) AS total_pixels,
         |  min(media_id) AS first_media
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY kind, bucket, batch_id""".stripMargin

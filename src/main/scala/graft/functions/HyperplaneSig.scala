@@ -8,11 +8,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native random-hyperplane (sign-LSH, Charikar '02) signature over an
   * embedding: band b's value packs `bits` sign bits, bit j set when
-  * `v · h_{b·bits+j} >= 0`. Hyperplane components are a fixed integer
-  * lattice `h_i[d] = ((1103515245·(i·dim+d) + 12345) mod 2048) − 1024`
-  * (glibc LCG step, zero-mean) — derived identically anywhere from the
-  * bit index alone, so there is no stored matrix, no RNG state, and a
-  * plain-Scala replay is bit-exact (HyperplaneSigSpec).
+  * `v · h_{b·bits+j} >= 0`. Hyperplane components are
+  * `h_i[d] = (splitmix64(i·dim+d) mod 2048) − 1024` — a full-avalanche
+  * 64-bit finalizer of the flat index, so components are derived
+  * identically anywhere from the bit index alone (no stored matrix, no
+  * RNG state, plain-Scala replay bit-exact, HyperplaneSigSpec).
+  *
+  * The mixer matters: the previous raw-LCG-step lattice
+  * `(1103515245·n + 12345) mod 2048` is an arithmetic progression in
+  * n mod 2048, so hyperplanes i and j were IDENTICAL whenever
+  * dim·(i−j) ≡ 0 (mod 2048) — at dim 1024 only 2 of 64 were distinct,
+  * collapsing 16-bit bands to ~2 effective bits and making random-pair
+  * band collisions ~1/4 instead of 2^−16 (near-quadratic candidate
+  * generation). splitmix64's multiply-xor-shift avalanche has no such
+  * lattice; HyperplaneSigSpec asserts pairwise distinctness of all
+  * bands·bits hyperplanes at dims 64/128/768/1024.
   *
   * One generated call per row computes all bands·bits dot products in
   * a tight loop. The alternative — bands·bits separate DotProduct
@@ -47,9 +57,17 @@ case class HyperplaneSig(child: Expression, bands: Int, bits: Int)
 
 object HyperplaneSig {
 
-  /** Integer lattice component of hyperplane i at dimension d. */
-  def coeff(i: Int, d: Int, dim: Int): Long =
-    ((1103515245L * (i.toLong * dim + d) + 12345L) % 2048L) - 1024L
+  /** Integer component of hyperplane i at dimension d: splitmix64
+    * finalizer of the flat index, reduced to the zero-centred 11-bit
+    * range [−1024, 1023]. Stateless and replayable; full avalanche
+    * guarantees no hyperplane-duplicating lattice (see class doc). */
+  def coeff(i: Int, d: Int, dim: Int): Long = {
+    var z = i.toLong * dim + d + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z & 2047L) - 1024L
+  }
 
   /** All band values for one vector; called from eval and generated
     * code. Dot products accumulate in ascending dimension order —

@@ -28,6 +28,33 @@ class HyperplaneSigSpec extends SparkSpec {
       assert(sig.toSeq === refSig(v, 4, 16), s"vec $id")
   }
 
+  test("all bands·bits hyperplanes are pairwise distinct at representative dims") {
+    // The raw-LCG lattice this guards against made h_i ≡ h_j whenever
+    // dim·(i−j) ≡ 0 (mod 2048): at dim 1024 only 2 of 64 hyperplanes
+    // were distinct. splitmix64 must yield 64 distinct vectors at every
+    // production-shaped dim.
+    for (dim <- Seq(64, 128, 768, 1024)) {
+      val planes = (0 until 4 * 16).map(i =>
+        (0 until dim).map(d => HyperplaneSig.coeff(i, d, dim)).toVector)
+      assert(planes.distinct.size === planes.size, s"dim=$dim")
+      // and no pair is a negation either (a negated plane carries the
+      // same partitioning information — zero marginal bits)
+      val canon = planes.map { p =>
+        val n = p.map(-_)
+        if (Ordering.Implicits.seqOrdering[Vector, Long].lt(p, n)) p else n
+      }
+      assert(canon.distinct.size === planes.size, s"dim=$dim (negation)")
+    }
+  }
+
+  test("coeff distribution is balanced (mixer sanity)") {
+    val vals = (0 until 64).flatMap(i =>
+      (0 until 256).map(d => HyperplaneSig.coeff(i, d, 256)))
+    val mean = vals.map(_.toDouble).sum / vals.size
+    assert(math.abs(mean) < 30.0, s"mean $mean")  // ±1024 range, n=16384
+    assert(vals.min >= -1024L && vals.max <= 1023L)
+  }
+
   test("near-identical vectors share every band; far pairs do not") {
     val v = Array.tabulate(64)(d => math.sin(d + 1.0))
     val w = v.clone(); w(0) += 1e-6
