@@ -2654,10 +2654,15 @@ object SparkEntry {
         |l AS (SELECT (SELECT budget FROM nb) - sum(fl) AS lft FROM f),
         |aa AS (SELECT f.source, f.n_docs, f.quota, f.fl,
         |        (SELECT count(*) FROM f gg
-        |         WHERE gg.fr > f.fr OR (gg.fr = f.fr AND gg.source < f.source)) AS ahead
+        |         WHERE gg.fr > f.fr OR (gg.fr = f.fr AND gg.source < f.source)) AS ahead,
+        |        (SELECT count(*) FROM f gg
+        |         WHERE gg.fl >= 1 AND (gg.fr < f.fr OR (gg.fr = f.fr AND gg.source < f.source))) AS takr
         |      FROM f),
         |al AS (SELECT source, n_docs, quota,
-        |        fl + CASE WHEN ahead < (SELECT lft FROM l) THEN 1 ELSE 0 END AS alloc
+        |        CASE WHEN (SELECT lft FROM l) >= 0
+        |          THEN fl + CASE WHEN ahead < (SELECT lft FROM l) THEN 1 ELSE 0 END
+        |          ELSE fl - CASE WHEN fl >= 1 AND takr < -(SELECT lft FROM l) THEN 1 ELSE 0 END
+        |        END AS alloc
         |      FROM aa),
         |selr AS (SELECT doc_id, source,
         |        row_number() OVER (PARTITION BY source
@@ -2688,10 +2693,15 @@ object SparkEntry {
         |l AS (SELECT 100000 - sum(fl) AS lft FROM f),
         |a AS (SELECT f.source, f.n_docs, f.quota, f.fl,
         |        (SELECT count(*) FROM f g
-        |         WHERE g.fr > f.fr OR (g.fr = f.fr AND g.source < f.source)) AS ahead
+        |         WHERE g.fr > f.fr OR (g.fr = f.fr AND g.source < f.source)) AS ahead,
+        |        (SELECT count(*) FROM f g
+        |         WHERE g.fl >= 1 AND (g.fr < f.fr OR (g.fr = f.fr AND g.source < f.source))) AS takr
         |      FROM f)
         |SELECT source, n_docs, quota,
-        |  fl + CASE WHEN ahead < (SELECT lft FROM l) THEN 1 ELSE 0 END AS alloc
+        |  CASE WHEN (SELECT lft FROM l) >= 0
+        |    THEN fl + CASE WHEN ahead < (SELECT lft FROM l) THEN 1 ELSE 0 END
+        |    ELSE fl - CASE WHEN fl >= 1 AND takr < -(SELECT lft FROM l) THEN 1 ELSE 0 END
+        |  END AS alloc
         |FROM a ORDER BY source""".stripMargin,
     // t31: t27's score chain, 20-tile clamp bounds, integer-exact mean
     // (sum of score·10⁴ is an integer in double, order-independent).

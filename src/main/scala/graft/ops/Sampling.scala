@@ -401,27 +401,54 @@ object Sampling {
     val quota = counts.crossJoin(broadcast(tot))
       .withColumn("quota",
         exactRound(pow(col("n_docs"), lit(alpha)) / col("__z") * lit(budget), 6))
+      .drop("__z")
+    largestRemainder(quota, stratumCol, budget)
+  }
+
+  /** Largest-remainder seat assignment over a (stratum, n_docs, quota)
+    * table: floor every quota, hand leftover seats to the largest
+    * fractional parts (ties by stratum value). Because the 6dp quota
+    * grid can push a quota that sits within 5e-7 BELOW an integer up
+    * across the boundary, the floors can in principle OVERSHOOT the
+    * budget by a seat; then leftover is negative and the same rank
+    * logic runs in REVERSE — seats come back from the smallest
+    * fractional parts (only strata with floor >= 1, so no allocation
+    * goes negative; every overshooting stratum has floor >= 1 by
+    * construction, so eligible strata always cover the overshoot).
+    * Either way allocations sum to exactly `budget`.
+    *
+    * Leftover is a broadcast scalar; both remainder RANKS are one
+    * bounded broadcast self-join count over the stratum table (strata
+    * are dozens-to-thousands; quadratic there is nothing) —
+    * deliberately NOT a global window, which the plan guard bans
+    * everywhere regardless of input size. */
+  def largestRemainder(quotas: DataFrame, stratumCol: String,
+                       budget: Long): DataFrame = {
+    val quota = quotas
       .withColumn("__floor", floor(col("quota")).cast("long"))
       .withColumn("__frac", col("quota") - col("__floor"))
-      .drop("__z")
-    // leftover seats = budget - sum(floors): a broadcast scalar. The
-    // remainder RANK is a bounded broadcast self-join count over the
-    // stratum table (strata are dozens-to-thousands; quadratic there
-    // is nothing) — deliberately NOT a global window, which the plan
-    // guard bans everywhere regardless of input size.
     val left = quota.agg((lit(budget) - sum(col("__floor"))).as("__left"))
     val other = broadcast(quota.select(col("__frac").as("__f2"),
-      col(stratumCol).as("__s2")))
+      col(stratumCol).as("__s2"), col("__floor").as("__fl2")))
     quota
-      .join(other,
-        col("__f2") > col("__frac") ||
-          (col("__f2") === col("__frac") && col("__s2") < col(stratumCol)),
-        "left")
-      .groupBy(col(stratumCol), col("n_docs"), col("quota"), col("__floor"))
-      .agg(count(col("__s2")).as("__ahead"))
+      .join(other, col("__s2") =!= col(stratumCol), "left")
+      .groupBy(col(stratumCol), col("n_docs"), col("quota"),
+        col("__floor"), col("__frac"))
+      .agg(
+        sum(when(col("__f2") > col("__frac") ||
+            (col("__f2") === col("__frac") && col("__s2") < col(stratumCol)),
+          1L).otherwise(0L)).as("__ahead"),
+        sum(when(col("__fl2") >= 1L && (col("__f2") < col("__frac") ||
+            (col("__f2") === col("__frac") && col("__s2") < col(stratumCol))),
+          1L).otherwise(0L)).as("__take"))
       .crossJoin(broadcast(left))
       .withColumn("alloc",
-        col("__floor") + when(col("__ahead") < col("__left"), 1L).otherwise(0L))
+        when(col("__left") >= 0L,
+          col("__floor") +
+            when(col("__ahead") < col("__left"), 1L).otherwise(0L))
+        .otherwise(col("__floor") -
+          when(col("__floor") >= 1L && col("__take") < -col("__left"), 1L)
+            .otherwise(0L)))
       .select(col(stratumCol), col("n_docs"), col("quota"), col("alloc"))
   }
 

@@ -165,6 +165,31 @@ class SamplingSpec extends SparkSpec {
       s"alpha<1 must shrink the head share: $big")
   }
 
+  test("largest remainder takes seats back when gridded floors overshoot the budget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Quotas already integer-gridded (the 5e-7-below-an-integer round-up
+    // pathology lands here: fracs are 0 but floors sum past the budget).
+    // floors sum to 10 against budget 9 → one seat must come BACK, from
+    // the smallest-frac eligible (floor >= 1) stratum, ties by stratum.
+    val quotas = Seq(("a", 50L, 5.0), ("b", 20L, 2.0), ("c", 30L, 3.0))
+      .toDF("source", "n_docs", "quota")
+    val out = graft.ops.Sampling.largestRemainder(quotas, "source", 9L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(out.values.sum === 9L, "allocations must sum to the budget")
+    assert(out === Map("a" -> 4L, "b" -> 2L, "c" -> 3L),
+      "the tie-broken smallest-frac stratum loses the seat")
+    // floor-0 strata are never driven negative even when they hold the
+    // smallest fracs: seats come back only from floor >= 1 strata
+    val q2 = Seq(("a", 1L, 0.0), ("b", 40L, 4.0), ("c", 60L, 6.0))
+      .toDF("source", "n_docs", "quota")
+    val out2 = graft.ops.Sampling.largestRemainder(q2, "source", 9L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(out2.values.sum === 9L)
+    assert(out2("a") === 0L, "floor-0 stratum keeps 0, never -1")
+    assert(out2 === Map("a" -> 0L, "b" -> 3L, "c" -> 6L))
+  }
+
   test("temperature allocation at alpha=1 reproduces natural proportions") {
     val docs = Tables.documents(spark, sfDir)
     val out = graft.ops.Sampling.temperatureAllocation(docs, "source", 10000L, 1.0)
