@@ -2786,9 +2786,19 @@ object SparkEntry {
            |                  string_split(trim(s, chr(1)), chr(1) || chr(1)) AS ws
            |                  FROM $v))
            |      GROUP BY 1, 2""".stripMargin
+      // Mirror Bpe.train's minFreq=2 early stop: a round whose best
+      // pair is sub-minFreq (or absent) yields the chr(2) SENTINEL
+      // merge — chr(2) never occurs in the delimited symbol string, so
+      // the round's replace() is a no-op, exactly like a training loop
+      // that has already stopped (merges only shrink pair counts, so
+      // once a round is a no-op every later round is too).
       val rounds = (0 until nM).map { r =>
-        s"""b$r AS (SELECT a, b FROM (${pairsOf(s"v$r")})
-           |      ORDER BY n DESC, a, b LIMIT 1),
+        s"""b$r AS (SELECT a, b FROM (
+           |      SELECT a, b, 0 AS pri FROM (
+           |        SELECT a, b FROM (${pairsOf(s"v$r")})
+           |        WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1)
+           |      UNION ALL SELECT chr(2), chr(2), 1
+           |    ) ORDER BY pri LIMIT 1),
            |v${r + 1} AS (SELECT word, freq, ${rep("s")} AS s FROM v$r, b$r)""".stripMargin
       }.mkString(",\n")
       val encs = (0 until nM).map { r =>

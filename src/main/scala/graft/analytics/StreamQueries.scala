@@ -199,12 +199,31 @@ object StreamQueries {
           unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
       val step = math.max(1L, (mx - mn) / 4 + 1)
-      // sequential single-file writes: modification-time order (the
-      // FileStreamSource processing order) = time-slice order
-      for (k <- 0L until 4L) {
-        ev.filter(unix_micros(col("ts")) >= mn + k * step &&
-            unix_micros(col("ts")) < mn + (k + 1) * step)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      // sequential single-file writes; FileStreamSource orders files by
+      // MODIFICATION TIME, and fast consecutive writes can tie on
+      // coarse-granularity filesystems (replaying slices out of
+      // event-time order would corrupt the per-key lag state), so each
+      // slice's new files get an explicit k-indexed mtime after the
+      // write — the processing order is pinned, not assumed.
+      locally {
+        import java.nio.file.{Files, Path, Paths}
+        import java.nio.file.attribute.FileTime
+        import scala.jdk.CollectionConverters._
+        val srcDir = Paths.get(s"$tmp/src")
+        def listFiles(): Set[Path] =
+          if (!Files.exists(srcDir)) Set.empty
+          else Files.walk(srcDir).iterator().asScala
+            .filter(Files.isRegularFile(_)).toSet
+        val mtimeBase = System.currentTimeMillis()
+        for (k <- 0L until 4L) {
+          val before = listFiles()
+          ev.filter(unix_micros(col("ts")) >= mn + k * step &&
+              unix_micros(col("ts")) < mn + (k + 1) * step)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+          (listFiles() -- before).foreach(p =>
+            Files.setLastModifiedTime(p,
+              FileTime.fromMillis(mtimeBase + k * 60000L)))
+        }
       }
       val schema = spark.read.parquet(s"$tmp/src").schema
       val name = s"graft_st9_${math.abs(dir.hashCode)}"

@@ -30,11 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param assumeDistinct input is already id-ordered, distinct and
     *   loop-free (e.g. the tc1 co-occurrence edges) — skips one
     *   normalization exchange. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxRounds: Int = 8, assumeDistinct: Boolean = false): DataFrame = {
+            maxRounds: Int = 8, assumeDistinct: Boolean = false): DataFrame =
+    kCoreWithStatus(edges, srcCol, dstCol, k, maxRounds, assumeDistinct)._1
+
+  /** [[kCore]] plus a CONVERGED flag: when the round budget runs out
+    * before peeling reaches fixpoint the result is a strict SUPERGRAPH
+    * of the true k-core — previously indistinguishable from a
+    * converged one. Callers that round-budget deliberately (gc1's
+    * oracle unrolls the same budget) read the flag; [[kCore]] itself
+    * logs a warning so the silent-supergraph case is at least
+    * detectable in any caller. The extra cost on the unconverged path
+    * is one degree aggregate (the converged path already knows). */
+  def kCoreWithStatus(edges: DataFrame, srcCol: String, dstCol: String,
+                      k: Int, maxRounds: Int = 8,
+                      assumeDistinct: Boolean = false): (DataFrame, Boolean) = {
     require(k >= 1 && maxRounds >= 1)
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
@@ -60,7 +75,17 @@ object KCore {
       }
       round += 1
     }
-    e.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+    // stable=true proves fixpoint; a budget exit must re-check (the
+    // final peel may have landed on the fixpoint exactly at budget)
+    val converged = stable || e
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") < k).isEmpty
+    if (!converged)
+      log.warn(s"kCore: round budget $maxRounds exhausted before " +
+        s"fixpoint — result is a SUPERGRAPH of the true $k-core")
+    (e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree")),
+      converged)
   }
 }

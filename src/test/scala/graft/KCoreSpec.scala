@@ -46,6 +46,28 @@ class KCoreSpec extends SparkSpec {
       assert(core(edges, k, rounds = 60) === refPeel(edges.toSet, k), s"k=$k")
   }
 
+  test("kCoreWithStatus reports unconverged budget exits; converged ones true") {
+    // pendant chain 1-2-3-4-5-6-7 off a triangle: each round peels one
+    // tail vertex, so maxRounds=1 CANNOT reach the fixpoint
+    val tri = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    val edges = tri ++ (1L until 7L).map(i => (i, i + 1)) :+ (7L, 10L)
+    val (sup, conv1) = KCore.kCoreWithStatus(
+      edges.toDF("u", "v"), "u", "v", 2, maxRounds = 1)
+    assert(!conv1, "one round on a 6-deep cascade is not a fixpoint")
+    assert(sup.count() > 3, "budget exit returns a strict supergraph")
+    val (exact, conv2) = KCore.kCoreWithStatus(
+      edges.toDF("u", "v"), "u", "v", 2, maxRounds = 16)
+    assert(conv2)
+    assert(exact.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
+    // budget that lands EXACTLY on the fixpoint round still reports
+    // converged (the re-check path, not the stable-flag path): one
+    // pendant peels in round 0 and the leftover triangle is stable
+    val (_, conv3) = KCore.kCoreWithStatus(
+      (tri :+ (10L, 13L)).toDF("u", "v"), "u", "v", 2, maxRounds = 1)
+    assert(conv3, "fixpoint reached exactly at budget is converged")
+  }
+
   test("gc1 fixture: the sf0.001 peel converges inside the oracle's unroll") {
     // the registered query caps at 6 rounds; assert the result is a
     // true fixpoint (running with a bigger budget changes nothing)
