@@ -133,6 +133,7 @@ object SparkEntry {
     "m3_decode_batches"     -> (TextQueries.decodeBatchPlan _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "v3_hard_negatives"     -> (VectorQueries.hardNegatives _),
+    "v3b_hard_neg_ann"      -> (VectorQueries.hardNegativesAnn _),
     "c1_contamination"      -> (TextQueries.contamination _),
     "c2_corpus_build"       -> (TextQueries.corpusBuild _),
     "c3_training_mix"       -> (TextQueries.trainingMix _),
@@ -2392,12 +2393,16 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     // v3: per-anchor argmax under the non-duplicate constraint,
     // unrounded-cosine tie-break by id — the TopKPerGroup semantics.
+    // Fixture = base + near-dup twin (excluded by the constraint) +
+    // planted HARD negative at cosine ~0.95 (the argmax).
     "v3_hard_negatives" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 2000),
         |e AS (SELECT vec_id, v FROM e0
         |      UNION ALL
-        |      SELECT vec_id + 1000000, [v[1] + 0.001] || v[2:] FROM e0),
+        |      SELECT vec_id + 1000000, [v[1] + 0.001] || v[2:] FROM e0
+        |      UNION ALL
+        |      SELECT vec_id + 2000000, [v[1] + 0.33] || v[2:] FROM e0),
         |p AS (SELECT a.vec_id, b.vec_id AS neg_id,
         |        list_dot_product(a.v, b.v) /
         |        nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) AS cosine
@@ -2408,6 +2413,51 @@ object SparkEntry {
         |      FROM p WHERE cosine < 0.99)
         |SELECT vec_id, neg_id, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine
         |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // v3b: the SHORTLIST path replayed end-to-end — seeded-IVF
+    // assignment (nearest seed, ties to lower list), nProbe=5 probing,
+    // the non-duplicate constraint, then the per-anchor argmax. Unlike
+    // v3's brute-force oracle this gates the approximate algorithm
+    // itself, so a probing or assignment drift fails the hash.
+    "v3b_hard_neg_ann" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)), 0.0)"
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 2000),
+         |e AS (SELECT vec_id, v FROM e0
+         |      UNION ALL
+         |      SELECT vec_id + 1000000, [v[1] + 0.001] || v[2:] FROM e0
+         |      UNION ALL
+         |      SELECT vec_id + 2000000, [v[1] + 0.33] || v[2:] FROM e0),
+         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
+         |          WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
+         |ca AS (
+         |  SELECT vec_id, v, list_id FROM (
+         |    SELECT c.vec_id, c.v, s.list_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e c CROSS JOIN seeds s)
+         |  WHERE ar = 1),
+         |qa AS (
+         |  SELECT vec_id AS anchor_id, v AS qv, list_id FROM (
+         |    SELECT q.vec_id, q.v, s.list_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e q CROSS JOIN seeds s)
+         |  WHERE ar <= 5),
+         |sims AS (
+         |  SELECT qa.anchor_id, ca.vec_id AS cand_id,
+         |    ${cos("qa.qv", "ca.v")} AS sim_raw
+         |  FROM qa JOIN ca USING (list_id)
+         |  WHERE ca.vec_id != qa.anchor_id)
+         |SELECT anchor_id AS vec_id, cand_id AS neg_id,
+         |  floor(sim_raw * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (SELECT anchor_id, cand_id, sim_raw,
+         |        row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY sim_raw DESC, cand_id) AS rn
+         |      FROM sims WHERE sim_raw < 0.99)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     // e1: brute force over the planted fixture — valid as the LSH
     // oracle by the recall argument in Dedup.hyperplaneNearDups
     // (miss < 1e-9/pair at the fixture's cosine margin).

@@ -11,21 +11,41 @@ import graft.functions.Rounding.exactRound
   * synthetic embeddings table. */
 object VectorQueries {
 
+  /** The hard-negative PLANTED FIXTURE shared by v3 and v3b: each base
+    * vector gets a NEAR-DUPLICATE twin (+1000000, dim-1 delta 0.001 →
+    * cosine ≈ 0.9999995, above the 0.99 constraint — must be excluded)
+    * and a HARD NEGATIVE plant (+2000000, dim-1 delta 0.33 → cosine ∈
+    * [0.944, 0.965] on the unit-norm corpus — below the constraint but
+    * far above the ~0.35 background, so it IS each anchor's argmax).
+    * Hard negatives being genuinely near their anchors is what makes
+    * the ANN shortlist face (v3b) equivalent to the bounded scan: the
+    * argmax lives in the anchor's own probe neighborhood by
+    * construction, exactly the geometry of a real embedding corpus
+    * (random-direction "negatives" at cosine 0.35 are easy, not hard,
+    * and no sublinear index can argmax uniform noise). */
+  private[graft] def hardNegFixture(spark: SparkSession, dir: String,
+                                        vecName: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as(vecName))
+    def shifted(offset: Long, delta: Double) =
+      base.select((col("vec_id") + offset).as("vec_id"),
+        concat(array(element_at(col(vecName), 1) + lit(delta)),
+          slice(col(vecName), 2, 100000)).as(vecName))
+    base.unionByName(shifted(1000000L, 0.001))
+      .unionByName(shifted(2000000L, 0.33))
+  }
+
   /** v3 — hard-negative mining for contrastive training: for each
-    * anchor in the e1 planted fixture, the MOST similar neighbor that
+    * anchor in the planted fixture, the MOST similar neighbor that
     * is NOT a near-duplicate (cosine < 0.99 excludes the planted copy
     * and self) — the "hard but not false" negative an embedding
     * trainer wants. Candidate scan is the bounded d5-style quadratic
-    * (vec_id < 2000 cap; the scale path is an ANN shortlist — s1/s2 —
-    * feeding the same constraint filter); the per-anchor argmax rides
-    * the custom TopKPerGroup operator with (cosine desc, id) ties. */
+    * (vec_id < 2000 cap; the scale path is [[hardNegativesAnn]]'s ANN
+    * shortlist feeding the same constraint filter); the per-anchor
+    * argmax rides the custom TopKPerGroup operator with (cosine desc,
+    * id) ties. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir).filter(col("vec_id") < 2000)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
-      concat(array(element_at(col("v"), 1) + lit(0.001)),
-        slice(col("v"), 2, 100000)).as("v"))
-    val e = base.unionByName(pert).withColumn("__n", VF.norm(col("v")))
+    val e = hardNegFixture(spark, dir, "v").withColumn("__n", VF.norm(col("v")))
     val a = e.select(col("vec_id"), col("v").as("va"), col("__n").as("na"))
     val b = e.select(col("vec_id").as("neg_id"), col("v").as("vb"),
       col("__n").as("nb"))
@@ -36,6 +56,28 @@ object VectorQueries {
       .select(col("vec_id"), col("neg_id"), col("cosine"))
     graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
         Seq(("cosine", true), ("neg_id", false)), k = 1, rankName = "rn")
+      .select(col("vec_id"), col("neg_id"),
+        exactRound(col("cosine"), 6).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** v3b — hard-negative mining at CORPUS scale (the production face
+    * of [[hardNegatives]]'s bounded scan): the same planted fixture,
+    * but candidates come from the s2-style seeded-IVF SHORTLIST
+    * (ops.Similarity.hardNegativesIvfSeeded) instead of an all-pairs
+    * scan, and the per-anchor argmax rides the custom TopKPerGroup
+    * operator. The oracle replays the whole shortlist path — seed
+    * assignment, nProbe probing, constraint filter, argmax — so the
+    * gate covers the approximate algorithm exactly, and
+    * HardNegativesSpec proves shortlist ≡ bounded scan on the planted
+    * fixture (a hard negative is near its anchor, which is the vector
+    * IVF probing finds; nProbe=5 of the 8 lists covers every planted
+    * cluster that straddles a Voronoi boundary — at production list
+    * counts the probed FRACTION shrinks as lists grow ~sqrt(n) while
+    * the margin-determined nProbe stays O(1)). */
+  def hardNegativesAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = hardNegFixture(spark, dir, "embedding")
+    graft.ops.Similarity.hardNegativesIvfSeeded(e, IvfSeedIds, nProbe = 5)
       .select(col("vec_id"), col("neg_id"),
         exactRound(col("cosine"), 6).as("cosine"))
       .orderBy(col("vec_id"))

@@ -43,8 +43,12 @@ object KMeans {
   def lloydCentroids(embs: DataFrame, idCol: String, vecCol: String,
                      k: Int, rounds: Int = 2): Seq[(Long, Array[Double])] = {
     require(k > 0 && rounds >= 1, "k and rounds must be positive")
+    // fv feeds the float-typed VecWeightedMean aggregator: a no-op
+    // cast for the float embeddings table (the oracle-exact km1 path);
+    // double-array inputs (e.g. the v3b planted fixture) train through
+    // the same float accumulators — acceptable for a coarse quantizer
     val e = embs.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("fv"),
+      col(vecCol).cast("array<float>").as("fv"),
       col(vecCol).cast("array<double>").as("v"))
     // parquet floats cast to double are exact, so seeds are
     // bit-identical to the oracle's

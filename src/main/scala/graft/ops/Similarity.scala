@@ -205,6 +205,27 @@ object Similarity {
   private def ivfProbe(c0: DataFrame, queries: DataFrame, seeds0: DataFrame,
                        k: Int, nProbe: Int, vecCol: String,
                        queryIdCol: String): DataFrame = {
+    val sims = ivfCandidates(c0, queries, seeds0, nProbe, vecCol, queryIdCol)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  /** The IVF SHORTLIST stage alone: corpus assigned to its nearest
+    * list, queries probe `nProbe` lists, every (query, candidate)
+    * pair in a probed list comes back with its exact cosine — no
+    * ranking. This is the stage downstream operators compose with
+    * their own selection semantics (hard-negative mining filters the
+    * near-duplicate band out BEFORE the argmax; plain ANN ranks it
+    * directly). Scale shape: quantizer broadcast, corpus travels once
+    * to its list, candidate volume is nProbe × mean list size per
+    * query — never all-pairs. */
+  private[graft] def ivfCandidates(c0: DataFrame, queries: DataFrame,
+                                   seeds0: DataFrame, nProbe: Int,
+                                   vecCol: String,
+                                   queryIdCol: String): DataFrame = {
     val seeds = seeds0
       .select(col("list_id"), col("__sv").cast("array<double>").as("__sv"))
       .withColumn("__sn", VF.norm(col("__sv")))
@@ -224,15 +245,73 @@ object Similarity {
       col(vecCol).cast("array<double>").as("__qv"))
     val probes = nearestLists(q0, queryIdCol, "__qv", nProbe)
       .withColumnRenamed("__n", "__qn")
-    val sims = assigned.join(broadcast(probes), Seq("list_id"))
+    assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("cand_id") =!= col(queryIdCol))
       .withColumn("cosine",
         VF.dot(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col("cand_id"), col("cosine"), col("rank"))
+      .select(col(queryIdCol), col("cand_id"), col("cosine"))
+  }
+
+  /** Hard-negative mining through the IVF shortlist — the SCALE face
+    * of VectorQueries.hardNegatives' bounded scan (v3): every corpus
+    * vector is its own anchor, candidates come from the `nProbe`
+    * nearest inverted lists (never all-pairs), the near-duplicate band
+    * (cosine ≥ `dupThreshold` — the planted copy and self) is filtered
+    * OUT, and the per-anchor argmax rides the custom TopKPerGroup
+    * operator (bounded heap, partial map-side — no per-anchor sort).
+    *
+    * At 100 TB: quantizer broadcast, one corpus exchange to its list,
+    * candidate volume nProbe × mean list size per anchor; the argmax
+    * state is one row per anchor. Recall: a hard negative is by
+    * definition NEAR its anchor, which is exactly the vector IVF
+    * probing is good at finding — the miss mode is a best negative
+    * sitting just past a list boundary, bounded by probing more lists
+    * (HardNegativesSpec proves shortlist ≡ bounded scan on the planted
+    * fixture at the default nProbe). */
+  def hardNegativesIvfSeeded(corpus: DataFrame, seedIds: Seq[Long],
+                             nProbe: Int = 2, dupThreshold: Double = 0.99,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(seedIds.nonEmpty && nProbe > 0)
+    val c0 = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val seeds = c0.filter(col("cand_id").isin(seedIds: _*))
+      .select(col("cand_id").as("list_id"), col("__cv").as("__sv"))
+    hardNegativesFromSeeds(c0, corpus, seeds, nProbe, dupThreshold,
+      idCol, vecCol)
+  }
+
+  /** [[hardNegativesIvfSeeded]] with a TRAINED coarse quantizer
+    * ([[KMeans.lloydCentroids]] — quantized iterates, so still
+    * oracle-replayable): balanced lists where the corpus has no
+    * convenient member seeds. */
+  def hardNegativesIvfTrained(corpus: DataFrame, kClusters: Int,
+                              rounds: Int = 2, nProbe: Int = 2,
+                              dupThreshold: Double = 0.99,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(kClusters > 0 && nProbe > 0)
+    val cents = KMeans.lloydCentroids(corpus, idCol, vecCol, kClusters, rounds)
+    val seeds = corpus.sparkSession
+      .createDataFrame(cents.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("list_id", "__sv")
+    val c0 = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    hardNegativesFromSeeds(c0, corpus, seeds, nProbe, dupThreshold,
+      idCol, vecCol)
+  }
+
+  private def hardNegativesFromSeeds(c0: DataFrame, corpus: DataFrame,
+                                     seeds: DataFrame, nProbe: Int,
+                                     dupThreshold: Double, idCol: String,
+                                     vecCol: String): DataFrame = {
+    val anchors = corpus.select(col(idCol).as("anchor_id"), col(vecCol))
+    val cands = ivfCandidates(c0, anchors, seeds, nProbe, vecCol, "anchor_id")
+      .filter(col("cosine") < dupThreshold)
+    TopK.perGroup(cands, Seq("anchor_id"),
+        Seq(("cosine", true), ("cand_id", false)), k = 1, rankName = "rn")
+      .select(col("anchor_id").as("vec_id"), col("cand_id").as("neg_id"),
+        col("cosine"))
   }
 
   /** IVF-style ANN: corpus assigned to KMeans centroids; queries search
