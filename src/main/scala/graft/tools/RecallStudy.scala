@@ -64,6 +64,40 @@ object RecallStudy {
         Similarity.ivfTopK(corpus, queries, k, nLists = 16, nProbe = nProbe), bf))
       println(f"| IVF k-means | nLists=16 nProbe=$nProbe | $nProbe | ${nProbe / 16.0}%.4f | $r%.3f | $sec%.1f |")
     }
+    // The oracle-replayable quantizer pair the registered queries use:
+    // SEEDED lists (s2 — fixed corpus-member seeds) vs TRAINED lists
+    // (s2b — quantized-Lloyd centroids), same probe budgets, so the
+    // "training buys recall at equal probe cost" claim is a curve, not
+    // one point.
+    val seedIds = graft.analytics.VectorQueries.IvfSeedIds
+    for (nProbe <- Seq(1, 2, 4, 8)) {
+      val (r, sec) = timed(recall(
+        Similarity.ivfTopKSeeded(corpus, queries, k, seedIds, nProbe = nProbe), bf))
+      println(f"| IVF seeded (s2) | 8 member-seed lists nProbe=$nProbe | $nProbe | ${nProbe / 8.0}%.4f | $r%.3f | $sec%.1f |")
+    }
+    for (kc <- Seq(8, 16); nProbe <- Seq(1, 2, 4, 8).filter(_ <= kc)) {
+      val (r, sec) = timed(recall(
+        Similarity.ivfTopKTrained(corpus, queries, k, kClusters = kc,
+          rounds = 2, nProbe = nProbe), bf))
+      println(f"| IVF trained (s2b) | k=$kc Lloyd rounds=2 nProbe=$nProbe | $nProbe | ${nProbe.toDouble / kc}%.4f | $r%.3f | $sec%.1f |")
+    }
+    // PQ: quality knob is the codebook (kw codewords per subspace),
+    // not a probe count — every query scans all codes (ADC is the
+    // compression face, not the pruning face). Self-matches are PQ
+    // rank 1 by construction; drop them and take k+1 so the compared
+    // sets are both "top-10 neighbors of someone else".
+    def pqRecall(df: DataFrame): Double =
+      recall(df.filter(col("cand_id") =!= col("query_id")), bf)
+    locally {
+      val (r, sec) = timed(pqRecall(graft.ops.Quantize.pqTopK(
+        corpus, queries, graft.analytics.VectorQueries.PqSeedIds, k = k + 1)))
+      println(f"| PQ seeded (s3) | m=8 subDim=8 kw=8 member seeds | all | 1.0000 | $r%.3f | $sec%.1f |")
+    }
+    for (kw <- Seq(4, 8, 16)) {
+      val (r, sec) = timed(pqRecall(graft.ops.Quantize.pqTopKTrained(
+        corpus, queries, k = k + 1, m = 8, subDim = 8, kw = kw)))
+      println(f"| PQ trained (s3b) | m=8 subDim=8 kw=$kw Lloyd rounds=2 | all | 1.0000 | $r%.3f | $sec%.1f |")
+    }
     spark.stop()
   }
 }
