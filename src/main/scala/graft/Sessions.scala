@@ -22,9 +22,15 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
 
   /** Default parallelism: the driver exports SPARK_GRAFT_CPUS (32 on the
-    * bench container); local dev falls back to 4. */
-  def cpus(default: String = "4"): String =
-    sys.env.getOrElse("SPARK_GRAFT_CPUS", default)
+    * bench container); otherwise ALL visible cores. The old fallback of 4
+    * silently ran measurement tools at local[4] whenever the env var was
+    * missing — a round-9 sf10 graph bench read 5× slow before the gap was
+    * caught. An explicit `cpusDefault` (e.g. PlanProbe's 2) still wins
+    * over the hardware count. */
+  def cpus(default: String = ""): String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      if (default.nonEmpty) default
+      else Runtime.getRuntime.availableProcessors().toString)
 
   /** A local session with the graft config contract applied.
     *
@@ -35,7 +41,7 @@ object Sessions {
     * is sized to executors × cores instead.
     */
   def local(appName: String,
-            cpusDefault: String = "4",
+            cpusDefault: String = "",
             extra: Map[String, String] = Map.empty): SparkSession = {
     val c = cpus(cpusDefault)
     val b = SparkSession.builder()
