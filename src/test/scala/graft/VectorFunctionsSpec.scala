@@ -90,10 +90,18 @@ class VectorFunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val nBase = Tables.embeddings(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("vec_id") < 2000).count()
-    assert(out.length === 2 * nBase, "every anchor (original + copy) gets a negative")
-    // the planted copy (id +- 1000000) is a near-dup and must be excluded
-    assert(out.forall { case (a, n, _) => math.abs(a - n) != 1000000L })
-    // hard negatives live below the dup threshold
+    assert(out.length === 3 * nBase,
+      "every anchor (original + twin + hard plant) gets a negative")
+    // only base<->twin are mutual near-DUPS; the +2000000 hard plant is
+    // a legitimate negative for everyone, and the twin for the plant
+    assert(out.forall { case (a, n, _) =>
+      if (a < 1000000L) n != a + 1000000L
+      else if (a < 2000000L) n != a - 1000000L
+      else true
+    })
+    // hard negatives live below the dup threshold but are HARD: each
+    // anchor's planted neighbor at cosine ~0.95 beats the background
     assert(out.forall(_._3 < 0.99))
+    assert(out.forall(_._3 > 0.9))
   }
 }
