@@ -145,6 +145,7 @@ object SparkEntry {
     "s2b_ivf_trained"       -> (VectorQueries.ivfTrainedTopK _),
     "s3b_pq_trained"        -> (VectorQueries.pqTrainedTopK _),
     "s1b_ann_persisted"     -> (VectorQueries.annTopKPersisted _),
+    "s1c_ann_incremental"   -> (VectorQueries.annTopKIncremental _),
     "s1b_build_index"       -> (VectorQueries.annIndexBuild _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
@@ -1506,6 +1507,9 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin
     },
     "s1b_ann_persisted" -> annPersistedOracleSql,
+    // s1c: append == rebuild by construction (partition scheme = the
+    // signature), so the incremental index shares s1b's oracle verbatim
+    "s1c_ann_incremental" -> annPersistedOracleSql,
     "s1b_build_index" -> annBuildOracleSql,
     // d11: replay the seeded assignment, then the within-cluster
     // domination rule (neighbor at cos >= tau closer to the centroid,

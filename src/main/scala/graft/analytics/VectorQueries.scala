@@ -238,6 +238,36 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s1c — the INCREMENTAL face of the persisted ANN index
+    * (Similarity.SignRandomProjectionLsh.appendToIndex): the index is
+    * built from 90% of the corpus, the 10% delta is appended — only
+    * the delta signed, the stored files never rewritten — and the
+    * probe runs against the combined index. Because the partition
+    * scheme is the signature itself, append ≡ full rebuild by
+    * construction, so this shares s1b's oracle VERBATIM (the st8/q21
+    * pattern): the probe over the appended index must hash-match the
+    * replayed full-corpus signature math or the append leaked/dropped
+    * rows. */
+  def annTopKIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lsh = new graft.ops.Similarity.SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val idx = annIncrIndexCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_annincr").toString
+      lsh.writeIndex(corpus.filter(col("vec_id") % 10 =!= 3), p)
+      lsh.appendToIndex(corpus.filter(col("vec_id") % 10 === 3), p)
+      p
+    })
+    lsh.annTopKFromIndex(spark, idx, queries, 10)
+      .select(col("query_id"), col("cand_id"),
+        exactRound(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annIncrIndexCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** W4 — centroid representative per label (reference argmin-distance
     * representative selection, clustering/helpers.py:177-183): explode
     * to (label, dim, x), average to centroids, squared-distance join,

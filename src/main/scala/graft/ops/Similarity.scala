@@ -138,6 +138,27 @@ object Similarity {
         .withColumn("__sig", signature(col("__cv")))
         .write.mode("overwrite").partitionBy("__sig").parquet(path)
 
+    /** Append a DELTA of vectors to an existing [[writeIndex]] index —
+      * the daily-ingest face the d9/d3c/d11b/j11b stores have, applied
+      * to the ANN index: only the delta is signed, and its rows land as
+      * NEW files inside their signature partition directories
+      * (`mode append` + `partitionBy` — the stored corpus is never
+      * re-signed, re-shuffled or rewritten). Because the partition
+      * scheme IS the signature, probing after an append is
+      * byte-for-byte the same pruned scan as probing a full rebuild:
+      * append ≡ rebuild by construction, which is what lets s1c share
+      * s1b's oracle verbatim (IncrementalAnnSpec pins both the
+      * equivalence and the store-files-untouched contract). At 100 TB
+      * the daily cost is sign+write of the delta alone — the signature
+      * compute over the historical corpus is never repaid. */
+    def appendToIndex(delta: DataFrame, path: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit =
+      delta.select(col(idCol).as("cand_id"),
+          col(vecCol).cast("array<double>").as("__cv"))
+        .withColumn("__sig", signature(col("__cv")))
+        .write.mode("append").partitionBy("__sig").parquet(path)
+
     /** Approximate cosine top-k against a persisted [[writeIndex]]
       * index. The query set's probe signatures are collected (queries
       * are the small broadcast side by design — same assumption the

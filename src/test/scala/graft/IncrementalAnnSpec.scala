@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity.SignRandomProjectionLsh
+
+/** s1c — the delta-append face of the persisted LSH index: appending
+  * must be indistinguishable from a full rebuild at probe time, and
+  * must never touch the stored corpus's files (the d9 store
+  * contract applied to the index). */
+class IncrementalAnnSpec extends SparkSpec {
+
+  private def listParts(p: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      .toMap
+  }
+
+  test("append-built index probes identically to a full rebuild") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lsh = new SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val full = java.nio.file.Files.createTempDirectory("annspec_full").toString
+    val incr = java.nio.file.Files.createTempDirectory("annspec_incr").toString
+    lsh.writeIndex(corpus, full)
+    lsh.writeIndex(corpus.filter(col("vec_id") % 10 =!= 3), incr)
+    val before = listParts(incr)
+    lsh.appendToIndex(corpus.filter(col("vec_id") % 10 === 3), incr)
+    val after = listParts(incr)
+    // store contract: every pre-append file survives byte-untouched
+    // (same path, same mtime), the delta only ADDS files
+    assert(before.keySet.subsetOf(after.keySet), "append must not delete")
+    assert(before.forall { case (f, t) => after(f) == t },
+      "append must not rewrite stored files")
+    assert(after.size > before.size, "the delta must add files")
+    def probe(path: String) =
+      lsh.annTopKFromIndex(spark, path, queries, 10)
+        .select(col("query_id"), col("cand_id"), round(col("cosine"), 6),
+          col("rank"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probe(incr) === probe(full),
+      "append == rebuild at probe time (partition scheme is the signature)")
+  }
+
+  test("registered s1c equals s1b on the same corpus and queries") {
+    val a = SparkEntry.queries("s1c_ann_incremental")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("s1b_ann_persisted")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+}
