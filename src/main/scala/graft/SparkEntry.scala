@@ -157,6 +157,7 @@ object SparkEntry {
     "st8_stream_count_min"  -> (StreamQueries.streamCountMin _),
     "st9_stream_throttle"   -> (StreamQueries.streamThrottleDedup _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
+    "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
     "d12_dsir_select"       -> (TextQueries.dsirSelect _),
     "s3_pq_adc"             -> (VectorQueries.pqAdcTopK _),
@@ -2569,6 +2570,28 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY kind, bucket, batch_id""".stripMargin
     },
+    // m4: decode -> resize chain replayed — metadata derivation, the
+    // nearest-neighbor index arithmetic, and the stub codec's cyclic
+    // byte lookup (ASCII corpus: ord(char) IS the utf-8 byte); the
+    // integer byte-sum rollup makes the gate float-free.
+    "m4_resize_pipeline" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    CAST(doc_id % 64 + 16 AS INT) AS w,
+        |    CAST((doc_id * 7) % 64 + 16 AS INT) AS h,
+        |    length(text) AS blen
+        |  FROM documents WHERE doc_id < 120),
+        |px AS (SELECT media_id, w, h, blen, text,
+        |    unnest(range(0, 256)) AS i FROM m),
+        |v AS (SELECT media_id,
+        |    CAST(floor(floor(i / 16.0) * h / 16.0) * w
+        |         + floor((i % 16) * w / 16.0) AS BIGINT) AS src,
+        |    blen, text FROM px),
+        |b AS (SELECT media_id,
+        |    ord(substr(text, CAST(src % blen AS INT) + 1, 1)) AS byte
+        |  FROM v)
+        |SELECT media_id, CAST(256 AS INT) AS n_px,
+        |  CAST(sum(byte) AS BIGINT) AS byte_sum
+        |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -512,6 +512,31 @@ object TextQueries {
         md5(col("payload")).as("digest"))
       .orderBy(col("media_id"))
 
+  /** m4 — the decode → resize chain END-TO-END: batched mapPartitions
+    * decode (graft.ops.Multimodal.decodeBatched — the mapInPandas
+    * shape: the stub codec sees whole Seq[bytes] batches, partitioning
+    * preserved) into the pure-columnar nearest-neighbor resize to
+    * 16×16, rolled up per media as an INTEGER byte-sum so the float
+    * division in the stub cancels exactly (pixel = byte/255 → rint(
+    * px·255) recovers the byte; integer sums are association-order-
+    * free, so the hash gate has zero float risk). The oracle replays
+    * the whole chain — metadata derivation, the resize index
+    * arithmetic floor(floor(i/16)·h/16)·w + floor((i%16)·w/16), and
+    * the stub's cyclic byte lookup (documents are ASCII at every sf,
+    * so ord(substr(text, src % len + 1, 1)) IS the payload byte). */
+  def resizePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.ops.Multimodal.toMediaTable(
+      Tables.documents(spark, dir).filter(col("doc_id") < 120))
+    val resized = graft.ops.Multimodal.resize(
+      graft.ops.Multimodal.decodeBatched(media, batchSize = 16), 16, 16)
+    resized.select(col("media_id"),
+        size(col("pixels_resized")).as("n_px"),
+        aggregate(
+          transform(col("pixels_resized"), x => rint(x * lit(255.0d))),
+          lit(0.0d), (a, x) => a + x).cast("long").as("byte_sum"))
+      .orderBy(col("media_id"))
+  }
+
   /** lr1 — distributed classifier training (ops.Logistic.fit): 3
     * full-batch GD steps of a logistic English-vs-rest model over four
     * cheap engine-exact text features (bias, scaled char/word counts,

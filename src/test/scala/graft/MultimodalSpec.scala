@@ -82,6 +82,21 @@ class MultimodalSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
   }
 
+  test("m4 rollup recovers exact payload byte sums through the stub's /255") {
+    // rint(px*255) must recover the byte exactly for every possible
+    // byte value despite float32 division — the property the m4 hash
+    // gate's float-freedom rests on
+    for (b <- 0 to 255) {
+      val px = (b & 0xFF) / 255.0f
+      assert(math.rint(px.toDouble * 255.0).toLong === b.toLong, s"byte $b")
+    }
+    val out = SparkEntry.queries("m4_resize_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 === 256), "16x16 resize")
+    assert(out.forall(r => r._3 >= 0L && r._3 <= 256L * 127), "ascii byte sums")
+  }
+
   test("decode batches: whole items, bounded overshoot, deterministic") {
     val cap = 4096L
     val b = Multimodal.decodeBatches(media, cap, buckets = 2).localCheckpoint()
