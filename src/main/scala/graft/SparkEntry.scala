@@ -30,6 +30,7 @@ object SparkEntry {
     "w9_asof_forward"       -> (CoreQueries.clickNextView _),
     "w10_range_join"        -> (CoreQueries.purchaseWindowErrors _),
     "j8_bloom_prune"        -> (CoreQueries.bloomPrunedRevenue _),
+    "j12_salted_join"       -> (CoreQueries.saltedSegmentRollup _),
     "z1_zorder_code"        -> (ScalarQueries.zorderCode _),
     "u2_funnel"             -> (CoreQueries.conversionFunnel _),
     "u3_cohort"             -> (CoreQueries.cohortRetention _),
@@ -1824,6 +1825,16 @@ object SparkEntry {
          |  ${mortonSql("l_partkey", "l_suppkey")} AS z
          |FROM lineitem WHERE l_orderkey < 200
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // j12: salting is semantics-invisible, so the oracle is the plain
+    // join — byte-equality proves the salt changed partitioning only.
+    "j12_salted_join" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "j8_bloom_prune" ->
       """SELECT date_trunc('month', o_orderdate) AS order_month,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))

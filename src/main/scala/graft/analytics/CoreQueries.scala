@@ -380,6 +380,29 @@ object CoreQueries {
       .orderBy(col("order_month"))
   }
 
+  /** j12 — salted skew join (ops.SkewJoin.saltedJoin): the manual
+    * hot-key split, run 8-way over orders ⋈ customer and rolled up per
+    * market segment. Salting is semantics-invisible — each fact row
+    * meets its dim row in exactly one salt lane — so the oracle is the
+    * PLAIN SQL join: byte-equality proves the salt changed the
+    * partitioning, not the answer (the j8/j9 oracle pattern). The
+    * skew-splitting property itself (hot key's rows spread ≈ evenly
+    * across lanes, plain join concentrates them in one) is
+    * SkewJoinSpec's planted-fixture assertion. */
+  def saltedSegmentRollup(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        money(col("o_totalprice")).as("tp"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.ops.SkewJoin.saltedJoin(fact, dim, "c_custkey", "o_orderkey",
+        salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("tp")), 2).cast("double").as("sum_totalprice"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** j9 — bucketed co-located fact join: both fact tables are written
     * ONCE per process as bucketed catalog tables keyed on the join
     * column (etl.Sinks.writeBucketed — the 100 TB warehouse layout),
