@@ -108,6 +108,8 @@ object SparkEntry {
     "t8_repetition"         -> (TextQueries.repetition _),
     "t9_pii_redact"         -> (TextQueries.pii _),
     "r1_bm25_search"        -> (TextQueries.bm25Search _),
+    "r3_phrase_search"      -> (TextQueries.phraseSearch _),
+    "t34_chunk_overlap"     -> (TextQueries.overlappingChunks _),
     "r2_hybrid_rrf"         -> (TextQueries.hybridRrf _),
     "t10_oov_rate"          -> (TextQueries.oovRate _),
     "t11_mixture_rates"     -> (TextQueries.mixtureRates _),
@@ -1192,6 +1194,30 @@ object SparkEntry {
           |ORDER BY p.doc_id""".stripMargin),
     "t9_pii_redact" -> piiOracleSql,
     "r1_bm25_search" -> bm25OracleSql,
+    // r3: phrase adjacency replayed on the token arrays (1-based ws[i]
+    // vs the engine's 0-based postings — first_pos = min(i) - 1)
+    "r3_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |u AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t),
+        |m AS (SELECT doc_id, i FROM u
+        |      WHERE i + 2 <= len(ws)
+        |        AND ws[i] = 'key' AND ws[i+1] = 'scan' AND ws[i+2] = 'query')
+        |SELECT doc_id, count(*) AS n_matches,
+        |  CAST(min(i) - 1 AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t34: chunk count = ceil(max(n - chunk, 0) / stride) + 1, offsets
+    // pure arithmetic, content pinned by md5 of the substring
+    "t34_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE doc_id < 300 AND length(text) >= 1),
+        |k AS (SELECT doc_id, text, n,
+        |        unnest(range(0, CAST(ceil(greatest(n - 180, 0) / 120.0) AS BIGINT) + 1)) AS chunk_id
+        |      FROM d)
+        |SELECT doc_id, chunk_id,
+        |  CAST(chunk_id * 120 AS BIGINT) AS chunk_start,
+        |  CAST(least(180, n - chunk_id * 120) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(chunk_id * 120 + 1 AS INT), 180)) AS chunk_digest
+        |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
     "r2_hybrid_rrf" -> hybridRrfOracleSql,
     "svd1_power_iteration" -> svdOracleSql,
     "pr1_pagerank" -> pagerankOracleSql,

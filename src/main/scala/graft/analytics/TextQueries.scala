@@ -13,6 +13,30 @@ object TextQueries {
     * generated oracle SQL so both engines score the same query). */
   val BmTerms: Seq[String] = Seq("spark", "hash", "join")
 
+  /** r3 — exact phrase search through the positional inverted index
+    * (ops.Retrieval.phraseSearch): docs containing the 3-word phrase,
+    * with occurrence counts and the first 0-based token position. The
+    * oracle replays the adjacency semantics directly on the token
+    * arrays, so a posting-list off-by-one (the classic phrase-search
+    * bug) fails the hash. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.phraseSearch(
+      Tables.documents(spark, dir), "doc_id", "text",
+      Seq("key", "scan", "query"))
+      .orderBy(col("doc_id"))
+
+  /** t34 — overlapping RAG chunker (ops.Packing.overlappingChunks):
+    * 180-char chunks every 120 chars (60-char overlap) over a bounded
+    * doc slice; the gate carries offsets, lengths and an md5 of each
+    * chunk's text so content is pinned without dumping it. */
+  def overlappingChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.overlappingChunks(
+      Tables.documents(spark, dir).filter(col("doc_id") < 300),
+      "doc_id", "text", chunkChars = 180, strideChars = 120)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        col("chunk_len"), md5(col("chunk_text")).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** r1 — BM25 ranked retrieval: top-20 docs for a fixed 3-term query
     * (ops.Retrieval.bm25). Scores are rounded BEFORE the top-k cut so
     * rank order and the boundary tie-break (doc_id) are

@@ -79,4 +79,34 @@ object Packing {
           - greatest(col("pack_id") * capacity, col("__start")))
       .drop("__start", "__end")
   }
+
+  /** Overlapping fixed-window chunker — the RAG-ingest counterpart of
+    * [[packSlices]]'s concat-then-chop: each document independently
+    * yields chunks of `chunkChars` starting every `strideChars`
+    * (stride < chunk ⇒ the overlap that keeps a retrieval hit's
+    * context intact across a boundary). Chunk count is
+    * ceil(max(n − chunk, 0) / stride) + 1 — the minimal covering set —
+    * and ids/offsets are pure per-doc arithmetic: no window, no
+    * shuffle, chunks inherit the document partitioning (at 100 TB this
+    * is a map-only explode whose output feeds the embedding stage
+    * directly). Returns (id, chunk_id, chunk_start, chunk_len,
+    * chunk_text); offsets 0-based, text via 1-based substring. */
+  def overlappingChunks(df: DataFrame, idCol: String, textCol: String,
+                        chunkChars: Int, strideChars: Int): DataFrame = {
+    require(chunkChars >= 1 && strideChars >= 1 && strideChars <= chunkChars,
+      s"need 1 <= stride <= chunk, got chunk=$chunkChars stride=$strideChars")
+    df.select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).cast("long").as("__n"))
+      .filter(col("__n") >= 1)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        ceil(greatest(col("__n") - chunkChars, lit(0L)).cast("double")
+          / strideChars).cast("long"))))
+      .withColumn("chunk_start", col("chunk_id") * strideChars)
+      .withColumn("chunk_len",
+        least(lit(chunkChars.toLong), col("__n") - col("chunk_start")))
+      .withColumn("chunk_text",
+        substring(col("__t"), (col("chunk_start") + 1).cast("int"),
+          lit(chunkChars)))
+      .drop("__t", "__n")
+  }
 }

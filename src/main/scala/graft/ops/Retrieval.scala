@@ -198,6 +198,37 @@ object Retrieval {
       .orderBy(col("sel_rank"))
   }
 
+  /** Exact phrase search through a POSITIONAL inverted index — the
+    * operator a 100 TB corpus answers "which docs contain this exact
+    * phrase" with, instead of a LIKE scan: per term k of the phrase,
+    * the posting list (doc, token_pos − k) — the candidate phrase
+    * START each occurrence implies — and an inner join of all lists on
+    * (doc, start): a row survives iff every term sits at its offset.
+    *
+    * Scale shape: each posting list is term-filtered BEFORE any join
+    * (the selective-word filter prunes the exploded token stream to a
+    * sliver of the corpus), join keys are two longs, and nothing
+    * corpus-sized shuffles. In a deployed index the (word → postings)
+    * table is built once and reused across queries — exactly s1b's
+    * persisted-index economics; here the postings derive inline so the
+    * oracle can replay end-to-end. Returns (id, n_matches, first_pos),
+    * first_pos 0-based. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    val postings = phrase.zipWithIndex.map { case (w, k) =>
+      toks.filter(col("__w") === w)
+        .select(col("__id"), (col("__pos") - k).as("__start"))
+    }
+    postings.reduce(_.join(_, Seq("__id", "__start")))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__start")).cast("long").as("first_pos"))
+      .select(col("__id").as(idCol), col("n_matches"), col("first_pos"))
+  }
+
   /** `row_number() OVER (ORDER BY scoreCol DESC, doc_id)` for a
     * BOUNDED (post-limit) frame, computed without any window: rank =
     * 1 + |rows strictly ahead in the (score desc, doc_id) total
