@@ -91,6 +91,7 @@ object SparkEntry {
     "d3_simhash_neardup"    -> (DedupQueries.simhashNearDups _),
     "d4_ngram_jaccard"      -> (DedupQueries.ngramJaccard _),
     "j11_setsim_join"       -> (DedupQueries.setSimJoin _),
+    "j13_containment_join"  -> (DedupQueries.containmentJoin _),
     "j11b_incr_setsim"      -> (DedupQueries.incrementalSetSimJoin _),
     "j11c_bucketed_setsim"  -> (DedupQueries.bucketedIncrementalSetSimJoin _),
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
@@ -2419,6 +2420,28 @@ object SparkEntry {
     // split — the bucketed face must produce the identical result.
     "j11c_bucketed_setsim" -> setSimDeltaOracleSql,
     "j11b_incr_setsim" -> setSimDeltaOracleSql,
+    // j13: DIRECTED containment brute-forced over the same derived
+    // excerpt fixture (excerpt = first ceil(0.4 n) words, integer-exact
+    // (2n+4)//5, min 3, id +100000).
+    "j13_containment_join" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |e0 AS (SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(
+        |      list_slice(ws, 1, CAST(greatest((len(ws) * 2 + 4) // 5, 3) AS INT)),
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d0)),
+        |u AS (SELECT * FROM d0 UNION ALL SELECT * FROM e0),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM u)
+        |  WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) * 10000 + 0.5)
+        |    / 10000 AS containment
+        |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "j11_setsim_join" ->
       """WITH sh AS (
         |  SELECT doc_id,

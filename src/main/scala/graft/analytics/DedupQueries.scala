@@ -88,6 +88,30 @@ object DedupQueries {
   private val bucketedSetSimStore =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** j13 — set-CONTAINMENT join (ops.SetSimJoin.containmentJoin) over
+    * an excerpt fixture: each base doc spawns an excerpt of its first
+    * ceil(0.4·n) words (integer-exact (2n+4) DIV 5, min 3) under
+    * id +100000 — a contiguous word slice, so the excerpt's 3-shingle
+    * set is a strict subset of the base's and C(excerpt→base) = 1.0
+    * while Jaccard sits near 0.4 (below any dedup threshold): exactly
+    * the quoted/subset pair the symmetric join cannot see. The oracle
+    * brute-forces directed containment over the same derived fixture. */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+    val withWs = base.withColumn("__ws", split(col("text"), " "))
+    val k = greatest(
+      floor((size(col("__ws")) * 2 + 4) / lit(5)).cast("int"), lit(3))
+    val excerpts = withWs.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      array_join(slice(col("__ws"), lit(1), k), " ").as("text"))
+    val fixture = base.unionByName(excerpts)
+    SetSimJoin.containmentJoin(fixture, "doc_id", "text", 0.9)
+      .select(col("id_a"), col("id_b"),
+        exactRound(col("containment"), 4).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Brute-force n-gram Jaccard pairs (id-windowed) — the dedup
     * verification baseline, oracle-identical by construction. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =

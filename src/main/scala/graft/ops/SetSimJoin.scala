@@ -283,4 +283,63 @@ object SetSimJoin {
     // semi-join inside the helper keeps array assembly candidate-scale.
     verifyWithArrays(cand, toks, threshold, restrictVerify)
   }
+
+  /** Exact-threshold set-CONTAINMENT join: every DIRECTED pair with
+    * C(A→B) = |A∩B| / |A| ≥ `threshold` — the quote/excerpt/subset
+    * detector that a Jaccard join structurally misses: a 50-shingle
+    * excerpt fully contained in a 500-shingle source has J ≈ 0.1 but
+    * C = 1.0 (the asymmetric face of the family; cf. Shrivastava &
+    * Li's asymmetric-hashing motivation for the LSH analog).
+    *
+    * The prefix theorem adapts ONE-SIDED: C(A→B) ≥ t needs
+    * |A∩B| ≥ ceil(t·|A|), so A's rarest-first prefix of size
+    * |A| − ceil(t·|A|) + 1 provably holds a shared token (pigeonhole
+    * on A alone — B needs no prefix, and the only size constraint is
+    * |B| ≥ ceil(t·|A|), a lower bound: containment has no symmetric
+    * size filter, which is exactly why the symmetric join misses these
+    * pairs). Candidates join A-prefix tokens against FULL token rows
+    * (the incremental join's one-sided shape); the position filter
+    * (|A| − rk + 1 ≥ ceil(t·|A|)) prunes with 100% recall; exact
+    * verification on digest arrays. Returns (id_a, id_b, containment)
+    * with id_a the CONTAINED side — directed, so both (a,b) and (b,a)
+    * can appear (mutual near-equality).
+    *
+    * Scale shape = jaccardJoin's: one shingle materialization
+    * partitioned by digest, 8-byte-token exchanges, prefix rows ~
+    * (1−t) of A's tokens, candidate-scale array verify. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = tokenRows(df, idCol, textCol, shingleN)
+      .repartition(col("__tok")).localCheckpoint()
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val ranked = toks.join(freq, "__tok")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))))
+      .withColumn("__p",
+        col("__sz") - ceil(col("__sz") * lit(threshold)) + lit(1))
+    val aPre = ranked.filter(col("__rk") <= col("__p"))
+      .select(col("__tok"), col("__id").as("id_a"),
+        col("__sz").as("sz_a"), col("__rk").as("rk_a"))
+    val bAll = toks.select(col("__tok"), col("__id").as("id_b"),
+      col("__sz").as("sz_b"))
+    val need = ceil(col("sz_a") * lit(threshold))
+    val cand = aPre.join(bAll, "__tok")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= need &&
+        (col("sz_a") - col("rk_a") + 1) >= need)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    val arrs = toks.groupBy(col("__id"), col("__sz"))
+      .agg(collect_list(col("__tok")).as("__arr"))
+    cand
+      .join(arrs.select(col("__id").as("id_a"), col("__arr").as("__aa")), "id_a")
+      .join(arrs.select(col("__id").as("id_b"), col("__arr").as("__ab")), "id_b")
+      .withColumn("__int",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .withColumn("containment", col("__int").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

@@ -112,6 +112,46 @@ class SetSimJoinSpec extends SparkSpec {
     assert(fast === brute)
   }
 
+  test("containment join: subsets found, direction honored, brute-equal") {
+    // planted subset: doc 90001's shingles are a strict subset of 90000's
+    val df = Seq(
+      (90000L, "a b c d e f g h i j k l"),
+      (90001L, "a b c d e f"),               // contiguous prefix excerpt
+      (90002L, "x y z w v u"),               // unrelated
+      (90003L, "a b c d e f")                // exact dup of 90001
+    ).toDF("doc_id", "text")
+    val got = SetSimJoin.containmentJoin(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // excerpt -> source at containment 1.0; NOT source -> excerpt
+    assert(got.contains((90001L, 90000L, 1.0)))
+    assert(!got.exists(p => p._1 == 90000L && p._2 == 90001L),
+      "containment is directed: the big doc is not contained in its excerpt")
+    // exact dups are mutually contained
+    assert(got.contains((90001L, 90003L, 1.0)) && got.contains((90003L, 90001L, 1.0)))
+    assert(!got.exists(p => p._1 == 90002L || p._2 == 90002L))
+    // and the symmetric Jaccard join at the same threshold MISSES the
+    // excerpt pair (J = 4/10 = 0.4) — the operator's reason to exist
+    val jac = SetSimJoin.jaccardJoin(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((90000L, 90001L)) && !jac.contains((90001L, 90000L)))
+    // brute-force equality on the real corpus fixture
+    val fixture = docs.filter($"doc_id" < 120)
+    val fast = SetSimJoin.containmentJoin(fixture, "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b", round($"containment", 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = fixture.select($"doc_id",
+        array_distinct(graft.ops.Dedup.shingles($"text", 3)).as("s"))
+      .filter(size($"s") > 0)
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        (size(array_intersect($"a.s", $"b.s")).cast("double") / size($"a.s")).as("c"))
+      .filter($"c" >= 0.8)
+      .select($"id_a", $"id_b", round($"c", 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === brute)
+  }
+
   test("short and empty documents are handled") {
     val tiny = Seq((1L, "a b"), (2L, ""), (3L, "x y z"), (4L, "x y z"))
       .toDF("doc_id", "text")
