@@ -85,10 +85,16 @@ class PlanSpec extends SparkSpec {
                                // construction uses transform to assemble the
                                // 3-level struct; the production operator under
                                // test (Transcripts.flatten) is lambda-free
-      "k6_xml")                // per-transcript serializer: transform projects
+      "k6_xml",                // per-transcript serializer: transform projects
                                // each group's sorted utterance array once —
                                // the work is the collect_list agg, not the
                                // lambda; output is one string per transcript
+      "m4_resize_pipeline")    // bounded (doc_id < 120) decode→resize gate:
+                               // transform/aggregate run over the fixed
+                               // 256-element resized tensor per row (the
+                               // nearest-neighbor index map + byte-sum fold);
+                               // the corpus-side work is the batched
+                               // mapPartitions decode, not a lambda
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (p.contains("lambdafunction") && !whitelist(name)) Some(name) else None
