@@ -28,6 +28,8 @@ object SparkEntry {
     "q8_running_total"      -> (CoreQueries.runningOrderTotal _),
     "w8_asof_join"          -> (CoreQueries.clickPriorView _),
     "w9_asof_forward"       -> (CoreQueries.clickNextView _),
+    "w15_asof_tolerance"    -> (CoreQueries.clickFreshPriorView _),
+    "cdc2_scd2"             -> (CoreQueries.scd2History _),
     "w10_range_join"        -> (CoreQueries.purchaseWindowErrors _),
     "j8_bloom_prune"        -> (CoreQueries.bloomPrunedRevenue _),
     "j12_salted_join"       -> (CoreQueries.saltedSegmentRollup _),
@@ -108,6 +110,7 @@ object SparkEntry {
     "t7_normalize"          -> (TextQueries.normalizeDocs _),
     "t8_repetition"         -> (TextQueries.repetition _),
     "t9_pii_redact"         -> (TextQueries.pii _),
+    "t35_novelty"           -> (TextQueries.noveltyScores _),
     "r1_bm25_search"        -> (TextQueries.bm25Search _),
     "r3_phrase_search"      -> (TextQueries.phraseSearch _),
     "t34_chunk_overlap"     -> (TextQueries.overlappingChunks _),
@@ -1451,6 +1454,51 @@ object SparkEntry {
     // AvailableNow full-snapshot batch vs the seeded store) — same
     // oracle, proving batch/stream agreement on real data.
     "cdc1_snapshot_diff" -> cdcOracleSql,
+    // cdc2: the SCD2 segment logic replayed over actual VALUES (lag +
+    // running-sum segment ids) while the engine segments by xxhash64
+    // digest; v1 is cdc1's derived dump, v2 a further delete/bump pass
+    // chained FROM v1. ver literals are INTEGER on both sides; the
+    // running SUM feeds only GROUP BY, never output (HUGEINT-safe).
+    "cdc2_scd2" ->
+      """WITH v0 AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment, 0 AS ver FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment, 1 AS ver
+        |  FROM customer WHERE c_custkey % 7 != 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment, 1 AS ver
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |v2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment, 2 AS ver
+        |  FROM v1 WHERE c_custkey % 11 != 0),
+        |u AS (
+        |  SELECT * FROM v0 UNION ALL SELECT * FROM v1
+        |  UNION ALL SELECT * FROM v2),
+        |lg AS (
+        |  SELECT *, lag(ver) OVER w AS pv, lag(c_acctbal) OVER w AS pb,
+        |    lag(c_mktsegment) OVER w AS ps
+        |  FROM u WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+        |seg AS (
+        |  SELECT *, CASE WHEN pv IS NULL OR pv != ver - 1
+        |      OR pb != c_acctbal OR ps != c_mktsegment THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM lg),
+        |segid AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY c_custkey ORDER BY ver
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM seg)
+        |SELECT c_custkey, min(c_acctbal) AS c_acctbal,
+        |  min(c_mktsegment) AS c_mktsegment,
+        |  min(ver) AS valid_from,
+        |  CASE WHEN max(ver) = 2 THEN NULL ELSE max(ver) + 1 END AS valid_to
+        |FROM segid GROUP BY c_custkey, seg
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     // st6 emits the IDENTICAL diff through the streaming face (one
     // AvailableNow full-snapshot batch vs the seeded store) — same
     // oracle, proving batch/stream agreement on real data.
@@ -1677,6 +1725,25 @@ object SparkEntry {
         |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
         |      '\s+', ' ', 'g'))) AS INTEGER) AS n_norm_chars
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // t35: first-seen computed over shingle STRINGS here vs 64-bit
+    // digests in the engine — agreement proves the digest-keyed
+    // grouping exact. count(CASE ...) keeps both counts BIGINT.
+    "t35_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY g)
+        |SELECT e.doc_id, count(*) AS n_shingles,
+        |  count(CASE WHEN fs.first_doc = e.doc_id THEN 1 END) AS n_novel,
+        |  floor(count(CASE WHEN fs.first_doc = e.doc_id THEN 1 END)::DOUBLE
+        |        / count(*) * 10000 + 0.5) / 10000 AS novelty
+        |FROM e JOIN fs ON e.g = fs.g
+        |GROUP BY e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
     "t8_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
@@ -1933,6 +2000,24 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'view')
         |SELECT l.user_id, l.event_id,
         |  r.view_id AS prior_view_id, r.view_value AS prior_view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    // w15: ASOF winner post-filtered by a freshness CASE — exact
+    // because any earlier right row is older still, so an out-of-
+    // tolerance winner means the true answer is null.
+    "w15_asof_tolerance" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT l.user_id, l.event_id,
+        |  CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN r.view_id END
+        |    AS prior_view_id,
+        |  CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN r.view_value END
+        |    AS prior_view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
     "w9_asof_forward" ->

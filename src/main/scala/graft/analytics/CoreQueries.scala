@@ -354,6 +354,55 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** w15 — tolerance-bounded as-of (ops.TemporalJoins.asOfWithin,
+    * pandas merge_asof(tolerance=...) semantics): prior view per
+    * click, but only when at most 10 minutes stale — older matches
+    * null out exactly as if absent. Oracle is DuckDB ASOF with a CASE
+    * freshness guard on the matched timestamp; agreement proves the
+    * post-filtered single-winner formulation exact. */
+  def clickFreshPriorView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+    graft.ops.TemporalJoins.asOfWithin(clicks, views, "user_id", "ts",
+        payload = Seq("view_id", "view_value"), toleranceSeconds = 600L)
+      .select(col("user_id"), col("event_id"),
+        col("prior_view_id"), col("prior_view_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** The third deterministic snapshot for the SCD2 history: from v1
+    * ([[derivedNewSnapshot]]), every 11th key deleted, every remaining
+    * 3rd key's balance bumped by 50. */
+  private[graft] def derivedThirdSnapshot(v1: DataFrame): DataFrame =
+    v1.filter(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 50.0)
+          .otherwise(col("c_acctbal")))
+
+  /** cdc2 — SCD Type-2 history build (ops.Scd.scd2): three
+    * deterministic customer snapshots (v0 = customer, v1 = cdc1's
+    * derived dump, v2 = a further delete/bump pass) fold into the
+    * validity-interval dimension. The oracle rebuilds the identical
+    * snapshots and replays the segment logic with lag/sum windows over
+    * actual VALUES while the Spark side segments by xxhash64 digest —
+    * agreement proves digest change-detection exact on real data (the
+    * cdc1 proof, extended to interval assembly: gaps close intervals,
+    * reappearances open new ones, last-snapshot rows stay open). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_acctbal", "c_mktsegment")
+    val v0 = Tables.customer(spark, dir).select(cols.map(col): _*)
+    val v1 = derivedNewSnapshot(Tables.customer(spark, dir))
+      .select(cols.map(col): _*)
+    val v2 = derivedThirdSnapshot(v1)
+    graft.ops.Scd.scd2(Seq(v0, v1, v2),
+        keyCols = Seq("c_custkey"), valueCols = Seq("c_acctbal", "c_mktsegment"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** j8 — Bloom-pruned fact-dimension join
     * (ops.ScalePatterns.bloomPrunedJoin): lineitem is pruned against a
     * one-pass Bloom sketch of the selective order subset BEFORE any
@@ -760,7 +809,7 @@ object CoreQueries {
   /** The deterministic "today's dump" both cdc1 and st6 diff against
     * customer: every 7th key deleted, every remaining 5th key's
     * balance bumped, every 13th key re-inserted under a shifted key. */
-  private[analytics] def derivedNewSnapshot(c: DataFrame): DataFrame =
+  private[graft] def derivedNewSnapshot(c: DataFrame): DataFrame =
     c.filter(col("c_custkey") % 7 =!= 0)
       .withColumn("c_acctbal",
         when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)

@@ -240,6 +240,16 @@ object TextQueries {
       .withColumn("n_norm_chars", length(col("norm_text")))
       .orderBy(col("doc_id"))
 
+  /** t35 — per-doc shingle novelty under ascending-id arrival order
+    * (ops.TextAnalysis.noveltyScores): what fraction of each doc's
+    * distinct 3-shingles is first seen in that doc. The oracle
+    * recomputes first-seen over the shingle STRINGS while the engine
+    * groups 64-bit digests — agreement proves the digest-keyed
+    * exchange exact on real data. */
+  def noveltyScores(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.noveltyScores(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** t8 — repetition filter signal: top word-2-gram count/fraction
     * per doc (boilerplate detector). */
   def repetition(spark: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,28 @@ object TemporalJoins {
                   payload: Seq[String], prefix: String = "next_"): DataFrame =
     asOfDirectional(left, right, key, time, payload, prefix, forward = true)
 
+  /** Tolerance-bounded as-of join (pandas `merge_asof(tolerance=...)`
+    * semantics): like [[asOf]], but the matched right row only
+    * qualifies when it is at most `toleranceSeconds` older than the
+    * left row — a stale snapshot yields nulls, exactly as if no prior
+    * row existed. Point-in-time enrichment almost always carries such
+    * a freshness contract ("the feature value, unless it's more than
+    * an hour stale").
+    *
+    * Post-filtering the single as-of winner is exact, not an
+    * approximation: any earlier right row is older still, so if the
+    * latest prior row is out of tolerance, the correct answer IS null.
+    * The plan shape is unchanged from [[asOf]] — one shuffle per side
+    * on the key, one linear window scan; the matched right timestamp
+    * rides inside the payload struct so the age check is a map-side
+    * projection. `time` must be a TIMESTAMP column (the age is
+    * computed in epoch micros). */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String, time: String,
+                 payload: Seq[String], toleranceSeconds: Long,
+                 prefix: String = "prior_"): DataFrame =
+    asOfDirectional(left, right, key, time, payload, prefix, forward = false,
+      toleranceMicros = Some(toleranceSeconds * 1000000L))
+
   /** Interval-containment (range) join WITHOUT an equi-key: every point
     * row pairs with every interval row whose `[start, end)` contains
     * its timestamp. Handed this shape directly, Spark plans a
@@ -93,12 +115,18 @@ object TemporalJoins {
 
   private def asOfDirectional(left: DataFrame, right: DataFrame, key: String,
                               time: String, payload: Seq[String],
-                              prefix: String, forward: Boolean): DataFrame = {
+                              prefix: String, forward: Boolean,
+                              toleranceMicros: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    // with a tolerance, the matched right timestamp travels inside the
+    // payload struct (reserved field __rt) so the age check needs no
+    // second join
+    val structFields: Seq[Column] =
+      payload.map(col) ++ toleranceMicros.map(_ => col(time).as("__rt")).toSeq
     val r = right.select(
       col(key), col(time),
       lit(0).as("__side"),
-      struct(payload.map(col): _*).as("__p"))
+      struct(structFields: _*).as("__p"))
     val l = left.withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(r.schema("__p").dataType))
     // scan order: ascending time for backward, descending for forward —
@@ -111,10 +139,22 @@ object TemporalJoins {
     val w = Window.partitionBy(col(key))
       .orderBy(timeOrd, col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
+    val matched = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        payload.map(p => col("__last").getField(p).as(prefix + p)): _*)
+    val pick: String => Column = toleranceMicros match {
+      case None => p => col("__last").getField(p)
+      case Some(tol) =>
+        // age of the matched row; null when no match, so the `when`
+        // yields null for both "no prior row" and "prior row too old"
+        val age =
+          if (forward) unix_micros(col("__last").getField("__rt")) -
+            unix_micros(col(time))
+          else unix_micros(col(time)) -
+            unix_micros(col("__last").getField("__rt"))
+        p => when(age <= tol, col("__last").getField(p))
+    }
+    matched.select(leftCols.map(col) ++
+      payload.map(p => pick(p).as(prefix + p)): _*)
   }
 }

@@ -430,6 +430,40 @@ object TextAnalysis {
   }
 
   /** Convenience: attach all text-analysis columns to a DataFrame. */
+  /** Per-document novelty: the fraction of a document's DISTINCT word
+    * n-shingles first seen in that document, under ascending-id
+    * arrival order. The data-curation dual of dedup: instead of
+    * dropping near-copies, score how much each document ADDS to the
+    * corpus — boilerplate-heavy or mostly-quoted docs score near 0,
+    * genuinely new text near 1 (cf. the coverage/novelty weighting in
+    * data-mixture curation; "first occurrence wins" is the same rule
+    * exact-substring dedup applies at span level).
+    *
+    * Scale shape: shingle sets come from the map-side-distinct
+    * WordNGrams slicer (no distinct() exchange), and every exchange
+    * after that carries (doc_id, 64-bit shingle digest) — 16-byte
+    * rows, the sf100 gram-exchange lesson. First-seen is one groupBy
+    * min over the digest (partial aggregation collapses repeated
+    * shingles map-side); the digest join back is equi-join on the
+    * 8-byte digest; the per-doc fold re-groups on doc_id. No window,
+    * no corpus-sized strings past the first projection.
+    *
+    * Returns (idCol, n_shingles, n_novel, novelty∈[0,1] at 4dp). Docs
+    * with fewer than n words have no shingles and are absent. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleRows(df, idCol, textCol, n)
+      .select(col("__id"), xxhash64(col("__s")).as("__g"))
+    val firstSeen = sh.groupBy(col("__g")).agg(min(col("__id")).as("__first"))
+    sh.join(firstSeen, "__g")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__first") === col("__id"), lit(1))).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_novel"),
+        graft.functions.Rounding.exactRound(
+          col("n_novel").cast("double") / col("n_shingles"), 4).as("novelty"))
+  }
+
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val scores = langScores(t)

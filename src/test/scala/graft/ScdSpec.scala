@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Scd
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, Double, String)*): DataFrame =
+    rows.toDF("k", "bal", "seg")
+
+  private def history(snaps: DataFrame*): List[(Long, Double, String, Int, Option[Int])] =
+    Scd.scd2(snaps, Seq("k"), Seq("bal", "seg"))
+      .orderBy($"k", $"valid_from")
+      .as[(Long, Double, String, Int, Option[Int])]
+      .collect().toList
+
+  test("unchanged key folds into one open interval") {
+    val s = snap((1L, 10.0, "A"))
+    assert(history(s, s, s) == List((1L, 10.0, "A", 0, None)))
+  }
+
+  test("value change closes the old interval and opens a new one") {
+    val got = history(
+      snap((1L, 10.0, "A")),
+      snap((1L, 10.0, "A")),
+      snap((1L, 99.0, "A")))
+    assert(got == List((1L, 10.0, "A", 0, Some(2)), (1L, 99.0, "A", 2, None)))
+  }
+
+  test("deletion closes the interval at the first absent version") {
+    val got = history(
+      snap((1L, 10.0, "A"), (2L, 5.0, "B")),
+      snap((2L, 5.0, "B")),
+      snap((2L, 5.0, "B")))
+    assert(got == List(
+      (1L, 10.0, "A", 0, Some(1)),
+      (2L, 5.0, "B", 0, None)))
+  }
+
+  test("reappearance opens a NEW interval even with identical values") {
+    val got = history(
+      snap((1L, 10.0, "A")),
+      snap(),
+      snap((1L, 10.0, "A")))
+    assert(got == List(
+      (1L, 10.0, "A", 0, Some(1)),
+      (1L, 10.0, "A", 2, None)))
+  }
+
+  test("key deleted in the last snapshot gets a closed final interval") {
+    val got = history(
+      snap((1L, 10.0, "A")),
+      snap((1L, 20.0, "A")),
+      snap())
+    assert(got == List(
+      (1L, 10.0, "A", 0, Some(1)),
+      (1L, 20.0, "A", 1, Some(2))))
+  }
+
+  test("snapshot reconstruction: intervals covering v reproduce snapshot v exactly") {
+    // the property that makes SCD2 correct by definition: selecting
+    // valid_from <= v < coalesce(valid_to, K) must rebuild snapshot v
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    val v1 = graft.analytics.CoreQueries.derivedNewSnapshot(
+      Tables.customer(spark, sfDir))
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    val v2 = graft.analytics.CoreQueries.derivedThirdSnapshot(v1)
+    val snaps = Seq(c, v1, v2)
+    val hist = Scd.scd2(snaps, Seq("c_custkey"),
+      Seq("c_acctbal", "c_mktsegment")).cache()
+    try {
+      snaps.zipWithIndex.foreach { case (s, v) =>
+        val rebuilt = hist.filter($"valid_from" <= v &&
+            coalesce($"valid_to", lit(snaps.size)) > v)
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        assert(rebuilt.exceptAll(s).isEmpty && s.exceptAll(rebuilt).isEmpty,
+          s"snapshot $v not reproduced")
+      }
+    } finally hist.unpersist()
+  }
+}

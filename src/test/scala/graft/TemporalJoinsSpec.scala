@@ -57,6 +57,37 @@ class TemporalJoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == List(("rB", "b")))
   }
 
+  // seconds-encoded fixture lifted to real timestamps (asOfWithin
+  // computes ages in epoch micros, so the time column must be one)
+  private def leftTs = leftDf.withColumn("t", timestamp_micros($"t" * 1000000L))
+  private def rightTs = rightDf.withColumn("t", timestamp_micros($"t" * 1000000L))
+
+  test("asOfWithin: a huge tolerance degenerates to plain asOf") {
+    val plain = TemporalJoins.asOf(leftTs, rightTs, "k", "t", Seq("v", "m"))
+      .orderBy($"k", $"t").select($"tag", $"prior_v", $"prior_m")
+      .as[(String, String, String)].collect().toList
+    val bounded = TemporalJoins.asOfWithin(leftTs, rightTs, "k", "t",
+        Seq("v", "m"), toleranceSeconds = 1000000L)
+      .orderBy($"k", $"t").select($"tag", $"prior_v", $"prior_m")
+      .as[(String, String, String)].collect().toList
+    assert(bounded == plain)
+  }
+
+  test("asOfWithin: stale winners null out, boundary age is inclusive") {
+    def at(tol: Long): Map[String, (String, String)] =
+      TemporalJoins.asOfWithin(leftTs, rightTs, "k", "t", Seq("v", "m"),
+          toleranceSeconds = tol)
+        .collect().map(r => (r.getString(2),
+          (r.getString(3), r.getString(4)))).toMap
+    // l20's as-of winner is r15 (age 5 s): in at tol=5, out at tol=4
+    assert(at(5L)("l20") == (("r15", null)))
+    assert(at(4L)("l20") == ((null, null)))
+    // l10 matches r10 at age 0 even under tol=0
+    assert(at(0L)("l10") == (("r10", "x")))
+    // key 3 has no right rows: null regardless of tolerance
+    assert(at(1000L)("l7") == ((null, null)))
+  }
+
   test("asOf: latest prior right row per left row, inclusive on equality") {
     val byTag = result.map(r => (r._3, (r._4, r._5))).toMap
     assert(byTag("l5") == ((null, null)))        // before any right row

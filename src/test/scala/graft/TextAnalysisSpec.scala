@@ -6,6 +6,39 @@ import graft.ops.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("novelty: first doc scores 1, exact copy scores 0, overlap is fractional") {
+    val df = Seq(
+      (1L, "a b c d e"),        // 3 shingles, all first-seen here
+      (2L, "a b c d e"),        // exact copy → 0 novel
+      (3L, "a b c x y z"),      // shares "a b c"; 3 of 4 novel
+      (4L, "p q"))              // too short for a 3-shingle → absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScores(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 3L, 3L, 1.0),
+      (2L, 3L, 0L, 0.0),
+      (3L, 4L, 3L, 0.75)))
+  }
+
+  test("novelty: novel counts sum to the corpus's distinct shingle count") {
+    // every distinct shingle is first-seen exactly once, so the novel
+    // column is a partition of the global distinct-shingle set
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextAnalysis.noveltyScores(docs, "doc_id", "text")
+    val sumNovel = got.agg(sum($"n_novel")).as[Long].head()
+    val distinctShingles = graft.ops.Dedup
+      .shingleRows(docs, "doc_id", "text", 3)
+      .select($"__s").distinct().count()
+    assert(sumNovel == distinctShingles)
+    // repeated shingles WITHIN one doc count once (distinct semantics)
+    val within = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val w = TextAnalysis.noveltyScores(within, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].head()
+    assert(w == ((1L, 2L, 2L, 1.0))) // "a b a" and "b a b" only
+  }
+
   test("char entropy: degenerate, binary, and uniform alphabets hit exact values") {
     val df = Seq(
       (1L, "aaaa"),       // one symbol → 0 bits
