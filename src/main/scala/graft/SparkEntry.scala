@@ -52,6 +52,7 @@ object SparkEntry {
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
+    "c4_entity_resolution"  -> (CoreQueries.entityResolution _),
     "cdc1_snapshot_diff"    -> (CoreQueries.snapshotDiff _),
     "pr1_pagerank"          -> (CoreQueries.pagerankTop _),
     "lp1_communities"       -> (CoreQueries.communities _),
@@ -1952,6 +1953,34 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON b.c_custkey > a.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // c4: all three ER stages replayed — quadratic levenshtein pairs
+    // (blocking-completeness proof), conjunctive attribute agreement,
+    // recursive-CTE components, canonical fold. DECIMAL balance sum.
+    "c4_entity_resolution" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b ON b.c_custkey > a.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_nationkey = b.c_nationkey),
+        |undirected AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM undirected)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+        |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+        |stats AS (
+        |  SELECT comp.component AS entity_id, count(*) AS n_members,
+        |    CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |      AS total_acctbal
+        |  FROM comp JOIN customer c ON comp.node = c.c_custkey
+        |  GROUP BY comp.component)
+        |SELECT s.entity_id, c.c_name AS canonical_name, s.n_members,
+        |  s.total_acctbal
+        |FROM stats s JOIN customer c ON s.entity_id = c.c_custkey
+        |ORDER BY s.entity_id""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
