@@ -29,6 +29,7 @@ object SparkEntry {
     "w8_asof_join"          -> (CoreQueries.clickPriorView _),
     "w9_asof_forward"       -> (CoreQueries.clickNextView _),
     "w15_asof_tolerance"    -> (CoreQueries.clickFreshPriorView _),
+    "w16_hopping_window"    -> (CoreQueries.hoppingWindowCounts _),
     "cdc2_scd2"             -> (CoreQueries.scd2History _),
     "w10_range_join"        -> (CoreQueries.purchaseWindowErrors _),
     "j8_bloom_prune"        -> (CoreQueries.bloomPrunedRevenue _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "c4_entity_resolution"  -> (CoreQueries.entityResolution _),
     "cdc1_snapshot_diff"    -> (CoreQueries.snapshotDiff _),
     "pr1_pagerank"          -> (CoreQueries.pagerankTop _),
+    "pr2_personalized"      -> (CoreQueries.personalizedPagerankTop _),
     "lp1_communities"       -> (CoreQueries.communities _),
     "tc1_triangles"         -> (CoreQueries.triangleCounts _),
     "w12_ewma"              -> (CoreQueries.userEwma _),
@@ -760,6 +762,57 @@ object SparkEntry {
     * construction, same per-round 1e-9 rank quantization, same
     * dangling-mass formula written in the identical association order
     * as ops.PageRank's column expression. */
+  /** pr2 oracle: pr1's round structure with the personalized update —
+    * restart and dangling mass go to the seed distribution s (1/m on
+    * seeds present in the graph), (1.0 - 0.85) written as the
+    * expression so both engines compute the identical double. */
+  private lazy val pprOracleSql: String = {
+    def round(t: Int): String = {
+      val p = s"r${t - 1}"
+      s"""c$t AS (
+         |  SELECT ed.dst AS node, sum(r.rank / r.deg) AS in_mass
+         |  FROM $p r JOIN ed ON r.node = ed.src
+         |  WHERE r.deg > 0 GROUP BY ed.dst),
+         |d$t AS (SELECT coalesce(sum(rank), 0.0) AS dmass
+         |        FROM $p WHERE deg = 0),
+         |r$t AS (
+         |  SELECT p.node, p.deg, p.s,
+         |    floor(((1.0 - 0.85) * p.s
+         |           + 0.85 * (coalesce(c.in_mass, 0.0) + d.dmass * p.s))
+         |      * 1000000000 + 0.5) / 1000000000 AS rank
+         |  FROM (SELECT node, deg, s FROM $p) p
+         |  LEFT JOIN c$t c ON p.node = c.node
+         |  CROSS JOIN d$t d)""".stripMargin
+    }
+    s"""WITH pe AS (
+       |  SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |ed AS (SELECT c AS src, s AS dst FROM pe
+       |       UNION ALL SELECT s, c FROM pe),
+       |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |dg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY src),
+       |b AS (SELECT nd.node, coalesce(dg.deg, 0) AS deg
+       |      FROM nd LEFT JOIN dg USING (node)),
+       |sd AS (SELECT DISTINCT c_custkey AS node FROM customer
+       |       WHERE c_nationkey = 7),
+       |ss AS (SELECT b.node FROM b JOIN sd USING (node)),
+       |sm AS (SELECT count(*) AS m FROM ss),
+       |r0 AS (
+       |  SELECT b.node, b.deg,
+       |    CASE WHEN ss.node IS NOT NULL
+       |         THEN floor(1.0 / sm.m * 1000000000 + 0.5) / 1000000000
+       |         ELSE 0.0 END AS s,
+       |    CASE WHEN ss.node IS NOT NULL
+       |         THEN floor(1.0 / sm.m * 1000000000 + 0.5) / 1000000000
+       |         ELSE 0.0 END AS rank
+       |  FROM b LEFT JOIN ss ON b.node = ss.node CROSS JOIN sm),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, rank FROM r3
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   private lazy val pagerankOracleSql: String = {
     def round(t: Int): String = {
       val p = s"r${t - 1}"
@@ -1226,6 +1279,7 @@ object SparkEntry {
     "r2_hybrid_rrf" -> hybridRrfOracleSql,
     "svd1_power_iteration" -> svdOracleSql,
     "pr1_pagerank" -> pagerankOracleSql,
+    "pr2_personalized" -> pprOracleSql,
     // mf1: both ALS half-steps replayed — u1 = mean rating per user
     // (v0 = 1 exactly; integer-valued sums are order-exact), v1 =
     // Σ r·u / Σ u² per item, factors on the 1e-6 grid after each
@@ -2031,6 +2085,24 @@ object SparkEntry {
         |  r.view_id AS prior_view_id, r.view_value AS prior_view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+    // w16: hop assignment replayed — each event belongs to exactly
+    // the two epoch-aligned 30-min buckets at and 30 min before its
+    // own (b ≤ ts < b+60min holds for both, never a third).
+    "w16_hopping_window" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |h AS (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts)
+        |                   - INTERVAL 30 MINUTE]) AS w_start,
+        |    event_type, value
+        |  FROM e)
+        |SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM h GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     // w15: ASOF winner post-filtered by a freshness CASE — exact
     // because any earlier right row is older still, so an out-of-
     // tolerance winner means the true answer is null.

@@ -605,6 +605,26 @@ object CoreQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** w16 — hopping (sliding) window aggregation: 60-minute windows
+    * every 30 minutes over the event stream, in batch, via Spark's
+    * native `window(ts, size, slide)` — each event lands in
+    * size/slide = 2 windows (an explode-free native expansion), then
+    * one ordinary partial+final aggregate on (window, type). The
+    * same expression drives the streaming face of windowed aggs, so
+    * the batch oracle doubles as the streaming-semantics contract.
+    * Oracle replays the hop assignment: the two epoch-aligned
+    * 30-minute buckets at and before each event's own bucket. */
+  def hoppingWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "60 minutes", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** j10 — fuzzy (edit-distance <= 1) self-join over customer names
     * (ops.FuzzyJoin.editDistanceJoin): deletion-neighborhood blocking
     * on 8-byte key hashes + levenshtein verification, never the
@@ -678,6 +698,32 @@ object CoreQueries {
     // id ranges, so the edge list is distinct by construction
     graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3,
         assumeDistinct = true)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
+  /** pr2 — PERSONALIZED PageRank (ops.PageRank.personalizedRanks)
+    * over pr1's trade graph: restart mass concentrated on nation-7
+    * customers, dangling mass teleporting back to the seeds — the
+    * whitelist-conditioned importance ranking a corpus build uses to
+    * weight sources against a trusted domain set. Same quantized
+    * three-round replay as pr1; the oracle rebuilds the seed
+    * distribution (renormalized over seeds present in the graph) and
+    * unrolls the personalized update. */
+  def personalizedPagerankTop(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (lit(1000000L) + col("l_suppkey")).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 7)
+      .select(col("c_custkey").as("node"))
+    graft.ops.PageRank.personalizedRanks(edges, "src", "dst",
+        seeds, "node", iters = 3, assumeDistinct = true)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
   }

@@ -78,6 +78,68 @@ object PageRank {
     labels
   }
 
+  /** Personalized PageRank (topic-sensitive; Haveliwala 2002): the
+    * restart distribution concentrates on a SEED set instead of being
+    * uniform — rank(v) = (1-d)·s(v) + d·(Σ in-mass + dangling·s(v)),
+    * with s = 1/|S∩V| on seeds present in the graph and 0 elsewhere.
+    * Dangling mass teleports BACK TO THE SEEDS (the standard PPR
+    * convention), so total mass stays 1 and scores read as
+    * "importance relative to the seed neighborhood" — how a corpus
+    * build ranks hosts/documents against a trusted domain whitelist
+    * rather than global centrality.
+    *
+    * Same per-round budget and 1e-9 quantization recipe as [[ranks]]
+    * (one nodes-sized join against the once-partitioned edge table +
+    * one aggregate; the seed column rides in the rank table, 8 more
+    * bytes/row). Seeds not present in the graph are ignored and the
+    * seed mass renormalizes over the survivors. */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: DataFrame, seedCol: String,
+                        iters: Int = 3, damping: Double = 0.85,
+                        assumeDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct())
+      .repartition(col("src")).localCheckpoint()
+    val base = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("isrc")),
+        struct(col("dst").as("node"), lit(0L).as("isrc")))).as("x"))
+      .select(col("x.node").as("node"), col("x.isrc").as("isrc"))
+      .groupBy(col("node")).agg(sum(col("isrc")).as("deg"))
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val seedNodes = base.join(sd, Seq("node"), "left_semi")
+      .select(col("node")).localCheckpoint()
+    val m = seedNodes.count() // one bounded action; reused as a literal
+    require(m > 0, "no seed is a node of the graph")
+    val based = base
+      .join(seedNodes.withColumn("__is", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        r9(when(col("__is").isNotNull, lit(1.0) / m)
+          .otherwise(lit(0.0))).as("s"))
+      .localCheckpoint()
+    var ranks = based.select(col("node"), col("deg"), col("s"),
+      col("s").as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ranks.filter(col("deg") > 0)
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("in_mass"))
+      val dangling = ranks.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      ranks = based
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("deg"), col("s"),
+          r9(lit(1.0 - damping) * col("s") +
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
+              col("dmass") * col("s"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** PageRank over a directed edge list (srcCol, dstCol). Returns
     * (node, rank) with rank on the 1e-9 grid.
     *

@@ -23,6 +23,19 @@ class CoreQueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
 
+  test("hopping window: every event lands in exactly size/slide = 2 windows") {
+    val out = SparkEntry.queries("w16_hopping_window")(spark, sfDir)
+    val totalAssigned = out.agg(sum($"n_events")).as[Long].head()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(totalAssigned == 2 * nEvents,
+      s"expected ${2 * nEvents} window-event assignments, got $totalAssigned")
+    // windows are epoch-aligned to the 30-min slide and 60 min wide
+    val bad = out.filter(
+      unix_timestamp($"w_start") % 1800 =!= 0 ||
+      unix_timestamp($"w_end") - unix_timestamp($"w_start") =!= 3600).count()
+    assert(bad == 0)
+  }
+
   test("multiset ops: EXCEPT ALL + INTERSECT ALL partition the left bag") {
     import org.apache.spark.sql.functions._
     val u4 = SparkEntry.queries("u4_multiset_ops")(spark, sfDir)

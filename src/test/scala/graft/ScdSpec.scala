@@ -59,6 +59,28 @@ class ScdSpec extends SparkSpec {
       (1L, 20.0, "A", 1, Some(2))))
   }
 
+  test("scd2 plans exactly ONE exchange: segment fold reuses the window's partitioning") {
+    // the scale claim in Scd's scaladoc, asserted: the groupBy on
+    // (key, __seg) requires ClusteredDistribution(key, __seg), which
+    // the window's HashPartitioning(key) already satisfies
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val c = Tables.customer(spark, sfDir)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      val hist = Scd.scd2(Seq(c, c, c), Seq("c_custkey"),
+        Seq("c_acctbal", "c_mktsegment"))
+      val exchanges = hist.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"expected exactly 1 exchange, got ${exchanges.size}:\n" +
+          hist.queryExecution.executedPlan)
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("snapshot reconstruction: intervals covering v reproduce snapshot v exactly") {
     // the property that makes SCD2 correct by definition: selecting
     // valid_from <= v < coalesce(valid_to, K) must rebuild snapshot v
