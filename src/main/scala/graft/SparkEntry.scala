@@ -158,6 +158,7 @@ object SparkEntry {
     "s1c_ann_incremental"   -> (VectorQueries.annTopKIncremental _),
     "s1b_build_index"       -> (VectorQueries.annIndexBuild _),
     "st1_hourly_window"     -> (StreamQueries.hourlyWindow _),
+    "st10_stream_hopping"   -> (StreamQueries.hoppingWindow _),
     "st2_user_sessions"     -> (StreamQueries.userSessions _),
     "st3_stream_join"       -> (StreamQueries.clickViewPairs _),
     "st4_stream_semdedup"   -> (StreamQueries.streamSemanticDedup _),
@@ -762,6 +763,24 @@ object SparkEntry {
     * construction, same per-round 1e-9 rank quantization, same
     * dangling-mass formula written in the identical association order
     * as ops.PageRank's column expression. */
+  /** w16/st10 shared oracle: hop assignment replayed as the two
+    * epoch-aligned 30-min buckets at and before each event's own. */
+  private lazy val hoppingOracleSql: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |h AS (
+      |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+      |                 time_bucket(INTERVAL 30 MINUTE, ts)
+      |                   - INTERVAL 30 MINUTE]) AS w_start,
+      |    event_type, value
+      |  FROM e)
+      |SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
+      |  count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_value
+      |FROM h GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
   /** pr2 oracle: pr1's round structure with the personalized update —
     * restart and dangling mass go to the seed distribution s (1/m on
     * seeds present in the graph), (1.0 - 0.85) written as the
@@ -2088,21 +2107,11 @@ object SparkEntry {
     // w16: hop assignment replayed — each event belongs to exactly
     // the two epoch-aligned 30-min buckets at and 30 min before its
     // own (b ≤ ts < b+60min holds for both, never a third).
-    "w16_hopping_window" ->
-      """WITH e AS (
-        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
-        |h AS (
-        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
-        |                 time_bucket(INTERVAL 30 MINUTE, ts)
-        |                   - INTERVAL 30 MINUTE]) AS w_start,
-        |    event_type, value
-        |  FROM e)
-        |SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, event_type,
-        |  count(*) AS n_events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
-        |    AS sum_value
-        |FROM h GROUP BY w_start, event_type
-        |ORDER BY w_start, event_type""".stripMargin,
+    "w16_hopping_window" -> hoppingOracleSql,
+    // st10 runs the IDENTICAL hopping aggregate through the
+    // streaming-shared transform (stream ≡ batch proven in
+    // StreamingSpec) — same oracle, the st6/st8 pattern.
+    "st10_stream_hopping" -> hoppingOracleSql,
     // w15: ASOF winner post-filtered by a freshness CASE — exact
     // because any earlier right row is older still, so an out-of-
     // tolerance winner means the true answer is null.

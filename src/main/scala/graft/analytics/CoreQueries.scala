@@ -654,25 +654,56 @@ object CoreQueries {
     * The oracle replays all three stages, components via recursive
     * CTE — byte-equality proves blocking completeness AND the
     * component fold on real data. */
-  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
+  def entityResolution(spark: SparkSession, dir: String): DataFrame =
+    entityResolutionFrom(Tables.customer(spark, dir))
+
+  /** The c4 pipeline over an explicit customer frame (spec'd against
+    * the id-level formulation on a mass-duplicated fixture).
+    *
+    * Scale restructure: the corpus collapses to DISTINCT (name,
+    * segment, nation) representatives BEFORE any pairwise machinery.
+    * Real registries carry the same entity string many times (one row
+    * per crawl/source), and id-level pair expansion is QUADRATIC in
+    * that multiplicity — measured: at sf10's 100 copies/name the
+    * id-level graph has 94.65M agreeing pairs (2.70B unblocked
+    * candidates) and OOMs the component stage, while connectivity
+    * only needs one node per distinct string: equal-string ids are a
+    * clique, so collapsing them into their min-id representative
+    * leaves the component structure — and therefore every entity —
+    * unchanged. Members re-attach by COUNT (sum of per-rep
+    * multiplicities), so nothing id-pair-sized ever materializes;
+    * exact-duplicate groups with no fuzzy neighbor (cliques that were
+    * pairs-only in the id graph) come back via the n_ids >= 2
+    * singles branch. */
+  private[graft] def entityResolutionFrom(c: DataFrame): DataFrame = {
+    // one row per distinct (name, block): representative id, member
+    // count, DECIMAL-exact balance partial
+    val reps = c.groupBy(col("c_name"), col("c_mktsegment"),
+        col("c_nationkey"))
+      .agg(min(col("c_custkey")).as("rep_id"),
+        count(lit(1)).as("n_ids"),
+        sum(money(col("c_acctbal"))).as("bal_sum"))
+      .localCheckpoint() // three consumers below
     // attributes ride in the BLOCKING key (hashed into the candidate
     // key), so disagreeing rows never meet: 262.5k candidate pairs →
     // 2.3k at sf0.1, the fuzzy stage 10.3 s → ~1 s
-    val agree = graft.ops.FuzzyJoin.editDistanceJoin(
-        c, "c_custkey", "c_name", maxDist = 1,
+    val pairs = graft.ops.FuzzyJoin.editDistanceJoin(
+        reps, "rep_id", "c_name", maxDist = 1,
         blockCols = Seq("c_mktsegment", "c_nationkey"))
       .select(col("id_a"), col("id_b"))
-    val comp = graft.ops.Dedup.connectedComponents(agree, "id_a", "id_b")
-    val stats = comp
-      .join(c.select(col("c_custkey"), col("c_acctbal")),
-        col("node") === col("c_custkey"))
+    val comp = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val linked = comp
+      .join(reps, col("node") === col("rep_id"))
       .groupBy(col("component").as("entity_id"))
-      .agg(count(lit(1)).as("n_members"),
-        moneySum(col("c_acctbal")).as("total_acctbal"))
-    stats
+      .agg(sum(col("n_ids")).as("n_members"),
+        round(sum(col("bal_sum")), 2).cast("double").as("total_acctbal"))
+    val singles = reps.filter(col("n_ids") >= 2)
+      .join(comp.select(col("node").as("rep_id")), Seq("rep_id"), "left_anti")
+      .select(col("rep_id").as("entity_id"), col("n_ids").as("n_members"),
+        round(col("bal_sum"), 2).cast("double").as("total_acctbal"))
+    linked.unionByName(singles)
       .join(c.select(col("c_custkey"), col("c_name")),
-        stats("entity_id") === col("c_custkey"))
+        col("entity_id") === col("c_custkey"))
       .select(col("entity_id"), col("c_name").as("canonical_name"),
         col("n_members"), col("total_acctbal"))
       .orderBy(col("entity_id"))

@@ -22,6 +22,20 @@ object StreamQueries {
         round(col("sum_value"), 2).cast("double").as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** st10 — hopping-window face (EventStreams.hoppingTypeCounts), the
+    * sliding sibling of st1: same transform under readStream (proven
+    * stream ≡ batch in StreamingSpec), same DECIMAL pre-cast, and the
+    * w16 oracle replays it verbatim (the st6/st8 shared-oracle
+    * pattern). */
+  def hoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.hoppingTypeCounts(
+      Tables.events(spark, dir)
+        .withColumn("value", col("value").cast(DecimalType(18, 2))))
+      .select(col("w_start"), col("w_end"), col("event_type"),
+        col("n_events"),
+        round(col("sum_value"), 2).cast("double").as("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** st4 — STREAMING SemDeDup (EventStreams.semanticDedupStream) run
     * as a GENUINE stream, not a batch face: the embeddings table
     * arrives as one AvailableNow micro-batch, the centroid quantizer

@@ -30,6 +30,23 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Hopping (sliding) event-time window aggregate — 60-minute
+    * windows every 30 minutes, each event in size/slide = 2 windows.
+    * Same watermark/state story as [[hourlyTypeCounts]]; state is
+    * size/slide × the tumbling equivalent, still bounded by the
+    * watermark horizon. */
+  def hoppingTypeCounts(events: DataFrame): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "10 minutes")
+             else events
+    in.groupBy(window(col("ts"), "60 minutes", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Session windows per user: events within `gap` of each other fuse
     * into one session (Spark's native session_window). */
   def userSessions(events: DataFrame, gap: String = "2 hours"): DataFrame = {

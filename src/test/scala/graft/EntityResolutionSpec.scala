@@ -56,6 +56,42 @@ class EntityResolutionSpec extends SparkSpec {
     assert(comp == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("rep-collapsed pipeline ≡ id-level formulation under mass-duplicated names") {
+    // the ScaleUp regime: every (name, block) appears k times under
+    // shifted ids. The production pipeline collapses to distinct
+    // representatives before CC; this reference runs CC over the RAW
+    // id-level pair graph (quadratic in k) — outputs must be equal.
+    import org.apache.spark.sql.types.DecimalType
+    val k = 3
+    val base = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_nationkey",
+        $"c_acctbal")
+    val dup = (0 until k).map(i => base
+        .withColumn("c_custkey", $"c_custkey" + i * 1000000L))
+      .reduce(_ unionByName _)
+    val got = graft.analytics.CoreQueries.entityResolutionFrom(dup)
+    // id-level reference: fuzzy pairs over raw ids → CC → fold
+    val pairs = FuzzyJoin.editDistanceJoin(dup, "c_custkey", "c_name",
+        maxDist = 1, blockCols = Seq("c_mktsegment", "c_nationkey"))
+      .select($"id_a", $"id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val stats = comp
+      .join(dup.select($"c_custkey", $"c_acctbal"),
+        $"node" === $"c_custkey")
+      .groupBy($"component".as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum($"c_acctbal".cast(DecimalType(18, 2))), 2)
+          .cast("double").as("total_acctbal"))
+    val ref = stats
+      .join(dup.select($"c_custkey", $"c_name"),
+        stats("entity_id") === $"c_custkey")
+      .select($"entity_id", $"c_name".as("canonical_name"),
+        $"n_members", $"total_acctbal")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // every name now has k copies, so every entity has >= k members
+    assert(got.agg(min($"n_members")).as[Long].head() >= k)
+  }
+
   test("canonical fold: entity id is a member and carries that member's name") {
     val out = SparkEntry.queries("c4_entity_resolution")(spark, sfDir)
     val rows = out.as[(Long, String, Long, Double)].collect()

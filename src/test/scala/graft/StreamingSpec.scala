@@ -24,6 +24,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("streaming hopping window equals the batch run of the same transform") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-src-hop").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val streamed = EventStreams.runAvailableNow(
+      spark, dir, schema, EventStreams.hoppingTypeCounts, "hopping_test")
+    val batch = EventStreams.hoppingTypeCounts(batchEvents)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"w_start".cast("string"), $"event_type", $"n_events")
+        .as[(String, String, Long)].collect().toSet
+    assert(key(streamed) == key(batch))
+    // sliding expansion: total assignments = 2 × events
+    val assigned = batch.agg(sum($"n_events")).as[Long].head()
+    assert(assigned == 2 * batchEvents.count())
+  }
+
   test("session windows: no overlapping sessions per user, gaps respected") {
     val sessions = EventStreams.userSessions(batchEvents, "2 hours")
       .select($"user_id", $"session_start", $"session_end", $"n_events")
