@@ -36,6 +36,7 @@ object SparkEntry {
     "j12_salted_join"       -> (CoreQueries.saltedSegmentRollup _),
     "z1_zorder_code"        -> (ScalarQueries.zorderCode _),
     "u2_funnel"             -> (CoreQueries.conversionFunnel _),
+    "u5_window_funnel"      -> (CoreQueries.windowFunnelLevels _),
     "u3_cohort"             -> (CoreQueries.cohortRetention _),
     "q9_having"             -> (CoreQueries.bigSuppliers _),
     "q10_date_arith"        -> (CoreQueries.eventAgeHistogram _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "t27_perplexity_tiers"  -> (TextQueries.perplexityBuckets _),
     "t28_leakage_free_split" -> (TextQueries.leakageFreeSplit _),
     "m2_frame_sample"       -> (TextQueries.frameSample _),
+    "m5_image_neardup"      -> (TextQueries.imageNearDups _),
     "m3_decode_batches"     -> (TextQueries.decodeBatchPlan _),
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "v3_hard_negatives"     -> (VectorQueries.hardNegatives _),
@@ -2112,6 +2114,43 @@ object SparkEntry {
     // streaming-shared transform (stream ≡ batch proven in
     // StreamingSpec) — same oracle, the st6/st8 pattern.
     "st10_stream_hopping" -> hoppingOracleSql,
+    // u5: both funnel stages replayed as ASOF + freshness CASE (the
+    // w15 argument, applied twice); ASOF winner ambiguity among
+    // same-timestamp qualifying clicks cannot reach the output (only
+    // existence and timing are consumed, never which click won).
+    "u5_window_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS v_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, event_id AS c_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |qc AS (
+        |  SELECT c.user_id, c.c_id, c.ts
+        |  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+        |  WHERE v.v_id IS NOT NULL AND c.ts - v.ts <= INTERVAL 1 HOUR),
+        |qp AS (
+        |  SELECT p.user_id, p.p_id
+        |  FROM p ASOF LEFT JOIN qc ON p.user_id = qc.user_id AND p.ts >= qc.ts
+        |  WHERE qc.c_id IS NOT NULL AND p.ts - qc.ts <= INTERVAL 1 HOUR),
+        |base AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views
+        |  FROM events GROUP BY user_id),
+        |nqc AS (SELECT user_id, count(*) AS n FROM qc GROUP BY user_id),
+        |nqp AS (SELECT user_id, count(*) AS n FROM qp GROUP BY user_id)
+        |SELECT b.user_id, b.n_views,
+        |  coalesce(nqc.n, 0) AS n_qual_clicks,
+        |  coalesce(nqp.n, 0) AS n_qual_purchases,
+        |  CASE WHEN coalesce(nqp.n, 0) > 0 THEN 3
+        |       WHEN coalesce(nqc.n, 0) > 0 THEN 2
+        |       WHEN b.n_views > 0 THEN 1 ELSE 0 END AS funnel_level
+        |FROM base b LEFT JOIN nqc USING (user_id)
+        |LEFT JOIN nqp USING (user_id)
+        |ORDER BY b.user_id""".stripMargin,
     // w15: ASOF winner post-filtered by a freshness CASE — exact
     // because any earlier right row is older still, so an out-of-
     // tolerance winner means the true answer is null.
@@ -2829,6 +2868,54 @@ object SparkEntry {
     // nearest-neighbor index arithmetic, and the stub codec's cyclic
     // byte lookup (ASCII corpus: ord(char) IS the utf-8 byte); the
     // integer byte-sum rollup makes the gate float-free.
+    // m5: signatures replayed in all-integer algebra (byte recovery,
+    // cross-multiplied mean compare, unrolled bit sums), then pairs
+    // BRUTE-FORCED — byte-equality against the band join proves the
+    // pigeonhole recall claim on real data.
+    "m5_image_neardup" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |ca AS (SELECT doc_id + 102400 AS doc_id, text FROM d0),
+        |cb AS (SELECT doc_id + 204800 AS doc_id,
+        |    substr(text, 1, length(text) // 2) || 'q'
+        |      || substr(text, length(text) // 2 + 2) AS text
+        |  FROM d0),
+        |u AS (SELECT * FROM d0 UNION ALL SELECT * FROM ca
+        |      UNION ALL SELECT * FROM cb),
+        |m AS (SELECT doc_id AS media_id, text,
+        |    CAST(doc_id % 64 + 16 AS INT) AS w,
+        |    CAST((doc_id * 7) % 64 + 16 AS INT) AS h,
+        |    length(text) AS blen
+        |  FROM u),
+        |b AS (SELECT media_id,
+        |    [ord(substr(text,
+        |       CAST(CAST(floor(floor(i / 8.0) * h / 8.0) * w
+        |                 + floor((i % 8) * w / 8.0) AS BIGINT)
+        |            % blen AS INT) + 1, 1))
+        |     for i in range(0, 64)] AS bytes
+        |  FROM m),
+        |t AS (SELECT media_id, bytes, list_sum(bytes) AS tot FROM b),
+        |s AS (SELECT media_id,
+        |    CAST(list_sum([CASE WHEN 64 * bytes[i + 1] > tot
+        |                        THEN 1 << i ELSE 0 END
+        |                   for i in range(0, 16)]) AS INT) AS b0,
+        |    CAST(list_sum([CASE WHEN 64 * bytes[i + 1] > tot
+        |                        THEN 1 << (i - 16) ELSE 0 END
+        |                   for i in range(16, 32)]) AS INT) AS b1,
+        |    CAST(list_sum([CASE WHEN 64 * bytes[i + 1] > tot
+        |                        THEN 1 << (i - 32) ELSE 0 END
+        |                   for i in range(32, 48)]) AS INT) AS b2,
+        |    CAST(list_sum([CASE WHEN 64 * bytes[i + 1] > tot
+        |                        THEN 1 << (i - 48) ELSE 0 END
+        |                   for i in range(48, 64)]) AS INT) AS b3
+        |  FROM t)
+        |SELECT a.media_id AS id_a, c.media_id AS id_b,
+        |  CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+        |     + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3))
+        |    AS BIGINT) AS hamming
+        |FROM s a JOIN s c ON c.media_id > a.media_id
+        |WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+        |    + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "m4_resize_pipeline" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |    CAST(doc_id % 64 + 16 AS INT) AS w,

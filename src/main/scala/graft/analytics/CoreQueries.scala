@@ -542,6 +542,49 @@ object CoreQueries {
         countDistinct(when(col("p").isNotNull, col("user_id"))).as("n_purchase"))
   }
 
+  /** u5 — time-constrained window funnel (ClickHouse windowFunnel
+    * semantics, per user): view → click → purchase where each step
+    * must follow its predecessor within 1 hour. Built by CHAINING two
+    * tolerance as-of joins (w15's operator): a click qualifies when
+    * its latest at-or-before view is ≤ 1 h stale; a purchase
+    * qualifies when its latest at-or-before QUALIFYING click is ≤ 1 h
+    * stale. Post-filtering the single as-of winner is exact at every
+    * stage (earlier candidates are staler), so the funnel needs no
+    * per-user sequence scan — just keyed single-shuffle joins, each
+    * AQE-skew-splittable. Returns per-user step counts and the
+    * deepest level reached (0–3). */
+  def windowFunnelLevels(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("v_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts"))
+    val qc = graft.ops.TemporalJoins.asOfWithin(clicks, views,
+        "user_id", "ts", Seq("v_id"), toleranceSeconds = 3600L)
+      .filter(col("prior_v_id").isNotNull)
+      .select(col("user_id"), col("c_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts"))
+    val qp = graft.ops.TemporalJoins.asOfWithin(purchases, qc,
+        "user_id", "ts", Seq("c_id"), toleranceSeconds = 3600L)
+      .filter(col("prior_c_id").isNotNull)
+      .select(col("user_id"), col("p_id"))
+    ev.groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "view", 1)).as("n_views"))
+      .join(qc.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("__nqc")), Seq("user_id"), "left")
+      .join(qp.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("__nqp")), Seq("user_id"), "left")
+      .select(col("user_id"), col("n_views"),
+        coalesce(col("__nqc"), lit(0L)).as("n_qual_clicks"),
+        coalesce(col("__nqp"), lit(0L)).as("n_qual_purchases"),
+        when(coalesce(col("__nqp"), lit(0L)) > 0, 3)
+          .when(coalesce(col("__nqc"), lit(0L)) > 0, 2)
+          .when(col("n_views") > 0, 1)
+          .otherwise(0).as("funnel_level"))
+      .orderBy(col("user_id"))
+  }
+
   /** u3 — cohort retention: users grouped by first-seen day, activity
     * counted per day offset. One per-user window min + one aggregate. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {

@@ -571,6 +571,35 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** m5 — perceptual-hash image near-dup (ops.Multimodal
+    * .imageNearDups): the multimodal face of the SimHash dedup family
+    * — decode → 8×8 resize → all-integer aHash signature → 16-bit
+    * band join with bit_count(XOR) verification. The oracle is the
+    * BRUTE-FORCE Hamming scan over the same replayed signatures, so
+    * byte-equality proves the band pigeonhole's complete recall on
+    * real data (the d3 proof, repeated behind a codec). */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
+    // derived fixture (the j13 pattern): natural docs carry no image
+    // near-dups (near-dup TEXTS decode under different dims), so the
+    // fixture plants them — an exact copy and a one-char-center
+    // mutation of every base doc, under id offsets ≡ 0 (mod 64) so
+    // width/height agree and the decoded tensors align. The mutation
+    // keeps LENGTH (the cyclic byte indexing shifts under inserts),
+    // flipping only the resize cells that sample the mutated byte —
+    // a genuine small-Hamming population, not just distance 0.
+    val d0 = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val exactCopy = d0.select((col("doc_id") + 102400L).as("doc_id"),
+      col("text"))
+    val mutated = d0.selectExpr("doc_id + 204800 AS doc_id",
+      """concat(substring(text, 1, length(text) div 2), 'q',
+        |  substring(text, (length(text) div 2) + 2)) AS text""".stripMargin)
+    val media = graft.ops.Multimodal.toMediaTable(
+      d0.unionByName(exactCopy).unionByName(mutated))
+    graft.ops.Multimodal.imageNearDups(media, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** lr1 — distributed classifier training (ops.Logistic.fit): 3
     * full-batch GD steps of a logistic English-vs-rest model over four
     * cheap engine-exact text features (bias, scaled char/word counts,

@@ -153,6 +153,60 @@ object Multimodal {
       .drop("__before")
   }
 
+  /** aHash-style perceptual signature: decode → 8×8 resize →
+    * average-threshold bits, emitted as four 16-bit band integers
+    * (b0..b3). All-INTEGER algebra after the byte recovery — pixel
+    * bytes come back exactly via rint(px·255) (the m4 proof), the
+    * mean compare is the cross-multiplied 64·byte > Σbytes (no
+    * division, no floats), and each band is a statically-unrolled sum
+    * of 16 bit terms — so the whole signature replays bit-for-bit in
+    * SQL. A real deployment swaps the stub codec for a JPEG decoder;
+    * every stage after the decode is codec-agnostic. */
+  def imageSignatures(media: DataFrame): DataFrame = {
+    val resized = resize(decodeBatched(media), 8, 8)
+    val withBytes = resized
+      .withColumn("__bytes",
+        transform(col("pixels_resized"), x => rint(x * lit(255.0d)).cast("int")))
+      .withColumn("__tot",
+        aggregate(col("__bytes"), lit(0), (a, x) => a + x))
+    val bandCols = (0 until 4).map { j =>
+      (0 until 16).map { i =>
+        when(element_at(col("__bytes"), j * 16 + i + 1) * 64 > col("__tot"),
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"b$j")
+    }
+    withBytes.select(col("media_id") +: bandCols: _*)
+  }
+
+  /** Image near-duplicates at Hamming distance ≤ `maxHamming` over
+    * the 64-bit perceptual signature — the multimodal face of the
+    * SimHash dedup family (d3's 16-bit-band pigeonhole: distance ≤ 3
+    * leaves at least one of 4 bands untouched, so the band equi-join
+    * has provably complete recall; verification is 4 bit_count(XOR)
+    * terms). Candidate rows carry (id, 4×int bands) — ~24 bytes —
+    * and only the band join shuffles; signatures never re-derive. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 16-bit bands guarantee recall only to Hamming 3, got $maxHamming")
+    val sigs = imageSignatures(media)
+    val banded = sigs.select(col("media_id") +:
+      (0 until 4).map(j => col(s"b$j")) :+
+      posexplode(array((0 until 4).map(j => col(s"b$j")): _*)): _*)
+    val other = banded.select(col("media_id").as("__id_b") +:
+      (0 until 4).map(j => col(s"b$j").as(s"c$j")) :+
+      col("pos").as("__pos_b") :+ col("col").as("__v_b"): _*)
+    val ham = (0 until 4)
+      .map(j => bit_count(col(s"b$j").bitwiseXOR(col(s"c$j"))))
+      .reduce(_ + _)
+    banded
+      .join(other, col("pos") === col("__pos_b") &&
+        col("col") === col("__v_b") && col("media_id") < col("__id_b"))
+      .select(col("media_id").as("id_a"), col("__id_b").as("id_b"),
+        ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Feature extraction from the payload: reuses the batched-inference
     * embedding stage over a text view of the bytes (stand-in for a
     * vision/audio encoder). */

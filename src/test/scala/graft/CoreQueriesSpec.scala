@@ -23,6 +23,30 @@ class CoreQueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
 
+  test("window funnel: levels consistent with step counts, one row per active user") {
+    val out = SparkEntry.queries("u5_window_funnel")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.length ==
+      Tables.events(spark, sfDir).select($"user_id").distinct().count())
+    out.foreach { case (u, nv, nqc, nqp, lvl) =>
+      val expect = if (nqp > 0) 3 else if (nqc > 0) 2 else if (nv > 0) 1 else 0
+      assert(lvl == expect, s"user $u: level $lvl vs counts ($nv,$nqc,$nqp)")
+      // a qualifying click implies a view existed; same one level up
+      if (nqc > 0) assert(nv > 0)
+    }
+    // the time constraint must actually bite somewhere: some user
+    // with clicks+views has zero QUALIFYING clicks
+    val ev = Tables.events(spark, sfDir)
+    val withBoth = ev.filter($"event_type" === "click")
+      .select($"user_id").distinct()
+      .intersect(ev.filter($"event_type" === "view")
+        .select($"user_id").distinct())
+      .as[Long].collect().toSet
+    assert(out.exists(r => withBoth.contains(r._1) && r._3 == 0),
+      "expected at least one user whose clicks are all >1h after views")
+  }
+
   test("hopping window: every event lands in exactly size/slide = 2 windows") {
     val out = SparkEntry.queries("w16_hopping_window")(spark, sfDir)
     val totalAssigned = out.agg(sum($"n_events")).as[Long].head()

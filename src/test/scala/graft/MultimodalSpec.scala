@@ -97,6 +97,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => r._3 >= 0L && r._3 <= 256L * 127), "ascii byte sums")
   }
 
+  test("image signatures: identical payloads share all bands; planted pair at Hamming 0") {
+    // plant a true duplicate: same text under ids 5 and 5 + 448 —
+    // 448 ≡ 0 (mod 64), so width AND height (id·7 mod 64) both agree
+    // and the decoded tensors are identical
+    val one = Tables.documents(spark, sfDir).filter($"doc_id" === 5)
+      .select($"doc_id", $"text")
+    val dup = one.unionByName(one.withColumn("doc_id", $"doc_id" + 448))
+    val m = Multimodal.toMediaTable(dup)
+    val sigs = Multimodal.imageSignatures(m).collect()
+    assert(sigs.length == 2)
+    assert(sigs.map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .distinct.length == 1, "identical payload+dims → identical bands")
+    val pairs = Multimodal.imageNearDups(m, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toList
+    assert(pairs == List((5L, 453L, 0L)))
+  }
+
+  test("image near-dup band join ≡ brute-force Hamming scan") {
+    val m = Multimodal.toMediaTable(
+      Tables.documents(spark, sfDir).filter($"doc_id" < 150))
+    val banded = Multimodal.imageNearDups(m, maxHamming = 3)
+    val sigs = Multimodal.imageSignatures(m)
+    val o = sigs.select($"media_id".as("__id_b"), $"b0".as("c0"),
+      $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+    val ham = (0 until 4)
+      .map(j => bit_count(col(s"b$j").bitwiseXOR(col(s"c$j"))))
+      .reduce(_ + _)
+    val brute = sigs.crossJoin(o).filter($"media_id" < $"__id_b")
+      .select($"media_id".as("id_a"), $"__id_b".as("id_b"),
+        ham.cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+  }
+
   test("decode batches: whole items, bounded overshoot, deterministic") {
     val cap = 4096L
     val b = Multimodal.decodeBatches(media, cap, buckets = 2).localCheckpoint()
