@@ -89,12 +89,18 @@ class PlanSpec extends SparkSpec {
                                // each group's sorted utterance array once —
                                // the work is the collect_list agg, not the
                                // lambda; output is one string per transcript
-      "m4_resize_pipeline")    // bounded (doc_id < 120) decode→resize gate:
+      "m4_resize_pipeline",    // bounded (doc_id < 120) decode→resize gate:
                                // transform/aggregate run over the fixed
                                // 256-element resized tensor per row (the
                                // nearest-neighbor index map + byte-sum fold);
                                // the corpus-side work is the batched
                                // mapPartitions decode, not a lambda
+      "m5_image_neardup")      // same class: the aHash signature's
+                               // transform/aggregate run over the fixed
+                               // 64-element resized tensor per row; the
+                               // band join and bit_count verify are
+                               // lambda-free, and the fixture is bounded
+                               // (200 base docs + planted copies)
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (p.contains("lambdafunction") && !whitelist(name)) Some(name) else None
