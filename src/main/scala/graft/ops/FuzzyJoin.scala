@@ -54,6 +54,71 @@ import graft.functions.DeletionHoods
   */
 object FuzzyJoin {
 
+  /** Deletion-hood key rows for a rep table (one row per distinct
+    * (strCol, blockCols), carrying `__rid`): one output row per
+    * (rep, hood key), block values hashed into `__k` exactly as the
+    * self-join does. */
+  private def keyedHoods(reps: DataFrame, strCol: String, maxDist: Int,
+                         blockCols: Seq[String]): DataFrame = {
+    val bc = blockCols.map(col)
+    reps
+      .withColumn("__k0", explode(DeletionHoods.hoods(col(strCol), maxDist)))
+      .withColumn("__k",
+        if (blockCols.isEmpty) col("__k0")
+        else xxhash64(col("__k0") +: bc: _*))
+      .drop("__k0")
+  }
+
+  /** Persist the deletion-neighborhood index of a rep table — the
+    * store half of the incremental fuzzy join (d9's discipline for
+    * edit distance): (hood key, string, blocks, rep id) rows written
+    * once; later deltas equi-join their own hoods against it, so the
+    * store is never re-scanned for candidate generation. */
+  def writeHoodIndex(reps: DataFrame, idCol: String, strCol: String,
+                     path: String, maxDist: Int = 1,
+                     blockCols: Seq[String] = Nil): Unit =
+    keyedHoods(
+      reps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
+        blockCols.map(col): _*), "__s", maxDist, blockCols)
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental fuzzy pairs: `deltaReps` against the persisted hood
+    * index PLUS itself — never store-vs-store. Returns rep-level
+    * (id_a, id_b, dist, b_in_store): delta-delta pairs ordered
+    * id_a < id_b by string; delta-store pairs carry the delta rep as
+    * id_a (equal strings across sides pair at dist 0 — that is how an
+    * incoming record adopts an existing entity). Candidate volume is
+    * delta-hood-sized; the only store access is the 8-byte-key
+    * equi-join. */
+  def deltaEditDistancePairs(deltaReps: DataFrame, idCol: String,
+                             strCol: String, indexPath: String,
+                             maxDist: Int = 1,
+                             blockCols: Seq[String] = Nil): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2, got $maxDist")
+    val spark = deltaReps.sparkSession
+    val d = keyedHoods(
+      deltaReps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
+        blockCols.map(col): _*), "__s", maxDist, blockCols)
+    val right = spark.read.parquet(indexPath)
+      .withColumn("__in_store", lit(true))
+      .unionByName(d.withColumn("__in_store", lit(false)))
+      .select(col("__rid").as("__rid_b") +: col("__s").as("__s_b") +:
+        col("__k").as("__k_b") +: col("__in_store") +:
+        blockCols.map(c => col(c).as(c + "__b")): _*)
+    // delta-delta pairs once (string order); delta-store pairs always
+    // (equal strings included — the adoption path)
+    val cond = blockCols.map(c => col(c) === col(c + "__b"))
+      .foldLeft(col("__k") === col("__k_b") &&
+        (col("__in_store") || col("__s") < col("__s_b")))(_ && _)
+    d.join(right, cond)
+      .select(col("__rid").as("id_a"), col("__rid_b").as("id_b"),
+        levenshtein(col("__s"), col("__s_b"), maxDist).as("dist"),
+        col("__in_store").as("b_in_store"))
+      .where(col("dist") >= 0)
+      .distinct() // pairs that met on several hood keys
+  }
+
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
                        maxDist: Int = 1,
                        blockCols: Seq[String] = Nil): DataFrame = {
