@@ -124,19 +124,23 @@ object Bench {
       else selected
         .filter { case (n, _) =>
           graft.analytics.StreamQueries.CachedStreamQueries.contains(n) }
-        .map { case (name, fn) =>
+        .flatMap { case (name, fn) =>
           graft.analytics.StreamQueries.resetStreamCaches()
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] cold $name failed: ${e.getMessage}")
-          }
+          // a crashed streaming query must be OMITTED, not recorded as a
+          // (bogus, likely fast) cold sample — emit only on success
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] cold $name failed: ${e.getMessage}")
+              false
+            }
           val t = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
-          name -> t
+          if (ok) Some(name -> t) else None
         }
     def r3(x: Double): String = f"$x%.3f"
     def jsonMap(entries: Seq[(String, Double)]): String = entries

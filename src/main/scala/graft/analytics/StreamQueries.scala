@@ -224,10 +224,14 @@ object StreamQueries {
         import java.nio.file.attribute.FileTime
         import scala.jdk.CollectionConverters._
         val srcDir = Paths.get(s"$tmp/src")
+        // Files.walk is documented must-close; this runs 8× per staging
         def listFiles(): Set[Path] =
           if (!Files.exists(srcDir)) Set.empty
-          else Files.walk(srcDir).iterator().asScala
-            .filter(Files.isRegularFile(_)).toSet
+          else {
+            val s = Files.walk(srcDir)
+            try s.iterator().asScala.filter(Files.isRegularFile(_)).toSet
+            finally s.close()
+          }
         val mtimeBase = System.currentTimeMillis()
         for (k <- 0L until 4L) {
           val before = listFiles()

@@ -85,10 +85,13 @@ object FuzzyJoin {
   /** Incremental fuzzy pairs: `deltaReps` against the persisted hood
     * index PLUS itself — never store-vs-store. Returns rep-level
     * (id_a, id_b, dist, b_in_store): delta-delta pairs ordered
-    * id_a < id_b by string; delta-store pairs carry the delta rep as
-    * id_a (equal strings across sides pair at dist 0 — that is how an
-    * incoming record adopts an existing entity). Candidate volume is
-    * delta-hood-sized; the only store access is the 8-byte-key
+    * id_a < id_b by string (by id when the strings are equal — the
+    * dist-0 within-delta case pairs once, like editDistanceJoin);
+    * delta-store pairs carry the delta rep as id_a (equal strings
+    * across sides pair at dist 0 — that is how an incoming record
+    * adopts an existing entity — but a rep never pairs with its own
+    * stored row: same-id candidates are guarded out). Candidate volume
+    * is delta-hood-sized; the only store access is the 8-byte-key
     * equi-join. */
   def deltaEditDistancePairs(deltaReps: DataFrame, idCol: String,
                              strCol: String, indexPath: String,
@@ -106,11 +109,18 @@ object FuzzyJoin {
       .select(col("__rid").as("__rid_b") +: col("__s").as("__s_b") +:
         col("__k").as("__k_b") +: col("__in_store") +:
         blockCols.map(c => col(c).as(c + "__b")): _*)
-    // delta-delta pairs once (string order); delta-store pairs always
-    // (equal strings included — the adoption path)
+    // delta-delta pairs once (string order, with an id-ordered branch
+    // for EQUAL delta strings — editDistanceJoin's documented dist-0
+    // behavior, which a bare `__s < __s_b` would silently drop);
+    // delta-store pairs always (equal strings included — the adoption
+    // path). The rid guard excludes the degenerate self-pair a delta
+    // rep forms against its own already-indexed row (same id, dist 0).
     val cond = blockCols.map(c => col(c) === col(c + "__b"))
       .foldLeft(col("__k") === col("__k_b") &&
-        (col("__in_store") || col("__s") < col("__s_b")))(_ && _)
+        col("__rid") =!= col("__rid_b") &&
+        (col("__in_store") ||
+          col("__s") < col("__s_b") ||
+          (col("__s") === col("__s_b") && col("__rid") < col("__rid_b"))))(_ && _)
     d.join(right, cond)
       .select(col("__rid").as("id_a"), col("__rid_b").as("id_b"),
         levenshtein(col("__s"), col("__s_b"), maxDist).as("dist"),

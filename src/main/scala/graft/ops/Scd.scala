@@ -26,9 +26,17 @@ import org.apache.spark.sql.functions._
   * its lag over one keyed window (one shuffle on the key, linear
   * per-key scan); segment fold is a groupBy on (key, segment) whose
   * clustering the window's HashPartitioning(key) already satisfies —
-  * no second exchange. Digest-equality caveat is [[Cdc]]'s verbatim:
-  * collision odds ~K·n²/2⁶⁵ per key-version, and callers needing
-  * certainty re-verify merged runs against payloads.
+  * no second exchange. The digest is NULL-DISCRIMINATING: Spark's
+  * hash functions silently skip null arguments, so a bare
+  * `xxhash64(values)` would merge tuples that differ only in which
+  * column is null ((x, null) vs (null, x)); each value column is
+  * therefore preceded by its own is-null indicator in the hash
+  * argument list, making the fold sequence prefix-decodable — the
+  * indicator always contributes, the value only when present, so
+  * distinct null patterns hash distinct (ScdSpec pins the shifted-null
+  * case). Digest-equality caveat is [[Cdc]]'s verbatim: collision odds
+  * ~K·n²/2⁶⁵ per key-version, and callers needing certainty re-verify
+  * merged runs against payloads.
   */
 object Scd {
 
@@ -55,7 +63,8 @@ object Scd {
       .when(prevH =!= col("__h"), 1)
       .otherwise(0)
     tagged
-      .withColumn("__h", xxhash64(valueCols.map(col): _*))
+      .withColumn("__h", xxhash64(valueCols.flatMap(c =>
+        Seq(col(c).isNull.cast("int"), col(c))): _*))
       .withColumn("__new", isNew)
       .withColumn("__seg",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,

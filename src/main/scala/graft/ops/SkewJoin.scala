@@ -36,12 +36,20 @@ object SkewJoin {
       lit(salts))
 
   /** Inner equi-join of `fact` and `dim` on `key`, salted `salts` ways.
-    * `rowKey` must be a fact column that is distinct-per-row (an id);
-    * output columns = fact ++ dim (minus dim's join key), like a plain
-    * `join(dim, key)`. */
+    * `rowKey` should be a fact column that is distinct-per-row (an
+    * id) — a non-unique rowKey stays CORRECT (each fact row still meets
+    * its dim row in exactly one lane) but concentrates a hot key's rows
+    * into the few lanes its rowKey values hash to, defeating the split;
+    * lane balance, not correctness, depends on rowKey uniqueness.
+    * Output columns = fact ++ dim (minus dim's join key), like a plain
+    * `join(dim, key)`. Neither input may already carry a `__salt`
+    * column (withColumn would silently replace the fact's and the dim
+    * explode would duplicate the name — checked). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  rowKey: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column; rename it on the input first")
     val f = fact.withColumn("__salt", saltOf(col(rowKey), salts))
     val d = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))

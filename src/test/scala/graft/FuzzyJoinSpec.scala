@@ -114,6 +114,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(ref.size == 15)
   }
 
+  test("delta vs hood index: no self-pairs, dist-0 within-delta pairs once, adoption kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hoodidx_").toString
+    val store = Seq((1L, "alpha"), (2L, "omega")).toDF("id", "s")
+    FuzzyJoin.writeHoodIndex(store, "id", "s", dir, maxDist = 1)
+    // delta: id 1 re-sent unchanged (must NOT self-pair with its own
+    // stored row), ids 10/11 equal strings (must pair once, id-ordered,
+    // dist 0 — the within-delta branch a bare __s < __s_b drops), and
+    // id 10 adopting store id 2's exact string
+    val delta = Seq((1L, "alpha"), (10L, "omega"), (11L, "omega"))
+      .toDF("id", "s")
+    val got = FuzzyJoin
+      .deltaEditDistancePairs(delta, "id", "s", dir, maxDist = 1)
+      .as[(Long, Long, Int, Boolean)].collect().toSet
+    assert(got == Set(
+      (10L, 2L, 0, true),    // adoption: delta "omega" vs store id 2
+      (11L, 2L, 0, true),
+      (10L, 11L, 0, false)), // within-delta equal strings, id-ordered, once
+      s"got $got")
+  }
+
   test("plans with no cartesian/nested-loop join — blocking equi-join only") {
     val plan = FuzzyJoin
       .editDistanceJoin(fixture.toDF("id", "s"), "id", "s", 1)

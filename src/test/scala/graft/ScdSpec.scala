@@ -59,6 +59,23 @@ class ScdSpec extends SparkSpec {
       (1L, 20.0, "A", 1, Some(2))))
   }
 
+  test("null-shifted value tuples are distinct changes, not one merged segment") {
+    // Spark's xxhash64 SKIPS null arguments, so a bare digest of the
+    // value columns hashes ("x", null) and (null, "x") identically and
+    // a real change would silently fold into one segment (whose min()
+    // fold then emits a row matching NEITHER snapshot). The digest now
+    // interleaves per-column null indicators; this pins the fix.
+    val v0 = Seq((1L, Option("x"), Option.empty[String])).toDF("k", "a", "b")
+    val v1 = Seq((1L, Option.empty[String], Option("x"))).toDF("k", "a", "b")
+    val got = Scd.scd2(Seq(v0, v1), Seq("k"), Seq("a", "b"))
+      .orderBy($"valid_from")
+      .as[(Long, Option[String], Option[String], Int, Option[Int])]
+      .collect().toList
+    assert(got == List(
+      (1L, Some("x"), None, 0, Some(1)),
+      (1L, None, Some("x"), 1, None)))
+  }
+
   test("scd2 plans exactly ONE exchange: segment fold reuses the window's partitioning") {
     // the scale claim in Scd's scaladoc, asserted: the groupBy on
     // (key, __seg) requires ClusteredDistribution(key, __seg), which

@@ -44,6 +44,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted === Map("hot" -> 9000L, "cold" -> 1L))
   }
 
+  test("inputs already carrying __salt are rejected, not silently mis-joined") {
+    val fact = Seq((1L, 1L, 0)).toDF("k", "row_id", "__salt")
+    val dim = Seq((1L, "x")).toDF("k", "tag")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, "k", "row_id", 4)
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(dim.withColumnRenamed("tag", "row_id"),
+        fact.drop("row_id"), "k", "row_id", 4)
+    }
+  }
+
   test("salt derivation is deterministic and engine-stable") {
     val a = SkewJoin.saltOf(lit("4242"), 8)
     val b = SkewJoin.saltOf(lit(4242L), 8)
