@@ -76,6 +76,55 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
     copy(child = newChild)
 }
 
+/** Top-n nearest centroids as ONE expression pass — the PROBE-LIST
+  * generalization of [[NearestCentroid]]: `array<long>` of the n best
+  * cluster_ids ordered exactly as the window formulation it replaces
+  * (`row_number() OVER (PARTITION BY id ORDER BY sim DESC, cluster_id)
+  * <= n`, Spark DESC = NULLS LAST): descending cosine, ties to the
+  * smaller id, zero-norm (null) similarities after every real one.
+  * Returns min(n, k) ids.
+  *
+  * This is what lets an IVF probe side be a pure map: the old
+  * `crossJoin(broadcast(seeds))` + window materialized queries×k rows
+  * (full vector payloads) and shuffled them through a row_number sort
+  * — a full exchange of the ×k-expanded frame. Here the top-nProbe
+  * selection is an n-slot insertion scan over the same driver-collected
+  * centroid matrix [[NearestCentroid]] carries (n = nProbe is O(1) by
+  * construction, k bounded by the quantizer size), inside whole-stage
+  * codegen, exchanging nothing. */
+case class NearestCentroidsTopN(child: Expression, ids: Array[Long],
+                                cents: Array[Array[Double]], n: Int)
+  extends UnaryExpression {
+
+  require(ids.length == cents.length && ids.nonEmpty,
+    "centroid ids and vectors must align and be non-empty")
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val norms: Array[Double] =
+    cents.map(NearestCentroid.selfNorm)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.assignTopN(input.asInstanceOf[ArrayData], ids, cents,
+      norms, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("centVecs", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, vVar => {
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.NearestCentroid$$.MODULE$$.assignTopN(
+         |    $vVar, $idsRef, $centsRef, $normsRef, $n);""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NearestCentroid {
 
   /** sqrt of the index-order self-dot — the exact `norm(v)` fold the
@@ -114,6 +163,50 @@ object NearestCentroid {
     else new GenericInternalRow(Array[Any](bestId, bestSim))
   }
 
+  /** n-slot insertion scan over centroids in ascending-id order; the
+    * strict `>` comparisons keep equal sims in scan (= id) order and
+    * rank the -2.0 null sentinel (zero-norm denominators; real cosines
+    * are ≥ -1) after every real similarity — byte-for-byte the
+    * `sim DESC NULLS LAST, cluster_id ASC` window order. Called per
+    * row from eval and generated code. */
+  def assignTopN(vec: ArrayData, ids: Array[Long],
+                 cents: Array[Array[Double]], norms: Array[Double],
+                 n: Int): ArrayData = {
+    val v = vec.toDoubleArray()
+    val nv = selfNorm(v)
+    val m = math.min(n, cents.length)
+    val bestIds = new Array[Long](m)
+    val bestSims = new Array[Double](m)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val denom = nv * norms(c)
+      var sim = -2.0
+      if (denom != 0.0) {
+        var dot = 0.0; var i = 0
+        val cent = cents(c)
+        val d = math.min(v.length, cent.length)
+        while (i < d) { dot += v(i) * cent(i); i += 1 }
+        sim = dot / denom
+      }
+      val insertAt =
+        if (filled < m) filled
+        else if (sim > bestSims(m - 1)) m - 1
+        else -1
+      if (insertAt >= 0) {
+        var pos = insertAt
+        while (pos > 0 && sim > bestSims(pos - 1)) {
+          bestSims(pos) = bestSims(pos - 1); bestIds(pos) = bestIds(pos - 1)
+          pos -= 1
+        }
+        bestSims(pos) = sim; bestIds(pos) = ids(c)
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIds)
+  }
+
   /** Column API: `struct(cluster_id, sim)` of the nearest centroid.
     * `seeds` must be driver-side (bounded: √n under the balanced
     * rule); they are sorted by cluster_id here so the tie-break is
@@ -124,5 +217,15 @@ object NearestCentroid {
     GraftColumnBridge.column(NearestCentroid(
       GraftColumnBridge.expression(vec.cast("array<double>")),
       sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+
+  /** Column API: `array<long>` of the top-n nearest centroid ids
+    * (sim DESC NULLS LAST, id ASC), min(n, k) elements. */
+  def nearestN(vec: Column, seeds: Seq[(Long, Array[Double])], n: Int): Column = {
+    val sorted = seeds.sortBy(_._1)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NearestCentroidsTopN(
+      GraftColumnBridge.expression(vec.cast("array<double>")),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray, n))
   }
 }

@@ -240,33 +240,51 @@ object Similarity {
     * ranking. This is the stage downstream operators compose with
     * their own selection semantics (hard-negative mining filters the
     * near-duplicate band out BEFORE the argmax; plain ANN ranks it
-    * directly). Scale shape: quantizer broadcast, corpus travels once
-    * to its list, candidate volume is nProbe × mean list size per
-    * query — never all-pairs. */
+    * directly).
+    *
+    * Scale shape: BOTH quantizer assignments are pure maps — the
+    * corpus's n=1 via [[graft.functions.NearestCentroid]], the query
+    * side's top-nProbe via [[graft.functions.NearestCentroidsTopN]] —
+    * over the driver-collected seed matrix (k rows BY CONSTRUCTION:
+    * member seeds or trained centroids, the documented bounded-collect
+    * class), so no ×k-expanded frame is ever materialized or shuffled
+    * (the prior formulation crossJoined broadcast seeds and ranked
+    * through a per-vector window — two full exchanges of corpus×k rows
+    * carrying vector payloads). The probes join is SIZE-AWARE via
+    * `broadcastProbes`: the query faces (s2/s2b — genuinely small
+    * query sets) broadcast; the MINING face, whose query set IS the
+    * corpus (probes = corpus × nProbe rows with full vectors — an OOM
+    * as a broadcast at any real scale), joins by a plain shuffle on
+    * `list_id`: both sides exchange once by the list key, the planner/
+    * AQE picks SMJ-vs-SHJ-vs-broadcast from MEASURED sizes instead of
+    * a hint forcing the driver to collect 5× the corpus. Candidate
+    * volume stays nProbe × mean list size per query — never
+    * all-pairs. */
   private[graft] def ivfCandidates(c0: DataFrame, queries: DataFrame,
                                    seeds0: DataFrame, nProbe: Int,
                                    vecCol: String,
-                                   queryIdCol: String): DataFrame = {
-    val seeds = seeds0
-      .select(col("list_id"), col("__sv").cast("array<double>").as("__sv"))
-      .withColumn("__sn", VF.norm(col("__sv")))
-    def nearestLists(df: DataFrame, id: String, v: String, n: Int): DataFrame =
-      df.withColumn("__n", VF.norm(col(v)))
-        .crossJoin(broadcast(seeds))
-        .withColumn("__asim", VF.dot(col(v), col("__sv"))
-          / nullif(col("__n") * col("__sn"), lit(0.0)))
-        .withColumn("__ar", row_number().over(
-          Window.partitionBy(col(id))
-            .orderBy(col("__asim").desc, col("list_id"))))
-        .filter(col("__ar") <= n)
-        .drop("__sv", "__sn", "__asim", "__ar")
-    val assigned = nearestLists(c0, "cand_id", "__cv", 1)
-      .withColumnRenamed("__n", "__cn")
+                                   queryIdCol: String,
+                                   broadcastProbes: Boolean = true): DataFrame = {
+    import graft.functions.NearestCentroid
+    val cents: Seq[(Long, Array[Double])] = seeds0
+      .select(col("list_id").cast("long"), col("__sv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val assigned = c0
+      .withColumn("__cn", VF.norm(col("__cv")))
+      .withColumn("__best", NearestCentroid.nearest(col("__cv"), cents))
+      .withColumn("list_id", col("__best.cluster_id"))
+      .drop("__best")
     val q0 = queries.select(col(queryIdCol),
       col(vecCol).cast("array<double>").as("__qv"))
-    val probes = nearestLists(q0, queryIdCol, "__qv", nProbe)
-      .withColumnRenamed("__n", "__qn")
-    assigned.join(broadcast(probes), Seq("list_id"))
+    val probes = q0
+      .withColumn("__qn", VF.norm(col("__qv")))
+      .withColumn("list_id",
+        explode(NearestCentroid.nearestN(col("__qv"), cents, nProbe)))
+    val joined =
+      if (broadcastProbes) assigned.join(broadcast(probes), Seq("list_id"))
+      else assigned.join(probes, Seq("list_id"))
+    joined
       .filter(col("cand_id") =!= col(queryIdCol))
       .withColumn("cosine",
         VF.dot(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)))
@@ -281,9 +299,13 @@ object Similarity {
     * OUT, and the per-anchor argmax rides the custom TopKPerGroup
     * operator (bounded heap, partial map-side — no per-anchor sort).
     *
-    * At 100 TB: quantizer broadcast, one corpus exchange to its list,
-    * candidate volume nProbe × mean list size per anchor; the argmax
-    * state is one row per anchor. Recall: a hard negative is by
+    * At 100 TB: quantizer rides the assignment expressions as
+    * reference data (map-only, zero exchanges — no corpus-derived
+    * frame is ever broadcast, asserted in HardNegativesSpec); the
+    * anchors×nProbe probes frame and the assigned corpus each exchange
+    * ONCE, by list_id, into a plain shuffle join. Candidate volume is
+    * nProbe × mean list size per anchor; the argmax state is one row
+    * per anchor. Recall: a hard negative is by
     * definition NEAR its anchor, which is exactly the vector IVF
     * probing is good at finding — the miss mode is a best negative
     * sitting just past a list boundary, bounded by probing more lists
@@ -327,7 +349,9 @@ object Similarity {
                                      dupThreshold: Double, idCol: String,
                                      vecCol: String): DataFrame = {
     val anchors = corpus.select(col(idCol).as("anchor_id"), col(vecCol))
-    val cands = ivfCandidates(c0, anchors, seeds, nProbe, vecCol, "anchor_id")
+    // the query set IS the corpus here — never broadcast it
+    val cands = ivfCandidates(c0, anchors, seeds, nProbe, vecCol, "anchor_id",
+        broadcastProbes = false)
       .filter(col("cosine") < dupThreshold)
     TopK.perGroup(cands, Seq("anchor_id"),
         Seq(("cosine", true), ("cand_id", false)), k = 1, rankName = "rn")

@@ -44,6 +44,35 @@ class HardNegativesSpec extends SparkSpec {
     assert(rows.forall(_._3 > 0.9), "negatives must be hard (cos > 0.9)")
   }
 
+  test("mining face plan: NO broadcast of any corpus-derived frame, no cartesian") {
+    // the round-9 scale finding: the anchors-probe frame is corpus ×
+    // nProbe rows carrying full vectors — an explicit broadcast() hint
+    // there collects 5× the corpus to the driver at scale. An explicit
+    // hint survives autoBroadcastJoinThreshold=-1, so with the
+    // threshold off and AQE off, ANY BroadcastExchange in the static
+    // plan can only come from a forced hint — assert there is none.
+    // (At runtime AQE may still upgrade the shuffle join to broadcast
+    // when the probe side MEASURES small — that is the size-awareness
+    // working, not a regression.)
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val thr = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Similarity.hardNegativesIvfSeeded(
+          fixture, VectorQueries.IvfSeedIds, nProbe = 5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"mining face must not force a broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+  }
+
   test("trained-quantizer variant also equals brute force on the fixture") {
     val brute = collectTriples(VectorQueries.hardNegatives(spark, sfDir))
     val trained = collectTriples(

@@ -56,6 +56,37 @@ class NearestCentroidSpec extends SparkSpec {
     assert(nv(4L) == (2L, None), "all-null row falls back to min cluster_id")
   }
 
+  test("top-n agrees with the window formulation's first n rows, every n") {
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(0.6, 0.8, 0.0),
+      3L -> Seq(1.0, 1.0, 0.0),          // tie between 5 and 2 -> 2 first
+      4L -> Seq(0.0, 0.0, 0.0),          // all sims NULL -> pure id order
+      5L -> Seq(-1.0, 0.0, 0.0),
+      6L -> Seq(1.0, 1.0, 1.0))
+    val c0 = vecs.toDF("id", "v")
+    val sd = seeds.map { case (i, a) => (i, a.toSeq) }.toDF("cid", "sv")
+      .withColumn("sn", VF.norm(col("sv")))
+    for (n <- 1 to 5) {                  // n=5 > k=4: returns all k
+      val viaWin = c0.withColumn("nn", VF.norm(col("v")))
+        .crossJoin(broadcast(sd))
+        .withColumn("sim", VF.dot(col("v"), col("sv"))
+          / nullif(col("nn") * col("sn"), lit(0.0)))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid"))))
+        .filter(col("r") <= n)
+        .orderBy(col("id"), col("r"))
+        .select(col("id"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val viaTopN = c0
+        .select(col("id"),
+          NearestCentroid.nearestN(col("v"), seeds, n).as("ls"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(viaTopN == viaWin, s"n=$n: window=$viaWin topN=$viaTopN")
+    }
+  }
+
   test("eval path matches codegen path") {
     val vecs: Seq[(Long, Seq[Double])] =
       Seq(1L -> Seq(0.3, 0.4, 0.5), 2L -> Seq(0.0, 0.0, 0.0))
