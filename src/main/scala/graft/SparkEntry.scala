@@ -146,6 +146,7 @@ object SparkEntry {
     "v2_quantized_cosine"   -> (VectorQueries.quantizedCosineTop5 _),
     "v3_hard_negatives"     -> (VectorQueries.hardNegatives _),
     "v3b_hard_neg_ann"      -> (VectorQueries.hardNegativesAnn _),
+    "v3c_hard_neg_pq"       -> (VectorQueries.hardNegativesPq _),
     "c1_contamination"      -> (TextQueries.contamination _),
     "c2_corpus_build"       -> (TextQueries.corpusBuild _),
     "c3_training_mix"       -> (TextQueries.trainingMix _),
@@ -2755,6 +2756,84 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY anchor_id
          |          ORDER BY sim_raw DESC, cand_id) AS rn
          |      FROM sims WHERE sim_raw < 0.99)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+    // v3c: the COMPRESSED-index mining path replayed end-to-end —
+    // seeded-IVF assignment + nProbe probing (v3b's blocks), PQ encode
+    // against the seeded codebook + asymmetric-distance pre-rank (s3's
+    // blocks), top-10 rerank shortlist, exact-cosine re-rank, the
+    // non-duplicate constraint on the EXACT similarity, then the
+    // per-anchor argmax. Gates the full approximate pipeline: an
+    // encode, ADC, probing or rerank drift fails the hash. rerank=50
+    // (the measured exact-recall knee, see PERFORMANCE.md).
+    "v3c_hard_neg_pq" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)), 0.0)"
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 2000),
+         |e AS (SELECT vec_id, v FROM e0
+         |      UNION ALL
+         |      SELECT vec_id + 1000000, [v[1] + 0.001] || v[2:] FROM e0
+         |      UNION ALL
+         |      SELECT vec_id + 2000000, [v[1] + 0.33] || v[2:] FROM e0),
+         |iseeds AS (SELECT vec_id AS list_id, v AS sv FROM e
+         |           WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
+         |ca AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT c.vec_id, s.list_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e c CROSS JOIN iseeds s)
+         |  WHERE ar = 1),
+         |qa AS (
+         |  SELECT vec_id AS anchor_id, v AS qv, list_id FROM (
+         |    SELECT q.vec_id, q.v, s.list_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e q CROSS JOIN iseeds s)
+         |  WHERE ar <= 5),
+         |pseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS sv
+         |           FROM e WHERE vec_id IN (${graft.analytics.VectorQueries.PqSeedIds.mkString(", ")})),
+         |slt AS (SELECT list(sv ORDER BY j) AS sl FROM pseeds),
+         |enc AS (
+         |  SELECT c.vec_id, g.mi, s.j,
+         |    list_sum(list_transform(range(1, 9), d ->
+         |      (c.v[CAST(g.mi * 8 + d AS INTEGER)]
+         |       - s.sv[CAST(g.mi * 8 + d AS INTEGER)]) ^ 2)) AS dist
+         |  FROM e c CROSS JOIN (SELECT unnest(range(0, 8)) AS mi) g
+         |  CROSS JOIN pseeds s),
+         |codes AS (
+         |  SELECT vec_id, list(j ORDER BY mi) AS cl FROM (
+         |    SELECT vec_id, mi, j,
+         |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist, j) AS rn
+         |    FROM enc) WHERE rn = 1 GROUP BY vec_id),
+         |adc AS (
+         |  SELECT qa.anchor_id, ca.vec_id AS cand_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      (qa.qv[CAST(i AS INTEGER)]
+         |       - t.sl[CAST(c.cl[CAST((i - 1) // 8 + 1 AS INTEGER)] + 1 AS INTEGER)]
+         |              [CAST(i AS INTEGER)]) ^ 2)) AS adc_dist
+         |  FROM qa JOIN ca USING (list_id)
+         |  JOIN codes c ON c.vec_id = ca.vec_id
+         |  CROSS JOIN slt t
+         |  WHERE ca.vec_id != qa.anchor_id),
+         |rr AS (
+         |  SELECT anchor_id, cand_id FROM (
+         |    SELECT anchor_id, cand_id,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY adc_dist, cand_id) AS r
+         |    FROM adc) WHERE r <= 50),
+         |ex AS (
+         |  SELECT rr.anchor_id, rr.cand_id, ${cos("a.v", "b.v")} AS cosine
+         |  FROM rr JOIN e a ON a.vec_id = rr.anchor_id
+         |          JOIN e b ON b.vec_id = rr.cand_id)
+         |SELECT anchor_id AS vec_id, cand_id AS neg_id,
+         |  floor(cosine * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (SELECT anchor_id, cand_id, cosine,
+         |        row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY cosine DESC, cand_id) AS rn
+         |      FROM ex WHERE cosine < 0.99)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
     // e1: brute force over the planted fixture — valid as the LSH

@@ -83,6 +83,29 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** v3c — hard-negative mining through the COMPRESSED index
+    * (ops.Similarity.hardNegativesPqSeeded): same planted fixture and
+    * shortlist geometry as v3b, but candidates are pre-ranked by
+    * asymmetric distance over the m=8-byte PQ codes and only the
+    * top-`rerank` survivors fetch raw vectors for the exact argmax —
+    * the memory story when the raw corpus no longer fits a shortlist
+    * pipeline's working set. rerank=50 is the measured exact-recall
+    * knee: the seeded 8-codeword codebook's quantization error costs
+    * the exact argmax for 1-7% of anchors at R=5-10 and none at R=50
+    * on either spec/gate fixture (full recall curve in
+    * PERFORMANCE.md). The oracle replays the complete path
+    * (seeded assignment, probing, PQ encode, ADC rank, exact re-rank,
+    * dup filter, argmax); HardNegativesSpec proves v3c ≡ the bounded
+    * scan on the fixture. */
+  def hardNegativesPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = hardNegFixture(spark, dir, "embedding")
+    graft.ops.Similarity.hardNegativesPqSeeded(e, IvfSeedIds, PqSeedIds,
+        nProbe = 5, rerank = 50)
+      .select(col("vec_id"), col("neg_id"),
+        exactRound(col("cosine"), 6).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** A1 — weighted mean embedding per label, exploded to (label, dim,
     * value) rows so the oracle compare is scalar. Weight is a
     * deterministic function of vec_id (stands in for token_count).

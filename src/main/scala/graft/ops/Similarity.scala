@@ -359,6 +359,82 @@ object Similarity {
         col("cosine"))
   }
 
+  /** COMPRESSED-INDEX hard-negative mining (v3c) — the memory story
+    * that survives when raw vectors are 4·dim bytes × 10¹¹ docs and
+    * the [[hardNegativesFromSeeds]] shortlist's working set (raw
+    * corpus on BOTH join sides) no longer fits: the resident index
+    * side carries only the m-byte PQ codes.
+    *
+    * Pipeline: seeded-IVF probe (map-only assignment, identical to
+    * v3b) → ADC pre-rank over the CODES (the corpus side of the
+    * shuffle join is (cand_id, list_id, codes) — m small ints per
+    * vector instead of 4·dim·8 bytes raw) → bounded-heap top-`rerank`
+    * per anchor → EXACT re-rank of only those survivors (two
+    * output-sized equi-joins fetch the R·n raw vectors — the classic
+    * fetch-for-rerank IO) → near-duplicate band filtered on the exact
+    * cosine → argmax. The dup filter must run on the EXACT similarity
+    * (quantization error around the 0.99 band would otherwise
+    * misclassify twins), which is why it sits after the re-rank, and
+    * why `rerank` needs headroom for the dup rows it will discard
+    * (the planted fixture has 1 dup per anchor; rerank defaults to 10).
+    *
+    * Both quantizers are seeded corpus members ([[ivfTopKSeeded]]'s
+    * lists, [[Quantize.pqTopK]]'s codebook), so the entire pipeline —
+    * assignment, encode, ADC, re-rank, argmax — replays exactly in the
+    * SQL oracle. Recall-vs-brute measured in PERFORMANCE.md. */
+  def hardNegativesPqSeeded(corpus: DataFrame, ivfSeedIds: Seq[Long],
+                            pqSeedIds: Seq[Long], nProbe: Int = 2,
+                            rerank: Int = 10, dupThreshold: Double = 0.99,
+                            m: Int = 8, subDim: Int = 8,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{NearestCentroid, ProductQuantizer}
+    require(ivfSeedIds.nonEmpty && pqSeedIds.nonEmpty && nProbe > 0 && rerank > 0)
+    val c0 = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    // both quantizers are bounded collects (|seeds| rows by construction)
+    val cents: Seq[(Long, Array[Double])] = c0
+      .filter(col("cand_id").isin(ivfSeedIds: _*))
+      .select(col("cand_id"), col("__cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val pqSeeds = c0.filter(col("cand_id").isin(pqSeedIds: _*))
+      .orderBy(col("cand_id")).select(col("__cv"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    require(pqSeeds.nonEmpty, s"no PQ seed vectors found for ids $pqSeedIds")
+    val kw = pqSeeds.length
+    val cb = ProductQuantizer.flatten(pqSeeds, m, subDim)
+    // index side: list + codes only — no raw vectors travel
+    val assigned = c0
+      .withColumn("__best", NearestCentroid.nearest(col("__cv"), cents))
+      .select(col("cand_id"), col("__best.cluster_id").as("list_id"),
+        ProductQuantizer.encode(col("__cv"), cb, m, kw, subDim).as("__codes"))
+    val anchors = c0
+      .select(col("cand_id").as("anchor_id"), col("__cv").as("__qv"))
+      .withColumn("list_id",
+        explode(NearestCentroid.nearestN(col("__qv"), cents, nProbe)))
+    val adc = assigned.join(anchors, Seq("list_id"))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        ProductQuantizer.adcDist(col("__qv"), col("__codes"), cb, m, kw, subDim)
+          .as("adc_dist"))
+    val short = TopK.perGroup(adc, Seq("anchor_id"),
+        Seq(("adc_dist", false), ("cand_id", false)), k = rerank,
+        rankName = "__rr")
+      .select(col("anchor_id"), col("cand_id"))
+    val qv = c0.select(col("cand_id").as("anchor_id"), col("__cv").as("__qv"))
+      .withColumn("__qn", VF.norm(col("__qv")))
+    val cv = c0.withColumn("__cn", VF.norm(col("__cv")))
+    val exact = short.join(cv, Seq("cand_id")).join(qv, Seq("anchor_id"))
+      .withColumn("cosine",
+        VF.dot(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)))
+      .filter(col("cosine") < dupThreshold)
+      .select(col("anchor_id"), col("cand_id"), col("cosine"))
+    TopK.perGroup(exact, Seq("anchor_id"),
+        Seq(("cosine", true), ("cand_id", false)), k = 1, rankName = "rn")
+      .select(col("anchor_id").as("vec_id"), col("cand_id").as("neg_id"),
+        col("cosine"))
+  }
+
   /** IVF-style ANN: corpus assigned to KMeans centroids; queries search
     * the `nProbe` nearest inverted lists. The coarse quantizer is tiny
     * and broadcast; the corpus shuffles once at index build. */

@@ -1,0 +1,43 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+
+/** UNCAPPED hard-negative mining (v3b's production face): every vector
+  * in the embeddings table is an anchor — the regime where the round-9
+  * fixture's `vec_id < 2000` cap hid the old forced-broadcast plan's
+  * failure (probes = corpus × nProbe rows with full vectors collected
+  * to the driver). Run per decade with SPARK_GRAFT_SF_DIR.
+  *
+  * Quantizer sizing follows the balanced √n rule (the d11/SemDeDup
+  * discipline): nLists = ceil(√n) member seeds at every `step`-th id,
+  * so assignment work (n·√n centroid scans, map-only in the
+  * NearestCentroid expressions) and candidate volume (n·nProbe·√n
+  * pairs) balance — the model cost is Θ(n^1.5) at fixed nProbe, and
+  * the honest scale question per decade is "measured ratio vs the
+  * 10^1.5 ≈ 31.6× model", not vs linear. (Real trillion-row indexes
+  * cut the assignment term with a centroid HNSW; the candidate term
+  * is the same.) */
+object DiagV3b {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("diag-v3b")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nProbe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "5").toInt
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val step = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val seedIds = (0L until n by step).toSeq
+    println(s"[diag] dir=$dir n=$n nLists=${seedIds.size} nProbe=$nProbe")
+    val t0 = System.nanoTime()
+    val mined = graft.ops.Similarity.hardNegativesIvfSeeded(
+      e, seedIds, nProbe = nProbe)
+    val rows = mined.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // every anchor must mine a negative (probed lists are never empty:
+    // an anchor's own list is always probed and holds its neighbors)
+    println(f"[diag] anchors_out=$rows%d of $n%d elapsed=$secs%.1f s")
+    val plan = mined.queryExecution.executedPlan.toString
+    println(s"[diag] broadcast_exchanges=" +
+      plan.linesIterator.count(_.contains("BroadcastExchange")))
+    spark.stop()
+  }
+}

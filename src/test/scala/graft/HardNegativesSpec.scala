@@ -73,6 +73,37 @@ class HardNegativesSpec extends SparkSpec {
     }
   }
 
+  test("compressed-index face (v3c) equals the bounded scan on the planted fixture") {
+    // PQ quantization error must not cost the argmax: the planted hard
+    // negative (cosine ~0.95 vs ~0.35 background) survives the ADC
+    // pre-rank into the top-10 rerank shortlist, and the dup filter on
+    // the EXACT similarity still excludes the planted twin
+    val brute = collectTriples(VectorQueries.hardNegatives(spark, sfDir))
+    val pq = collectTriples(VectorQueries.hardNegativesPq(spark, sfDir))
+    assert(pq === brute)
+  }
+
+  test("v3c plan: codes-only index side, no forced broadcast of corpus frames") {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val thr = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.ops.Similarity.hardNegativesPqSeeded(
+          fixture, VectorQueries.IvfSeedIds, VectorQueries.PqSeedIds,
+          nProbe = 5, rerank = 10)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"compressed mining face must not force a broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+  }
+
   test("trained-quantizer variant also equals brute force on the fixture") {
     val brute = collectTriples(VectorQueries.hardNegatives(spark, sfDir))
     val trained = collectTriples(
