@@ -265,8 +265,11 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val eval = docs.filter(col("doc_id") % 10 === 7)
     val train = docs.filter(col("doc_id") % 10 =!= 7)
+    // the eval side here is a CORPUS SLICE (10% holdout), not a fixed
+    // benchmark — it must not be force-broadcast (BroadcastGuardSpec)
     graft.ops.Contamination.overlaps(
-      train, "doc_id", "text", eval, "doc_id", "text", n = 8)
+      train, "doc_id", "text", eval, "doc_id", "text", n = 8,
+      broadcastEval = false)
       .orderBy(col("train_id"), col("eval_id"))
   }
 

@@ -20,10 +20,21 @@ import graft.functions.PolyHash
 object Contamination {
 
   /** (train_id, eval_id, n_shared) — distinct shared n-gram count per
-    * contaminated (train, eval) pair. */
+    * contaminated (train, eval) pair.
+    *
+    * `broadcastEval` is the SIZE-AWARENESS knob (the v3b adjudication
+    * applied here): true fits the real decontamination deployment —
+    * the eval side is a FIXED benchmark suite, bounded regardless of
+    * corpus scale, and broadcasting its gram table keeps the train
+    * side shuffle-free. But when the eval side is carved FROM the
+    * corpus (a holdout split, as the c1 gate query does), its gram
+    * frame grows linearly with the data and a forced broadcast is the
+    * same scale bomb v3b had — pass false and the join becomes a plain
+    * shuffle on the 8-byte gram key (AQE still upgrades to broadcast
+    * at runtime whenever the eval side MEASURES small). */
   def overlaps(train: DataFrame, trainId: String, trainText: String,
                eval: DataFrame, evalId: String, evalText: String,
-               n: Int = 8): DataFrame = {
+               n: Int = 8, broadcastEval: Boolean = true): DataFrame = {
     // Per-doc distinct grams come out of the WordNGrams byte-slicer
     // MAP-SIDE (no per-word explode, no doc-key window shuffle — the
     // formulation the 100x sweep measured at 67 s for this query), and
@@ -37,7 +48,7 @@ object Contamination {
         .select(col(as), PolyHash.polyHash(col("__w")).as("__g"))
     val t = grams(train, trainId, trainText, "train_id")
     val e = grams(eval, evalId, evalText, "eval_id")
-    t.join(broadcast(e), Seq("__g"))
+    t.join(if (broadcastEval) broadcast(e) else e, Seq("__g"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
