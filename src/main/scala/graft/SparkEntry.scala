@@ -170,6 +170,7 @@ object SparkEntry {
     "st7_stream_heavy_hitters" -> (StreamQueries.streamHeavyHitters _),
     "st8_stream_count_min"  -> (StreamQueries.streamCountMin _),
     "st9_stream_throttle"   -> (StreamQueries.streamThrottleDedup _),
+    "st11_stream_asof"      -> (StreamQueries.streamToleranceAsOf _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -768,6 +769,25 @@ object SparkEntry {
     * as ops.PageRank's column expression. */
   /** w16/st10 shared oracle: hop assignment replayed as the two
     * epoch-aligned 30-min buckets at and before each event's own. */
+  /** w15's tolerance as-of, shared VERBATIM by the st11 streaming face
+    * (the st6/st8 shared-oracle pattern): the stream's per-user state
+    * walk must reproduce the batch window's enrichment exactly. */
+  private lazy val asofToleranceOracleSql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_id AS view_id, value AS view_value
+      |  FROM events WHERE event_type = 'view')
+      |SELECT l.user_id, l.event_id,
+      |  CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN r.view_id END
+      |    AS prior_view_id,
+      |  CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN r.view_value END
+      |    AS prior_view_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.user_id, l.event_id""".stripMargin
+
   private lazy val hoppingOracleSql: String =
     """WITH e AS (
       |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
@@ -2155,21 +2175,11 @@ object SparkEntry {
     // w15: ASOF winner post-filtered by a freshness CASE — exact
     // because any earlier right row is older still, so an out-of-
     // tolerance winner means the true answer is null.
-    "w15_asof_tolerance" ->
-      """WITH l AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events WHERE event_type = 'click'),
-        |r AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    event_id AS view_id, value AS view_value
-        |  FROM events WHERE event_type = 'view')
-        |SELECT l.user_id, l.event_id,
-        |  CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN r.view_id END
-        |    AS prior_view_id,
-        |  CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN r.view_value END
-        |    AS prior_view_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "w15_asof_tolerance" -> asofToleranceOracleSql,
+    // st11 emits the IDENTICAL enrichment through the streaming face
+    // (four time-sliced micro-batches, one open view per user in the
+    // state store) — same oracle, proving batch/stream agreement.
+    "st11_stream_asof" -> asofToleranceOracleSql,
     "w9_asof_forward" ->
       """WITH l AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

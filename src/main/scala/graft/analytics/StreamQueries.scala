@@ -205,48 +205,11 @@ object StreamQueries {
     * verbatim. */
   def streamThrottleDedup(spark: SparkSession, dir: String): DataFrame = {
     val table = streamedThrottle.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st9_").toString
-      val ev = Tables.events(spark, dir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val Array(mn, mx) = ev.agg(
-          unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      val step = math.max(1L, (mx - mn) / 4 + 1)
-      // sequential single-file writes; FileStreamSource orders files by
-      // MODIFICATION TIME, and fast consecutive writes can tie on
-      // coarse-granularity filesystems (replaying slices out of
-      // event-time order would corrupt the per-key lag state), so each
-      // slice's new files get an explicit k-indexed mtime after the
-      // write — the processing order is pinned, not assumed.
-      locally {
-        import java.nio.file.{Files, Path, Paths}
-        import java.nio.file.attribute.FileTime
-        import scala.jdk.CollectionConverters._
-        val srcDir = Paths.get(s"$tmp/src")
-        // Files.walk is documented must-close; this runs 8× per staging
-        def listFiles(): Set[Path] =
-          if (!Files.exists(srcDir)) Set.empty
-          else {
-            val s = Files.walk(srcDir)
-            try s.iterator().asScala.filter(Files.isRegularFile(_)).toSet
-            finally s.close()
-          }
-        val mtimeBase = System.currentTimeMillis()
-        for (k <- 0L until 4L) {
-          val before = listFiles()
-          ev.filter(unix_micros(col("ts")) >= mn + k * step &&
-              unix_micros(col("ts")) < mn + (k + 1) * step)
-            .coalesce(1).write.mode("append").parquet(s"$tmp/src")
-          (listFiles() -- before).foreach(p =>
-            Files.setLastModifiedTime(p,
-              FileTime.fromMillis(mtimeBase + k * 60000L)))
-        }
-      }
-      val schema = spark.read.parquet(s"$tmp/src").schema
+      val src = stageEventTimeSlices(spark, dir, "graft_st9_")
+      val schema = spark.read.parquet(src).schema
       val name = s"graft_st9_${math.abs(dir.hashCode)}"
       import spark.implicits._
-      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+      EventStreams.runAvailableNow(spark, src, schema,
         df => EventStreams.throttleDedupStream(
           df.as[EventStreams.Event], gapUs = 3600000000L).toDF(),
         name, maxFilesPerTrigger = Some(1),
@@ -260,6 +223,81 @@ object StreamQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Stage the events table as FOUR time-sliced single-file
+    * micro-batch sources (oldest-first), shared by the stateful
+    * cross-batch faces (st9, st11): sequential single-file writes;
+    * FileStreamSource orders files by MODIFICATION TIME, and fast
+    * consecutive writes can tie on coarse-granularity filesystems
+    * (replaying slices out of event-time order would corrupt per-key
+    * lag/as-of state), so each slice's new files get an explicit
+    * k-indexed mtime after the write — the processing order is pinned,
+    * not assumed. Returns the staged source directory. */
+  private def stageEventTimeSlices(spark: SparkSession, dir: String,
+                                   tmpPrefix: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val Array(mn, mx) = ev.agg(
+        unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val step = math.max(1L, (mx - mn) / 4 + 1)
+    import java.nio.file.{Files, Path, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val srcDir = Paths.get(s"$tmp/src")
+    // Files.walk is documented must-close; this runs 8× per staging
+    def listFiles(): Set[Path] =
+      if (!Files.exists(srcDir)) Set.empty
+      else {
+        val s = Files.walk(srcDir)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toSet
+        finally s.close()
+      }
+    val mtimeBase = System.currentTimeMillis()
+    for (k <- 0L until 4L) {
+      val before = listFiles()
+      ev.filter(unix_micros(col("ts")) >= mn + k * step &&
+          unix_micros(col("ts")) < mn + (k + 1) * step)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      (listFiles() -- before).foreach(p =>
+        Files.setLastModifiedTime(p,
+          FileTime.fromMillis(mtimeBase + k * 60000L)))
+    }
+    s"$tmp/src"
+  }
+
+  /** st11 — STREAMING tolerance as-of join
+    * (EventStreams.toleranceAsOfStream, the stateful face of w15): the
+    * events table replays as four time-sliced micro-batches (st9's
+    * staging), per-user state carries ONLY the freshest view seen so
+    * far, and each click emits its within-tolerance prior view (or
+    * nulls) — crossing slice boundaries through the state store. The
+    * rollup must hash-match w15's batch oracle VERBATIM: the stream
+    * and the one-shuffle batch window compute the same temporal
+    * enrichment or the gate fails. */
+  def streamToleranceAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedAsOf.getOrElseUpdate(dir, {
+      val src = stageEventTimeSlices(spark, dir, "graft_st11_")
+      val schema = spark.read.parquet(src).schema
+      val name = s"graft_st11_${math.abs(dir.hashCode)}"
+      import spark.implicits._
+      EventStreams.runAvailableNow(spark, src, schema,
+        df => EventStreams.toleranceAsOfStream(
+          df.as[EventStreams.Event], toleranceUs = 600L * 1000000L).toDF(),
+        name, maxFilesPerTrigger = Some(1),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      name
+    })
+    spark.table(table)
+      .select(col("user_id"), col("event_id"),
+        col("prior_view_id"), col("prior_view_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val streamedAsOf =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private val streamedThrottle =
     scala.collection.concurrent.TrieMap[String, String]()
 
@@ -271,7 +309,7 @@ object StreamQueries {
   val CachedStreamQueries: Set[String] = Set(
     "st4_stream_semdedup", "st5_stream_minhash", "st6_stream_cdc",
     "st7_stream_heavy_hitters", "st8_stream_count_min",
-    "st9_stream_throttle")
+    "st9_stream_throttle", "st11_stream_asof")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -283,6 +321,7 @@ object StreamQueries {
     streamedSurvivors.clear(); streamedPairs.clear()
     streamedCdcOps.clear(); streamedHh.clear()
     streamedCms.clear(); streamedThrottle.clear()
+    streamedAsOf.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

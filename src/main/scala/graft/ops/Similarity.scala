@@ -281,9 +281,18 @@ object Similarity {
       .withColumn("__qn", VF.norm(col("__qv")))
       .withColumn("list_id",
         explode(NearestCentroid.nearestN(col("__qv"), cents, nProbe)))
+    // the mining face FORCES a shuffle hash join (build = the 1×
+    // assigned corpus; the nProbe× probes stream): Catalyst's estimate
+    // for the probes side inherits the pre-explode scan size, so at
+    // mid scales the planner still auto-broadcasts a frame that is
+    // really nProbe× bigger — the caller's knowledge (queries ≈
+    // corpus) beats the estimator. At toy scale AQE may keep a
+    // runtime-measured broadcast on top of the hint; at index scale
+    // both sides exchange once by list_id and nothing reaches the
+    // driver.
     val joined =
       if (broadcastProbes) assigned.join(broadcast(probes), Seq("list_id"))
-      else assigned.join(probes, Seq("list_id"))
+      else assigned.hint("shuffle_hash").join(probes, Seq("list_id"))
     joined
       .filter(col("cand_id") =!= col(queryIdCol))
       .withColumn("cosine",
@@ -412,7 +421,11 @@ object Similarity {
       .select(col("cand_id").as("anchor_id"), col("__cv").as("__qv"))
       .withColumn("list_id",
         explode(NearestCentroid.nearestN(col("__qv"), cents, nProbe)))
-    val adc = assigned.join(anchors, Seq("list_id"))
+    // shuffle hash join, build = the codes-only index side (see
+    // ivfCandidates' mining-face rationale; here the build side is the
+    // compressed index — m bytes/vector — so the per-partition build
+    // is small BY DESIGN, which is the whole point of v3c)
+    val adc = assigned.hint("shuffle_hash").join(anchors, Seq("list_id"))
       .filter(col("cand_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("cand_id"),
         ProductQuantizer.adcDist(col("__qv"), col("__codes"), cb, m, kw, subDim)

@@ -311,6 +311,67 @@ object EventStreams {
       }
   }
 
+  case class AsOfMatch(user_id: Long, event_id: Long,
+                       prior_view_id: Option[Long],
+                       prior_view_value: Option[Double])
+  case class AsOfViewState(ts_us: Long, view_id: Long, view_value: Double)
+
+  /** STREAMING tolerance as-of join — the stateful face of the batch
+    * w15 ([[graft.ops.TemporalJoins.asOfWithin]]): for each click, the
+    * LATEST view at or before it on the same user, nulled when staler
+    * than `toleranceUs`. The state is ONE row per user — the freshest
+    * view seen so far (its micros, id, value) — because a backward
+    * as-of never needs more: any older view is dominated. That is the
+    * open-interval-per-key discipline of the st6/st9 family applied to
+    * temporal enrichment, and the state story a 100 TB clickstream
+    * needs (per-key constant state; no view buffer, no watermarked
+    * join buffer growing with traffic).
+    *
+    * Equality with the batch window needs event-TIME-ordered replay:
+    * the caller stages time-sliced files (st9's discipline), so
+    * cross-batch arrival follows event time; within a micro-batch each
+    * group sorts by (micros, view-before-click, event_id) — views sort
+    * FIRST at an equal timestamp (the batch plan's __side rule: as-of
+    * equality is inclusive) and equal-timestamp views replace state in
+    * ascending (id, value) order so the last replacement is the
+    * greatest payload struct, exactly the batch window's
+    * `last(__p)` tie rule. Emits one row per CLICK; every output row
+    * is input-triggered, so AvailableNow needs no end-of-stream
+    * flush. */
+  def toleranceAsOfStream(events: Dataset[Event],
+                          toleranceUs: Long): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfViewState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[AsOfViewState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (micros(e.ts), if (e.event_type == "view") 0 else 1, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[AsOfMatch]()
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            if (e.event_type == "view") {
+              if (st == null || us > st.ts_us ||
+                  (us == st.ts_us && (e.event_id > st.view_id ||
+                    (e.event_id == st.view_id && e.value > st.view_value))))
+                st = AsOfViewState(us, e.event_id, e.value)
+            } else {
+              if (st != null && us - st.ts_us <= toleranceUs)
+                out += AsOfMatch(uid, e.event_id,
+                  Some(st.view_id), Some(st.view_value))
+              else out += AsOfMatch(uid, e.event_id, None, None)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Incremental file-stream run of a transform with
     * Trigger.AvailableNow semantics into an in-memory table — the
     * faithful translation of the reference's scheduled-incremental

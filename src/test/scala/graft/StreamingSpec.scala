@@ -261,6 +261,54 @@ class StreamingSpec extends SparkSpec {
     assert(st9.nonEmpty)
   }
 
+  test("st11 rehearsal: streamed tolerance as-of equals the batch w15 window") {
+    val st11 = SparkEntry.queries("st11_stream_asof")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val w15 = SparkEntry.queries("w15_asof_tolerance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(st11 === w15)
+    assert(st11.nonEmpty)
+    // a matched row and a tolerance-nulled row both occur — the
+    // freshness CASE path is genuinely exercised at this fixture
+    assert(st11.exists(_._3.isDefined) && st11.exists(_._3.isEmpty))
+  }
+
+  test("toleranceAsOfStream carries as-of state ACROSS micro-batches") {
+    // a view in batch 1, its click in batch 2: only the state store can
+    // connect them. Two clicks probe both the within-tolerance and the
+    // too-stale sides of the 10-minute boundary from the SAME state.
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st11_x_").toString
+    def ev(id: Long, us: Long, typ: String): EventStreams.Event =
+      EventStreams.Event(id, new Timestamp(us / 1000L), 7L, typ, id * 1.5)
+    val m = 60L * 1000000L
+    Seq(ev(1L, 0L * m, "view")).toDF()
+      .coalesce(1).write.parquet(s"$tmp/src")
+    val f1 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/src"))
+    try f1.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1000000L)))
+    finally f1.close()
+    Seq(ev(2L, 5L * m, "click"), ev(3L, 20L * m, "click")).toDF()
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val name = "st11_cross_batch_test"
+    EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+      df => EventStreams.toleranceAsOfStream(
+        df.as[EventStreams.Event], toleranceUs = 600L * 1000000L).toDF(),
+      name, maxFilesPerTrigger = Some(1),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // click 2 (t=5min): view 1 from the PREVIOUS batch, fresh enough;
+    // click 3 (t=20min): same state row, now 20min stale -> null
+    assert(got == Map(2L -> Some(1L), 3L -> None))
+  }
+
   test("K1: partitioned JSON sink writes term directories") {
     val out = java.nio.file.Files.createTempDirectory("k1").toString + "/json"
     graft.etl.Sinks.partitionedJson(
