@@ -31,6 +31,7 @@ object SparkEntry {
     "w15_asof_tolerance"    -> (CoreQueries.clickFreshPriorView _),
     "w16_hopping_window"    -> (CoreQueries.hoppingWindowCounts _),
     "cdc2_scd2"             -> (CoreQueries.scd2History _),
+    "w17_point_in_time"     -> (CoreQueries.pointInTimeRollup _),
     "w10_range_join"        -> (CoreQueries.purchaseWindowErrors _),
     "j8_bloom_prune"        -> (CoreQueries.bloomPrunedRevenue _),
     "j12_salted_join"       -> (CoreQueries.saltedSegmentRollup _),
@@ -51,6 +52,8 @@ object SparkEntry {
     "q18_approx_median"     -> (SketchQueries.approxMedian _),
     "q19_heavy_hitters"     -> (SketchQueries.heavyHitters _),
     "q21_count_min"         -> (SketchQueries.countMinUsers _),
+    "q23_hll_register_store" -> (SketchQueries.hllRegisterStore _),
+    "q24_hist_quantile_store" -> (SketchQueries.histQuantileStore _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
@@ -171,6 +174,9 @@ object SparkEntry {
     "st8_stream_count_min"  -> (StreamQueries.streamCountMin _),
     "st9_stream_throttle"   -> (StreamQueries.streamThrottleDedup _),
     "st11_stream_asof"      -> (StreamQueries.streamToleranceAsOf _),
+    "st12_stream_scd2"      -> (StreamQueries.streamScd2 _),
+    "st13_stream_hll"       -> (StreamQueries.streamHllRegisters _),
+    "st14_stream_hist"      -> (StreamQueries.streamHistQuantile _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -228,6 +234,137 @@ object SparkEntry {
       |SELECT user_id, est, exact FROM est JOIN ex USING (user_id)
       |ORDER BY user_id""".stripMargin
   }
+
+  /** Shared cdc2/st12/w17 CTE chain: the three deterministic customer
+    * snapshots folded into the SCD2 interval table `scd` — the lag/
+    * sum-window replay of ops.Scd.scd2 over actual VALUES (the Spark
+    * side segments by null-discriminating digest; agreement proves the
+    * digest exact). */
+  private val scd2Ctes: String =
+    """v0 AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment, 0 AS ver FROM customer),
+      |v1 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment, 1 AS ver
+      |  FROM customer WHERE c_custkey % 7 != 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment, 1 AS ver
+      |  FROM customer WHERE c_custkey % 13 = 0),
+      |v2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50.0
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment, 2 AS ver
+      |  FROM v1 WHERE c_custkey % 11 != 0),
+      |u AS (
+      |  SELECT * FROM v0 UNION ALL SELECT * FROM v1
+      |  UNION ALL SELECT * FROM v2),
+      |lg AS (
+      |  SELECT *, lag(ver) OVER w AS pv, lag(c_acctbal) OVER w AS pb,
+      |    lag(c_mktsegment) OVER w AS ps
+      |  FROM u WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+      |seg AS (
+      |  SELECT *, CASE WHEN pv IS NULL OR pv != ver - 1
+      |      OR pb != c_acctbal OR ps != c_mktsegment THEN 1 ELSE 0 END
+      |    AS is_new
+      |  FROM lg),
+      |segid AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY c_custkey ORDER BY ver
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      |  FROM seg),
+      |scd AS (
+      |  SELECT c_custkey, min(c_acctbal) AS c_acctbal,
+      |    min(c_mktsegment) AS c_mktsegment,
+      |    min(ver) AS valid_from,
+      |    CASE WHEN max(ver) = 2 THEN NULL ELSE max(ver) + 1 END AS valid_to
+      |  FROM segid GROUP BY c_custkey, seg)""".stripMargin
+
+  /** cdc2 + st12 oracle: the interval table itself. */
+  private lazy val scd2OracleSql: String =
+    s"""WITH $scd2Ctes
+      |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to
+      |FROM scd
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** q23 oracle: the FULL-corpus HLL register build replayed in exact
+    * integer SQL — PolyHash (shared fragment), bucket = h mod m,
+    * rho = trailing-zeros + 1 of h div m via the same CASE ladder as
+    * ops.Sketches.hllRho (constants read off Sketches so the engines
+    * cannot drift). The incremental store + delta merge on the Spark
+    * side must equal this full rebuild because the register merge is
+    * lossless — agreement proves the incremental path exactly. The
+    * float estimate is contract-checked (within_bound literal true). */
+  private lazy val hllOracleSql: String = {
+    val m = graft.ops.Sketches.HllM
+    val cap = graft.ops.Sketches.HllRhoCap
+    val a = graft.ops.Sketches.HllMixA
+    val sh = graft.ops.Sketches.HllMixShift
+    val h = polyHash64Sql("CAST(l_suppkey AS VARCHAR)")
+    val ladder = (1 until cap)
+      .map(j => s"WHEN s % ${1L << j} = ${1L << (j - 1)} THEN $j")
+      .mkString(" ")
+    s"""WITH k AS (SELECT l_returnflag, l_suppkey, $h AS h
+      |  FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)),
+      |m0 AS (SELECT l_returnflag,
+      |         ((h // 1073741824) * ${a(0)} + h % 1073741824)
+      |           % 2147483648 AS x FROM k),
+      |m1 AS (SELECT l_returnflag,
+      |         (xor(x, x >> ${sh(0)}) * ${a(1)}) % 2147483648 AS x FROM m0),
+      |m2 AS (SELECT l_returnflag,
+      |         (xor(x, x >> ${sh(1)}) * ${a(2)}) % 2147483648 AS x FROM m1),
+      |mg AS (SELECT l_returnflag, xor(x, x >> ${sh(2)}) AS g FROM m2),
+      |sfx AS (SELECT l_returnflag, g % $m AS bucket, g // $m AS s FROM mg),
+      |r AS (SELECT l_returnflag, bucket,
+      |        max(CASE WHEN s = 0 THEN $cap $ladder ELSE $cap END) AS reg
+      |      FROM sfx GROUP BY 1, 2),
+      |agg AS (SELECT l_returnflag, count(*) AS n_regs,
+      |          CAST(sum(reg) AS BIGINT) AS sum_rho,
+      |          CAST(max(reg) AS INTEGER) AS max_rho
+      |        FROM r GROUP BY 1),
+      |ex AS (SELECT l_returnflag,
+      |         count(DISTINCT l_suppkey) AS exact_distinct
+      |       FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n_regs, sum_rho, max_rho, exact_distinct,
+      |  true AS within_bound
+      |FROM agg JOIN ex USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Shared q24/st14 oracle: the full-rebuild histogram + the same
+    * integer window arithmetic as ops.Sketches.histMedianBin; the
+    * bracket booleans are COMPUTED from raw rows on both engines, so
+    * a store that drifted from the data fails even though bins and
+    * readout agree with each other. */
+  private lazy val histOracleSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM b),
+      |m AS (
+      |  SELECT l_returnflag, min(bin) AS median_bin,
+      |    CAST(min(n) AS BIGINT) AS n, CAST(min((n + 1) // 2) AS BIGINT) AS k
+      |  FROM c WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |j AS (
+      |  SELECT l.l_returnflag, l.l_extendedprice, m.median_bin, m.n, m.k,
+      |    m.median_bin * 1000.0 AS bin_lo,
+      |    (m.median_bin + 1) * 1000.0 AS bin_hi
+      |  FROM lineitem l JOIN m USING (l_returnflag))
+      |SELECT l_returnflag, min(median_bin) AS median_bin,
+      |  min(bin_lo) AS bin_lo, min(bin_hi) AS bin_hi, min(n) AS n,
+      |  (count(CASE WHEN l_extendedprice < bin_lo THEN 1 END) < min(k))
+      |    AND (count(CASE WHEN l_extendedprice < bin_hi THEN 1 END) >= min(k))
+      |    AS brackets_median
+      |FROM j GROUP BY 1
+      |ORDER BY l_returnflag""".stripMargin
 
   /** Shared tc1/gc1 graph CTEs: supplier co-occurrence pairs
     * sparsified to the top-20% by co-count (ties kept). The oracle's
@@ -1556,46 +1693,25 @@ object SparkEntry {
     // digest; v1 is cdc1's derived dump, v2 a further delete/bump pass
     // chained FROM v1. ver literals are INTEGER on both sides; the
     // running SUM feeds only GROUP BY, never output (HUGEINT-safe).
-    "cdc2_scd2" ->
-      """WITH v0 AS (
-        |  SELECT c_custkey, c_acctbal, c_mktsegment, 0 AS ver FROM customer),
-        |v1 AS (
-        |  SELECT c_custkey,
-        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
-        |         ELSE c_acctbal END AS c_acctbal,
-        |    c_mktsegment, 1 AS ver
-        |  FROM customer WHERE c_custkey % 7 != 0
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment, 1 AS ver
-        |  FROM customer WHERE c_custkey % 13 = 0),
-        |v2 AS (
-        |  SELECT c_custkey,
-        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50.0
-        |         ELSE c_acctbal END AS c_acctbal,
-        |    c_mktsegment, 2 AS ver
-        |  FROM v1 WHERE c_custkey % 11 != 0),
-        |u AS (
-        |  SELECT * FROM v0 UNION ALL SELECT * FROM v1
-        |  UNION ALL SELECT * FROM v2),
-        |lg AS (
-        |  SELECT *, lag(ver) OVER w AS pv, lag(c_acctbal) OVER w AS pb,
-        |    lag(c_mktsegment) OVER w AS ps
-        |  FROM u WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
-        |seg AS (
-        |  SELECT *, CASE WHEN pv IS NULL OR pv != ver - 1
-        |      OR pb != c_acctbal OR ps != c_mktsegment THEN 1 ELSE 0 END
-        |    AS is_new
-        |  FROM lg),
-        |segid AS (
-        |  SELECT *, SUM(is_new) OVER (PARTITION BY c_custkey ORDER BY ver
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
-        |  FROM seg)
-        |SELECT c_custkey, min(c_acctbal) AS c_acctbal,
-        |  min(c_mktsegment) AS c_mktsegment,
-        |  min(ver) AS valid_from,
-        |  CASE WHEN max(ver) = 2 THEN NULL ELSE max(ver) + 1 END AS valid_to
-        |FROM segid GROUP BY c_custkey, seg
-        |ORDER BY c_custkey, valid_from""".stripMargin,
+    "cdc2_scd2" -> scd2OracleSql,
+    // st12 emits the IDENTICAL interval table through the streaming
+    // face (three version-ordered micro-batches maintaining the store
+    // incrementally) — same oracle, batch/stream agreement gated.
+    "st12_stream_scd2" -> scd2OracleSql,
+    "w17_point_in_time" ->
+      s"""WITH $scd2Ctes,
+        |f AS (SELECT o_orderkey, o_custkey AS c_custkey,
+        |        CAST(o_orderkey % 3 AS INTEGER) AS ver FROM orders),
+        |j AS (SELECT f.ver, d.c_mktsegment, d.c_acctbal
+        |      FROM f LEFT JOIN scd d ON d.c_custkey = f.c_custkey
+        |        AND d.valid_from <= f.ver
+        |        AND (d.valid_to IS NULL OR f.ver < d.valid_to))
+        |SELECT ver, coalesce(c_mktsegment, 'NONE') AS segment,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_acctbal
+        |FROM j GROUP BY 1, 2
+        |ORDER BY ver, segment""".stripMargin,
     // st6 emits the IDENTICAL diff through the streaming face (one
     // AvailableNow full-snapshot batch vs the seeded store) — same
     // oracle, proving batch/stream agreement on real data.
@@ -2344,6 +2460,16 @@ object SparkEntry {
     // produce the identical sketch, cell for cell, or the minima shift.
     "st8_stream_count_min" -> cmOracleSql,
     "q21_count_min" -> cmOracleSql,
+    "q23_hll_register_store" -> hllOracleSql,
+    // st13: the SAME oracle — the streamed state-store register build
+    // must equal the batch build bit-for-bit (lossless max-merge).
+    "st13_stream_hll" -> hllOracleSql,
+    // q24: full-rebuild histogram replay; the bracket booleans are
+    // COMPUTED from raw rows on both engines, not asserted literals.
+    // st14: the SAME oracle — the streamed state-store bin build must
+    // equal the batch histogram bit-for-bit (lossless sum-merge).
+    "st14_stream_hist" -> histOracleSql,
+    "q24_hist_quantile_store" -> histOracleSql,
     "q11_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -392,15 +392,56 @@ object CoreQueries {
     * agreement proves digest change-detection exact on real data (the
     * cdc1 proof, extended to interval assembly: gaps close intervals,
     * reappearances open new ones, last-snapshot rows stay open). */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Dim(spark, dir).orderBy(col("c_custkey"), col("valid_from"))
+
+  /** The cdc2 SCD2 dimension (unordered) — shared by cdc2, the w17
+    * point-in-time join and the st12 streaming SCD2 face's oracle. */
+  private[graft] def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("c_custkey", "c_acctbal", "c_mktsegment")
     val v0 = Tables.customer(spark, dir).select(cols.map(col): _*)
     val v1 = derivedNewSnapshot(Tables.customer(spark, dir))
       .select(cols.map(col): _*)
     val v2 = derivedThirdSnapshot(v1)
     graft.ops.Scd.scd2(Seq(v0, v1, v2),
-        keyCols = Seq("c_custkey"), valueCols = Seq("c_acctbal", "c_mktsegment"))
-      .orderBy(col("c_custkey"), col("valid_from"))
+      keyCols = Seq("c_custkey"), valueCols = Seq("c_acctbal", "c_mktsegment"))
+  }
+
+  /** The three cdc2 snapshots as one (key, values, __ver) stream
+    * frame — what the st12 streaming face stages as version-ordered
+    * micro-batch files. */
+  private[graft] def scd2SnapshotStream(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_acctbal", "c_mktsegment")
+    val v0 = Tables.customer(spark, dir).select(cols.map(col): _*)
+    val v1 = derivedNewSnapshot(Tables.customer(spark, dir))
+      .select(cols.map(col): _*)
+    val v2 = derivedThirdSnapshot(v1)
+    Seq(v0, v1, v2).zipWithIndex
+      .map { case (df, i) => df.withColumn("__ver", lit(i)) }
+      .reduce(_ unionByName _)
+  }
+
+  /** w17 — POINT-IN-TIME dimension join (ops.Scd.pointInTimeJoin):
+    * each order, assigned a deterministic snapshot version
+    * (o_orderkey % 3), is enriched with the customer dim row whose
+    * cdc2 SCD2 validity interval CONTAINS that version — the
+    * effective-dated lookup every warehouse and every point-in-time-
+    * correct training pipeline runs against a Type-2 dimension.
+    * Orders whose customer had no interval at their version (deleted
+    * at v2, or a v1-born key queried at v0) fall out as a NONE
+    * segment — the left-join semantics the oracle replays. One
+    * equi-join shuffle on the key; interval containment rides as a
+    * residual hash-join predicate (never a range explosion). */
+  def pointInTimeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        (col("o_orderkey") % 3).cast("int").as("ver"))
+    graft.ops.Scd.pointInTimeJoin(fact, scd2Dim(spark, dir),
+        keyCols = Seq("c_custkey"), verCol = "ver")
+      .groupBy(col("ver"), coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(money(col("c_acctbal"))), 2).cast("double").as("sum_acctbal"))
+      .orderBy(col("ver"), col("segment"))
   }
 
   /** j8 — Bloom-pruned fact-dimension join

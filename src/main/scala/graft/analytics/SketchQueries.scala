@@ -46,6 +46,127 @@ object SketchQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q23 — INCREMENTAL HLL register store
+    * (ops.Sketches.hllRegisters/hllMergeRegisters): lineitems outside
+    * the delta slice (l_orderkey % 10 == 3) fold their distinct
+    * suppliers per return flag into a persisted register table ONCE;
+    * the delta's registers then MERGE with the store — groupBy-max
+    * over sketch-sized rows, the base data never rescanned (the d9/
+    * d3c/j11b incremental discipline, for distinct counts). Because
+    * the register merge is lossless (max is idempotent), the merged
+    * store equals a full rebuild EXACTLY, so the oracle replays the
+    * full-corpus register build — PolyHash, bucket split and the
+    * trailing-zeros CASE ladder all in exact integer SQL — and the
+    * hash gate proves the incremental path bit-for-bit. The float
+    * estimate is checked via the q17-style within_bound contract
+    * (3-sigma of HLL's 1.04/sqrt(m), linear-counting switch). */
+  def hllRegisterStore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey"))
+    val store = hllStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_hll_store").toString
+      Sketches.hllRegisters(li.filter(col("l_orderkey") % 10 =!= 3),
+          "l_returnflag", "l_suppkey")
+        .write.parquet(s"$p/regs")
+      s"$p/regs"
+    })
+    val deltaRegs = Sketches.hllRegisters(
+      li.filter(col("l_orderkey") % 10 === 3), "l_returnflag", "l_suppkey")
+    val merged = Sketches.hllMergeRegisters(
+      spark.read.parquet(store), deltaRegs, "l_returnflag")
+    hllContractReadout(merged, li)
+  }
+
+  /** Shared q23/st13 readout: integer register stats (oracle-exact)
+    * next to the float estimate's 3-sigma contract boolean. */
+  private[graft] def hllContractReadout(registers: DataFrame,
+                                        li: DataFrame): DataFrame = {
+    // one aggregate pass over the registers (stats + the estimate's
+    // harmonic sum together — a second scan of a streaming memory
+    // sink would also trip Spark's self-join reference resolution)
+    val m = Sketches.HllM.toDouble
+    val stats = registers.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_regs"), sum(col("reg")).as("sum_rho"),
+        max(col("reg")).as("max_rho"),
+        sum(pow(lit(2.0), -col("reg"))).as("__z"))
+      .withColumn("__raw",
+        lit(0.709 * m * m) / (col("__z") + (lit(m) - col("n_regs"))))
+      .withColumn("__v", lit(m) - col("n_regs"))
+      .withColumn("estimate",
+        when(col("__raw") <= lit(2.5 * m) && col("__v") > 0,
+          lit(m) * log(lit(m) / col("__v")))
+          .otherwise(col("__raw")))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("exact_distinct"))
+    val rsd = 1.04 / math.sqrt(m)
+    stats.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_regs"), col("sum_rho"),
+        col("max_rho"), col("exact_distinct"),
+        (abs(col("estimate") - col("exact_distinct")) <=
+          col("exact_distinct") * lit(3.0 * rsd) + lit(1.0)).as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val hllStoreCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q24 — INCREMENTAL histogram-quantile store
+    * (ops.Sketches.histBins/histMerge/histMedianBin): extended-price
+    * bin counts per return flag persist once for the base slice; the
+    * delta's histogram MERGES by addition (lossless, like q23's
+    * max-merge), and the median reads off the cumulative bins. The
+    * oracle replays the full-rebuild histogram + the same integer
+    * window arithmetic, and the bracket check — count of raw values
+    * below the bin's edges versus the lower-median rank k — is
+    * computed from RAW rows on both engines, so a store that drifted
+    * from the data would fail the gate even though bins and readout
+    * agree with each other. */
+  def histQuantileStore(spark: SparkSession, dir: String): DataFrame = {
+    val w = 1000.0
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+    val store = histStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_hist_store").toString
+      Sketches.histBins(li.filter(col("l_orderkey") % 10 =!= 3),
+          "l_returnflag", "l_extendedprice", w)
+        .write.parquet(s"$p/bins")
+      s"$p/bins"
+    })
+    val deltaBins = Sketches.histBins(
+      li.filter(col("l_orderkey") % 10 === 3),
+      "l_returnflag", "l_extendedprice", w)
+    val merged = Sketches.histMerge(
+      spark.read.parquet(store), deltaBins, "l_returnflag")
+    histContractReadout(merged, li, w)
+  }
+
+  /** Shared q24/st14 readout: median bin off the cumulative bins plus
+    * the bracket booleans recomputed from RAW rows — a store that
+    * drifted from the data fails even though bins and readout agree
+    * with each other. */
+  private[graft] def histContractReadout(bins: DataFrame, li: DataFrame,
+                                         w: Double): DataFrame = {
+    val med = Sketches.histMedianBin(bins, "l_returnflag")
+      .select(col("l_returnflag"), col("median_bin"), col("n"), col("k"),
+        (col("median_bin") * w).as("bin_lo"),
+        ((col("median_bin") + 1) * w).as("bin_hi"))
+    li.join(med, "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("median_bin")).as("median_bin"),
+        min(col("bin_lo")).as("bin_lo"), min(col("bin_hi")).as("bin_hi"),
+        min(col("n")).as("n"),
+        // bracket check from RAW rows: fewer than k values below the
+        // bin's lower edge, at least k below its upper edge
+        ((count(when(col("l_extendedprice") < col("bin_lo"), 1)) < min(col("k"))) &&
+          (count(when(col("l_extendedprice") < col("bin_hi"), 1)) >= min(col("k"))))
+          .as("brackets_median"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val histStoreCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** q19 — Misra-Gries heavy hitters per order status
     * (functions.MisraGries, the custom mergeable Aggregator). The
     * priority domain (5 values) sits under k = 8, the regime where MG

@@ -295,6 +295,117 @@ object StreamQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** st12 — STREAMING SCD Type-2 maintenance (EventStreams.scd2Stream,
+    * the incremental face of cdc2's batch fold): the three cdc2
+    * customer snapshots arrive as version-ordered single-file
+    * micro-batches and MERGE-fold into the interval store batch by
+    * batch — unchanged rows stay open, value changes close + reopen,
+    * deletions close (observable only store-vs-snapshot, which is why
+    * this face diffs against the store instead of carrying per-key
+    * stream state), reappearances reopen. The final store must
+    * hash-match cdc2's batch oracle VERBATIM: K incremental merges
+    * and one K-snapshot window fold land on the identical interval
+    * table or the gate fails. */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val store = streamedScd2.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st12_").toString
+      import java.nio.file.attribute.FileTime
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      val srcDir = Paths.get(s"$tmp/src")
+      def listFiles(): Set[Path] =
+        if (!Files.exists(srcDir)) Set.empty
+        else {
+          val s = Files.walk(srcDir)
+          try s.iterator().asScala.filter(Files.isRegularFile(_)).toSet
+          finally s.close()
+        }
+      val snaps = CoreQueries.scd2SnapshotStream(spark, dir)
+      val mtimeBase = System.currentTimeMillis()
+      for (v <- 0 until 3) {
+        val before = listFiles()
+        snaps.filter(col("__ver") === v)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+        (listFiles() -- before).foreach(p =>
+          Files.setLastModifiedTime(p,
+            FileTime.fromMillis(mtimeBase + v * 60000L)))
+      }
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      EventStreams.scd2Stream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
+        keyCols = Seq("c_custkey"),
+        valueCols = Seq("c_acctbal", "c_mktsegment"),
+        storeDir = s"$tmp/store", checkpoint = s"$tmp/cp")
+        .awaitTermination()
+      s"$tmp/store/ver_2"
+    })
+    spark.read.parquet(store)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  /** st13 — STREAMING HLL register build: q23's portable distinct-count
+    * registers held in the streaming aggregation STATE STORE and
+    * max-merged micro-batch by micro-batch (8 one-file batches = 7
+    * real cross-batch register merges), the st8 pattern for the HLL
+    * family. Because the register merge is lossless, the final state
+    * must equal the batch build bit-for-bit — st13 shares q23's
+    * full-replay oracle verbatim. */
+  def streamHllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedHll.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st13_").toString
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_suppkey"))
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st13_${math.abs(dir.hashCode)}"
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => graft.ops.Sketches.hllRegisters(df, "l_returnflag", "l_suppkey"),
+        name, maxFilesPerTrigger = Some(1))
+      name
+    })
+    SketchQueries.hllContractReadout(spark.table(table),
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_suppkey")))
+  }
+
+  /** st14 — STREAMING histogram-quantile build: q24's fixed-width bin
+    * counts as a streaming aggregation, sum-merged in the state store
+    * across 8 micro-batches; the median/bracket readout runs
+    * batch-side on the final state. Addition-merge is lossless, so
+    * st14 shares q24's full-replay oracle verbatim — completing the
+    * batch + incremental-store + streaming triple for the histogram
+    * family (the HLL family's q23/st13 pattern). */
+  def streamHistQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedHist.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st14_").toString
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st14_${math.abs(dir.hashCode)}"
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => graft.ops.Sketches.histBins(df, "l_returnflag",
+          "l_extendedprice", 1000.0),
+        name, maxFilesPerTrigger = Some(1))
+      name
+    })
+    SketchQueries.histContractReadout(spark.table(table),
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice")), 1000.0)
+  }
+
+  private val streamedHist =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private val streamedHll =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private val streamedScd2 =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private val streamedAsOf =
     scala.collection.concurrent.TrieMap[String, String]()
 
@@ -309,7 +420,8 @@ object StreamQueries {
   val CachedStreamQueries: Set[String] = Set(
     "st4_stream_semdedup", "st5_stream_minhash", "st6_stream_cdc",
     "st7_stream_heavy_hitters", "st8_stream_count_min",
-    "st9_stream_throttle", "st11_stream_asof")
+    "st9_stream_throttle", "st11_stream_asof", "st12_stream_scd2",
+    "st13_stream_hll", "st14_stream_hist")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -321,7 +433,8 @@ object StreamQueries {
     streamedSurvivors.clear(); streamedPairs.clear()
     streamedCdcOps.clear(); streamedHh.clear()
     streamedCms.clear(); streamedThrottle.clear()
-    streamedAsOf.clear()
+    streamedAsOf.clear(); streamedScd2.clear()
+    streamedHll.clear(); streamedHist.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
+  /** The null-discriminating value digest shared by the batch fold
+    * and the streaming face ([[graft.streaming.EventStreams.scd2Stream]]):
+    * each column contributes its is-null indicator ALWAYS and its
+    * value only when present, so distinct null patterns hash
+    * distinct (Spark's hash functions silently skip null args). */
+  private[graft] def valueDigest(valueCols: Seq[String]): Column =
+    xxhash64(valueCols.flatMap(c =>
+      Seq(col(c).isNull.cast("int"), col(c))): _*)
+
   /** Fold `snapshots` (ordered oldest → newest, versions 0..K-1) into
     * an SCD2 interval table: `keyCols ++ valueCols ++ (valid_from,
     * valid_to)`. All snapshots must contain `keyCols ++ valueCols`. */
@@ -63,8 +72,7 @@ object Scd {
       .when(prevH =!= col("__h"), 1)
       .otherwise(0)
     tagged
-      .withColumn("__h", xxhash64(valueCols.flatMap(c =>
-        Seq(col(c).isNull.cast("int"), col(c))): _*))
+      .withColumn("__h", valueDigest(valueCols))
       .withColumn("__new", isNew)
       .withColumn("__seg",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
@@ -76,5 +84,34 @@ object Scd {
       .select(keyC ++ valueCols.map(col) :+ col("valid_from") :+
         when(col("__last") === k - 1, lit(null).cast("int"))
           .otherwise(col("__last") + 1).as("valid_to"): _*)
+  }
+
+  /** Point-in-time (effective-dated) join of a fact frame against an
+    * SCD2 dimension: each fact row matches the dim row — at most one
+    * by SCD2's non-overlapping-interval invariant — whose validity
+    * interval contains the fact's version, i.e. `valid_from <= ver`
+    * and (`valid_to` is null or `ver < valid_to`). LEFT join: facts
+    * whose key had no interval at their version (deleted, or not yet
+    * born) keep null dim columns — exactly the semantics a training
+    * pipeline needs to ask "what were this document's license terms
+    * AT THE CRAWL that produced this example".
+    *
+    * Scale shape: an equi-join on the key columns (ONE shuffle each
+    * side, dim side bounded by segments-per-key — a handful, never
+    * the snapshot count) with the interval containment as residual
+    * join predicates, so Catalyst keeps the hash-join strategy; no
+    * range explosion, no broadcast requirement, no window. */
+  def pointInTimeJoin(fact: DataFrame, dim: DataFrame, keyCols: Seq[String],
+                      verCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keys required")
+    val d = dim.columns.foldLeft(dim)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    val keyEq = keyCols.map(k => fact(k) === d(s"__d_$k")).reduce(_ && _)
+    val contains = d(s"__d_valid_from") <= fact(verCol) &&
+      (d(s"__d_valid_to").isNull || fact(verCol) < d(s"__d_valid_to"))
+    val dimPayload = dim.columns
+      .filterNot(c => keyCols.contains(c) || c == "valid_from" || c == "valid_to")
+    fact.join(d, keyEq && contains, "left")
+      .select(fact.columns.map(fact(_)) ++
+        dimPayload.map(c => d(s"__d_$c").as(c)): _*)
   }
 }

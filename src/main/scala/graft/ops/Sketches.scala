@@ -125,4 +125,168 @@ object Sketches {
         col("approx_median") >= col("lo") && col("approx_median") <= col("hi"))
       .drop("lo", "hi")
   }
+
+  /** Portable HyperLogLog (Flajolet et al. '07) built on the
+    * cross-engine [[graft.functions.PolyHash]] — the MERGEABLE
+    * distinct-count sketch STORE that `approx_count_distinct` (q17)
+    * can't be: Spark's HLL++ registers live inside an opaque
+    * aggregation buffer, so they can't be persisted per group,
+    * unioned with a delta's registers, or replayed by the SQL oracle.
+    * These registers are plain (group, bucket, reg) rows:
+    *
+    *  - bucket = h mod m, reg = max over the group's keys of
+    *    rho(h div m), where rho = trailing-zeros + 1 — a geometric
+    *    variable over the hash's uniform low bits, computed by an
+    *    EXACT integer CASE ladder (no float log anywhere), so the
+    *    whole register table replays bit-for-bit in ANSI SQL;
+    *  - merge(base, delta) = groupBy max of the unioned rows — the
+    *    HLL merge law. Because max is idempotent/commutative/
+    *    associative, merge(registers(A), registers(B)) ==
+    *    registers(A ∪ B) EXACTLY (not approximately): an incremental
+    *    store never drifts from a full rebuild, which is the property
+    *    HllSpec pins and the q23 oracle (a full-rebuild replay)
+    *    gates.
+    *
+    * Scale shape: registers are bounded by m rows per group
+    * regardless of key cardinality; the map-side partial max
+    * collapses each task's contribution to ≤ m rows before the
+    * exchange, and the store holds m·groups rows total — the
+    * fixed-size daily-delta distinct-count pattern (count distinct
+    * users/domains/shingles per slice over 10¹¹ rows without ever
+    * rescanning history). */
+  val HllM: Int = 64
+  /** rho cap: the mixed value is < 2^31, so suffix = g div 64 is
+    * < 2^25 and a trailing-zero run can't exceed 24; suffix == 0
+    * also maps here. The 25-bit geometric range bounds the sketch's
+    * useful regime at roughly 64·2^25 ≈ 2·10^9 distinct keys per
+    * group — a production variant widens the finalizer to 64 bits;
+    * this one stays 31-bit so every product is < 2^62 and the WHOLE
+    * pipeline replays under ANSI BIGINT on both engines. */
+  val HllRhoCap: Int = 26
+
+  /** 31-bit xorshift-multiply finalizer constants + shifts, shared
+    * with the generated oracle SQL. PolyHash alone does NOT avalanche
+    * short keys (a 5-digit id never wraps the 2^30 modulus, so its
+    * low bits are nearly affine in the id and trailing-zeros is not
+    * geometric — measured 78% HLL error on sequential ids); three
+    * multiply-mod-2^31 / xor-shift rounds restore bit independence
+    * (measured ≤ 15% at n = 10^2..3·10^5, well under the 3σ = 39%
+    * contract). */
+  val HllMixA: Seq[Long] = Seq(1597334677L, 1321536463L, 458845019L)
+  val HllMixShift: Seq[Int] = Seq(15, 13, 16)
+  private val M31 = 1L << 31
+
+  /** The finalizer over the packed 60-bit PolyHash: fold the two
+    * 30-bit lanes into 31 bits, then xorshift-multiply. All exact
+    * long arithmetic (`(h - h mod 2^30) / 2^30` is a double division
+    * of a 30-bit-ALIGNED value — exact where a direct `h / 2^30`
+    * on a > 2^53 hash would not be). */
+  private[graft] def hllMix(h: Column): Column = {
+    val lane = lit(1L << 30)
+    val h1 = ((h - pmod(h, lane)) / lane).cast("long")
+    val h2 = pmod(h, lane)
+    val x0 = pmod(h1 * lit(HllMixA.head) + h2, lit(M31))
+    val x2 = HllMixA.tail.zip(HllMixShift).foldLeft(x0) { case (x, (a, s)) =>
+      pmod(x.bitwiseXOR(shiftright(x, s)) * lit(a), lit(M31))
+    }
+    x2.bitwiseXOR(shiftright(x2, HllMixShift.last))
+  }
+
+  /** Exact trailing-zeros + 1 of a non-negative long column: an
+    * integer CASE ladder (tz = j-1  ⟺  x mod 2^j = 2^(j-1)),
+    * mirrored verbatim by the generated oracle SQL. */
+  private[graft] def hllRho(suffix: Column): Column =
+    (1 until HllRhoCap).foldLeft(
+      when(suffix === 0, lit(HllRhoCap))) { (acc, j) =>
+      acc.when(pmod(suffix, lit(1L << j)) === lit(1L << (j - 1)), lit(j))
+    }.otherwise(lit(HllRhoCap))
+
+  /** The register table (groupCol, bucket, reg) of `df`'s `keyCol`
+    * values per group — ≤ [[HllM]] rows per group, built in one
+    * map-collapsed aggregate. */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val h = graft.functions.PolyHash.polyHash(col(keyCol).cast("string"))
+    df.select(col(groupCol), hllMix(h).as("__g"))
+      .select(col(groupCol), pmod(col("__g"), lit(HllM.toLong)).as("bucket"),
+        // suffix via exact arithmetic: __g < 2^31, so the plain
+        // integer-valued double division by 64 would already be
+        // exact, but keep the aligned-subtract form for uniformity
+        hllRho(((col("__g") - pmod(col("__g"), lit(HllM.toLong))) /
+          lit(HllM.toLong)).cast("long")).as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).cast("int").as("reg"))
+  }
+
+  /** Lossless register merge: groupBy-max over the unioned tables.
+    * merge(registers(A), registers(B)) == registers(A ∪ B) exactly. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("reg")).cast("int").as("reg"))
+
+  /** Fixed-width integer-bin histogram — the mergeable QUANTILE store
+    * (the q23 register store's counterpart for order statistics):
+    * counts per (group, floor(value / binWidth)) merge by ADDITION,
+    * so a persisted base histogram plus a delta's histogram equals
+    * the full rebuild exactly, and any quantile reads off the
+    * cumulative bins with error ≤ one binWidth — the warehouse
+    * pattern for percentiles over 10¹¹ rows without a value-space
+    * shuffle (bins are bounded by the value domain, not the row
+    * count). Bin ids are exact on both engines: both compute the
+    * same IEEE double division on the same parquet doubles. */
+  def histBins(df: DataFrame, groupCol: String, valCol: String,
+               binWidth: Double): DataFrame =
+    df.groupBy(col(groupCol),
+        floor(col(valCol) / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Additive histogram merge: merge(hist(A), hist(B)) == hist(A ∪ B)
+    * exactly. */
+  def histMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Median bin per group: the first bin whose cumulative count
+    * reaches the lower-median rank k = (n+1) div 2 — exact integer
+    * window arithmetic, replayable in SQL. State per group is the
+    * bin count, never the row count. */
+  def histMedianBin(bins: DataFrame, groupCol: String): DataFrame = {
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val cumW = byGroup.orderBy(col("bin"))
+    bins
+      .withColumn("__cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+      .withColumn("__k", expr("(n + 1) div 2"))
+      .filter(col("__cum") >= col("__k"))
+      .groupBy(col(groupCol))
+      .agg(min(col("bin")).as("median_bin"), min(col("n")).as("n"),
+        min(col("__k")).as("k"))
+  }
+
+  /** Cardinality estimate per group from a register table: standard
+    * HLL harmonic mean with the small-range linear-counting switch
+    * (absent buckets count as empty). Float arithmetic lives ONLY
+    * here — the oracle checks the integer registers exactly and this
+    * estimate via the within_bound contract. */
+  def hllEstimates(registers: DataFrame, groupCol: String): DataFrame = {
+    val m = HllM.toDouble
+    val alpha = 0.709 // alpha_64
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_regs"),
+        sum(pow(lit(2.0), -col("reg"))).as("__z"))
+      .select(col(groupCol), col("n_regs"),
+        // absent buckets contribute 2^0 = 1 each to the denominator
+        (lit(alpha * m * m) /
+          (col("__z") + (lit(m) - col("n_regs")))).as("__raw"),
+        (lit(m) - col("n_regs")).as("__v"))
+      .withColumn("estimate",
+        when(col("__raw") <= lit(2.5 * m) && col("__v") > 0,
+          lit(m) * log(lit(m) / col("__v"))) // linear counting
+          .otherwise(col("__raw")))
+      .select(col(groupCol), col("n_regs"), col("estimate"))
+  }
 }

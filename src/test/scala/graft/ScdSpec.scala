@@ -98,6 +98,49 @@ class ScdSpec extends SparkSpec {
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("point-in-time join matches the containing interval, nulls outside any") {
+    val hist = Scd.scd2(Seq(
+      snap((1L, 10.0, "A"), (2L, 5.0, "B")), // v0
+      snap((1L, 20.0, "A")),                 // v1: 1 changed, 2 deleted
+      snap((1L, 20.0, "A"), (2L, 5.0, "B"))  // v2: 2 reappears
+    ), Seq("k"), Seq("bal", "seg"))
+    val fact = Seq(
+      (100L, 1L, 0), (101L, 1L, 1), (102L, 1L, 2), // key 1 at each version
+      (200L, 2L, 0), (201L, 2L, 1), (202L, 2L, 2), // key 2: gap at v1
+      (300L, 9L, 1)                                // key never in dim
+    ).toDF("fid", "k", "ver")
+    val got = Scd.pointInTimeJoin(fact, hist, Seq("k"), "ver")
+      .select($"fid", $"bal", $"seg")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100L) == ((Some(10.0), Some("A"))))
+    assert(got(101L) == ((Some(20.0), Some("A"))))
+    assert(got(102L) == ((Some(20.0), Some("A"))))
+    assert(got(200L) == ((Some(5.0), Some("B"))))
+    assert(got(201L) == ((None, None)), "deleted key must not match at the gap")
+    assert(got(202L) == ((Some(5.0), Some("B"))), "reappeared interval matches")
+    assert(got(300L) == ((None, None)))
+    // at most one dim row per fact row — the non-overlap invariant
+    assert(Scd.pointInTimeJoin(fact, hist, Seq("k"), "ver").count() == 7)
+  }
+
+  test("point-in-time join stays a hash join on the key (no range explosion)") {
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    val hist = Scd.scd2(Seq(c, c), Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+    val fact = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey".as("c_custkey"),
+        ($"o_orderkey" % 2).cast("int").as("ver"))
+    val plan = Scd.pointInTimeJoin(fact, hist, Seq("c_custkey"), "ver")
+      .queryExecution.executedPlan.toString
+    // the containment predicate must ride as a residual on an
+    // EQUI-join, never degrade to a nested-loop/cartesian strategy
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join strategy:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"range explosion:\n$plan")
+  }
+
   test("snapshot reconstruction: intervals covering v reproduce snapshot v exactly") {
     // the property that makes SCD2 correct by definition: selecting
     // valid_from <= v < coalesce(valid_to, K) must rebuild snapshot v

@@ -71,4 +71,101 @@ class SketchesSpec extends SparkSpec {
       .select($"within_bound").as[Boolean].collect()
     assert(got.nonEmpty && got.forall(identity))
   }
+
+  test("hll mix + rho ladder equal an independent plain-Scala reference") {
+    import graft.functions.PolyHash
+    val keys = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(l_suppkey AS STRING) AS k").distinct()
+      .as[String].collect()
+    val M31 = 1L << 31
+    def refMix(h: Long): Long = {
+      var x = ((h >> 30) * Sketches.HllMixA(0) + (h & ((1L << 30) - 1))) % M31
+      x = ((x ^ (x >> Sketches.HllMixShift(0))) * Sketches.HllMixA(1)) % M31
+      x = ((x ^ (x >> Sketches.HllMixShift(1))) * Sketches.HllMixA(2)) % M31
+      x ^ (x >> Sketches.HllMixShift(2))
+    }
+    def refRho(g: Long): Int = {
+      val s = g / Sketches.HllM
+      if (s == 0) Sketches.HllRhoCap
+      else math.min(java.lang.Long.numberOfTrailingZeros(s) + 1,
+        Sketches.HllRhoCap)
+    }
+    val got = Sketches.hllRegisters(
+        Tables.lineitem(spark, sfDir)
+          .selectExpr("CAST(l_suppkey AS STRING) AS k", "'g' AS grp")
+          .distinct(),
+        "grp", "k")
+      .select($"bucket", $"reg").as[(Long, Int)].collect().toMap
+    val ref = keys.map(k => refMix(PolyHash.hash(k)))
+      .groupBy(g => g % Sketches.HllM)
+      .map { case (b, gs) => b -> gs.map(refRho).max }
+    assert(got == ref, s"spark=$got ref=$ref")
+  }
+
+  test("hll register merge of store + delta equals full rebuild exactly") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_suppkey", $"l_orderkey")
+    val base = Sketches.hllRegisters(
+      li.filter($"l_orderkey" % 10 =!= 3), "l_returnflag", "l_suppkey")
+    val delta = Sketches.hllRegisters(
+      li.filter($"l_orderkey" % 10 === 3), "l_returnflag", "l_suppkey")
+    val merged = Sketches.hllMergeRegisters(base, delta, "l_returnflag")
+      .select($"l_returnflag", $"bucket", $"reg")
+      .as[(String, Long, Int)].collect().toSet
+    val rebuild = Sketches.hllRegisters(li, "l_returnflag", "l_suppkey")
+      .select($"l_returnflag", $"bucket", $"reg")
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged == rebuild)
+  }
+
+  test("hll estimate holds its 3-sigma contract at 100k distinct keys") {
+    val big = spark.range(100000L)
+      .selectExpr("'g' AS grp", "CAST(id AS STRING) AS k")
+    val est = Sketches.hllEstimates(
+      Sketches.hllRegisters(big, "grp", "k"), "grp")
+      .select($"estimate").as[Double].collect().head
+    val rsd = 1.04 / math.sqrt(Sketches.HllM.toDouble)
+    assert(math.abs(est - 100000.0) <= 100000.0 * 3 * rsd + 1.0,
+      s"estimate $est vs exact 100000")
+  }
+
+  test("histogram merge of store + delta equals full rebuild exactly") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey")
+    val base = Sketches.histBins(li.filter($"l_orderkey" % 10 =!= 3),
+      "l_returnflag", "l_extendedprice", 1000.0)
+    val delta = Sketches.histBins(li.filter($"l_orderkey" % 10 === 3),
+      "l_returnflag", "l_extendedprice", 1000.0)
+    val merged = Sketches.histMerge(base, delta, "l_returnflag")
+      .as[(String, Long, Long)].collect().toSet
+    val rebuild = Sketches.histBins(li, "l_returnflag", "l_extendedprice", 1000.0)
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == rebuild)
+  }
+
+  test("histogram median bin brackets the exact lower-median value") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice")
+    val bins = Sketches.histBins(li, "l_returnflag", "l_extendedprice", 1000.0)
+    val med = Sketches.histMedianBin(bins, "l_returnflag")
+      .select($"l_returnflag", $"median_bin", $"n", $"k")
+      .as[(String, Long, Long, Long)].collect()
+    assert(med.nonEmpty)
+    val raw = li.as[(String, Double)].collect()
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    med.foreach { case (g, bin, n, k) =>
+      val vs = raw(g)
+      assert(n == vs.length && k == (n + 1) / 2)
+      val kth = vs((k - 1).toInt) // exact lower-median value
+      assert(kth >= bin * 1000.0 && kth < (bin + 1) * 1000.0,
+        s"$g: kth=$kth outside bin $bin")
+    }
+  }
+
+  test("hll registers stay sketch-sized regardless of cardinality") {
+    val big = spark.range(100000L)
+      .selectExpr("CAST(id % 3 AS STRING) AS grp", "CAST(id AS STRING) AS k")
+    val n = Sketches.hllRegisters(big, "grp", "k").count()
+    assert(n <= 3L * Sketches.HllM, s"register rows $n")
+  }
 }

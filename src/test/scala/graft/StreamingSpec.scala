@@ -277,6 +277,44 @@ class StreamingSpec extends SparkSpec {
     assert(st11.exists(_._3.isDefined) && st11.exists(_._3.isEmpty))
   }
 
+  test("st12 rehearsal: streamed SCD2 store equals the batch cdc2 fold") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getInt(3), if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    val st12 = rows("st12_stream_scd2")
+    val cdc2 = rows("cdc2_scd2")
+    assert(st12.toSeq == cdc2.toSeq)
+    assert(st12.nonEmpty)
+    // all four fold cases must occur at this fixture: open rows,
+    // value-change closures (valid_to=1 or 2 with a successor),
+    // deletions (closed, no successor) and reappearances
+    val byKey = st12.groupBy(_._1)
+    assert(st12.exists(_._5.isEmpty), "open intervals")
+    assert(byKey.values.exists(_.size > 1), "multi-interval keys")
+    assert(st12.exists(r => r._5.contains(1)), "a closure at v1")
+  }
+
+  test("st13 rehearsal: streamed HLL registers equal the batch q23 store") {
+    val st13 = SparkEntry.queries("st13_stream_hll")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val q23 = SparkEntry.queries("q23_hll_register_store")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st13 == q23)
+    assert(st13.nonEmpty && st13.forall(_.last == true),
+      "within_bound must hold through the state-store merge")
+  }
+
+  test("st14 rehearsal: streamed histogram equals the batch q24 store") {
+    val st14 = SparkEntry.queries("st14_stream_hist")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val q24 = SparkEntry.queries("q24_hist_quantile_store")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st14 == q24)
+    assert(st14.nonEmpty && st14.forall(_.last == true),
+      "bracket check must hold through the state-store merge")
+  }
+
   test("toleranceAsOfStream carries as-of state ACROSS micro-batches") {
     // a view in batch 1, its click in batch 2: only the state store can
     // connect them. Two clicks probe both the within-tolerance and the
