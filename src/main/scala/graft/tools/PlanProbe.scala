@@ -19,11 +19,9 @@ object PlanProbe {
           l.contains("HashAggregate") || l.contains("Window") || l.contains("Sort "))
         .foreach(l => println("  " + l.take(140).trim))
     }
-    audit("j11_setsim", graft.analytics.DedupQueries.setSimJoin(spark, dir))
-    audit("tc1_triangles", graft.analytics.CoreQueries.triangleCounts(spark, dir))
-    audit("q21_count_min", graft.analytics.SketchQueries.countMinUsers(spark, dir))
-    audit("w12_ewma", graft.analytics.CoreQueries.userEwma(spark, dir))
-    audit("t30_bpe_encode", graft.analytics.TextQueries.bpeEncode(spark, dir))
+    audit("q23_hll_store", graft.analytics.SketchQueries.hllRegisterStore(spark, dir))
+    audit("q24_hist_store", graft.analytics.SketchQueries.histQuantileStore(spark, dir))
+    audit("w17_point_in_time", graft.analytics.CoreQueries.pointInTimeRollup(spark, dir))
     spark.stop()
   }
 }
