@@ -286,13 +286,26 @@ object Similarity {
     // for the probes side inherits the pre-explode scan size, so at
     // mid scales the planner still auto-broadcasts a frame that is
     // really nProbe× bigger — the caller's knowledge (queries ≈
-    // corpus) beats the estimator. At toy scale AQE may keep a
-    // runtime-measured broadcast on top of the hint; at index scale
-    // both sides exchange once by list_id and nothing reaches the
-    // driver.
+    // corpus) beats the estimator. Both sides use an EXPLICIT-N
+    // repartition on list_id rather than the join's implicit
+    // ENSURE_REQUIREMENTS exchange: this join EXPANDS (output =
+    // nProbe × mean list size per query, ~√n × its input), and AQE's
+    // size-based partition coalescing only sees the pre-join shuffle
+    // bytes — measured at n=200k it coalesced 32 partitions to ~5 and
+    // the 450M-row expansion ran on 5 of 32 cores (thread-dump
+    // confirmed; 6× the model's wall time). User-specified
+    // repartitions are exempt from coalescing, so the expansion keeps
+    // full parallelism; the explicit exchange replaces, not adds to,
+    // the join's own.
     val joined =
       if (broadcastProbes) assigned.join(broadcast(probes), Seq("list_id"))
-      else assigned.hint("shuffle_hash").join(probes, Seq("list_id"))
+      else {
+        val parts = c0.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "32").toInt
+        assigned.repartition(parts, col("list_id"))
+          .hint("shuffle_hash")
+          .join(probes.repartition(parts, col("list_id")), Seq("list_id"))
+      }
     joined
       .filter(col("cand_id") =!= col(queryIdCol))
       .withColumn("cosine",
@@ -424,8 +437,15 @@ object Similarity {
     // shuffle hash join, build = the codes-only index side (see
     // ivfCandidates' mining-face rationale; here the build side is the
     // compressed index — m bytes/vector — so the per-partition build
-    // is small BY DESIGN, which is the whole point of v3c)
-    val adc = assigned.hint("shuffle_hash").join(anchors, Seq("list_id"))
+    // is small BY DESIGN, which is the whole point of v3c). Explicit-N
+    // repartitions for the same reason as ivfCandidates' mining face:
+    // the join expands ~√n×, and AQE's input-sized coalescing would
+    // strangle the expansion's parallelism.
+    val adcParts = c0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val adc = assigned.repartition(adcParts, col("list_id"))
+      .hint("shuffle_hash")
+      .join(anchors.repartition(adcParts, col("list_id")), Seq("list_id"))
       .filter(col("cand_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("cand_id"),
         ProductQuantizer.adcDist(col("__qv"), col("__codes"), cb, m, kw, subDim)
