@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CoreQueries, DedupQueries, MedallionQueries, NestedQueries, ScalarQueries, SketchQueries, SqlQueries, StreamQueries, TextQueries, VectorQueries}
+import graft.analytics.{CoreQueries, DedupQueries, MedallionQueries, NestedQueries, ProfileQueries, ScalarQueries, SketchQueries, SqlQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,12 @@ object SparkEntry {
     "q21_count_min"         -> (SketchQueries.countMinUsers _),
     "q23_hll_register_store" -> (SketchQueries.hllRegisterStore _),
     "q24_hist_quantile_store" -> (SketchQueries.histQuantileStore _),
+    "ks1_drift"             -> (ProfileQueries.priceDrift _),
+    "pf1_skew_profile"      -> (ProfileQueries.custkeySkewProfile _),
+    "fp1_compaction_plan"   -> (ProfileQueries.eventCompactionPlan _),
+    "cm1_corr_matrix"       -> (ProfileQueries.featureCorrMatrix _),
+    "seq1_pattern_match"    -> (ProfileQueries.sequencePatterns _),
+    "knn1_graph"            -> (VectorQueries.knnGraph _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
@@ -2894,6 +2900,152 @@ object SparkEntry {
          |      FROM sims WHERE sim_raw < 0.99)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
+    // knn1: the k-NN graph replayed exactly — same seeded assignment +
+    // probing blocks as v3b (raw corpus, no fixture union), nProbe=3,
+    // rank rn <= 5, no dup filter.
+    "knn1_graph" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)), 0.0)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
+         |          WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
+         |ca AS (
+         |  SELECT vec_id, v, list_id FROM (
+         |    SELECT c.vec_id, c.v, s.list_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e c CROSS JOIN seeds s)
+         |  WHERE ar = 1),
+         |qa AS (
+         |  SELECT vec_id AS anchor_id, v AS qv, list_id FROM (
+         |    SELECT q.vec_id, q.v, s.list_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e q CROSS JOIN seeds s)
+         |  WHERE ar <= 3),
+         |sims AS (
+         |  SELECT qa.anchor_id, ca.vec_id AS cand_id,
+         |    ${cos("qa.qv", "ca.v")} AS sim_raw
+         |  FROM qa JOIN ca USING (list_id)
+         |  WHERE ca.vec_id != qa.anchor_id)
+         |SELECT anchor_id AS vec_id, cand_id AS nbr_id,
+         |  floor(sim_raw * 1000000 + 0.5) / 1000000 AS cosine, rn AS rank
+         |FROM (SELECT anchor_id, cand_id, sim_raw,
+         |        row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY sim_raw DESC, cand_id) AS rn
+         |      FROM sims)
+         |WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin
+    },
+    // ks1: binned drift replay — same fixed 20-bin split, eps clamp,
+    // cumulative KS and PSI (ln, not log10). Count sums CAST to BIGINT
+    // (DuckDB sum widens to HUGEINT).
+    "ks1_drift" ->
+      """WITH b AS (
+        |  SELECT least(floor(o_totalprice / 25000), 19) AS bin,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |         THEN 1 ELSE 0 END AS in_a
+        |  FROM orders),
+        |g AS (SELECT bin, CAST(sum(in_a) AS BIGINT) AS cnt_a,
+        |        CAST(sum(1 - in_a) AS BIGINT) AS cnt_b
+        |      FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |        CAST(sum(cnt_b) AS BIGINT) AS n_b FROM g),
+        |c AS (SELECT bin,
+        |        greatest(CAST(cnt_a AS DOUBLE) / n_a, 0.000001) AS share_a,
+        |        greatest(CAST(cnt_b AS DOUBLE) / n_b, 0.000001) AS share_b,
+        |        CAST(sum(cnt_a) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DOUBLE) / n_a AS cum_a,
+        |        CAST(sum(cnt_b) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DOUBLE) / n_b AS cum_b,
+        |        n_a, n_b
+        |      FROM g CROSS JOIN t)
+        |SELECT min(n_a) AS n_a, min(n_b) AS n_b,
+        |  floor(max(abs(cum_a - cum_b)) * 1000000 + 0.5) / 1000000 AS ks_stat,
+        |  floor(sum((share_a - share_b) * ln(share_a / share_b))
+        |    * 1000000 + 0.5) / 1000000 AS psi
+        |FROM c""".stripMargin,
+    // pf1: key-skew profile replay — groupBy-count key frame, ranked
+    // by (count desc, key), summary over that frame. ln = natural log.
+    "pf1_skew_profile" ->
+      """WITH c AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(c) AS BIGINT) AS n_rows FROM c),
+        |r AS (SELECT k, c,
+        |        row_number() OVER (ORDER BY c DESC, k) AS rnk FROM c)
+        |SELECT min(n_keys) AS n_keys, min(n_rows) AS n_rows,
+        |  min(CASE WHEN rnk = 1 THEN k END) AS hot_key,
+        |  floor(CAST(max(c) AS DOUBLE) / min(n_rows)
+        |    * 1000000 + 0.5) / 1000000 AS hot_share,
+        |  floor(CAST(sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+        |    / min(n_rows) * 1000000 + 0.5) / 1000000 AS topn_share,
+        |  floor(CASE WHEN min(n_keys) > 1 THEN
+        |      (-sum((CAST(c AS DOUBLE) / n_rows)
+        |        * ln(CAST(c AS DOUBLE) / n_rows))) / ln(min(n_keys))
+        |    ELSE 0.0 END * 1000000 + 0.5) / 1000000 AS norm_entropy
+        |FROM r CROSS JOIN t""".stripMargin,
+    // fp1: compaction-plan replay — per-(event_type, day) file sizes,
+    // exclusive prefix sum within event_type, bin = floor(prefix /
+    // target). Spark's floor(double) returns LONG, so CAST the bin.
+    "fp1_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(count(*) AS BIGINT) AS size_rows
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, size_rows,
+        |        CAST(sum(size_rows) OVER (PARTITION BY event_type
+        |          ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM f)
+        |SELECT event_type, day, size_rows,
+        |  CAST(floor((cum - size_rows) / 300.0) AS BIGINT) AS bin
+        |FROM p ORDER BY event_type, day""".stripMargin,
+    // cm1: Pearson correlation screen — six corr aggregates over one
+    // scan, unpivoted. Both engines compute corr over doubles; the
+    // 1e-6 exactRound absorbs partial-aggregation order differences.
+    "cm1_corr_matrix" ->
+      """WITH a AS (SELECT
+        |    corr(l_quantity, l_extendedprice) AS c1,
+        |    corr(l_quantity, l_discount) AS c2,
+        |    corr(l_quantity, l_tax) AS c3,
+        |    corr(l_extendedprice, l_discount) AS c4,
+        |    corr(l_extendedprice, l_tax) AS c5,
+        |    corr(l_discount, l_tax) AS c6
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c1 AS cr FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', c2 FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', c3 FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', c5 FROM a
+        |  UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM a)
+        |SELECT col_a, col_b,
+        |  floor(cr * 1000000 + 0.5) / 1000000 AS corr
+        |FROM u ORDER BY col_a, col_b""".stripMargin,
+    // seq1: per-user ordered code string via string_agg (ORDER BY ts,
+    // event_id — the same total order as Spark's sort_array over
+    // (ts, event_id, code) structs), then identical regex/substring
+    // algebra. The bigram count (len - len(replace))/2 is exactly even
+    // by construction, so the BIGINT cast is rounding-free.
+    "seq1_pattern_match" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'signup' THEN 'S'
+        |      WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+        |      WHEN 'purchase' THEN 'P' ELSE 'E' END, ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CASE WHEN regexp_matches(seq, 'V.*C.*P') THEN 1 ELSE 0 END
+        |    AS matched_vcp,
+        |  CAST((length(seq) - length(replace(seq, 'CP', ''))) / 2
+        |    AS BIGINT) AS n_cp_bigrams
+        |FROM s ORDER BY user_id""".stripMargin,
     // v3c: the COMPRESSED-index mining path replayed end-to-end —
     // seeded-IVF assignment + nProbe probing (v3b's blocks), PQ encode
     // against the seeded codebook + asymmetric-distance pre-rank (s3's

@@ -1,0 +1,115 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Rounding.exactRound
+import graft.ops.Profiling
+
+/** Profiling / pipeline-operations exemplars (ops.Profiling) plus the
+  * event-sequence pattern face: the "inspect before you run" ops a
+  * 100 TB pipeline runs against its own inputs — drift monitoring
+  * between snapshots, key-skew profiling ahead of joins, compaction
+  * planning over file metadata, feature correlation screens, and
+  * MATCH_RECOGNIZE-style sequence detection. */
+object ProfileQueries {
+
+  /** ks1 — distribution drift of o_totalprice between the pre-1998
+    * orders (slice A) and the rest (slice B): binned KS statistic and
+    * PSI over 20 fixed-width price bins. One partial-aggregated
+    * groupBy over ≤ 20 keys; the cumulative/log analysis runs on the
+    * bin frame. PSI ≥ 0.2 is the conventional "investigate" line. */
+  def priceDrift(spark: SparkSession, dir: String): DataFrame =
+    Profiling.binnedDrift(Tables.orders(spark, dir), "o_totalprice",
+        isA = col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+        binWidth = 25000.0, nBins = 20)
+      .select(col("n_a"), col("n_b"),
+        exactRound(col("ks_stat"), 6).as("ks_stat"),
+        exactRound(col("psi"), 6).as("psi"))
+
+  /** pf1 — key-skew profile of orders.o_custkey (the decide-before-
+    * you-join diagnostic feeding j12's salt choice): distinct keys,
+    * hottest key + share, top-10 share, normalized key entropy. */
+  def custkeySkewProfile(spark: SparkSession, dir: String): DataFrame =
+    Profiling.keySkewProfile(Tables.orders(spark, dir), "o_custkey",
+        topN = 10)
+      .select(col("n_keys"), col("n_rows"), col("hot_key"),
+        exactRound(col("hot_share"), 6).as("hot_share"),
+        exactRound(col("topn_share"), 6).as("topn_share"),
+        exactRound(col("norm_entropy"), 6).as("norm_entropy"))
+
+  /** fp1 — compaction plan over the events table's (event_type, day)
+    * "files" (row counts stand in for bytes): target-sized bins that
+    * preserve day order within each event_type partition, so the
+    * rewrite keeps time-clustering. The plan itself is a window over
+    * the ~150-row file-metadata frame — the data is touched once, by
+    * the metadata aggregation. */
+  def eventCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("size_rows"))
+    Profiling.compactionPlan(files, "event_type", "day", "size_rows",
+        target = 300L)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("size_rows"), col("bin"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** cm1 — Pearson correlation screen over lineitem's numeric
+    * columns, every pair in ONE partial-aggregated pass (six corr
+    * aggregates share the scan), unpivoted to (col_a, col_b, corr)
+    * rows for the gate. The feature-redundancy screen a training
+    * pipeline runs before fitting anything. */
+  def featureCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a), col(b)).as(s"${a}__$b")
+    }
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__$b`"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(${pairs.size}, $stacked) AS (col_a, col_b, corr_raw)")
+      .select(col("col_a"), col("col_b"),
+        exactRound(col("corr_raw"), 6).as("corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** seq1 — MATCH_RECOGNIZE-style event-sequence detection per user:
+    * each user's event history becomes an ordered code string (one
+    * char per event type), then pattern hits are plain regex/substring
+    * algebra on that string — `V.*C.*P` (viewed, later clicked, later
+    * purchased, any gaps) and the count of immediate click→purchase
+    * bigrams. ONE shuffle by user_id; per-user state is that user's
+    * own history (the sessionization-scale assumption; a pathological
+    * hot user is st2/w11's salting problem, not this operator's).
+    * String building is the native ordered-aggregate
+    * `listagg … WITHIN GROUP (ORDER BY ts, event_id)` — no interpreted
+    * array lambda, and the (ts, event_id) order key is total, so the
+    * code string is engine-independent. */
+  def sequencePatterns(spark: SparkSession, dir: String): DataFrame =
+    sequencePatternsOf(Tables.events(spark, dir))
+
+  /** [[sequencePatterns]] over an explicit events frame (spec seam). */
+  private[graft] def sequencePatternsOf(events: DataFrame): DataFrame = {
+    val code = when(col("event_type") === "signup", "S")
+      .when(col("event_type") === "view", "V")
+      .when(col("event_type") === "click", "C")
+      .when(col("event_type") === "purchase", "P")
+      .otherwise("E")
+    val seqs = events
+      .select(col("user_id"), col("ts"), col("event_id"), code.as("code"))
+      .groupBy(col("user_id"))
+      .agg(expr("listagg(code, '') WITHIN GROUP (ORDER BY ts, event_id)")
+        .as("seq"))
+    seqs.select(col("user_id"), length(col("seq")).as("n_events"),
+        col("seq").rlike("V.*C.*P").cast("int").as("matched_vcp"),
+        ((length(col("seq")) - length(regexp_replace(col("seq"), "CP", "")))
+          / 2).cast("long").as("n_cp_bigrams"))
+      .orderBy(col("user_id"))
+  }
+}

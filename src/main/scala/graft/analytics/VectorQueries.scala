@@ -106,6 +106,21 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** knn1 — the k-NN GRAPH build over the embeddings corpus via the
+    * seeded-IVF shortlist (ops.Similarity.knnGraphIvfSeeded): top-5
+    * approximate neighbors per vector, nProbe=3 of the 8 seeded lists.
+    * The precursor artifact for graph-based semantic dedup and graph
+    * clustering; same corpus-scale plan as v3b (map-only assignment,
+    * one shuffle join by list_id, bounded-heap TopKPerGroup) with
+    * k > 1. The oracle replays assignment, probing and ranking
+    * exactly, so probing drift fails the hash. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.knnGraphIvfSeeded(
+        Tables.embeddings(spark, dir), IvfSeedIds, k = 5, nProbe = 3)
+      .select(col("vec_id"), col("nbr_id"),
+        exactRound(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+
   /** A1 — weighted mean embedding per label, exploded to (label, dim,
     * value) rows so the oracle compare is scalar. Weight is a
     * deterministic function of vec_id (stands in for token_count).

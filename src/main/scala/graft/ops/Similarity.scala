@@ -297,14 +297,37 @@ object Similarity {
     // repartitions are exempt from coalescing, so the expansion keeps
     // full parallelism; the explicit exchange replaces, not adds to,
     // the join's own.
+    // SALT the expansion: list_id alone is a LUMPY distribution key —
+    // the key domain is only √n lists, so balls-in-bins over the
+    // reducer count is uneven, per-list sizes (Voronoi cells on real
+    // data) and per-list PROBE counts (central lists are near more
+    // anchors) are both skewed, and one list's expansion is indivisible
+    // (measured at n=200k: a 5-task straggler tail holding the stage
+    // 3× past the work model). Splitting each list's CANDIDATES into
+    // `saltLanes` deterministic lanes and replicating each probe row
+    // across lanes makes every (probe, cand) pair appear exactly once
+    // (a candidate lives in exactly one lane) while bounding any
+    // list's tail at 1/saltLanes of its quadratic work — j12/SkewStudy's
+    // output-skew conclusion applied to the mining join. The exchanged
+    // probe volume grows ×saltLanes, but it is pre-expansion (n·nProbe
+    // rows vs the n·nProbe·listSize join output). Lane count × a finer
+    // explicit partition count (×4) also smooths balls-in-bins and
+    // gives the scheduler a work-stealing tail.
     val joined =
       if (broadcastProbes) assigned.join(broadcast(probes), Seq("list_id"))
       else {
-        val parts = c0.sparkSession.conf
+        val saltLanes = 4
+        val parts = 4 * c0.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "32").toInt
-        assigned.repartition(parts, col("list_id"))
+        val a2 = assigned.withColumn("__salt",
+          pmod(xxhash64(col("cand_id")), lit(saltLanes.toLong)))
+        val p2 = probes.withColumn("__salt",
+          explode(array((0 until saltLanes).map(i => lit(i.toLong)): _*)))
+        a2.repartition(parts, col("list_id"), col("__salt"))
           .hint("shuffle_hash")
-          .join(probes.repartition(parts, col("list_id")), Seq("list_id"))
+          .join(p2.repartition(parts, col("list_id"), col("__salt")),
+            Seq("list_id", "__salt"))
+          .drop("__salt")
       }
     joined
       .filter(col("cand_id") =!= col(queryIdCol))
@@ -379,6 +402,33 @@ object Similarity {
         Seq(("cosine", true), ("cand_id", false)), k = 1, rankName = "rn")
       .select(col("anchor_id").as("vec_id"), col("cand_id").as("neg_id"),
         col("cosine"))
+  }
+
+  /** k-NN GRAPH build over the whole corpus through the seeded-IVF
+    * shortlist — the standard precursor artifact for graph-based
+    * semantic dedup, HNSW seeding and graph clustering: every vector's
+    * top-`k` approximate neighbors by cosine. Same corpus-scale plan
+    * shape as [[hardNegativesIvfSeeded]] (map-only NearestCentroid
+    * assignment on both sides, ONE shuffle join by list_id — the query
+    * set IS the corpus, so nothing corpus-derived broadcasts — and the
+    * bounded-heap TopKPerGroup for the per-anchor selection); k > 1
+    * and no dup-band filter are the only differences. Candidate volume
+    * stays nProbe × mean list size per vector, never all-pairs. */
+  def knnGraphIvfSeeded(corpus: DataFrame, seedIds: Seq[Long], k: Int,
+                        nProbe: Int = 2, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(seedIds.nonEmpty && k > 0 && nProbe > 0)
+    val c0 = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val seeds = c0.filter(col("cand_id").isin(seedIds: _*))
+      .select(col("cand_id").as("list_id"), col("__cv").as("__sv"))
+    val anchors = corpus.select(col(idCol).as("anchor_id"), col(vecCol))
+    val cands = ivfCandidates(c0, anchors, seeds, nProbe, vecCol,
+      "anchor_id", broadcastProbes = false)
+    TopK.perGroup(cands, Seq("anchor_id"),
+        Seq(("cosine", true), ("cand_id", false)), k = k, rankName = "rank")
+      .select(col("anchor_id").as("vec_id"), col("cand_id").as("nbr_id"),
+        col("cosine"), col("rank"))
   }
 
   /** COMPRESSED-INDEX hard-negative mining (v3c) — the memory story

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.Profiling
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binnedDrift: identical distributions give ks=0 and psi=0") {
+    // A and B each hold 100 rows in every bin 0..9 → shares and cdfs
+    // identical, the eps clamp never fires
+    val df = spark.range(2000).select(
+      ((col("id") % 10) * 10 + 5).cast("double").as("v"),
+      (col("id") < 1000).as("a"))
+    val r = Profiling.binnedDrift(df, "v", col("a"), binWidth = 10.0,
+      nBins = 20).collect()(0)
+    assert(r.getAs[Long]("n_a") === 1000L)
+    assert(r.getAs[Long]("n_b") === 1000L)
+    assert(math.abs(r.getAs[Double]("ks_stat")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("psi")) < 1e-12)
+  }
+
+  test("binnedDrift: one-bin shift has the closed-form KS and PSI") {
+    // A occupies bins 0..9 (100 each), B bins 1..10 → every boundary's
+    // |cdfA - cdfB| is exactly 0.1; PSI = two mismatched end bins, each
+    // (0.1 - eps) * ln(0.1 / eps)
+    val eps = 1e-6
+    val df = spark.range(2000).select(
+      when(col("id") < 1000, (col("id") % 10) * 10 + 5)
+        .otherwise((col("id") % 10) * 10 + 15).cast("double").as("v"),
+      (col("id") < 1000).as("a"))
+    val r = Profiling.binnedDrift(df, "v", col("a"), binWidth = 10.0,
+      nBins = 20, eps = eps).collect()(0)
+    assert(math.abs(r.getAs[Double]("ks_stat") - 0.1) < 1e-12)
+    val expectedPsi = 2.0 * (0.1 - eps) * math.log(0.1 / eps)
+    assert(math.abs(r.getAs[Double]("psi") - expectedPsi) < 1e-9)
+  }
+
+  test("keySkewProfile: planted counts give exact summary") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val r = Profiling.keySkewProfile(df, "k", topN = 2).collect()(0)
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[String]("hot_key") === "a")
+    assert(math.abs(r.getAs[Double]("hot_share") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("topn_share") - 0.8) < 1e-12)
+    val h = -(0.5 * math.log(0.5) + 0.3 * math.log(0.3) +
+      0.2 * math.log(0.2))
+    assert(math.abs(r.getAs[Double]("norm_entropy") - h / math.log(3)) < 1e-12)
+  }
+
+  test("keySkewProfile: uniform keys have normalized entropy 1") {
+    val df = spark.range(900).select((col("id") % 30).as("k"))
+    val r = Profiling.keySkewProfile(df, "k").collect()(0)
+    assert(math.abs(r.getAs[Double]("norm_entropy") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hot_share") - 1.0 / 30) < 1e-12)
+  }
+
+  test("compactionPlan: greedy prefix bins, order kept, size bound") {
+    val files = Seq(("p", 1, 100L), ("p", 2, 250L), ("p", 3, 100L),
+      ("p", 4, 400L), ("p", 5, 200L), ("q", 1, 50L), ("q", 2, 50L))
+      .toDF("part", "file", "size")
+    val plan = Profiling.compactionPlan(files, "part", "file", "size",
+        target = 300L)
+      .orderBy(col("part"), col("file"))
+      .select(col("part"), col("file"), col("bin"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(plan === Seq(("p", 1, 0L), ("p", 2, 0L), ("p", 3, 1L),
+      ("p", 4, 1L), ("p", 5, 2L), ("q", 1, 0L), ("q", 2, 0L)))
+    // every bin's total stays under target + the partition's max file
+    val sized = Profiling.compactionPlan(files, "part", "file", "size",
+        target = 300L)
+      .groupBy(col("part"), col("bin")).agg(sum(col("size")).as("tot"))
+      .as[(String, Long, Long)].collect()
+    assert(sized.forall(_._3 < 300L + 400L))
+  }
+
+  test("sequencePatternsOf: planted histories match hand counts") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: V C P C P  → matched, 2 CP bigrams
+    // user 2: P C V      → no match (order wrong), 0 bigrams
+    // user 3: V X C X P  → matched (gaps allowed), 0 CP bigrams
+    val ev = Seq(
+      (1L, 1L, t(0), "view"), (1L, 2L, t(1), "click"),
+      (1L, 3L, t(2), "purchase"), (1L, 4L, t(3), "click"),
+      (1L, 5L, t(4), "purchase"),
+      (2L, 6L, t(0), "purchase"), (2L, 7L, t(1), "click"),
+      (2L, 8L, t(2), "view"),
+      (3L, 9L, t(0), "view"), (3L, 10L, t(1), "error"),
+      (3L, 11L, t(2), "click"), (3L, 12L, t(3), "error"),
+      (3L, 13L, t(4), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = graft.analytics.ProfileQueries.sequencePatternsOf(ev)
+      .select(col("user_id"), col("matched_vcp"), col("n_cp_bigrams"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(r === Seq((1L, 1, 2L), (2L, 0, 0L), (3L, 1, 0L)))
+  }
+
+  test("knnGraphIvfSeeded with nProbe = nLists equals brute-force top-k") {
+    // probing every list makes the IVF candidate set the whole corpus,
+    // so the approximate graph must equal the exact one
+    val e = Tables.embeddings(spark, sfDir)
+    val seeds = graft.analytics.VectorQueries.IvfSeedIds
+    val approx = graft.ops.Similarity
+      .knnGraphIvfSeeded(e, seeds, k = 5, nProbe = seeds.size)
+      .select(col("vec_id"), col("nbr_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val v = col("embedding").cast("array<double>")
+    val a = e.select(col("vec_id"), v.as("va"))
+    val b = e.select(col("vec_id").as("nbr_id"), v.as("vb"))
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.dot(x, y)
+    val norm = (x: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.norm(x)
+    val brute = a.crossJoin(b).filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine", dot(col("va"), col("vb")) /
+        nullif(norm(col("va")) * norm(col("vb")), lit(0.0)))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nbr_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("vec_id"), col("nbr_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(approx === brute)
+    assert(approx.nonEmpty)
+  }
+}
