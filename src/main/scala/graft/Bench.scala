@@ -70,7 +70,25 @@ object Bench {
     spin(400000000L) // JIT-warm the probe loop so pre isn't a compile outlier
     val probePreSt = probe(1)
     val probePreMt = probe(nCores)
-    val probePreIo = ioProbe()
+    // Clean-window GATE (the round-9/10 ask): the io probe has
+    // measured this box between 0.4 and 30+ s for the identical
+    // 256 MB write+fsync, and shuffle-heavy queries swing up to 6×
+    // with it — so rather than time a suite into a storm and
+    // re-adjudicate phantom regressions next round, WAIT (bounded)
+    // for the io probe to return to its idle band before starting.
+    // Defaults keep the driver safe: at most ~5 min of waiting, then
+    // run anyway with gate_waits recording the failed gate.
+    val gateIo = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_IO", "2.5").toDouble
+    val gateTries = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_TRIES", "10").toInt
+    var probePreIo = ioProbe()
+    var gateWaits = 0
+    while (probePreIo > gateIo && gateWaits < gateTries) {
+      System.err.println(
+        f"[bench] io probe $probePreIo%.1f s > $gateIo%.1f (contended); waiting 30 s")
+      Thread.sleep(30000L)
+      gateWaits += 1
+      probePreIo = ioProbe()
+    }
     val spark = Sessions.local("graft-bench")
     // untimed warmup: JVM/codegen/parquet-footer caches — otherwise the
     // alphabetically-first query absorbs ~4s of JIT cost. Per-query JIT
@@ -153,7 +171,7 @@ object Bench {
     val probePostIo = ioProbe()
     val probeJson =
       s""""probe":{"st_pre":${r3(probePreSt)},"mt_pre":${r3(probePreMt)},""" +
-      s""""io_pre":${r3(probePreIo)},"st_post":${r3(probePostSt)},""" +
+      s""""io_pre":${r3(probePreIo)},"gate_waits":$gateWaits,"st_post":${r3(probePostSt)},""" +
       s""""mt_post":${r3(probePostMt)},"io_post":${r3(probePostIo)},"cores":$nCores}"""
     // Full per-query detail (median/min/max for the variance record) goes
     // to a file and an EARLY stdout line; the FINAL line is the compact

@@ -53,6 +53,7 @@ object SparkEntry {
     "q19_heavy_hitters"     -> (SketchQueries.heavyHitters _),
     "q21_count_min"         -> (SketchQueries.countMinUsers _),
     "q23_hll_register_store" -> (SketchQueries.hllRegisterStore _),
+    "q23b_hll64_register_store" -> (SketchQueries.hllRegisterStore64 _),
     "q24_hist_quantile_store" -> (SketchQueries.histQuantileStore _),
     "ks1_drift"             -> (ProfileQueries.priceDrift _),
     "pf1_skew_profile"      -> (ProfileQueries.custkeySkewProfile _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "cm1_corr_matrix"       -> (ProfileQueries.featureCorrMatrix _),
     "seq1_pattern_match"    -> (ProfileQueries.sequencePatterns _),
     "knn1_graph"            -> (VectorQueries.knnGraph _),
+    "knn1b_graph_store"     -> (VectorQueries.knnGraphIncremental _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
@@ -321,6 +323,57 @@ object SparkEntry {
       |m2 AS (SELECT l_returnflag,
       |         (xor(x, x >> ${sh(1)}) * ${a(2)}) % 2147483648 AS x FROM m1),
       |mg AS (SELECT l_returnflag, xor(x, x >> ${sh(2)}) AS g FROM m2),
+      |sfx AS (SELECT l_returnflag, g % $m AS bucket, g // $m AS s FROM mg),
+      |r AS (SELECT l_returnflag, bucket,
+      |        max(CASE WHEN s = 0 THEN $cap $ladder ELSE $cap END) AS reg
+      |      FROM sfx GROUP BY 1, 2),
+      |agg AS (SELECT l_returnflag, count(*) AS n_regs,
+      |          CAST(sum(reg) AS BIGINT) AS sum_rho,
+      |          CAST(max(reg) AS INTEGER) AS max_rho
+      |        FROM r GROUP BY 1),
+      |ex AS (SELECT l_returnflag,
+      |         count(DISTINCT l_suppkey) AS exact_distinct
+      |       FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n_regs, sum_rho, max_rho, exact_distinct,
+      |  true AS within_bound
+      |FROM agg JOIN ex USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q23b oracle: the two-limb 62-bit lane replayed end to end —
+    * limb1's three mix rounds, the CHAINED second limb over
+    * xor(h, limb1), the 2^31-weighted recombination, and the rho
+    * ladder to 56. Every product stays < 2^62, so DuckDB BIGINT
+    * arithmetic is exact throughout. */
+  private lazy val hll64OracleSql: String = {
+    val m = graft.ops.Sketches.HllM
+    val cap = graft.ops.Sketches.HllRhoCap64
+    val a = graft.ops.Sketches.HllMixA
+    val sh = graft.ops.Sketches.HllMixShift
+    val h = polyHash64Sql("CAST(l_suppkey AS VARCHAR)")
+    val ladder = (1 until cap)
+      .map(j => s"WHEN s % ${1L << j} = ${1L << (j - 1)} THEN $j")
+      .mkString(" ")
+    s"""WITH k AS (SELECT l_returnflag, l_suppkey, $h AS h
+      |  FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)),
+      |m0 AS (SELECT l_returnflag, h,
+      |         ((h // 1073741824) * ${a(0)} + h % 1073741824)
+      |           % 2147483648 AS x FROM k),
+      |m1 AS (SELECT l_returnflag, h,
+      |         (xor(x, x >> ${sh(0)}) * ${a(1)}) % 2147483648 AS x FROM m0),
+      |m2 AS (SELECT l_returnflag, h,
+      |         (xor(x, x >> ${sh(1)}) * ${a(2)}) % 2147483648 AS x FROM m1),
+      |g1 AS (SELECT l_returnflag, h, xor(x, x >> ${sh(2)}) AS l1 FROM m2),
+      |h2 AS (SELECT l_returnflag, l1, xor(h, l1) AS hx FROM g1),
+      |n0 AS (SELECT l_returnflag, l1,
+      |         ((hx // 1073741824) * ${a(0)} + hx % 1073741824)
+      |           % 2147483648 AS y FROM h2),
+      |n1 AS (SELECT l_returnflag, l1,
+      |         (xor(y, y >> ${sh(0)}) * ${a(1)}) % 2147483648 AS y FROM n0),
+      |n2 AS (SELECT l_returnflag, l1,
+      |         (xor(y, y >> ${sh(1)}) * ${a(2)}) % 2147483648 AS y FROM n1),
+      |mg AS (SELECT l_returnflag,
+      |         l1 * 2147483648 + xor(y, y >> ${sh(2)}) AS g FROM n2),
       |sfx AS (SELECT l_returnflag, g % $m AS bucket, g // $m AS s FROM mg),
       |r AS (SELECT l_returnflag, bucket,
       |        max(CASE WHEN s = 0 THEN $cap $ladder ELSE $cap END) AS reg
@@ -2467,6 +2520,7 @@ object SparkEntry {
     "st8_stream_count_min" -> cmOracleSql,
     "q21_count_min" -> cmOracleSql,
     "q23_hll_register_store" -> hllOracleSql,
+    "q23b_hll64_register_store" -> hll64OracleSql,
     // st13: the SAME oracle — the streamed state-store register build
     // must equal the batch build bit-for-bit (lossless max-merge).
     "st13_stream_hll" -> hllOracleSql,
@@ -2938,15 +2992,64 @@ object SparkEntry {
          |      FROM sims)
          |WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin
     },
-    // ks1: binned drift replay — same fixed 20-bin split, eps clamp,
-    // cumulative KS and PSI (ln, not log10). Count sums CAST to BIGINT
-    // (DuckDB sum widens to HUGEINT).
+    // knn1b: the incremental graph store replayed as its TWO
+    // generations — base anchors see base candidates (the build), delta
+    // anchors see ALL candidates (the append runs after delta members
+    // land) — one sims CTE with a generation predicate, since seeded
+    // assignment is per-vector (a vector's list never depends on the
+    // rest of the corpus).
+    "knn1b_graph_store" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)), 0.0)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
+         |          WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
+         |ca AS (
+         |  SELECT vec_id, v, list_id FROM (
+         |    SELECT c.vec_id, c.v, s.list_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e c CROSS JOIN seeds s)
+         |  WHERE ar = 1),
+         |qa AS (
+         |  SELECT vec_id AS anchor_id, v AS qv, list_id FROM (
+         |    SELECT q.vec_id, q.v, s.list_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e q CROSS JOIN seeds s)
+         |  WHERE ar <= 3),
+         |sims AS (
+         |  SELECT qa.anchor_id, ca.vec_id AS cand_id,
+         |    ${cos("qa.qv", "ca.v")} AS sim_raw
+         |  FROM qa JOIN ca USING (list_id)
+         |  WHERE ca.vec_id != qa.anchor_id
+         |    AND (qa.anchor_id % 10 = 3 OR ca.vec_id % 10 != 3))
+         |SELECT anchor_id AS vec_id, cand_id AS nbr_id,
+         |  floor(sim_raw * 1000000 + 0.5) / 1000000 AS cosine, rn AS rank
+         |FROM (SELECT anchor_id, cand_id, sim_raw,
+         |        row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY sim_raw DESC, cand_id) AS rn
+         |      FROM sims)
+         |WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin
+    },
+    // ks1: binned drift replay — same fixed 20-bin split (clamped at
+    // BOTH ends), eps clamp, explicit NULL-value counts, cumulative KS
+    // and PSI (ln, not log10). Count sums CAST to BIGINT (DuckDB sum
+    // widens to HUGEINT).
     "ks1_drift" ->
-      """WITH b AS (
-        |  SELECT least(floor(o_totalprice / 25000), 19) AS bin,
+      """WITH b0 AS (
+        |  SELECT o_totalprice AS v,
         |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
         |         THEN 1 ELSE 0 END AS in_a
         |  FROM orders),
+        |nn AS (SELECT CAST(coalesce(sum(in_a), 0) AS BIGINT) AS n_null_a,
+        |         CAST(coalesce(sum(1 - in_a), 0) AS BIGINT) AS n_null_b
+        |       FROM b0 WHERE v IS NULL),
+        |b AS (
+        |  SELECT greatest(least(floor(v / 25000), 19), 0) AS bin, in_a
+        |  FROM b0 WHERE v IS NOT NULL),
         |g AS (SELECT bin, CAST(sum(in_a) AS BIGINT) AS cnt_a,
         |        CAST(sum(1 - in_a) AS BIGINT) AS cnt_b
         |      FROM b GROUP BY bin),
@@ -2966,8 +3069,9 @@ object SparkEntry {
         |SELECT min(n_a) AS n_a, min(n_b) AS n_b,
         |  floor(max(abs(cum_a - cum_b)) * 1000000 + 0.5) / 1000000 AS ks_stat,
         |  floor(sum((share_a - share_b) * ln(share_a / share_b))
-        |    * 1000000 + 0.5) / 1000000 AS psi
-        |FROM c""".stripMargin,
+        |    * 1000000 + 0.5) / 1000000 AS psi,
+        |  min(n_null_a) AS n_null_a, min(n_null_b) AS n_null_b
+        |FROM c CROSS JOIN nn""".stripMargin,
     // pf1: key-skew profile replay — groupBy-count key frame, ranked
     // by (count desc, key), summary over that frame. ln = natural log.
     "pf1_skew_profile" ->

@@ -25,7 +25,8 @@ object ProfileQueries {
         binWidth = 25000.0, nBins = 20)
       .select(col("n_a"), col("n_b"),
         exactRound(col("ks_stat"), 6).as("ks_stat"),
-        exactRound(col("psi"), 6).as("psi"))
+        exactRound(col("psi"), 6).as("psi"),
+        col("n_null_a"), col("n_null_b"))
 
   /** pf1 — key-skew profile of orders.o_custkey (the decide-before-
     * you-join diagnostic feeding j12's salt choice): distinct keys,

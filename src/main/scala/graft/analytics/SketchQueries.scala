@@ -77,25 +77,51 @@ object SketchQueries {
     hllContractReadout(merged, li)
   }
 
-  /** Shared q23/st13 readout: integer register stats (oracle-exact)
-    * next to the float estimate's 3-sigma contract boolean. */
+  /** q23b — the TWO-LIMB 62-bit HLL lane's incremental register
+    * store (ops.Sketches.hllRegisters64): same base/delta split,
+    * same lossless max-merge and same contract readout as q23, but
+    * the mixed value carries 56 geometric bits, lifting the 31-bit
+    * lane's ~2·10^9 per-group ceiling to ~4.6·10^18 while every
+    * intermediate stays < 2^62 — so the oracle still replays the
+    * whole pipeline (both limbs, the ladder to rho 56) in ANSI
+    * BIGINT. */
+  def hllRegisterStore64(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey"))
+    val store = hll64StoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_hll64_store").toString
+      Sketches.hllRegisters64(li.filter(col("l_orderkey") % 10 =!= 3),
+          "l_returnflag", "l_suppkey")
+        .write.parquet(s"$p/regs")
+      s"$p/regs"
+    })
+    val deltaRegs = Sketches.hllRegisters64(
+      li.filter(col("l_orderkey") % 10 === 3), "l_returnflag", "l_suppkey")
+    val merged = Sketches.hllMergeRegisters(
+      spark.read.parquet(store), deltaRegs, "l_returnflag")
+    hllContractReadout(merged, li)
+  }
+
+  private val hll64StoreCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Shared q23/q23b/st13 readout: integer register stats
+    * (oracle-exact) next to the float estimate's 3-sigma contract
+    * boolean. */
   private[graft] def hllContractReadout(registers: DataFrame,
                                         li: DataFrame): DataFrame = {
     // one aggregate pass over the registers (stats + the estimate's
     // harmonic sum together — a second scan of a streaming memory
-    // sink would also trip Spark's self-join reference resolution)
+    // sink would also trip Spark's self-join reference resolution);
+    // the estimator itself is Sketches.hllEstimate, the SAME
+    // expression hllEstimates uses — one home for the constants
     val m = Sketches.HllM.toDouble
     val stats = registers.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_regs"), sum(col("reg")).as("sum_rho"),
         max(col("reg")).as("max_rho"),
         sum(pow(lit(2.0), -col("reg"))).as("__z"))
-      .withColumn("__raw",
-        lit(0.709 * m * m) / (col("__z") + (lit(m) - col("n_regs"))))
-      .withColumn("__v", lit(m) - col("n_regs"))
       .withColumn("estimate",
-        when(col("__raw") <= lit(2.5 * m) && col("__v") > 0,
-          lit(m) * log(lit(m) / col("__v")))
-          .otherwise(col("__raw")))
+        Sketches.hllEstimate(col("n_regs"), col("__z")))
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_suppkey")).as("exact_distinct"))
     val rsd = 1.04 / math.sqrt(m)

@@ -121,6 +121,34 @@ object VectorQueries {
         exactRound(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
 
+  /** knn1b — the INCREMENTAL face of the k-NN graph
+    * (ops.Similarity.writeKnnGraphStore / appendKnnGraph): the store
+    * is built from 90% of the corpus (edges + list-partitioned
+    * members + frozen seeds), the 10% delta appended — only the delta
+    * signed, stored files never rewritten, delta anchors acquiring
+    * neighbors from their probed lists over the corpus-so-far. The
+    * oracle replays BOTH generations: base edges against the base
+    * corpus, delta edges against the full corpus — so a store that
+    * re-signed, leaked or dropped rows fails the hash. */
+  def knnGraphIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val p = knnStoreCache.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_knn_store").toString
+      graft.ops.Similarity.writeKnnGraphStore(
+        e.filter(col("vec_id") % 10 =!= 3), tmp, IvfSeedIds, k = 5, nProbe = 3)
+      graft.ops.Similarity.appendKnnGraph(
+        e.filter(col("vec_id") % 10 === 3), tmp, k = 5, nProbe = 3)
+      tmp
+    })
+    spark.read.parquet(s"$p/edges")
+      .select(col("vec_id"), col("nbr_id"),
+        exactRound(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  private val knnStoreCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** A1 — weighted mean embedding per label, exploded to (label, dim,
     * value) rows so the oracle compare is scalar. Weight is a
     * deterministic function of vec_id (stands in for token_count).

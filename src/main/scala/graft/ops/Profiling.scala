@@ -25,18 +25,35 @@ object Profiling {
     * while binned KS/PSI is ONE groupBy over ≤ nBins keys with
     * map-side partial aggregation — the standard production drift
     * monitor. Zero-count bins are clamped to `eps` share so PSI stays
-    * finite (the usual convention). Returns one row:
-    * (n_a, n_b, ks_stat, psi). */
+    * finite (the usual convention). Bin ids are clamped on BOTH ends
+    * (`greatest(least(⌊v/w⌋, nBins−1), 0)` — values below 0 land in
+    * bin 0, not a negative id outside the CDF frame), and NULL values
+    * are counted EXPLICITLY rather than binned: a NULL bin key would
+    * enter the totals but drop out of the bin≤bin CDF join, silently
+    * biasing ks/psi. Returns one row:
+    * (n_a, n_b, ks_stat, psi, n_null_a, n_null_b) — n_a/n_b and the
+    * statistics cover non-NULL values only. */
   def binnedDrift(df: DataFrame, valueCol: String, isA: Column,
                   binWidth: Double, nBins: Int,
                   eps: Double = 1e-6): DataFrame = {
     require(binWidth > 0 && nBins > 1, "need binWidth > 0, nBins > 1")
-    val bin = least(floor(col(valueCol) / binWidth), lit(nBins - 1L))
-    val binned = df
+    // Spark's least/greatest SKIP nulls (they return the extreme of
+    // the non-null operands), so a bare clamp would quietly route
+    // NULL values into bin nBins-1 — gate on null explicitly
+    val raw = floor(col(valueCol) / binWidth)
+    val bin = when(raw.isNull, lit(null).cast("long"))
+      .otherwise(greatest(least(raw, lit(nBins - 1L)), lit(0L)))
+    // one pass: NULL values keep their NULL bin key through the same
+    // aggregate (no second scan of the data), then split below
+    val binned0 = df
       .select(bin.as("bin"), when(isA, 1L).otherwise(0L).as("in_a"))
       .groupBy(col("bin"))
       .agg(sum(col("in_a")).as("cnt_a"),
         sum(lit(1L) - col("in_a")).as("cnt_b"))
+    val nulls = binned0.filter(col("bin").isNull)
+      .agg(coalesce(sum(col("cnt_a")), lit(0L)).as("n_null_a"),
+        coalesce(sum(col("cnt_b")), lit(0L)).as("n_null_b"))
+    val binned = binned0.filter(col("bin").isNotNull)
     // everything below runs on ≤ nBins rows. The prefix sums for the
     // CDFs ride a bin≤bin self-join (≤ nBins² pairs, both sides the
     // SAME aggregate subtree so the shuffle is planned once and
@@ -60,6 +77,7 @@ object Profiling {
         max(abs(col("cum_a") - col("cum_b"))).as("ks_stat"),
         sum((col("share_a") - col("share_b")) *
           log(col("share_a") / col("share_b"))).as("psi"))
+      .crossJoin(nulls)
   }
 
   /** Key-skew profile of `keyCol` — the "look before you shuffle"

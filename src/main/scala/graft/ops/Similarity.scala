@@ -260,27 +260,59 @@ object Similarity {
     * a hint forcing the driver to collect 5× the corpus. Candidate
     * volume stays nProbe × mean list size per query — never
     * all-pairs. */
+  /** Driver-collect of a (list_id, __sv) quantizer frame — bounded by
+    * construction (member seeds or trained centroids). */
+  private[graft] def collectCents(seeds0: DataFrame): Seq[(Long, Array[Double])] =
+    seeds0
+      .select(col("list_id").cast("long"), col("__sv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** Map-only corpus assignment: (cand_id, __cv) → + (__cn, list_id)
+    * via the [[graft.functions.NearestCentroid]] codegen expression
+    * over the driver-held quantizer. The ONE place corpus vectors get
+    * signed — the k-NN graph store persists this frame so its delta
+    * append never re-derives it. */
+  private[graft] def assignWithLists(c0: DataFrame,
+                                     cents: Seq[(Long, Array[Double])]): DataFrame =
+    c0.withColumn("__cn", VF.norm(col("__cv")))
+      .withColumn("__best",
+        graft.functions.NearestCentroid.nearest(col("__cv"), cents))
+      .withColumn("list_id", col("__best.cluster_id"))
+      .drop("__best")
+
+  /** Probe frame: each query row exploded to its `nProbe` nearest
+    * lists — (queryIdCol, __qv, __qn, list_id). */
+  private[graft] def probesFor(queries: DataFrame,
+                               cents: Seq[(Long, Array[Double])], nProbe: Int,
+                               vecCol: String, queryIdCol: String): DataFrame =
+    queries.select(col(queryIdCol),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", VF.norm(col("__qv")))
+      .withColumn("list_id",
+        explode(graft.functions.NearestCentroid
+          .nearestN(col("__qv"), cents, nProbe)))
+
   private[graft] def ivfCandidates(c0: DataFrame, queries: DataFrame,
                                    seeds0: DataFrame, nProbe: Int,
                                    vecCol: String,
                                    queryIdCol: String,
                                    broadcastProbes: Boolean = true): DataFrame = {
-    import graft.functions.NearestCentroid
-    val cents: Seq[(Long, Array[Double])] = seeds0
-      .select(col("list_id").cast("long"), col("__sv").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    val assigned = c0
-      .withColumn("__cn", VF.norm(col("__cv")))
-      .withColumn("__best", NearestCentroid.nearest(col("__cv"), cents))
-      .withColumn("list_id", col("__best.cluster_id"))
-      .drop("__best")
-    val q0 = queries.select(col(queryIdCol),
-      col(vecCol).cast("array<double>").as("__qv"))
-    val probes = q0
-      .withColumn("__qn", VF.norm(col("__qv")))
-      .withColumn("list_id",
-        explode(NearestCentroid.nearestN(col("__qv"), cents, nProbe)))
+    val cents = collectCents(seeds0)
+    val assigned = assignWithLists(c0, cents)
+    val probes = probesFor(queries, cents, nProbe, vecCol, queryIdCol)
+    candidatesFromAssigned(assigned, probes, queryIdCol, broadcastProbes)
+  }
+
+  /** The probe JOIN over a PRE-ASSIGNED corpus frame
+    * (cand_id, __cv, __cn, list_id) — shared by [[ivfCandidates]]
+    * (which assigns in-flight) and the k-NN graph store's delta
+    * append (which reads assignments back from the store: delta-only
+    * signing means this stage must NOT re-derive list_id). */
+  private[graft] def candidatesFromAssigned(assigned: DataFrame,
+                                            probes: DataFrame,
+                                            queryIdCol: String,
+                                            broadcastProbes: Boolean): DataFrame = {
     // the mining face FORCES a shuffle hash join (build = the 1×
     // assigned corpus; the nProbe× probes stream): Catalyst's estimate
     // for the probes side inherits the pre-explode scan size, so at
@@ -316,8 +348,12 @@ object Similarity {
     val joined =
       if (broadcastProbes) assigned.join(broadcast(probes), Seq("list_id"))
       else {
-        val saltLanes = 4
-        val parts = 4 * c0.sparkSession.conf
+        // lane count is a session knob so the decade studies can sweep
+        // it (PERFORMANCE.md saltLanes table); 4 is the measured
+        // straggler/replication sweet spot at n=200k
+        val saltLanes = assigned.sparkSession.conf
+          .get("graft.ivf.saltLanes", "4").toInt
+        val parts = 4 * assigned.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "32").toInt
         val a2 = assigned.withColumn("__salt",
           pmod(xxhash64(col("cand_id")), lit(saltLanes.toLong)))
@@ -425,6 +461,108 @@ object Similarity {
     val anchors = corpus.select(col(idCol).as("anchor_id"), col(vecCol))
     val cands = ivfCandidates(c0, anchors, seeds, nProbe, vecCol,
       "anchor_id", broadcastProbes = false)
+    TopK.perGroup(cands, Seq("anchor_id"),
+        Seq(("cosine", true), ("cand_id", false)), k = k, rankName = "rank")
+      .select(col("anchor_id").as("vec_id"), col("cand_id").as("nbr_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Persisted k-NN GRAPH store — [[knnGraphIvfSeeded]]'s artifact
+    * made DURABLE and INCREMENTAL (the d9/s1c store discipline applied
+    * to the graph every graph-based dedup/cluster pipeline keeps
+    * fresh). Layout under `path`:
+    *
+    *  - `seeds/`   — the frozen coarse quantizer (list_id, __sv):
+    *    appends MUST assign against the build-time quantizer or
+    *    stored list membership silently diverges from probing;
+    *  - `members/` — the assigned corpus (cand_id, __cv, __cn,
+    *    list_id), parquet partitioned BY list_id — the inverted-list
+    *    layout, so an append lands NEW files inside list directories
+    *    and the stored corpus is never re-signed, re-shuffled or
+    *    rewritten;
+    *  - `edges/`   — (vec_id, nbr_id, cosine, rank), the top-k
+    *    neighbor rows.
+    *
+    * Build derives the edges from the STORED members frame (one
+    * assignment pass feeds both artifacts), probing like the mining
+    * face: map-only assignment, one salted shuffle join by list_id,
+    * bounded-heap TopKPerGroup. */
+  def writeKnnGraphStore(corpus: DataFrame, path: String, seedIds: Seq[Long],
+                         k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    require(seedIds.nonEmpty && k > 0 && nProbe > 0)
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val seeds = c0.filter(col("cand_id").isin(seedIds: _*))
+      .select(col("cand_id").as("list_id"), col("__cv").as("__sv"))
+    seeds.write.mode("overwrite").parquet(s"$path/seeds")
+    val cents = collectCents(seeds)
+    assignWithLists(c0, cents)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/members")
+    val members = readMembers(spark, path)
+    val probes = probesFor(
+      corpus.select(col(idCol).as("anchor_id"), col(vecCol)), cents,
+      nProbe, vecCol, "anchor_id")
+    knnEdges(members, probes, k)
+      .write.mode("overwrite").parquet(s"$path/edges")
+  }
+
+  /** Append a DELTA of vectors to a [[writeKnnGraphStore]] store:
+    * the delta alone is signed against the frozen quantizer (ONE
+    * map-only pass — the stored members arrive pre-assigned from
+    * parquet, pinned by KnnGraphStoreSpec's single-assignment plan
+    * assert), its member rows land as NEW files inside their list
+    * directories, and the delta anchors acquire neighbors from their
+    * `nProbe` probed lists over the corpus-so-far (stored members ∪
+    * this delta). Stored edges are NOT revisited — an old vector
+    * keeps its build-time neighbors (the one-directional freshness
+    * every incremental ANN graph accepts; a periodic rebuild
+    * refreshes the back-edges). At 100 TB the daily cost is
+    * sign+probe of the delta alone: the historical corpus is never
+    * re-signed, and the candidate volume is nProbe × mean list size
+    * per DELTA anchor. */
+  def appendKnnGraph(delta: DataFrame, path: String, k: Int,
+                     nProbe: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val d0 = delta.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val cents = collectCents(spark.read.parquet(s"$path/seeds"))
+    assignWithLists(d0, cents)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/members")
+    deltaKnnEdges(delta, path, k, nProbe, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/edges")
+  }
+
+  /** The delta-append edge frame (exposed for the spec's plan
+    * assert): probes from the delta anchors, candidates from the
+    * stored members parquet — which at this point already includes
+    * the delta's own member rows, so two delta vectors can be each
+    * other's neighbors, exactly like a rebuild would see them. */
+  private[graft] def deltaKnnEdges(delta: DataFrame, path: String, k: Int,
+                                   nProbe: Int, idCol: String,
+                                   vecCol: String): DataFrame = {
+    val spark = delta.sparkSession
+    val cents = collectCents(spark.read.parquet(s"$path/seeds"))
+    val probes = probesFor(
+      delta.select(col(idCol).as("anchor_id"), col(vecCol)), cents,
+      nProbe, vecCol, "anchor_id")
+    knnEdges(readMembers(spark, path), probes, k)
+  }
+
+  /** Members scan: the partition column comes back type-inferred, so
+    * pin it to long before any join against probe list ids. */
+  private def readMembers(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame =
+    spark.read.parquet(s"$path/members")
+      .withColumn("list_id", col("list_id").cast("long"))
+
+  private def knnEdges(members: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val cands = candidatesFromAssigned(members, probes, "anchor_id",
+      broadcastProbes = false)
     TopK.perGroup(cands, Seq("anchor_id"),
         Seq(("cosine", true), ("cand_id", false)), k = k, rankName = "rank")
       .select(col("anchor_id").as("vec_id"), col("cand_id").as("nbr_id"),

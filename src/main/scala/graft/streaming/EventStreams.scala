@@ -313,7 +313,16 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val v = batch.agg(max(col("__ver"))).collect().head.getInt(0)
+          // fail fast on a mixed batch: folding two snapshot versions
+          // as one would silently produce wrong intervals (the caller
+          // contract is one staged file per version, maxFilesPerTrigger=1)
+          val vrow = batch.agg(max(col("__ver")).as("v"),
+            countDistinct(col("__ver")).as("nv")).collect().head
+          require(vrow.getLong(1) == 1L,
+            s"scd2Stream: micro-batch holds ${vrow.getLong(1)} distinct " +
+              "__ver values; stage one snapshot file per version with " +
+              "maxFilesPerTrigger=1 so each batch is a single snapshot")
+          val v = vrow.getInt(0)
           val dig = graft.ops.Scd.valueDigest(valueCols)
           val keyC = keyCols.map(col)
           val outCols = keyC ++ valueCols.map(col) :+
@@ -323,9 +332,13 @@ object EventStreams {
             .withColumn("__nh", graft.ops.Scd.valueDigest(
               valueCols.map(c => s"__n_$c")))
             .withColumn("__inSnap", lit(true))
-          val prev = new java.io.File(s"$storeDir/ver_${v - 1}")
+          // store resolution through the Hadoop FS API — the store dir
+          // may live on any Hadoop-visible filesystem (HDFS/S3A/local),
+          // exactly like the checkpoint; java.io.File only speaks local
+          val prev = new org.apache.hadoop.fs.Path(s"$storeDir/ver_${v - 1}")
+          val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val store =
-            if (!prev.isDirectory)
+            if (!fs.exists(prev))
               batch.select(keyC ++ valueCols.map(col): _*).limit(0)
                 .withColumn("valid_from", lit(0))
                 .withColumn("valid_to", lit(null).cast("int"))

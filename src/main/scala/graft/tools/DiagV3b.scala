@@ -22,6 +22,10 @@ object DiagV3b {
     val spark = Sessions.local("diag-v3b")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "5").toInt
+    // saltLanes sweep knob (PERFORMANCE.md lane table): forwards to
+    // the graft.ivf.saltLanes session conf ivfCandidates reads
+    sys.env.get("SPARK_GRAFT_SALT_LANES")
+      .foreach(v => spark.conf.set("graft.ivf.saltLanes", v))
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
     val step = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)

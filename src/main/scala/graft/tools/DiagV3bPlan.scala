@@ -15,7 +15,13 @@ object DiagV3bPlan {
     val step = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val mined = graft.ops.Similarity.hardNegativesIvfSeeded(
       e, (0L until n by step).toSeq, nProbe = 5)
-    mined.count()
+    // Execute the Dataset's OWN QueryExecution (toRdd drives the same
+    // AdaptiveSparkPlanExec this tool prints). A `mined.count()` here
+    // would run a SEPARATE QueryExecution for the count aggregate and
+    // leave `mined.queryExecution.executedPlan` an unexecuted
+    // AdaptiveSparkPlan (isFinalPlan=false) — the AQEShuffleRead nodes
+    // this audit exists to expose would never appear.
+    mined.queryExecution.toRdd.foreach(_ => ())
     val plan = mined.queryExecution.executedPlan.toString
     plan.linesIterator
       .filter(l => l.contains("Exchange") || l.contains("Join") ||

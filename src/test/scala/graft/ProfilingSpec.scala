@@ -37,6 +37,41 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("psi") - expectedPsi) < 1e-9)
   }
 
+  test("binnedDrift: NULL values are counted explicitly, never binned") {
+    // 3 NULLs in A, 2 in B; the non-null rows are the identical-
+    // distribution fixture — ks/psi must stay 0 and n_a/n_b must not
+    // include the nulls (a null bin key entering tot but dropping out
+    // of the CDF join was the advisory's silent-bias mode)
+    val df = spark.range(2005).select(
+      when(col("id") >= 2000, lit(null).cast("double"))
+        .otherwise(((col("id") % 10) * 10 + 5).cast("double")).as("v"),
+      (col("id") < 1000 || col("id").isin(2000L, 2001L, 2002L)).as("a"))
+    val r = Profiling.binnedDrift(df, "v", col("a"), binWidth = 10.0,
+      nBins = 20).collect()(0)
+    assert(r.getAs[Long]("n_a") === 1000L)
+    assert(r.getAs[Long]("n_b") === 1000L)
+    assert(r.getAs[Long]("n_null_a") === 3L)
+    assert(r.getAs[Long]("n_null_b") === 2L)
+    assert(math.abs(r.getAs[Double]("ks_stat")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("psi")) < 1e-12)
+  }
+
+  test("binnedDrift: negative values clamp into bin 0, not a negative id") {
+    // A holds values in bin 0, B holds NEGATIVE values: with the
+    // two-sided clamp both slices land in bin 0 → identical CDFs,
+    // ks = 0. Without the clamp B's rows sat in bin -1, joined into
+    // the CDF frame asymmetrically, and ks was biased.
+    val df = spark.range(200).select(
+      when(col("id") < 100, lit(5.0)).otherwise(lit(-37.0)).as("v"),
+      (col("id") < 100).as("a"))
+    val r = Profiling.binnedDrift(df, "v", col("a"), binWidth = 10.0,
+      nBins = 20).collect()(0)
+    assert(r.getAs[Long]("n_a") === 100L)
+    assert(r.getAs[Long]("n_b") === 100L)
+    assert(math.abs(r.getAs[Double]("ks_stat")) < 1e-12)
+    assert(r.getAs[Long]("n_null_a") === 0L)
+  }
+
   test("keySkewProfile: planted counts give exact summary") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
       .toDF("k")

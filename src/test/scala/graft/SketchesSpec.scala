@@ -162,6 +162,87 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll64 two-limb mix + rho ladder equal a plain-Scala reference") {
+    import graft.functions.PolyHash
+    val keys = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(l_suppkey AS STRING) AS k").distinct()
+      .as[String].collect()
+    val M31 = 1L << 31
+    def refMix(h: Long): Long = {
+      var x = ((h >> 30) * Sketches.HllMixA(0) + (h & ((1L << 30) - 1))) % M31
+      x = ((x ^ (x >> Sketches.HllMixShift(0))) * Sketches.HllMixA(1)) % M31
+      x = ((x ^ (x >> Sketches.HllMixShift(1))) * Sketches.HllMixA(2)) % M31
+      x ^ (x >> Sketches.HllMixShift(2))
+    }
+    def refMix64(h: Long): Long = {
+      val l1 = refMix(h)
+      l1 * M31 + refMix(h ^ l1)
+    }
+    def refRho64(g: Long): Int = {
+      val s = g / Sketches.HllM
+      if (s == 0) Sketches.HllRhoCap64
+      else math.min(java.lang.Long.numberOfTrailingZeros(s) + 1,
+        Sketches.HllRhoCap64)
+    }
+    val got = Sketches.hllRegisters64(
+        Tables.lineitem(spark, sfDir)
+          .selectExpr("CAST(l_suppkey AS STRING) AS k", "'g' AS grp")
+          .distinct(),
+        "grp", "k")
+      .select($"bucket", $"reg").as[(Long, Int)].collect().toMap
+    val ref = keys.map(k => refMix64(PolyHash.hash(k)))
+      .groupBy(g => g % Sketches.HllM)
+      .map { case (b, gs) => b -> gs.map(refRho64).max }
+    assert(got == ref, s"spark=$got ref=$ref")
+  }
+
+  test("hll64 register merge of store + delta equals full rebuild exactly") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_suppkey", $"l_orderkey")
+    val base = Sketches.hllRegisters64(
+      li.filter($"l_orderkey" % 10 =!= 3), "l_returnflag", "l_suppkey")
+    val delta = Sketches.hllRegisters64(
+      li.filter($"l_orderkey" % 10 === 3), "l_returnflag", "l_suppkey")
+    val merged = Sketches.hllMergeRegisters(base, delta, "l_returnflag")
+      .select($"l_returnflag", $"bucket", $"reg")
+      .as[(String, Long, Int)].collect().toSet
+    val rebuild = Sketches.hllRegisters64(li, "l_returnflag", "l_suppkey")
+      .select($"l_returnflag", $"bucket", $"reg")
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged == rebuild)
+  }
+
+  test("hll64 estimate holds its 3-sigma contract at 100k distinct keys") {
+    // the two-limb lane's whole point is the higher geometric
+    // ceiling; its LOW-cardinality accuracy must not regress vs the
+    // 31-bit lane (same m, same estimator, same 1.04/sqrt(m) rsd)
+    val big = spark.range(100000L)
+      .selectExpr("'g' AS grp", "CAST(id AS STRING) AS k")
+    val est = Sketches.hllEstimates(
+      Sketches.hllRegisters64(big, "grp", "k"), "grp")
+      .select($"estimate").as[Double].collect().head
+    val rsd = 1.04 / math.sqrt(Sketches.HllM.toDouble)
+    assert(math.abs(est - 100000.0) <= 100000.0 * 3 * rsd + 1.0,
+      s"estimate $est vs exact 100000")
+  }
+
+  test("hll64 mixed values genuinely use the wide geometric range") {
+    // rho > HllRhoCap (26) is impossible in the 31-bit lane; over
+    // 100k keys the two-limb lane must produce at least one register
+    // past it (P(all 100k suffixes have < 26 trailing zeros) ≈
+    // (1 - 2^-26)^100k... the complement: expected count of rho>26
+    // ≈ 100k/2^26 ≈ 0.0015 — too rare; assert the SPREAD instead:
+    // some register must exceed the ~log2(100k/64) + 3 ≈ 14 level
+    // only a healthy geometric tail reaches, and none may exceed the
+    // 57 cap.
+    val big = spark.range(100000L)
+      .selectExpr("'g' AS grp", "CAST(id AS STRING) AS k")
+    val regs = Sketches.hllRegisters64(big, "grp", "k")
+      .select($"reg").as[Int].collect()
+    assert(regs.forall(r => r >= 1 && r <= Sketches.HllRhoCap64))
+    assert(regs.max >= 10, s"max rho ${regs.max} — degenerate tail")
+  }
+
   test("hll registers stay sketch-sized regardless of cardinality") {
     val big = spark.range(100000L)
       .selectExpr("CAST(id % 3 AS STRING) AS grp", "CAST(id AS STRING) AS k")

@@ -295,6 +295,33 @@ class StreamingSpec extends SparkSpec {
     assert(st12.exists(r => r._5.contains(1)), "a closure at v1")
   }
 
+  test("scd2Stream fails fast on a mixed-version micro-batch") {
+    // two snapshot versions staged as ONE batch (no maxFilesPerTrigger
+    // cap): folding them as a single snapshot at max(__ver) would
+    // produce wrong intervals, so the stream must abort with the
+    // single-version guard instead of silently merging
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2guard").toString
+    Seq((1L, 10.0, "A", 0), (1L, 11.0, "A", 1), (2L, 5.0, "B", 0))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment", "__ver")
+      .write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = graft.streaming.EventStreams.scd2Stream(
+      spark.readStream.schema(schema).parquet(s"$tmp/src"),
+      keyCols = Seq("c_custkey"),
+      valueCols = Seq("c_acctbal", "c_mktsegment"),
+      storeDir = s"$tmp/store", checkpoint = s"$tmp/cp")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("scd2Stream")),
+      s"expected the single-version guard, got: $ex")
+  }
+
   test("st13 rehearsal: streamed HLL registers equal the batch q23 store") {
     val st13 = SparkEntry.queries("st13_stream_hll")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
