@@ -62,6 +62,7 @@ object SparkEntry {
     "seq1_pattern_match"    -> (ProfileQueries.sequencePatterns _),
     "knn1_graph"            -> (VectorQueries.knnGraph _),
     "knn1b_graph_store"     -> (VectorQueries.knnGraphIncremental _),
+    "knn2_semantic_clusters" -> (VectorQueries.knnClusters _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
     "j10_fuzzy_join"        -> (CoreQueries.fuzzyNameJoin _),
@@ -2991,6 +2992,61 @@ object SparkEntry {
          |          ORDER BY sim_raw DESC, cand_id) AS rn
          |      FROM sims)
          |WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin
+    },
+    // knn2: knn1's graph build + the 4dp data-adaptive decile cut
+    // (ORDER BY/LIMIT with ties ≡ the histogram read-off) + the
+    // d6-style recursive-CTE components, with singleton clusters for
+    // vectors whose every edge falls below the cut.
+    "knn2_semantic_clusters" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)), 0.0)"
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
+         |          WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
+         |ca AS (
+         |  SELECT vec_id, v, list_id FROM (
+         |    SELECT c.vec_id, c.v, s.list_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e c CROSS JOIN seeds s)
+         |  WHERE ar = 1),
+         |qa AS (
+         |  SELECT vec_id AS anchor_id, v AS qv, list_id FROM (
+         |    SELECT q.vec_id, q.v, s.list_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "s.sv")} DESC, s.list_id) AS ar
+         |    FROM e q CROSS JOIN seeds s)
+         |  WHERE ar <= 3),
+         |sims AS (
+         |  SELECT qa.anchor_id, ca.vec_id AS cand_id,
+         |    ${cos("qa.qv", "ca.v")} AS sim_raw
+         |  FROM qa JOIN ca USING (list_id)
+         |  WHERE ca.vec_id != qa.anchor_id),
+         |edges AS MATERIALIZED (
+         |  SELECT anchor_id, cand_id,
+         |    floor(sim_raw * 10000 + 0.5) / 10000 AS h
+         |  FROM (SELECT anchor_id, cand_id, sim_raw,
+         |          row_number() OVER (PARTITION BY anchor_id
+         |            ORDER BY sim_raw DESC, cand_id) AS rn
+         |        FROM sims)
+         |  WHERE rn <= 5),
+         |thr AS (SELECT min(h) AS t FROM (SELECT h FROM edges ORDER BY h DESC
+         |        LIMIT (SELECT CAST(ceil(0.1 * count(*)) AS BIGINT) FROM edges))),
+         |und AS MATERIALIZED (
+         |  SELECT anchor_id AS a, cand_id AS b FROM edges, thr WHERE h >= t
+         |  UNION
+         |  SELECT cand_id, anchor_id FROM edges, thr WHERE h >= t),
+         |reach AS (
+         |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+         |SELECT coalesce(c.component, e.vec_id) AS cluster,
+         |  count(*) AS n_members, min(e.vec_id) AS keep_id
+         |FROM e LEFT JOIN comp c ON e.vec_id = c.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // knn1b: the incremental graph store replayed as its TWO
     // generations — base anchors see base candidates (the build), delta

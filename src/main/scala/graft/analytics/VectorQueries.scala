@@ -149,6 +149,50 @@ object VectorQueries {
   private val knnStoreCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** knn2 — SEMANTIC CLUSTERING over the k-NN graph (the graph-based
+    * dedup/cluster composition knn1's artifact exists for): keep the
+    * strongest decile of neighbor edges — the cut is DATA-ADAPTIVE,
+    * thr = max 4dp-cosine with |{edges ≥ thr}| ≥ ⌈0.1·|edges|⌉, read
+    * off the cosine HISTOGRAM exactly like tc1's co-count cut (a
+    * value-domain-bounded aggregate, ≤ 2·10^4 4dp bins, never an
+    * edge-sized sort) — then union the surviving edges into
+    * components (ops.Dedup.connectedComponents, min-label pointer
+    * jumping) and roll up one row per cluster with the keep-min-id
+    * survivor discipline. Vectors whose every edge falls below the
+    * cut are their own singleton clusters (a dedup pipeline keeps
+    * them all). The oracle replays the knn build, the 4dp threshold
+    * (ORDER BY/LIMIT with ties — semantically identical to the
+    * histogram read-off) and the components as a recursive CTE. */
+  def knnClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val edges = graft.ops.Similarity.knnGraphIvfSeeded(
+        e, IvfSeedIds, k = 5, nProbe = 3)
+      .select(col("vec_id"), col("nbr_id"),
+        exactRound(col("cosine"), 4).as("h"))
+      .localCheckpoint() // reused by the histogram pass and the filter
+    val hist = edges.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("h").desc)
+      .collect() // distinct 4dp cosine VALUES — bounded, not edge-sized
+    val nEdges = hist.map(_.getLong(1)).sum
+    val topK = math.ceil(0.1 * nEdges).toLong
+    val thr = {
+      var cum = 0L
+      var t = Double.NegativeInfinity
+      hist.foreach { r =>
+        if (cum < topK) { t = r.getDouble(0); cum += r.getLong(1) }
+      }
+      t
+    }
+    val strong = edges.filter(col("h") >= thr)
+    val comp = graft.ops.Dedup.connectedComponents(strong, "vec_id", "nbr_id")
+    e.select(col("vec_id"))
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("vec_id")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("keep_id"))
+      .orderBy(col("cluster"))
+  }
+
   /** A1 — weighted mean embedding per label, exploded to (label, dim,
     * value) rows so the oracle compare is scalar. Weight is a
     * deterministic function of vec_id (stands in for token_count).
