@@ -301,7 +301,8 @@ object Similarity {
     val cents = collectCents(seeds0)
     val assigned = assignWithLists(c0, cents)
     val probes = probesFor(queries, cents, nProbe, vecCol, queryIdCol)
-    candidatesFromAssigned(assigned, probes, queryIdCol, broadcastProbes)
+    candidatesFromAssigned(assigned, probes, queryIdCol, broadcastProbes,
+      nLists = cents.size)
   }
 
   /** The probe JOIN over a PRE-ASSIGNED corpus frame
@@ -309,10 +310,31 @@ object Similarity {
     * (which assigns in-flight) and the k-NN graph store's delta
     * append (which reads assignments back from the store: delta-only
     * signing means this stage must NOT re-derive list_id). */
+  /** Data-dependent salt-lane default: lanes exist to split LUMPY
+    * lists into schedulable units, so the unit count (nLists × lanes)
+    * should clear ~8× the shuffle parallelism — and NO salt should be
+    * paid when the list count alone already does (the round-11 sweep
+    * measured lanes=1 fastest at nLists=448 on 32 cores: probe
+    * replication is pure overhead once lists outnumber cores 8:1,
+    * while the degenerate 5-list adversary wants every lane it can
+    * get). `graft.ivf.saltLanes` still overrides for sweeps. */
+  private def laneCount(spark: org.apache.spark.sql.SparkSession,
+                        nLists: Int): Int = {
+    val conf = spark.conf.get("graft.ivf.saltLanes", "")
+    if (conf.nonEmpty) conf.toInt
+    else {
+      val parallelism =
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      math.min(8, math.max(1,
+        math.ceil(8.0 * parallelism / math.max(1, nLists)).toInt))
+    }
+  }
+
   private[graft] def candidatesFromAssigned(assigned: DataFrame,
                                             probes: DataFrame,
                                             queryIdCol: String,
-                                            broadcastProbes: Boolean): DataFrame = {
+                                            broadcastProbes: Boolean,
+                                            nLists: Int): DataFrame = {
     // the mining face FORCES a shuffle hash join (build = the 1×
     // assigned corpus; the nProbe× probes stream): Catalyst's estimate
     // for the probes side inherits the pre-explode scan size, so at
@@ -348,11 +370,7 @@ object Similarity {
     val joined =
       if (broadcastProbes) assigned.join(broadcast(probes), Seq("list_id"))
       else {
-        // lane count is a session knob so the decade studies can sweep
-        // it (PERFORMANCE.md saltLanes table); 4 is the measured
-        // straggler/replication sweet spot at n=200k
-        val saltLanes = assigned.sparkSession.conf
-          .get("graft.ivf.saltLanes", "4").toInt
+        val saltLanes = laneCount(assigned.sparkSession, nLists)
         val parts = 4 * assigned.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "32").toInt
         val a2 = assigned.withColumn("__salt",
@@ -505,7 +523,7 @@ object Similarity {
     val probes = probesFor(
       corpus.select(col(idCol).as("anchor_id"), col(vecCol)), cents,
       nProbe, vecCol, "anchor_id")
-    knnEdges(members, probes, k)
+    knnEdges(members, probes, k, cents.size)
       .write.mode("overwrite").parquet(s"$path/edges")
   }
 
@@ -550,7 +568,7 @@ object Similarity {
     val probes = probesFor(
       delta.select(col(idCol).as("anchor_id"), col(vecCol)), cents,
       nProbe, vecCol, "anchor_id")
-    knnEdges(readMembers(spark, path), probes, k)
+    knnEdges(readMembers(spark, path), probes, k, cents.size)
   }
 
   /** Members scan: the partition column comes back type-inferred, so
@@ -560,9 +578,10 @@ object Similarity {
     spark.read.parquet(s"$path/members")
       .withColumn("list_id", col("list_id").cast("long"))
 
-  private def knnEdges(members: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  private def knnEdges(members: DataFrame, probes: DataFrame, k: Int,
+                       nLists: Int): DataFrame = {
     val cands = candidatesFromAssigned(members, probes, "anchor_id",
-      broadcastProbes = false)
+      broadcastProbes = false, nLists = nLists)
     TopK.perGroup(cands, Seq("anchor_id"),
         Seq(("cosine", true), ("cand_id", false)), k = k, rankName = "rank")
       .select(col("anchor_id").as("vec_id"), col("cand_id").as("nbr_id"),

@@ -18,6 +18,22 @@ import graft.{Sessions, Tables}
   * cut the assignment term with a centroid HNSW; the candidate term
   * is the same.) */
 object DiagV3b {
+  /** √n member-seed ids drawn from the ids ACTUALLY PRESENT in the
+    * table. The first formulation assumed a contiguous 0..n-1 id
+    * space (`0 until n by step`) — but ScaleUp shifts replica ids by
+    * 10^8, so at sf10 only 5 of the intended 447 seed ids existed,
+    * the quantizer silently degenerated to ~5 giant lists, and the
+    * "shortlist" mining ran 40 BILLION pairs (all-pairs) instead of
+    * the model's 447M — an 89× volume inflation that read as
+    * over-model wall clock across two rounds (DiagV3bVolume is the
+    * audit that caught it). The k smallest ids are always real. */
+  def presentSeedIds(e: org.apache.spark.sql.DataFrame, n: Long): Seq[Long] = {
+    val k = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    e.select(org.apache.spark.sql.functions.col("vec_id"))
+      .orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("diag-v3b")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,8 +44,7 @@ object DiagV3b {
       .foreach(v => spark.conf.set("graft.ivf.saltLanes", v))
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
-    val step = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    val seedIds = (0L until n by step).toSeq
+    val seedIds = presentSeedIds(e, n)
     println(s"[diag] dir=$dir n=$n nLists=${seedIds.size} nProbe=$nProbe")
     val t0 = System.nanoTime()
     val mined = graft.ops.Similarity.hardNegativesIvfSeeded(

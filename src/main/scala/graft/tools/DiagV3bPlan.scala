@@ -12,9 +12,8 @@ object DiagV3bPlan {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val e = graft.Tables.embeddings(spark, dir)
     val n = e.count()
-    val step = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val mined = graft.ops.Similarity.hardNegativesIvfSeeded(
-      e, (0L until n by step).toSeq, nProbe = 5)
+      e, DiagV3b.presentSeedIds(e, n), nProbe = 5)
     // Execute the Dataset's OWN QueryExecution (toRdd drives the same
     // AdaptiveSparkPlanExec this tool prints). A `mined.count()` here
     // would run a SEPARATE QueryExecution for the count aggregate and
