@@ -55,6 +55,8 @@ object SparkEntry {
     "q23_hll_register_store" -> (SketchQueries.hllRegisterStore _),
     "q23b_hll64_register_store" -> (SketchQueries.hllRegisterStore64 _),
     "q24_hist_quantile_store" -> (SketchQueries.histQuantileStore _),
+    "q25_kmv_store"         -> (SketchQueries.kmvStore _),
+    "q26_kmv_overlap"       -> (SketchQueries.kmvOverlap _),
     "ks1_drift"             -> (ProfileQueries.priceDrift _),
     "pf1_skew_profile"      -> (ProfileQueries.custkeySkewProfile _),
     "fp1_compaction_plan"   -> (ProfileQueries.eventCompactionPlan _),
@@ -186,6 +188,8 @@ object SparkEntry {
     "st12_stream_scd2"      -> (StreamQueries.streamScd2 _),
     "st13_stream_hll"       -> (StreamQueries.streamHllRegisters _),
     "st14_stream_hist"      -> (StreamQueries.streamHistQuantile _),
+    "st15_stream_kmv"       -> (StreamQueries.streamKmvSketch _),
+    "st16_stream_drift"     -> (StreamQueries.streamDrift _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -391,6 +395,138 @@ object SparkEntry {
       |FROM agg JOIN ex USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
   }
+
+  /** The CTE chain of the 62-bit two-limb mix
+    * (ops.Sketches.hllMix64) over a prepared `k(grp, h)` frame —
+    * shared by the q25/st15 and q26 KMV oracles (q23b inlines the
+    * same arithmetic; the constants come off Sketches either way).
+    * Produces `mg(grp, g)`. */
+  private def mix64ChainSql(grp: String): String = {
+    val a = graft.ops.Sketches.HllMixA
+    val sh = graft.ops.Sketches.HllMixShift
+    s"""m0 AS (SELECT $grp, h,
+      |         ((h // 1073741824) * ${a(0)} + h % 1073741824)
+      |           % 2147483648 AS x FROM k),
+      |m1 AS (SELECT $grp, h,
+      |         (xor(x, x >> ${sh(0)}) * ${a(1)}) % 2147483648 AS x FROM m0),
+      |m2 AS (SELECT $grp, h,
+      |         (xor(x, x >> ${sh(1)}) * ${a(2)}) % 2147483648 AS x FROM m1),
+      |g1 AS (SELECT $grp, h, xor(x, x >> ${sh(2)}) AS l1 FROM m2),
+      |h2 AS (SELECT $grp, l1, xor(h, l1) AS hx FROM g1),
+      |n0 AS (SELECT $grp, l1,
+      |         ((hx // 1073741824) * ${a(0)} + hx % 1073741824)
+      |           % 2147483648 AS y FROM h2),
+      |n1 AS (SELECT $grp, l1,
+      |         (xor(y, y >> ${sh(0)}) * ${a(1)}) % 2147483648 AS y FROM n0),
+      |n2 AS (SELECT $grp, l1,
+      |         (xor(y, y >> ${sh(1)}) * ${a(2)}) % 2147483648 AS y FROM n1),
+      |mg AS (SELECT $grp,
+      |         l1 * 2147483648 + xor(y, y >> ${sh(2)}) AS g FROM n2)""".stripMargin
+  }
+
+  /** Shared q25/st15 oracle: the full-corpus KMV bottom-k replayed in
+    * exact integer SQL — the same 62-bit mix as the q23b lane, a
+    * DISTINCT over mixed values (the aggregator dedups inside its
+    * buffer), and the per-group rank ≤ k. The Spark side's
+    * incremental store (q25) and streaming state (st15) must equal
+    * this full rebuild because the minK merge is lossless. The float
+    * estimate rides the within_bound contract (literal true). */
+  private lazy val kmvOracleSql: String = {
+    val k = graft.ops.Sketches.KmvK
+    val h = polyHash64Sql("CAST(l_suppkey AS VARCHAR)")
+    s"""WITH k AS (SELECT l_returnflag, $h AS h
+      |  FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)),
+      |${mix64ChainSql("l_returnflag")},
+      |dg AS (SELECT DISTINCT l_returnflag, g FROM mg),
+      |rk AS (SELECT l_returnflag, g, row_number() OVER
+      |         (PARTITION BY l_returnflag ORDER BY g) AS r FROM dg),
+      |sk AS (SELECT l_returnflag, g FROM rk WHERE r <= $k),
+      |agg AS (SELECT l_returnflag, count(*) AS n_vals,
+      |          min(g) AS min_h, max(g) AS max_h FROM sk GROUP BY 1),
+      |ex AS (SELECT l_returnflag,
+      |         count(DISTINCT l_suppkey) AS exact_distinct
+      |       FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n_vals, min_h, max_h, exact_distinct,
+      |  true AS within_bound
+      |FROM agg JOIN ex USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q26 oracle: both side sketches, the union's bottom-k L, and the
+    * L ∩ kmv(A) ∩ kmv(B) membership count replayed in exact integer
+    * SQL; exact union/intersection from a distinct-key replay; the
+    * Jaccard contract as literal true. */
+  private lazy val kmvOverlapOracleSql: String = {
+    val k = graft.ops.Sketches.KmvK
+    val h = polyHash64Sql("CAST(l_partkey AS VARCHAR)")
+    s"""WITH base AS (SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS s,
+      |         l_partkey
+      |       FROM lineitem WHERE year(l_shipdate) IN (1994, 1995)),
+      |k AS (SELECT s, $h AS h FROM base),
+      |${mix64ChainSql("s")},
+      |dg AS (SELECT DISTINCT s, g FROM mg),
+      |rk AS (SELECT s, g, row_number() OVER
+      |         (PARTITION BY s ORDER BY g) AS r FROM dg),
+      |ska AS (SELECT g FROM rk WHERE s = 1994 AND r <= $k),
+      |skb AS (SELECT g FROM rk WHERE s = 1995 AND r <= $k),
+      |lu AS (SELECT DISTINCT g FROM
+      |        (SELECT g FROM ska UNION ALL SELECT g FROM skb)),
+      |l AS (SELECT g FROM (SELECT g, row_number() OVER (ORDER BY g) AS r
+      |                     FROM lu) WHERE r <= $k),
+      |st AS (SELECT count(*) AS n_l, max(g) AS max_h_l,
+      |         count(CASE WHEN g IN (SELECT g FROM ska)
+      |                     AND g IN (SELECT g FROM skb) THEN 1 END)
+      |           AS n_inter
+      |       FROM l),
+      |ex AS (SELECT count(*) AS exact_union,
+      |         count(CASE WHEN ns = 2 THEN 1 END) AS exact_inter
+      |       FROM (SELECT l_partkey, count(DISTINCT s) AS ns
+      |             FROM base GROUP BY 1))
+      |SELECT n_l, max_h_l, n_inter, exact_inter, exact_union,
+      |  true AS within_bound
+      |FROM st CROSS JOIN ex""".stripMargin
+  }
+
+  /** Shared ks1/st16 oracle: binned drift replay — same fixed 20-bin
+    * split (clamped at BOTH ends), eps clamp, explicit NULL-value
+    * counts, cumulative KS and PSI (ln, not log10). Count sums CAST
+    * to BIGINT (DuckDB sum widens to HUGEINT). The streaming face
+    * gates on the same string because bin counts sum-merge
+    * losslessly. */
+  private lazy val driftOracleSql: String =
+    """WITH b0 AS (
+      |  SELECT o_totalprice AS v,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+      |         THEN 1 ELSE 0 END AS in_a
+      |  FROM orders),
+      |nn AS (SELECT CAST(coalesce(sum(in_a), 0) AS BIGINT) AS n_null_a,
+      |         CAST(coalesce(sum(1 - in_a), 0) AS BIGINT) AS n_null_b
+      |       FROM b0 WHERE v IS NULL),
+      |b AS (
+      |  SELECT greatest(least(floor(v / 25000), 19), 0) AS bin, in_a
+      |  FROM b0 WHERE v IS NOT NULL),
+      |g AS (SELECT bin, CAST(sum(in_a) AS BIGINT) AS cnt_a,
+      |        CAST(sum(1 - in_a) AS BIGINT) AS cnt_b
+      |      FROM b GROUP BY bin),
+      |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+      |        CAST(sum(cnt_b) AS BIGINT) AS n_b FROM g),
+      |c AS (SELECT bin,
+      |        greatest(CAST(cnt_a AS DOUBLE) / n_a, 0.000001) AS share_a,
+      |        greatest(CAST(cnt_b AS DOUBLE) / n_b, 0.000001) AS share_b,
+      |        CAST(sum(cnt_a) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS DOUBLE) / n_a AS cum_a,
+      |        CAST(sum(cnt_b) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS DOUBLE) / n_b AS cum_b,
+      |        n_a, n_b
+      |      FROM g CROSS JOIN t)
+      |SELECT min(n_a) AS n_a, min(n_b) AS n_b,
+      |  floor(max(abs(cum_a - cum_b)) * 1000000 + 0.5) / 1000000 AS ks_stat,
+      |  floor(sum((share_a - share_b) * ln(share_a / share_b))
+      |    * 1000000 + 0.5) / 1000000 AS psi,
+      |  min(n_null_a) AS n_null_a, min(n_null_b) AS n_null_b
+      |FROM c CROSS JOIN nn""".stripMargin
 
   /** Shared q24/st14 oracle: the full-rebuild histogram + the same
     * integer window arithmetic as ops.Sketches.histMedianBin; the
@@ -2522,6 +2658,11 @@ object SparkEntry {
     "q21_count_min" -> cmOracleSql,
     "q23_hll_register_store" -> hllOracleSql,
     "q23b_hll64_register_store" -> hll64OracleSql,
+    "q25_kmv_store" -> kmvOracleSql,
+    // st15: the SAME oracle — the streamed state-store bottom-k must
+    // equal the batch sketch bit-for-bit (lossless minK merge).
+    "st15_stream_kmv" -> kmvOracleSql,
+    "q26_kmv_overlap" -> kmvOverlapOracleSql,
     // st13: the SAME oracle — the streamed state-store register build
     // must equal the batch build bit-for-bit (lossless max-merge).
     "st13_stream_hll" -> hllOracleSql,
@@ -3094,40 +3235,11 @@ object SparkEntry {
     // BOTH ends), eps clamp, explicit NULL-value counts, cumulative KS
     // and PSI (ln, not log10). Count sums CAST to BIGINT (DuckDB sum
     // widens to HUGEINT).
-    "ks1_drift" ->
-      """WITH b0 AS (
-        |  SELECT o_totalprice AS v,
-        |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
-        |         THEN 1 ELSE 0 END AS in_a
-        |  FROM orders),
-        |nn AS (SELECT CAST(coalesce(sum(in_a), 0) AS BIGINT) AS n_null_a,
-        |         CAST(coalesce(sum(1 - in_a), 0) AS BIGINT) AS n_null_b
-        |       FROM b0 WHERE v IS NULL),
-        |b AS (
-        |  SELECT greatest(least(floor(v / 25000), 19), 0) AS bin, in_a
-        |  FROM b0 WHERE v IS NOT NULL),
-        |g AS (SELECT bin, CAST(sum(in_a) AS BIGINT) AS cnt_a,
-        |        CAST(sum(1 - in_a) AS BIGINT) AS cnt_b
-        |      FROM b GROUP BY bin),
-        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
-        |        CAST(sum(cnt_b) AS BIGINT) AS n_b FROM g),
-        |c AS (SELECT bin,
-        |        greatest(CAST(cnt_a AS DOUBLE) / n_a, 0.000001) AS share_a,
-        |        greatest(CAST(cnt_b AS DOUBLE) / n_b, 0.000001) AS share_b,
-        |        CAST(sum(cnt_a) OVER (ORDER BY bin
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |          AS DOUBLE) / n_a AS cum_a,
-        |        CAST(sum(cnt_b) OVER (ORDER BY bin
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |          AS DOUBLE) / n_b AS cum_b,
-        |        n_a, n_b
-        |      FROM g CROSS JOIN t)
-        |SELECT min(n_a) AS n_a, min(n_b) AS n_b,
-        |  floor(max(abs(cum_a - cum_b)) * 1000000 + 0.5) / 1000000 AS ks_stat,
-        |  floor(sum((share_a - share_b) * ln(share_a / share_b))
-        |    * 1000000 + 0.5) / 1000000 AS psi,
-        |  min(n_null_a) AS n_null_a, min(n_null_b) AS n_null_b
-        |FROM c CROSS JOIN nn""".stripMargin,
+    "ks1_drift" -> driftOracleSql,
+    // st16: the SAME oracle — the streamed state-store bin build
+    // sum-merges losslessly, so the final drift readout must equal
+    // the batch monitor verbatim.
+    "st16_stream_drift" -> driftOracleSql,
     // pf1: key-skew profile replay — groupBy-count key frame, ranked
     // by (count desc, key), summary over that frame. ln = natural log.
     "pf1_skew_profile" ->

@@ -20,9 +20,19 @@ object ProfileQueries {
     * groupBy over ≤ 20 keys; the cumulative/log analysis runs on the
     * bin frame. PSI ≥ 0.2 is the conventional "investigate" line. */
   def priceDrift(spark: SparkSession, dir: String): DataFrame =
-    Profiling.binnedDrift(Tables.orders(spark, dir), "o_totalprice",
-        isA = col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
-        binWidth = 25000.0, nBins = 20)
+    driftReadout(Profiling.driftBins(Tables.orders(spark, dir),
+      "o_totalprice", isA = priceDriftIsA, binWidth = 25000.0, nBins = 20))
+
+  /** ks1's slice predicate, shared with the streaming face (st16) so
+    * both build the SAME bin frame and gate on the SAME oracle. */
+  private[graft] val priceDriftIsA =
+    col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+
+  /** Shared ks1/st16 readout over a (bin, cnt_a, cnt_b) frame —
+    * additive bin counts make the streaming state ≡ the batch frame,
+    * so the two faces differ only in where the bins came from. */
+  private[graft] def driftReadout(bins: DataFrame): DataFrame =
+    Profiling.driftFromBins(bins)
       .select(col("n_a"), col("n_b"),
         exactRound(col("ks_stat"), 6).as("ks_stat"),
         exactRound(col("psi"), 6).as("psi"),

@@ -193,6 +193,96 @@ object SketchQueries {
   private val histStoreCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** q25 — INCREMENTAL KMV distinct-sketch store
+    * (ops.Sketches.kmvSketch/kmvMergeSketches): the third mergeable
+    * sketch family next to q23's HLL registers and q24's additive
+    * histogram. Same base/delta split (l_orderkey % 10 == 3) and the
+    * same lossless-merge argument: minK is idempotent/commutative/
+    * associative, so the merged store equals a full rebuild
+    * BIT-FOR-BIT and the oracle replays the full-corpus bottom-k —
+    * the 62-bit two-limb mix (shared with q23b) and the per-group
+    * rank in exact integer SQL. The float estimate (Beyer et al.
+    * (k−1)/U(k), RSD 1/√(k−2)) rides the within_bound contract. */
+  def kmvStore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey"))
+    val store = kmvStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_kmv_store").toString
+      Sketches.kmvSketch(li.filter(col("l_orderkey") % 10 =!= 3),
+          "l_returnflag", "l_suppkey")
+        .write.parquet(s"$p/sk")
+      s"$p/sk"
+    })
+    val deltaSk = Sketches.kmvSketch(
+      li.filter(col("l_orderkey") % 10 === 3), "l_returnflag", "l_suppkey")
+    val merged = Sketches.kmvMergeSketches(
+      spark.read.parquet(store), deltaSk, "l_returnflag")
+    kmvContractReadout(merged, li)
+  }
+
+  private val kmvStoreCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Shared q25/st15 readout: exact-integer sketch stats (count,
+    * min/max hash — oracle-replayed bit-for-bit) next to the
+    * estimator's 3σ contract boolean (σ = exact/√(k−2); +1 absorbs
+    * the sub-k exact regime's rounding). */
+  private[graft] def kmvContractReadout(sketch: DataFrame,
+                                        li: DataFrame): DataFrame = {
+    val k = Sketches.KmvK
+    val stats = sketch.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_vals"), min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"))
+      .withColumn("estimate",
+        Sketches.kmvEstimate(col("n_vals"), col("max_h"), k))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("exact_distinct"))
+    val rsd = 1.0 / math.sqrt((k - 2).toDouble)
+    stats.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_vals"), col("min_h"),
+        col("max_h"), col("exact_distinct"),
+        (abs(col("estimate") - col("exact_distinct")) <=
+          col("exact_distinct") * lit(3.0 * rsd) + lit(1.0)).as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q26 — KMV set-intersection estimate (ops.Sketches.kmvIntersect):
+    * the capability HLL registers don't have, and the reason KMV
+    * earns its place as a third sketch family. Two "corpus snapshot"
+    * part sets — parts shipped in 1994 vs parts shipped in 1995 —
+    * are sketched independently (k = 32 longs each, built in one
+    * bounded-buffer pass per side); their overlap is then estimated
+    * from SKETCHES ALONE: L = minK(kmv(A) ∪ kmv(B)) is the KMV sketch
+    * of A ∪ B, a uniform bottom-k hash sample of the union, so the
+    * fraction of L present in both input sketches estimates Jaccard
+    * and ρ̂·D̂(A∪B) estimates |A ∩ B| — the 100 TB train/eval
+    * contamination pattern (c1 does it exactly with a join; this is
+    * the O(k)-state screen you run FIRST, per slice pair). The oracle
+    * replays sketches and intersection counts in exact integer SQL;
+    * the exact intersection/union come from a distinct-key replay and
+    * the Jaccard estimate rides a 3σ binomial contract. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = Sketches.KmvK
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"))
+    def side(y: Int) = li.filter(col("yr") === y).withColumn("__s", lit(y))
+    val skA = Sketches.kmvSketch(side(1994), "__s", "l_partkey").drop("__s")
+    val skB = Sketches.kmvSketch(side(1995), "__s", "l_partkey").drop("__s")
+    val est = Sketches.kmvIntersect(skA, skB, k)
+    val exact = side(1994).select(col("l_partkey"), col("__s"))
+      .unionByName(side(1995).select(col("l_partkey"), col("__s")))
+      .distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("exact_union"),
+        count(when(col("__n") === 2, 1)).as("exact_inter"))
+    val sigma = 3.0 * math.sqrt(0.25 / k)
+    est.crossJoin(exact)
+      .select(col("n_l"), col("max_h_l"), col("n_inter"),
+        col("exact_inter"), col("exact_union"),
+        (abs(col("jaccard_est") - col("exact_inter") / col("exact_union"))
+          <= lit(sigma)).as("within_bound"))
+  }
+
   /** q19 — Misra-Gries heavy hitters per order status
     * (functions.MisraGries, the custom mergeable Aggregator). The
     * priority domain (5 values) sits under k = 8, the regime where MG

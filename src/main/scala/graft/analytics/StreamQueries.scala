@@ -397,6 +397,72 @@ object StreamQueries {
         .select(col("l_returnflag"), col("l_extendedprice")), 1000.0)
   }
 
+  /** st15 — STREAMING KMV distinct sketch: q25's bottom-k store held
+    * in the streaming aggregation STATE STORE (the custom
+    * functions.KmvSketch udaf, st7's MisraGries pattern) and min-k-
+    * merged micro-batch by micro-batch across 8 one-file batches.
+    * minK-merge is lossless, so the final state must equal the batch
+    * sketch BIT-FOR-BIT — st15 shares q25's full-replay oracle
+    * verbatim, completing the batch + incremental-store + streaming
+    * triple for the third sketch family. */
+  def streamKmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedKmv.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st15_").toString
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_suppkey"))
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st15_${math.abs(dir.hashCode)}"
+      val k = graft.ops.Sketches.KmvK
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => df
+          .select(col("l_returnflag"),
+            graft.ops.Sketches.kmvHash(col("l_suppkey")).as("__h"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.functions.KmvSketch.kmv(k)(col("__h")).as("__sk")),
+        name, maxFilesPerTrigger = Some(1))
+      name
+    })
+    SketchQueries.kmvContractReadout(
+      spark.table(table)
+        .select(col("l_returnflag"), explode(col("__sk")).as("h")),
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_suppkey")))
+  }
+
+  private val streamedKmv =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** st16 — STREAMING drift monitor: ks1's bounded bin frame
+    * (ops.Profiling.driftBins) built as a streaming aggregation,
+    * sum-merged in the state store across 8 micro-batches; the KS/PSI
+    * readout runs batch-side on the final bins. Addition-merge is
+    * lossless, so st16 shares ks1's oracle verbatim — the production
+    * shape for CONTINUOUS drift monitoring, where the corpus streams
+    * past once and the monitor keeps ≤ nBins+1 rows of state. */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedDrift.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st16_").toString
+      Tables.orders(spark, dir)
+        .select(col("o_totalprice"), col("o_orderdate"))
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st16_${math.abs(dir.hashCode)}"
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => graft.ops.Profiling.driftBins(df, "o_totalprice",
+          isA = ProfileQueries.priceDriftIsA, binWidth = 25000.0, nBins = 20),
+        name, maxFilesPerTrigger = Some(1))
+      name
+    })
+    // the KS readout self-joins the bin frame for its cumulative sums,
+    // which trips self-join attribute dedup on a memory-sink view —
+    // sever lineage first (the frame is ≤ nBins+1 rows by construction)
+    ProfileQueries.driftReadout(spark.table(table).localCheckpoint())
+  }
+
+  private val streamedDrift =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private val streamedHist =
     scala.collection.concurrent.TrieMap[String, String]()
 
@@ -421,7 +487,8 @@ object StreamQueries {
     "st4_stream_semdedup", "st5_stream_minhash", "st6_stream_cdc",
     "st7_stream_heavy_hitters", "st8_stream_count_min",
     "st9_stream_throttle", "st11_stream_asof", "st12_stream_scd2",
-    "st13_stream_hll", "st14_stream_hist")
+    "st13_stream_hll", "st14_stream_hist", "st15_stream_kmv",
+    "st16_stream_drift")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -435,6 +502,7 @@ object StreamQueries {
     streamedCms.clear(); streamedThrottle.clear()
     streamedAsOf.clear(); streamedScd2.clear()
     streamedHll.clear(); streamedHist.clear()
+    streamedKmv.clear(); streamedDrift.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

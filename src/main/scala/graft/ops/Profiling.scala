@@ -35,7 +35,18 @@ object Profiling {
     * statistics cover non-NULL values only. */
   def binnedDrift(df: DataFrame, valueCol: String, isA: Column,
                   binWidth: Double, nBins: Int,
-                  eps: Double = 1e-6): DataFrame = {
+                  eps: Double = 1e-6): DataFrame =
+    driftFromBins(driftBins(df, valueCol, isA, binWidth, nBins), eps)
+
+  /** The corpus-touching HALF of [[binnedDrift]]: the one partial-
+    * aggregated pass that reduces the data to ≤ nBins+1 (bin, cnt_a,
+    * cnt_b) rows (the +1 is the NULL-value bin, split out by the
+    * readout). Counts merge by ADDITION, so bins from slices — or
+    * from streaming micro-batches held in the state store (st16) —
+    * fold losslessly into the full-corpus frame, and the streaming
+    * face shares ks1's oracle verbatim. */
+  def driftBins(df: DataFrame, valueCol: String, isA: Column,
+                binWidth: Double, nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins > 1, "need binWidth > 0, nBins > 1")
     // Spark's least/greatest SKIP nulls (they return the extreme of
     // the non-null operands), so a bare clamp would quietly route
@@ -44,12 +55,16 @@ object Profiling {
     val bin = when(raw.isNull, lit(null).cast("long"))
       .otherwise(greatest(least(raw, lit(nBins - 1L)), lit(0L)))
     // one pass: NULL values keep their NULL bin key through the same
-    // aggregate (no second scan of the data), then split below
-    val binned0 = df
-      .select(bin.as("bin"), when(isA, 1L).otherwise(0L).as("in_a"))
+    // aggregate (no second scan of the data), then split by the readout
+    df.select(bin.as("bin"), when(isA, 1L).otherwise(0L).as("in_a"))
       .groupBy(col("bin"))
       .agg(sum(col("in_a")).as("cnt_a"),
         sum(lit(1L) - col("in_a")).as("cnt_b"))
+  }
+
+  /** The analysis HALF of [[binnedDrift]]: KS/PSI readout over an
+    * already-bounded bin frame (≤ nBins+1 rows). */
+  def driftFromBins(binned0: DataFrame, eps: Double = 1e-6): DataFrame = {
     val nulls = binned0.filter(col("bin").isNull)
       .agg(coalesce(sum(col("cnt_a")), lit(0L)).as("n_null_a"),
         coalesce(sum(col("cnt_b")), lit(0L)).as("n_null_b"))

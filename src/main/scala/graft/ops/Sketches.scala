@@ -336,4 +336,77 @@ object Sketches {
         sum(pow(lit(2.0), -col("reg"))).as("__z"))
       .withColumn("estimate", hllEstimate(col("n_regs"), col("__z")))
       .select(col(groupCol), col("n_regs"), col("estimate"))
+
+  // --------------------------------------------------------------
+  // KMV: the k-minimum-values distinct sketch (functions.KmvSketch) —
+  // the third mergeable store next to the HLL register table (q23)
+  // and the additive histogram (q24), and the only one of the three
+  // that also estimates SET INTERSECTIONS (q26). Sketch rows are
+  // plain (group, h) longs built on the SAME 62-bit two-limb mix as
+  // the q23b HLL lane, so the whole pipeline — hash, bottom-k, merge,
+  // intersection counts — replays in exact ANSI BIGINT SQL.
+  // --------------------------------------------------------------
+
+  /** Sketch size: RSD of the distinct estimate ≈ 1/√(k−2) ≈ 18%.
+    * Sets with < k distinct keys are counted EXACTLY. */
+  val KmvK: Int = 32
+  /** Size of [[hllMix64]]'s hash space: g = limb1·2^31 + limb2 with
+    * both limbs < 2^31, so g ∈ [0, 2^62). */
+  val KmvSpace: Double = math.pow(2.0, 62)
+
+  /** The uniform 62-bit key hash shared with the q23b HLL lane —
+    * one mix, two sketches, one oracle-SQL fragment. */
+  def kmvHash(keyCol: Column): Column =
+    hllMix64(graft.functions.PolyHash.polyHash(keyCol.cast("string")))
+
+  /** The sketch table (groupCol, h): the ≤ [[KmvK]] smallest distinct
+    * key hashes per group, in one ObjectHashAggregate whose map-side
+    * partial buffers are ≤ k longs — never a distinct-before-sketch
+    * shuffle of the full key space. */
+  def kmvSketch(df: DataFrame, groupCol: String, keyCol: String,
+                k: Int = KmvK): DataFrame =
+    df.select(col(groupCol), kmvHash(col(keyCol)).as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.KmvSketch.kmv(k)(col("__h")).as("__sk"))
+      .select(col(groupCol), explode(col("__sk")).as("h"))
+
+  /** Lossless sketch merge: minK over the unioned sketch rows —
+    * merge(kmv(A), kmv(B)) == kmv(A ∪ B) exactly (minK is idempotent,
+    * commutative, associative), so an incremental store never drifts
+    * from a full rebuild. Runs the same aggregator over sketch-sized
+    * input (≤ 2k rows per group). */
+  def kmvMergeSketches(a: DataFrame, b: DataFrame, groupCol: String,
+                       k: Int = KmvK): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.KmvSketch.kmv(k)(col("h")).as("__sk"))
+      .select(col(groupCol), explode(col("__sk")).as("h"))
+
+  /** The Beyer et al. unbiased estimator as a Column over a sketch
+    * aggregate's (n_vals, max_h): exact count below k, else
+    * (k−1)·|space|/h_(k). */
+  def kmvEstimate(nVals: Column, maxH: Column, k: Int = KmvK): Column =
+    when(nVals < k, nVals.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) / maxH.cast("double"))
+
+  /** Intersection / Jaccard estimate from two SINGLE-SET sketch tables
+    * (each: rows of distinct `h`, ≤ k of them). L = the k smallest of
+    * the union is itself the KMV sketch of A ∪ B, hence a uniform
+    * bottom-k sample of the union's hash space; the fraction of L
+    * present in BOTH input sketches estimates Jaccard, and
+    * ρ̂ · D̂(A ∪ B) estimates |A ∩ B| (Beyer et al. §4). Everything is
+    * sketch-sized: the union frame is ≤ 2k rows, the membership joins
+    * are ≤ k-row equi-joins. Returns one row of exact-integer sketch
+    * evidence (n_l, max_h_l, n_inter) plus the float estimates. */
+  def kmvIntersect(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
+    val l = a.select(col("h")).unionByName(b.select(col("h")))
+      .distinct().orderBy(col("h")).limit(k)
+    l.join(a.select(col("h"), lit(1).as("__ina")), Seq("h"), "left")
+      .join(b.select(col("h"), lit(1).as("__inb")), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_l"), max(col("h")).as("max_h_l"),
+        count(when(col("__ina") === 1 && col("__inb") === 1, 1)).as("n_inter"))
+      .withColumn("jaccard_est", col("n_inter") / col("n_l"))
+      .withColumn("union_est", kmvEstimate(col("n_l"), col("max_h_l"), k))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+  }
 }

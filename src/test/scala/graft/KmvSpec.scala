@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** Pins the KMV sketch family (functions.KmvSketch, ops.Sketches.kmv*):
+  * the lossless minK merge law, in-buffer dedup, the exact sub-k
+  * regime, the Beyer et al. estimator contract, bounded sketch size,
+  * and the intersection/Jaccard estimate q26 gates. */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int, tag: String = "id") =
+    spark.range(n.toLong).selectExpr("'g' AS grp", s"concat('$tag', id) AS k")
+
+  test("kmv sketch is the k smallest distinct mixed hashes (vs plain Scala)") {
+    val n = 500
+    val got = Sketches.kmvSketch(ids(n), "grp", "k")
+      .select($"h").as[Long].collect().toVector
+    // independent reference: mix every key on the Spark side ONCE via
+    // the column expression (the mix itself is pinned against plain
+    // Scala in SketchesSpec's hll64 test), then bottom-k in Scala
+    val all = ids(n).select(Sketches.kmvHash($"k").as("h"))
+      .as[Long].collect().toVector
+    val ref = all.distinct.sorted.take(Sketches.KmvK)
+    assert(got == ref)
+    assert(got == got.sorted && got.distinct == got)
+  }
+
+  test("merge of store + delta equals full rebuild bit-for-bit") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_suppkey", $"l_orderkey")
+    val base = Sketches.kmvSketch(
+      li.filter($"l_orderkey" % 10 =!= 3), "l_returnflag", "l_suppkey")
+    val delta = Sketches.kmvSketch(
+      li.filter($"l_orderkey" % 10 === 3), "l_returnflag", "l_suppkey")
+    val merged = Sketches.kmvMergeSketches(base, delta, "l_returnflag")
+      .as[(String, Long)].collect().toSet
+    val rebuild = Sketches.kmvSketch(li, "l_returnflag", "l_suppkey")
+      .as[(String, Long)].collect().toSet
+    assert(merged == rebuild)
+  }
+
+  test("three-way split merges to the same sketch as one pass") {
+    val df = ids(2000)
+    val parts = (0 until 3).map(i =>
+      Sketches.kmvSketch(df.filter(pmod(crc32($"k"), lit(3)) === i), "grp", "k"))
+    val merged = Sketches.kmvMergeSketches(
+      Sketches.kmvMergeSketches(parts(0), parts(1), "grp"), parts(2), "grp")
+      .select($"h").as[Long].collect().toVector
+    val once = Sketches.kmvSketch(df, "grp", "k")
+      .select($"h").as[Long].collect().toVector
+    assert(merged == once)
+  }
+
+  test("duplication-invariant: a hot key cannot evict smaller minima") {
+    val base = ids(200)
+    // every key repeated 50x, in arrival orders Spark controls
+    val dup = base.crossJoin(spark.range(50).select(lit(1).as("__x")))
+      .select($"grp", $"k")
+    val a = Sketches.kmvSketch(dup, "grp", "k").select($"h").as[Long].collect().toVector
+    val b = Sketches.kmvSketch(base, "grp", "k").select($"h").as[Long].collect().toVector
+    assert(a == b)
+  }
+
+  test("exact regime: below k distinct the estimate IS the count") {
+    val df = ids(Sketches.KmvK - 5)
+    val sk = Sketches.kmvSketch(df, "grp", "k")
+    val est = sk.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), max($"h").as("mx"))
+      .select(Sketches.kmvEstimate($"n", $"mx")).as[Double].collect().head
+    assert(est == (Sketches.KmvK - 5).toDouble)
+  }
+
+  test("estimator holds its 3-sigma contract across three decades") {
+    val rsd = 1.0 / math.sqrt((Sketches.KmvK - 2).toDouble)
+    for (n <- Seq(100, 3000, 100000)) {
+      val sk = Sketches.kmvSketch(ids(n, s"key${n}_"), "grp", "k")
+      val est = sk.groupBy($"grp")
+        .agg(count(lit(1)).as("n"), max($"h").as("mx"))
+        .select(Sketches.kmvEstimate($"n", $"mx")).as[Double].collect().head
+      assert(math.abs(est - n) <= n * 3 * rsd + 1.0,
+        s"n=$n estimate $est outside 3 sigma")
+    }
+  }
+
+  test("sketch stays k rows per group regardless of cardinality") {
+    val sk = Sketches.kmvSketch(ids(50000), "grp", "k")
+    assert(sk.count() == Sketches.KmvK.toLong)
+  }
+
+  test("intersection estimate tracks an engineered 1/3 Jaccard") {
+    // A = [0, 2n), B = [n, 3n): |A ∩ B| = n, |A ∪ B| = 3n, J = 1/3
+    val n = 3000
+    def set(lo: Int, hi: Int) = spark.range(lo.toLong, hi.toLong)
+      .selectExpr("'g' AS grp", "concat('v', id) AS k")
+    val skA = Sketches.kmvSketch(set(0, 2 * n), "grp", "k").drop("grp")
+    val skB = Sketches.kmvSketch(set(n, 3 * n), "grp", "k").drop("grp")
+    val row = Sketches.kmvIntersect(skA, skB).collect().head
+    val jac = row.getAs[Double]("jaccard_est")
+    val inter = row.getAs[Double]("inter_est")
+    val sigmaJ = 3.0 * math.sqrt(0.25 / Sketches.KmvK)
+    assert(math.abs(jac - 1.0 / 3.0) <= sigmaJ, s"jaccard_est $jac")
+    // union estimate RSD + jaccard noise: generous 50% band on |A ∩ B|
+    assert(inter > 0.5 * n && inter < 1.5 * n, s"inter_est $inter")
+  }
+
+  test("disjoint sets estimate zero intersection") {
+    def set(lo: Int, hi: Int) = spark.range(lo.toLong, hi.toLong)
+      .selectExpr("'g' AS grp", "concat('w', id) AS k")
+    val skA = Sketches.kmvSketch(set(0, 1000), "grp", "k").drop("grp")
+    val skB = Sketches.kmvSketch(set(1000, 2000), "grp", "k").drop("grp")
+    val row = Sketches.kmvIntersect(skA, skB).collect().head
+    assert(row.getAs[Long]("n_inter") == 0L)
+    assert(row.getAs[Double]("inter_est") == 0.0)
+  }
+
+  test("map-side partials: the plan is an ObjectHashAggregate with partial merge") {
+    val plan = Sketches.kmvSketch(ids(100), "grp", "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    assert(plan.contains("partial_kmvsketch") || plan.contains("partial_"),
+      "no partial aggregation stage:\n" + plan.take(800))
+  }
+}

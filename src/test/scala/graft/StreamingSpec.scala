@@ -342,6 +342,25 @@ class StreamingSpec extends SparkSpec {
       "bracket check must hold through the state-store merge")
   }
 
+  test("st15 rehearsal: streamed KMV sketch equals the batch q25 store") {
+    val st15 = SparkEntry.queries("st15_stream_kmv")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val q25 = SparkEntry.queries("q25_kmv_store")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st15 == q25)
+    assert(st15.nonEmpty && st15.forall(_.last == true),
+      "within_bound must hold through the state-store merge")
+  }
+
+  test("st16 rehearsal: streamed drift bins equal the batch ks1 monitor") {
+    val st16 = SparkEntry.queries("st16_stream_drift")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val ks1 = SparkEntry.queries("ks1_drift")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st16 == ks1)
+    assert(st16.nonEmpty)
+  }
+
   test("toleranceAsOfStream carries as-of state ACROSS micro-batches") {
     // a view in batch 1, its click in batch 2: only the state store can
     // connect them. Two clicks probe both the within-tolerance and the
