@@ -57,6 +57,8 @@ object SparkEntry {
     "q24_hist_quantile_store" -> (SketchQueries.histQuantileStore _),
     "q25_kmv_store"         -> (SketchQueries.kmvStore _),
     "q26_kmv_overlap"       -> (SketchQueries.kmvOverlap _),
+    "ov1_overlap_matrix"    -> (SketchQueries.kmvOverlapMatrix _),
+    "ov1b_overlap_store"    -> (SketchQueries.kmvOverlapMatrixIncremental _),
     "ks1_drift"             -> (ProfileQueries.priceDrift _),
     "pf1_skew_profile"      -> (ProfileQueries.custkeySkewProfile _),
     "fp1_compaction_plan"   -> (ProfileQueries.eventCompactionPlan _),
@@ -190,6 +192,7 @@ object SparkEntry {
     "st14_stream_hist"      -> (StreamQueries.streamHistQuantile _),
     "st15_stream_kmv"       -> (StreamQueries.streamKmvSketch _),
     "st16_stream_drift"     -> (StreamQueries.streamDrift _),
+    "st17_stream_overlap"   -> (StreamQueries.streamOverlapMatrix _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -485,6 +488,59 @@ object SparkEntry {
       |SELECT n_l, max_h_l, n_inter, exact_inter, exact_union,
       |  true AS within_bound
       |FROM st CROSS JOIN ex""".stripMargin
+  }
+
+  /** ov1 oracle: the full matrix replayed — per-source distinct
+    * word-3-shingles (the d4 fragment), the 62-bit mix, per-source
+    * bottom-k, per-pair union bottom-k with membership flags, and the
+    * exact pairwise intersection/union over shingle STRINGS. All
+    * integer except the contract (literal true). */
+  private lazy val kmvMatrixOracleSql: String = {
+    val k = graft.ops.Sketches.KmvK
+    val h = polyHash64Sql("sh")
+    s"""WITH sh0 AS (
+      |  SELECT source,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |d AS (SELECT DISTINCT source, unnest(s) AS sh FROM sh0),
+      |k AS (SELECT source, $h AS h FROM d),
+      |${mix64ChainSql("source")},
+      |dg AS (SELECT DISTINCT source, g FROM mg),
+      |rk AS (SELECT source, g, row_number() OVER
+      |         (PARTITION BY source ORDER BY g) AS r FROM dg),
+      |sk AS (SELECT source, g FROM rk WHERE r <= $k),
+      |srcs AS (SELECT DISTINCT source FROM sk),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+      |          FROM srcs a JOIN srcs b ON a.source < b.source),
+      |u AS (SELECT p.src_a, p.src_b, s.g,
+      |        max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ina,
+      |        max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS inb
+      |      FROM pairs p JOIN sk s
+      |        ON s.source = p.src_a OR s.source = p.src_b
+      |      GROUP BY 1, 2, 3),
+      |lk AS (SELECT src_a, src_b, g, ina, inb, row_number() OVER
+      |         (PARTITION BY src_a, src_b ORDER BY g) AS r FROM u),
+      |st AS (SELECT src_a, src_b, count(*) AS n_l, max(g) AS max_h_l,
+      |         count(CASE WHEN ina = 1 AND inb = 1 THEN 1 END) AS n_inter
+      |       FROM lk WHERE r <= $k GROUP BY 1, 2),
+      |nx AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+      |ix AS (SELECT a.source AS src_a, b.source AS src_b,
+      |         count(*) AS exact_inter
+      |       FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+      |       GROUP BY 1, 2),
+      |ex AS (SELECT p.src_a, p.src_b,
+      |         coalesce(ix.exact_inter, 0) AS exact_inter,
+      |         na.n + nb.n - coalesce(ix.exact_inter, 0) AS exact_union
+      |       FROM pairs p
+      |       LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
+      |       JOIN nx na ON na.source = p.src_a
+      |       JOIN nx nb ON nb.source = p.src_b)
+      |SELECT st.src_a, st.src_b, n_l, max_h_l, n_inter,
+      |  exact_inter, exact_union, true AS within_bound
+      |FROM st JOIN ex ON ex.src_a = st.src_a AND ex.src_b = st.src_b
+      |ORDER BY st.src_a, st.src_b""".stripMargin
   }
 
   /** Shared ks1/st16 oracle: binned drift replay — same fixed 20-bin
@@ -2663,6 +2719,14 @@ object SparkEntry {
     // equal the batch sketch bit-for-bit (lossless minK merge).
     "st15_stream_kmv" -> kmvOracleSql,
     "q26_kmv_overlap" -> kmvOverlapOracleSql,
+    "ov1_overlap_matrix" -> kmvMatrixOracleSql,
+    // ov1b: the SAME oracle — the store+delta min-k merge is lossless,
+    // so the incrementally-maintained matrix must equal the
+    // full-corpus rebuild bit-for-bit.
+    "ov1b_overlap_store" -> kmvMatrixOracleSql,
+    // st17: the SAME oracle — streamed state-store sketches min-k-merge
+    // losslessly, so the final matrix must equal the batch build.
+    "st17_stream_overlap" -> kmvMatrixOracleSql,
     // st13: the SAME oracle — the streamed state-store register build
     // must equal the batch build bit-for-bit (lossless max-merge).
     "st13_stream_hll" -> hllOracleSql,

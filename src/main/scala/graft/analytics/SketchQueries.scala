@@ -283,6 +283,99 @@ object SketchQueries {
           <= lit(sigma)).as("within_bound"))
   }
 
+  /** ov1 — KMV shingle-overlap MATRIX across the 20 document sources
+    * (ops.Sketches.kmvOverlapMatrix): the S-slice contamination
+    * screen. Each source's distinct word-3-shingle set (the d2/d4
+    * contamination unit, built by the native WordNGrams slicer) is
+    * KMV-sketched in ONE corpus pass — ≤ k longs of state per source —
+    * and every pair's Jaccard/intersection is then estimated from
+    * sketches alone: pair frames are ≤ S² rows, per-pair unions ≤ 2k
+    * rows, bottom-k on the bounded-heap TopKPerGroup. At 100 TB this
+    * is the screen that decides WHICH slice pairs are worth c1's exact
+    * contamination join — S² pairwise exact joins would each rescan
+    * two slices; the matrix costs one scan + O(S²·k). The oracle
+    * replays sketches, per-pair bottom-k and membership counts in
+    * exact integer SQL; exact per-pair intersection/union come from a
+    * distinct-shingle replay, and the Jaccard estimate rides a 3σ
+    * binomial contract per pair. */
+  def kmvOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("text"))
+    val sh = docs.select(col("source"),
+      explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+    // exact sides of the gate run on the distinct (source, shingle)
+    // frame — the gate-scale replay of what the sketch matrix avoids
+    // at corpus scale; raw strings so the oracle's string replay is
+    // literally the same computation
+    matrixContractReadout(spark, Sketches.kmvSketch(sh, "source", "sh"), sh)
+  }
+
+  /** ov1b — the overlap matrix over an INCREMENTALLY-MAINTAINED
+    * sketch store (the d9/q23 discipline applied to the screen):
+    * sources' shingle sketches for the base corpus slice
+    * (doc_id % 10 != 3) persist ONCE; the delta's sketches min-k-merge
+    * with the store, and the matrix reads the MERGED STORE only —
+    * after day one the corpus is never rescanned, which is how the
+    * screen stays cheap enough to run per-snapshot at 100 TB. Because
+    * the minK merge is lossless the merged store equals the
+    * full-corpus sketch bit-for-bit, so ov1b gates on ov1's oracle
+    * VERBATIM (the exact sides recompute from raw rows either way —
+    * a drifted store fails the gate). */
+  def kmvOverlapMatrixIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text"), col("doc_id"))
+    def shingled(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+    val store = kmvMatrixStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ovm_store").toString
+      Sketches.kmvSketch(shingled(docs.filter(col("doc_id") % 10 =!= 3)),
+          "source", "sh")
+        .write.parquet(s"$p/sk")
+      s"$p/sk"
+    })
+    val deltaSk = Sketches.kmvSketch(
+      shingled(docs.filter(col("doc_id") % 10 === 3)), "source", "sh")
+    val merged = Sketches.kmvMergeSketches(
+      spark.read.parquet(store), deltaSk, "source")
+    matrixContractReadout(spark, merged, shingled(docs))
+  }
+
+  private val kmvMatrixStoreCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Shared ov1/ov1b readout: the sketch-pair matrix next to the
+    * exact pairwise intersection/union recomputed from RAW shingle
+    * rows (so a store that drifted from the data fails even though
+    * the matrix is internally consistent), and the per-pair 3σ
+    * binomial Jaccard contract. */
+  private[graft] def matrixContractReadout(spark: SparkSession,
+      sk: org.apache.spark.sql.DataFrame,
+      sh: org.apache.spark.sql.DataFrame): DataFrame = {
+    val k = Sketches.KmvK
+    val est = Sketches.kmvOverlapMatrix(sk, "source", k)
+    val d = sh.select(col("source"), col("sh").as("__d")).distinct()
+    val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val inter = d.select(col("source").as("__ga"), col("__d"))
+      .join(d.select(col("source").as("__gb"), col("__d")), Seq("__d"))
+      .filter(col("__ga") < col("__gb"))
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val sigma = 3.0 * math.sqrt(0.25 / k)
+    est
+      .join(inter, Seq("__ga", "__gb"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .join(sizes.select(col("source").as("__ga"), col("__n").as("__na")), "__ga")
+      .join(sizes.select(col("source").as("__gb"), col("__n").as("__nb")), "__gb")
+      .withColumn("exact_union", col("__na") + col("__nb") - col("exact_inter"))
+      .select(col("__ga").as("src_a"), col("__gb").as("src_b"),
+        col("n_l"), col("max_h_l"), col("n_inter"),
+        col("exact_inter"), col("exact_union"),
+        (abs(col("n_inter") / col("n_l") -
+          col("exact_inter") / col("exact_union")) <= lit(sigma))
+          .as("within_bound"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** q19 — Misra-Gries heavy hitters per order status
     * (functions.MisraGries, the custom mergeable Aggregator). The
     * priority domain (5 values) sits under k = 8, the regime where MG

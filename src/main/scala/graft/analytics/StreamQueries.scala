@@ -433,6 +433,52 @@ object StreamQueries {
   private val streamedKmv =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st17 — STREAMING overlap-matrix sketches: ov1's per-source
+    * shingle sketches held in the streaming aggregation state store
+    * (documents arrive as 8 one-file micro-batches, shingled map-side
+    * by the native WordNGrams slicer) and min-k-merged batch by
+    * batch; the pairwise matrix + exact-side gate run batch-side on
+    * the final state. Lossless minK merge ⇒ the streamed sketches
+    * equal the batch build bit-for-bit ⇒ st17 gates on ov1's oracle
+    * VERBATIM — completing the batch (ov1) + incremental-store (ov1b)
+    * + streaming triple for the overlap family, the production shape
+    * for a continuously-ingesting corpus whose contamination screen
+    * must stay current without rescans. */
+  def streamOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedOvm.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st17_").toString
+      Tables.documents(spark, dir)
+        .select(col("source"), col("text"))
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st17_${math.abs(dir.hashCode)}"
+      val k = graft.ops.Sketches.KmvK
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => df
+          .select(col("source"),
+            explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+          .select(col("source"),
+            graft.ops.Sketches.kmvHash(col("sh")).as("__h"))
+          .groupBy(col("source"))
+          .agg(graft.functions.KmvSketch.kmv(k)(col("__h")).as("__sk")),
+        name, maxFilesPerTrigger = Some(1))
+      name
+    })
+    val sk = spark.table(table)
+      .select(col("source"), explode(col("__sk")).as("h"))
+      // the matrix self-joins the sketch frame (pair expansion), which
+      // trips self-join attribute dedup on a memory-sink view — sever
+      // lineage first (≤ S·k rows by construction)
+      .localCheckpoint()
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+    SketchQueries.matrixContractReadout(spark, sk, sh)
+  }
+
+  private val streamedOvm =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st16 — STREAMING drift monitor: ks1's bounded bin frame
     * (ops.Profiling.driftBins) built as a streaming aggregation,
     * sum-merged in the state store across 8 micro-batches; the KS/PSI
@@ -488,7 +534,7 @@ object StreamQueries {
     "st7_stream_heavy_hitters", "st8_stream_count_min",
     "st9_stream_throttle", "st11_stream_asof", "st12_stream_scd2",
     "st13_stream_hll", "st14_stream_hist", "st15_stream_kmv",
-    "st16_stream_drift")
+    "st16_stream_drift", "st17_stream_overlap")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -503,6 +549,7 @@ object StreamQueries {
     streamedAsOf.clear(); streamedScd2.clear()
     streamedHll.clear(); streamedHist.clear()
     streamedKmv.clear(); streamedDrift.clear()
+    streamedOvm.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

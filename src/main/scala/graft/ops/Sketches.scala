@@ -398,6 +398,35 @@ object Sketches {
     * sketch-sized: the union frame is ≤ 2k rows, the membership joins
     * are ≤ k-row equi-joins. Returns one row of exact-integer sketch
     * evidence (n_l, max_h_l, n_inter) plus the float estimates. */
+  /** All-pairs overlap matrix from ONE grouped sketch table
+    * (groupCol, h): for every group pair (a < b), the [[kmvIntersect]]
+    * statistics — L = minK(kmv(A) ∪ kmv(B)), |L ∩ kmv(A) ∩ kmv(B)| —
+    * computed wholesale. This is the S-slice contamination SCREEN: the
+    * corpus is touched ONCE (by the sketch build); everything here
+    * runs on sketch-sized frames — the pair frame is ≤ S² rows (one
+    * equi-join per side, never slice data), the per-pair union is
+    * ≤ 2k rows, and the bottom-k per pair rides the bounded-heap
+    * TopKPerGroup, so the matrix costs O(S²·k) regardless of corpus
+    * size. Returns (groupA, groupB, n_l, max_h_l, n_inter) exact
+    * integers per pair. */
+  def kmvOverlapMatrix(sketch: DataFrame, groupCol: String,
+                       k: Int = KmvK): DataFrame = {
+    val srcs = sketch.select(col(groupCol)).distinct()
+    val pairs = srcs.select(col(groupCol).as("__ga"))
+      .join(srcs.select(col(groupCol).as("__gb")), col("__ga") < col("__gb"))
+    def side(tag: String, asA: Int) =
+      pairs.join(sketch, col(groupCol) === col(tag))
+        .select(col("__ga"), col("__gb"), col("h"),
+          lit(asA).as("__ina"), lit(1 - asA).as("__inb"))
+    val u = side("__ga", 1).unionByName(side("__gb", 0))
+      .groupBy(col("__ga"), col("__gb"), col("h"))
+      .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
+    TopK.perGroup(u, Seq("__ga", "__gb"), Seq(("h", false)), k, "__rnk")
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(count(lit(1)).as("n_l"), max(col("h")).as("max_h_l"),
+        count(when(col("__ina") === 1 && col("__inb") === 1, 1)).as("n_inter"))
+  }
+
   def kmvIntersect(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
     val l = a.select(col("h")).unionByName(b.select(col("h")))
       .distinct().orderBy(col("h")).limit(k)

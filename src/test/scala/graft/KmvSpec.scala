@@ -115,6 +115,42 @@ class KmvSpec extends SparkSpec {
     assert(row.getAs[Double]("inter_est") == 0.0)
   }
 
+  test("overlap matrix reproduces pairwise kmvIntersect on engineered slices") {
+    // slices: A=[0,2n), B=[n,3n), C=[5n,6n)  — J(A,B)=1/3, C disjoint
+    val n = 2000
+    def slice(tag: String, lo: Int, hi: Int) =
+      spark.range(lo.toLong, hi.toLong)
+        .selectExpr(s"'$tag' AS grp", "concat('m', id) AS k")
+    val df = slice("a", 0, 2 * n)
+      .unionByName(slice("b", n, 3 * n))
+      .unionByName(slice("c", 5 * n, 6 * n))
+    val sk = Sketches.kmvSketch(df, "grp", "k")
+    val m = Sketches.kmvOverlapMatrix(sk, "grp")
+      .orderBy($"__ga", $"__gb")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(m.map(r => (r._1, r._2)) == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    // each pair row must equal the standalone two-set intersection
+    for ((ga, gb, nL, maxH, nInter) <- m) {
+      val ref = Sketches.kmvIntersect(
+        sk.filter($"grp" === ga).drop("grp"),
+        sk.filter($"grp" === gb).drop("grp")).collect().head
+      assert(nL == ref.getAs[Long]("n_l") && maxH == ref.getAs[Long]("max_h_l")
+        && nInter == ref.getAs[Long]("n_inter"), s"pair ($ga,$gb)")
+    }
+    // the disjoint pairs see zero sketch intersection
+    assert(m.filter(r => r._2 == "c").forall(_._5 == 0L))
+  }
+
+  test("incremental matrix store equals the full-corpus matrix (ov1b ≡ ov1)") {
+    val ov1 = SparkEntry.queries("ov1_overlap_matrix")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val ov1b = SparkEntry.queries("ov1b_overlap_store")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(ov1b == ov1)
+    assert(ov1.nonEmpty && ov1.forall(_.last == true),
+      "per-pair Jaccard contract must hold")
+  }
+
   test("map-side partials: the plan is an ObjectHashAggregate with partial merge") {
     val plan = Sketches.kmvSketch(ids(100), "grp", "k")
       .queryExecution.executedPlan.toString

@@ -361,6 +361,16 @@ class StreamingSpec extends SparkSpec {
     assert(st16.nonEmpty)
   }
 
+  test("st17 rehearsal: streamed overlap-matrix sketches equal the batch ov1") {
+    val st17 = SparkEntry.queries("st17_stream_overlap")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val ov1 = SparkEntry.queries("ov1_overlap_matrix")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st17 == ov1)
+    assert(st17.nonEmpty && st17.forall(_.last == true),
+      "per-pair Jaccard contract must hold through the state-store merge")
+  }
+
   test("toleranceAsOfStream carries as-of state ACROSS micro-batches") {
     // a view in batch 1, its click in batch 2: only the state store can
     // connect them. Two clicks probe both the within-tolerance and the
