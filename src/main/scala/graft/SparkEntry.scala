@@ -117,6 +117,7 @@ object SparkEntry {
     "j11b_incr_setsim"      -> (DedupQueries.incrementalSetSimJoin _),
     "j11c_bucketed_setsim"  -> (DedupQueries.bucketedIncrementalSetSimJoin _),
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
+    "d6b_incremental_components" -> (DedupQueries.incrementalComponents _),
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
     "d9_incremental_neardup" -> (DedupQueries.incrementalNearDups _),
@@ -2298,6 +2299,11 @@ object SparkEntry {
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "d6_neardup_components" ->
+      (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
+    // d6b: the SAME oracle — root contraction is an exact union-find
+    // merge, so the incremental label table must equal the full
+    // recursive-CC rebuild bit-for-bit.
+    "d6b_incremental_components" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "d7_dedup_survivors" ->
       (componentsCte +

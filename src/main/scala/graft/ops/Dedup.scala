@@ -580,6 +580,56 @@ object Dedup {
                           maxIter: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
 
+  /** INCREMENTAL connected components by ROOT CONTRACTION — the d9
+    * discipline applied to the component artifact itself: a persisted
+    * (node, component) label table absorbs a batch of new edges
+    * WITHOUT re-running CC over the full graph. Each delta endpoint
+    * resolves to its current root (one equi-join against the store;
+    * unseen nodes root at themselves), [[connectedComponents]] then
+    * runs over the CONTRACTED root-root edges — a frame bounded by
+    * |delta edges|, never the accumulated graph — and the resulting
+    * root remap re-labels the store through one more equi-join (only
+    * roots touched by the delta move; a broadcast-sized frame in the
+    * daily-delta regime).
+    *
+    * The merge is EXACT, not approximate: store labels are min-member
+    * ids (the [[connectedComponents]] invariant), so contracting each
+    * old component to its root preserves connectivity (union-find's
+    * union-by-contraction), and the remapped label min(roots) =
+    * min(min(members)) = the merged component's global min id — the
+    * incremental result equals a full rebuild BIT-FOR-BIT, which is
+    * what lets d6b gate on d6's oracle verbatim. */
+  def mergeComponentLabels(storeLabels: DataFrame, deltaEdges: DataFrame,
+                           aCol: String, bCol: String): DataFrame = {
+    val lbl = storeLabels.select(col("node"), col("component"))
+    // resolve both endpoints to current roots in one pass
+    val e = deltaEdges
+      .select(col(aCol).as("__na"), col(bCol).as("__nb"))
+      .join(lbl.select(col("node").as("__na"), col("component").as("__ra")),
+        Seq("__na"), "left")
+      .join(lbl.select(col("node").as("__nb"), col("component").as("__rb")),
+        Seq("__nb"), "left")
+      .select(col("__na"), col("__nb"),
+        coalesce(col("__ra"), col("__na")).as("root_a"),
+        coalesce(col("__rb"), col("__nb")).as("root_b"))
+      .localCheckpoint() // reused by the CC run and the new-node fold
+    // CC over contracted edges only — |delta|-sized by construction
+    val remap = connectedComponents(
+      e.filter(col("root_a") =!= col("root_b")), "root_a", "root_b")
+      .select(col("node").as("__root"), col("component").as("__new"))
+    def remapped(roots: DataFrame) =
+      roots.join(remap, roots("component") === remap("__root"), "left")
+        .select(roots("node"),
+          coalesce(col("__new"), roots("component")).as("component"))
+    // store rows re-rooted; delta endpoints (incl. brand-new nodes)
+    // enter at their contracted root, then re-root the same way
+    val deltaNodes = e.select(col("__na").as("node"), col("root_a").as("component"))
+      .unionByName(e.select(col("__nb").as("node"), col("root_b").as("component")))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+    remapped(lbl).unionByName(remapped(deltaNodes))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+  }
+
   /** [[connectedComponents]] plus the number of propagation rounds it
     * took to converge (exposed for scale tests — with pointer jumping
     * the label's reach doubles-plus-one per round, so a path graph of
