@@ -11,6 +11,8 @@ mkdir -p "$OUT"
 cd /root/repo
 for q in $QUERIES; do
   echo "=== $q $(date -u +%T)"
+  # a crashed run must not inherit the previous query's detail file
+  rm -f bench_detail.json
   SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_BENCH_ITERS=1 \
   SPARK_GRAFT_BENCH_ONLY="$q" SPARK_GRAFT_CPUS=32 TOOL_MEM="$MEM" \
     scripts/run-tool.sh graft.Bench > "$OUT/$q.log" 2>&1

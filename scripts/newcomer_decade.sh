@@ -15,6 +15,7 @@ STREAMS="st11_stream_asof st12_stream_scd2 st13_stream_hll st14_stream_hist"
 for d in /root/testdata/sf0.1 /tmp/sf1; do
   tag=$(basename "$d")
   echo "=== newcomers $tag $(date -u +%T)"
+  rm -f bench_detail.json
   SPARK_GRAFT_SF_DIR="$d" SPARK_GRAFT_BENCH_ITERS=3 \
   SPARK_GRAFT_BENCH_ONLY="${NEWCOMERS// /,}" SPARK_GRAFT_CPUS=32 TOOL_MEM=48g \
     scripts/run-tool.sh graft.Bench > "$OUT/newcomers_$tag.log" 2>&1
@@ -25,6 +26,7 @@ done
 for d in /root/testdata/sf0.1 /tmp/sf1; do
   tag=$(basename "$d")
   echo "=== streams $tag $(date -u +%T)"
+  rm -f bench_detail.json
   SPARK_GRAFT_SF_DIR="$d" SPARK_GRAFT_BENCH_ITERS=1 \
   SPARK_GRAFT_BENCH_COLD_STREAMS=1 \
   SPARK_GRAFT_BENCH_ONLY="${STREAMS// /,}" SPARK_GRAFT_CPUS=32 TOOL_MEM=48g \

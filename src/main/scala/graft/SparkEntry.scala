@@ -357,32 +357,13 @@ object SparkEntry {
   private lazy val hll64OracleSql: String = {
     val m = graft.ops.Sketches.HllM
     val cap = graft.ops.Sketches.HllRhoCap64
-    val a = graft.ops.Sketches.HllMixA
-    val sh = graft.ops.Sketches.HllMixShift
     val h = polyHash64Sql("CAST(l_suppkey AS VARCHAR)")
     val ladder = (1 until cap)
       .map(j => s"WHEN s % ${1L << j} = ${1L << (j - 1)} THEN $j")
       .mkString(" ")
-    s"""WITH k AS (SELECT l_returnflag, l_suppkey, $h AS h
+    s"""WITH k AS (SELECT l_returnflag, $h AS h
       |  FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)),
-      |m0 AS (SELECT l_returnflag, h,
-      |         ((h // 1073741824) * ${a(0)} + h % 1073741824)
-      |           % 2147483648 AS x FROM k),
-      |m1 AS (SELECT l_returnflag, h,
-      |         (xor(x, x >> ${sh(0)}) * ${a(1)}) % 2147483648 AS x FROM m0),
-      |m2 AS (SELECT l_returnflag, h,
-      |         (xor(x, x >> ${sh(1)}) * ${a(2)}) % 2147483648 AS x FROM m1),
-      |g1 AS (SELECT l_returnflag, h, xor(x, x >> ${sh(2)}) AS l1 FROM m2),
-      |h2 AS (SELECT l_returnflag, l1, xor(h, l1) AS hx FROM g1),
-      |n0 AS (SELECT l_returnflag, l1,
-      |         ((hx // 1073741824) * ${a(0)} + hx % 1073741824)
-      |           % 2147483648 AS y FROM h2),
-      |n1 AS (SELECT l_returnflag, l1,
-      |         (xor(y, y >> ${sh(0)}) * ${a(1)}) % 2147483648 AS y FROM n0),
-      |n2 AS (SELECT l_returnflag, l1,
-      |         (xor(y, y >> ${sh(1)}) * ${a(2)}) % 2147483648 AS y FROM n1),
-      |mg AS (SELECT l_returnflag,
-      |         l1 * 2147483648 + xor(y, y >> ${sh(2)}) AS g FROM n2),
+      |${mix64ChainSql("l_returnflag")},
       |sfx AS (SELECT l_returnflag, g % $m AS bucket, g // $m AS s FROM mg),
       |r AS (SELECT l_returnflag, bucket,
       |        max(CASE WHEN s = 0 THEN $cap $ladder ELSE $cap END) AS reg

@@ -158,8 +158,11 @@ object DedupQueries {
     val p = ccStoreCache.getOrElseUpdate(dir, {
       val t = java.nio.file.Files.createTempDirectory("graft_cc_store").toString
       Dedup.writeMinHashSignatures(base, "doc_id", "text", s"$t/sigs")
+      // pair off the JUST-PERSISTED signatures — the base corpus is
+      // shingled and signed exactly once during store initialization
       Dedup.connectedComponents(
-          Dedup.minHashNearDups(base, "doc_id", "text", 0.8), "id_a", "id_b")
+          Dedup.minHashNearDupsFromSigs(
+            spark.read.parquet(s"$t/sigs"), 0.8), "id_a", "id_b")
         .write.parquet(s"$t/labels")
       t
     })

@@ -191,6 +191,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[minHashNearDups]] over an already-persisted [[minHashPerDoc]]
+    * frame (a signature STORE): bands from the stored m-columns,
+    * verification from the stored __sh sets — zero re-shingling of
+    * text that was signed once. This is how a store initialization
+    * that also needs the base pair set (the d6b label build) touches
+    * the corpus exactly once: sign + persist, then pair off the
+    * persisted frame. Same candidates, same exact-jaccard verify as
+    * the one-shot path, so the results are identical. */
+  private[graft] def minHashNearDupsFromSigs(sigs: DataFrame,
+      threshold: Double, numHashes: Int = 32, bands: Int = 8,
+      saltBuckets: Int = 1): DataFrame = {
+    val banded = bandedFromPerDoc(sigs, numHashes, bands)
+    val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
+    val candidates = bandCandidates(a, b, Seq("band", "band_hash"), saltBuckets)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val withSh = sigs.select(col("__id"), col("__sh"))
+    candidates
+      .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Per-doc MinHash state: (__id, __sh distinct shingle-DIGEST set,
     * m0..m{n-1} signature slots) — ONE aggregate computes both the
     * verify set and every signature slot. This is the unit the

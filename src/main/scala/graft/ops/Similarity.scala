@@ -321,8 +321,14 @@ object Similarity {
   private def laneCount(spark: org.apache.spark.sql.SparkSession,
                         nLists: Int): Int = {
     val conf = spark.conf.get("graft.ivf.saltLanes", "")
-    if (conf.nonEmpty) conf.toInt
-    else {
+    if (conf.nonEmpty) {
+      val lanes = conf.toInt
+      // a non-positive override would make pmod(·, 0) NULL on the
+      // corpus side and explode(0 lanes) drop every probe row — an
+      // empty join that reads as a miraculous speedup; fail fast
+      require(lanes > 0, s"graft.ivf.saltLanes must be > 0, got $lanes")
+      lanes
+    } else {
       val parallelism =
         spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       math.min(8, math.max(1,
@@ -551,7 +557,7 @@ object Similarity {
     assignWithLists(d0, cents)
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/members")
-    deltaKnnEdges(delta, path, k, nProbe, idCol, vecCol)
+    deltaKnnEdges(delta, path, k, nProbe, idCol, vecCol, Some(cents))
       .write.mode("append").parquet(s"$path/edges")
   }
 
@@ -559,12 +565,17 @@ object Similarity {
     * assert): probes from the delta anchors, candidates from the
     * stored members parquet — which at this point already includes
     * the delta's own member rows, so two delta vectors can be each
-    * other's neighbors, exactly like a rebuild would see them. */
+    * other's neighbors, exactly like a rebuild would see them.
+    * `quantizer` lets [[appendKnnGraph]] pass its already-collected
+    * seed frame so an append reads + collects the frozen quantizer
+    * exactly once. */
   private[graft] def deltaKnnEdges(delta: DataFrame, path: String, k: Int,
                                    nProbe: Int, idCol: String,
-                                   vecCol: String): DataFrame = {
+                                   vecCol: String,
+                                   quantizer: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     val spark = delta.sparkSession
-    val cents = collectCents(spark.read.parquet(s"$path/seeds"))
+    val cents = quantizer.getOrElse(
+      collectCents(spark.read.parquet(s"$path/seeds")))
     val probes = probesFor(
       delta.select(col(idCol).as("anchor_id"), col(vecCol)), cents,
       nProbe, vecCol, "anchor_id")
