@@ -194,6 +194,7 @@ object SparkEntry {
     "st15_stream_kmv"       -> (StreamQueries.streamKmvSketch _),
     "st16_stream_drift"     -> (StreamQueries.streamDrift _),
     "st17_stream_overlap"   -> (StreamQueries.streamOverlapMatrix _),
+    "st18_stream_components" -> (StreamQueries.streamComponents _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -2285,6 +2286,12 @@ object SparkEntry {
     // merge, so the incremental label table must equal the full
     // recursive-CC rebuild bit-for-bit.
     "d6b_incremental_components" ->
+      (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
+    // st18: the SAME oracle — every pair is discovered exactly when
+    // its later doc's micro-batch arrives, and the per-batch root
+    // contraction is an exact union-find fold, so the streamed label
+    // store must equal the one-shot batch CC bit-for-bit.
+    "st18_stream_components" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "d7_dedup_survivors" ->
       (componentsCte +

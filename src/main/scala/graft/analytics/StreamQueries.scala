@@ -479,6 +479,37 @@ object StreamQueries {
   private val streamedOvm =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st18 — STREAMING near-dup components
+    * (EventStreams.componentsStream): the documents table arrives as
+    * 4 micro-batches; each batch signs once, finds its delta pairs
+    * against the signature store-so-far, and folds them into the
+    * label store by d6b's root contraction. Every eventual pair is
+    * discovered exactly when its later doc arrives and the
+    * contraction fold is exact, so the final `ver_3` labels equal the
+    * one-shot batch CC — st18 gates on d6's oracle VERBATIM,
+    * completing the batch (d6) + incremental-store (d6b) + streaming
+    * triple for the components family: dedup-graph freshness for a
+    * continuously-ingesting corpus, per-batch cost sign+probe+merge
+    * of the batch alone. */
+  def streamComponents(spark: SparkSession, dir: String): DataFrame = {
+    val labels = streamedCc.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st18_").toString
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      EventStreams.componentsStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
+        "doc_id", "text", s"$tmp/store", s"$tmp/labels",
+        s"$tmp/cp", threshold = 0.8).awaitTermination()
+      s"$tmp/labels/ver_3"
+    })
+    spark.read.parquet(labels).orderBy(col("node"))
+  }
+
+  private val streamedCc =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st16 — STREAMING drift monitor: ks1's bounded bin frame
     * (ops.Profiling.driftBins) built as a streaming aggregation,
     * sum-merged in the state store across 8 micro-batches; the KS/PSI
@@ -534,7 +565,7 @@ object StreamQueries {
     "st7_stream_heavy_hitters", "st8_stream_count_min",
     "st9_stream_throttle", "st11_stream_asof", "st12_stream_scd2",
     "st13_stream_hll", "st14_stream_hist", "st15_stream_kmv",
-    "st16_stream_drift", "st17_stream_overlap")
+    "st16_stream_drift", "st17_stream_overlap", "st18_stream_components")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -549,7 +580,7 @@ object StreamQueries {
     streamedAsOf.clear(); streamedScd2.clear()
     streamedHll.clear(); streamedHist.clear()
     streamedKmv.clear(); streamedDrift.clear()
-    streamedOvm.clear()
+    streamedOvm.clear(); streamedCc.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

@@ -182,6 +182,53 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAMING near-dup components: [[incrementalDedupStream]]'s pair
+    * discovery composed with the d6b root-contraction fold — each
+    * micro-batch signs its documents once, finds its delta pairs
+    * against the signature store-so-far, and MERGES them into the
+    * persisted (node, component) label table by root contraction
+    * (`Dedup.mergeComponentLabels`: CC over |batch-pairs|-many
+    * contracted root edges, never the accumulated graph). Labels land
+    * in append-only `ver_<batchId>` dirs (the scd2Stream discipline —
+    * never overwrite a store a reader may hold lazily). Every pair of
+    * the eventual corpus is discovered exactly when its LATER doc
+    * arrives, and the contraction fold is exact, so the final label
+    * table equals the one-shot batch CC bit-for-bit — st18 gates on
+    * d6's oracle VERBATIM. */
+  def componentsStream(docs: DataFrame, idCol: String, textCol: String,
+                       storePath: String, labelsPath: String,
+                       checkpoint: String, threshold: Double = 0.8,
+                       numHashes: Int = 32, shingleN: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ops.Dedup
+        val spark = batch.sparkSession
+        val sigs = Dedup.minHashPerDoc(batch, idCol, textCol, numHashes, shingleN)
+          .localCheckpoint()
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val storeP = new org.apache.hadoop.fs.Path(storePath)
+        val fs = storeP.getFileSystem(hconf)
+        if (!fs.exists(storeP))
+          sigs.limit(0).write.parquet(storePath)
+        val pairs = Dedup.incrementalMinHashNearDupsFromSigs(
+          sigs, storePath, threshold,
+          numHashes = numHashes, bands = 8, saltBuckets = 1)
+        // previous label version via the Hadoop FS API (storeDir may be
+        // hdfs://; batch ids are contiguous from 0 under AvailableNow)
+        val prevP = new org.apache.hadoop.fs.Path(s"$labelsPath/ver_${batchId - 1}")
+        val prev =
+          if (batchId > 0 && fs.exists(prevP)) spark.read.parquet(prevP.toString)
+          else spark.range(0).selectExpr("id AS node", "id AS component")
+        Dedup.mergeComponentLabels(prev, pairs, "id_a", "id_b")
+          .write.mode("overwrite") // replay-idempotent: same ver, same fold
+          .parquet(s"$labelsPath/ver_$batchId")
+        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id")): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** STREAMING SemDeDup: the semantic face of
     * [[incrementalDedupStream]]. The first micro-batch freezes the
     * centroid quantizer (balanced √n rule on that batch); every batch

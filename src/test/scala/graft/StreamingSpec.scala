@@ -371,6 +371,15 @@ class StreamingSpec extends SparkSpec {
       "per-pair Jaccard contract must hold through the state-store merge")
   }
 
+  test("st18 rehearsal: streamed component store equals the batch d6 CC") {
+    val st18 = SparkEntry.queries("st18_stream_components")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val d6 = SparkEntry.queries("d6_neardup_components")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st18 == d6)
+    assert(st18.nonEmpty)
+  }
+
   test("toleranceAsOfStream carries as-of state ACROSS micro-batches") {
     // a view in batch 1, its click in batch 2: only the state store can
     // connect them. Two clicks probe both the within-tolerance and the
