@@ -56,6 +56,7 @@ object SparkEntry {
     "q23b_hll64_register_store" -> (SketchQueries.hllRegisterStore64 _),
     "q24_hist_quantile_store" -> (SketchQueries.histQuantileStore _),
     "q25_kmv_store"         -> (SketchQueries.kmvStore _),
+    "q27_cms_store"         -> (SketchQueries.countMinStore _),
     "q26_kmv_overlap"       -> (SketchQueries.kmvOverlap _),
     "ov1_overlap_matrix"    -> (SketchQueries.kmvOverlapMatrix _),
     "ov1b_overlap_store"    -> (SketchQueries.kmvOverlapMatrixIncremental _),
@@ -2706,6 +2707,9 @@ object SparkEntry {
     // produce the identical sketch, cell for cell, or the minima shift.
     "st8_stream_count_min" -> cmOracleSql,
     "q21_count_min" -> cmOracleSql,
+    // q27: the SAME oracle — counter cells merge by ADDITION (linear),
+    // so the store+delta table must equal the full rebuild bit-for-bit.
+    "q27_cms_store" -> cmOracleSql,
     "q23_hll_register_store" -> hllOracleSql,
     "q23b_hll64_register_store" -> hll64OracleSql,
     "q25_kmv_store" -> kmvOracleSql,

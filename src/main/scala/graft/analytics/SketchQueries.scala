@@ -46,6 +46,38 @@ object SketchQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q27 — INCREMENTAL count-min STORE (ops.Sketches.countMin/
+    * cmMergeCells): the CMS family's store face, completing the
+    * mergeable-store symmetry (HLL max-merge q23, histogram add-merge
+    * q24, KMV min-merge q25 — and now CMS add-merge). Events outside
+    * the delta slice (event_id % 10 == 3) fold their counter cells
+    * ONCE; the delta's cells then ADD into the store — counts are
+    * linear, so the merged table equals a full rebuild BIT-FOR-BIT
+    * and q27 shares q21's full-replay oracle VERBATIM (counter cells,
+    * point-query minima and all, in exact integer SQL). State is
+    * ≤ depth·width rows regardless of corpus size. */
+  def countMinStore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_id"))
+    val store = cmsStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_cms_store").toString
+      Sketches.countMin(ev.filter(col("event_id") % 10 =!= 3), "user_id")
+        .write.parquet(s"$p/cells")
+      s"$p/cells"
+    })
+    val deltaCells = Sketches.countMin(
+      ev.filter(col("event_id") % 10 === 3), "user_id")
+    val merged = Sketches.cmMergeCells(
+      spark.read.parquet(store), deltaCells)
+    val est = Sketches.countMinEstimatesFrom(merged, ev, "user_id")
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    est.join(exact, "user_id")
+      .select(col("user_id"), col("est"), col("exact"))
+      .orderBy(col("user_id"))
+  }
+
+  private val cmsStoreCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** q23 — INCREMENTAL HLL register store
     * (ops.Sketches.hllRegisters/hllMergeRegisters): lineitems outside
     * the delta slice (l_orderkey % 10 == 3) fold their distinct

@@ -84,6 +84,16 @@ object Sketches {
     cmBucketPairs(df, keyCol, width, depth)
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** Lossless counter-cell merge: cells ADD —
+    * merge(cm(A), cm(B)) == cm(A ⊎ B) exactly (counts are linear), the
+    * additive-merge law the histogram store (q24) uses, applied to the
+    * CMS family: a persisted base counter table plus a delta's
+    * counters equals the full rebuild bit-for-bit, ≤ depth·width rows
+    * of state at any corpus size. */
+  def cmMergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
   /** Point-query estimates against a PRE-BUILT counter table (cols
     * j, bucket, cnt — e.g. the final state of the streaming build):
     * est(k) = min over rows j of cnt[j][h_j(k)]. */

@@ -56,6 +56,17 @@ class SketchesSpec extends SparkSpec {
       "width 16 over >100 keys must produce at least one collision")
   }
 
+  test("count-min store + delta add-merge equals full rebuild exactly") {
+    val ev = Tables.events(spark, sfDir).select($"user_id", $"event_id")
+    val base = Sketches.countMin(ev.filter($"event_id" % 10 =!= 3), "user_id")
+    val delta = Sketches.countMin(ev.filter($"event_id" % 10 === 3), "user_id")
+    val merged = Sketches.cmMergeCells(base, delta)
+      .as[(Int, Long, Long)].collect().toSet
+    val rebuild = Sketches.countMin(ev, "user_id")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == rebuild)
+  }
+
   test("count-min is partitioning-invariant (mergeable partials)") {
     val ev = Tables.events(spark, sfDir).selectExpr("user_id AS k")
     val one = Sketches.countMinEstimates(ev.repartition(1), "k")
