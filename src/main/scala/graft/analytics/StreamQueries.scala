@@ -502,7 +502,14 @@ object StreamQueries {
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
         "doc_id", "text", s"$tmp/store", s"$tmp/labels",
         s"$tmp/cp", threshold = 0.8).awaitTermination()
-      s"$tmp/labels/ver_3"
+      // the final version is whatever the stream actually wrote —
+      // derived from the label dir, not coupled to the staging
+      // repartition count (fewer files than partitions is legal)
+      val lp = new org.apache.hadoop.fs.Path(s"$tmp/labels")
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val last = fs.listStatus(lp).map(_.getPath.getName)
+        .filter(_.startsWith("ver_")).map(_.stripPrefix("ver_").toInt).max
+      s"$tmp/labels/ver_$last"
     })
     spark.read.parquet(labels).orderBy(col("node"))
   }

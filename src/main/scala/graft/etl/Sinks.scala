@@ -17,12 +17,22 @@ import java.nio.file.{Files, Paths}
   */
 object Sinks {
 
+  /** Store existence via the Hadoop FS API — java.nio only speaks the
+    * local filesystem, and a silently-false exists on `hdfs://`/`s3a://`
+    * would skip the anti-join dedup entirely, making "idempotent"
+    * append duplicate rows on exactly the storage these sinks claim
+    * to serve. */
+  private def storeExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** K3/K4 — insert-if-absent append keyed on `keys`. Returns the number
     * of rows actually appended. */
   def idempotentAppend(df: DataFrame, path: String, keys: Seq[String]): Long = {
     val spark = df.sparkSession
     val novel =
-      if (Files.exists(Paths.get(path))) {
+      if (storeExists(spark, path)) {
         val existing = spark.read.parquet(path).select(keys.map(col): _*).distinct()
         df.join(existing, keys, "left_anti")
       } else df
@@ -48,7 +58,7 @@ object Sinks {
                                   partitionCol: String): Long = {
     val spark = df.sparkSession
     val novel =
-      if (Files.exists(Paths.get(path))) {
+      if (storeExists(spark, path)) {
         val existing = spark.read.parquet(path).select(keys.map(col): _*).distinct()
         df.join(existing, keys, "left_anti")
       } else df

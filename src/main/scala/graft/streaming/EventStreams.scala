@@ -161,26 +161,38 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.ops.Dedup
-        // the batch is shingled+signed exactly ONCE per micro-batch; the
-        // checkpointed signatures feed both the pair search and the
-        // store append (previously two independent minHashPerDoc plans)
-        val sigs = Dedup.minHashPerDoc(batch, idCol, textCol, numHashes, shingleN)
-          .localCheckpoint()
-        val storeP = new org.apache.hadoop.fs.Path(storePath)
-        val fs = storeP.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(storeP))
-          sigs.limit(0).write.parquet(storePath)
-        val pairs = Dedup.incrementalMinHashNearDupsFromSigs(
-          sigs, storePath, threshold,
-          numHashes = numHashes, bands = 8, saltBuckets = 1)
+        val (sigs, pairs) = signAndProbeBatch(batch, idCol, textCol,
+          storePath, threshold, numHashes, shingleN)
         graft.etl.Sinks.idempotentAppend(pairs, pairsPath, Seq("id_a", "id_b"))
         graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id")): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** The shared per-batch MinHash discipline of
+    * [[incrementalDedupStream]] and [[componentsStream]]: the batch is
+    * shingled+signed exactly ONCE (the checkpointed signatures feed
+    * both the pair search and the caller's store append), the store
+    * bootstraps empty on first contact via the Hadoop FS API, and the
+    * delta pairs probe the store-so-far. Callers must consume `pairs`
+    * BEFORE appending `sigs` to the store. */
+  private def signAndProbeBatch(batch: DataFrame, idCol: String,
+      textCol: String, storePath: String, threshold: Double,
+      numHashes: Int, shingleN: Int): (DataFrame, DataFrame) = {
+    import graft.ops.Dedup
+    val sigs = Dedup.minHashPerDoc(batch, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint()
+    val storeP = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeP.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(storeP))
+      sigs.limit(0).write.parquet(storePath)
+    val pairs = Dedup.incrementalMinHashNearDupsFromSigs(
+      sigs, storePath, threshold,
+      numHashes = numHashes, bands = 8, saltBuckets = 1)
+    (sigs, pairs)
+  }
 
   /** STREAMING near-dup components: [[incrementalDedupStream]]'s pair
     * discovery composed with the d6b root-contraction fold — each
@@ -204,21 +216,21 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.Dedup
         val spark = batch.sparkSession
-        val sigs = Dedup.minHashPerDoc(batch, idCol, textCol, numHashes, shingleN)
-          .localCheckpoint()
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val storeP = new org.apache.hadoop.fs.Path(storePath)
-        val fs = storeP.getFileSystem(hconf)
-        if (!fs.exists(storeP))
-          sigs.limit(0).write.parquet(storePath)
-        val pairs = Dedup.incrementalMinHashNearDupsFromSigs(
-          sigs, storePath, threshold,
-          numHashes = numHashes, bands = 8, saltBuckets = 1)
-        // previous label version via the Hadoop FS API (storeDir may be
-        // hdfs://; batch ids are contiguous from 0 under AvailableNow)
+        val (sigs, pairs) = signAndProbeBatch(batch, idCol, textCol,
+          storePath, threshold, numHashes, shingleN)
+        // previous label version via the LABEL path's own FileSystem
+        // (labelsPath and storePath may live on different filesystems;
+        // batch ids are contiguous from 0 under AvailableNow). A gap is
+        // an ERROR, not an empty store: silently restarting from
+        // range(0) would drop every accumulated component and emit a
+        // plausible-looking but wrong label table.
         val prevP = new org.apache.hadoop.fs.Path(s"$labelsPath/ver_${batchId - 1}")
+        val lfs = prevP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(batchId == 0L || lfs.exists(prevP),
+          s"componentsStream: label store is missing ver_${batchId - 1} " +
+            s"under $labelsPath — refusing to fold batch $batchId over a gap")
         val prev =
-          if (batchId > 0 && fs.exists(prevP)) spark.read.parquet(prevP.toString)
+          if (batchId > 0) spark.read.parquet(prevP.toString)
           else spark.range(0).selectExpr("id AS node", "id AS component")
         Dedup.mergeComponentLabels(prev, pairs, "id_a", "id_b")
           .write.mode("overwrite") // replay-idempotent: same ver, same fold
