@@ -60,6 +60,7 @@ object SparkEntry {
     "q26_kmv_overlap"       -> (SketchQueries.kmvOverlap _),
     "ov1_overlap_matrix"    -> (SketchQueries.kmvOverlapMatrix _),
     "ov1b_overlap_store"    -> (SketchQueries.kmvOverlapMatrixIncremental _),
+    "ov2_overlap_sparse"    -> (SketchQueries.kmvOverlapMatrixSparse _),
     "ks1_drift"             -> (ProfileQueries.priceDrift _),
     "pf1_skew_profile"      -> (ProfileQueries.custkeySkewProfile _),
     "fp1_compaction_plan"   -> (ProfileQueries.eventCompactionPlan _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "seq1_pattern_match"    -> (ProfileQueries.sequencePatterns _),
     "knn1_graph"            -> (VectorQueries.knnGraph _),
     "knn1b_graph_store"     -> (VectorQueries.knnGraphIncremental _),
+    "knn1c_graph_refresh"   -> (VectorQueries.knnGraphRefreshed _),
     "knn2_semantic_clusters" -> (VectorQueries.knnClusters _),
     "q12_lag_ntile"         -> (CoreQueries.orderGaps _),
     "j9_bucketed_join"      -> (CoreQueries.bucketedRevenue _),
@@ -119,6 +121,7 @@ object SparkEntry {
     "j11c_bucketed_setsim"  -> (DedupQueries.bucketedIncrementalSetSimJoin _),
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
     "d6b_incremental_components" -> (DedupQueries.incrementalComponents _),
+    "d6c_bucketed_components" -> (DedupQueries.bucketedIncrementalComponents _),
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
     "d9_incremental_neardup" -> (DedupQueries.incrementalNearDups _),
@@ -196,6 +199,7 @@ object SparkEntry {
     "st16_stream_drift"     -> (StreamQueries.streamDrift _),
     "st17_stream_overlap"   -> (StreamQueries.streamOverlapMatrix _),
     "st18_stream_components" -> (StreamQueries.streamComponents _),
+    "st19_stream_components_bucketed" -> (StreamQueries.streamComponentsBucketed _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -479,7 +483,17 @@ object SparkEntry {
     * bottom-k, per-pair union bottom-k with membership flags, and the
     * exact pairwise intersection/union over shingle STRINGS. All
     * integer except the contract (literal true). */
-  private lazy val kmvMatrixOracleSql: String = {
+  private lazy val kmvMatrixOracleSql: String = kmvMatrixOracle("")
+
+  /** ov2's oracle = ov1's with the prescreen replayed as an EXISTS on
+    * the pair CTE: only pairs whose bottom-k sketches share a hash. */
+  private lazy val kmvMatrixSparseOracleSql: String = kmvMatrixOracle(
+    """
+      |          WHERE EXISTS (SELECT 1 FROM sk x JOIN sk y ON x.g = y.g
+      |                        WHERE x.source = a.source
+      |                          AND y.source = b.source)""".stripMargin)
+
+  private def kmvMatrixOracle(pairFilter: String): String = {
     val k = graft.ops.Sketches.KmvK
     val h = polyHash64Sql("sh")
     s"""WITH sh0 AS (
@@ -497,7 +511,7 @@ object SparkEntry {
       |sk AS (SELECT source, g FROM rk WHERE r <= $k),
       |srcs AS (SELECT DISTINCT source FROM sk),
       |pairs AS (SELECT a.source AS src_a, b.source AS src_b
-      |          FROM srcs a JOIN srcs b ON a.source < b.source),
+      |          FROM srcs a JOIN srcs b ON a.source < b.source$pairFilter),
       |u AS (SELECT p.src_a, p.src_b, s.g,
       |        max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ina,
       |        max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS inb
@@ -2294,6 +2308,14 @@ object SparkEntry {
     // store must equal the one-shot batch CC bit-for-bit.
     "st18_stream_components" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
+    // d6c/st19: the SAME oracle once more — the bucket-partitioned
+    // store changes the WRITE layout (dynamic overwrite of touched
+    // component buckets), never the fold, so the store read back must
+    // still equal the one-shot batch CC bit-for-bit.
+    "d6c_bucketed_components" ->
+      (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
+    "st19_stream_components_bucketed" ->
+      (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "d7_dedup_survivors" ->
       (componentsCte +
         """,
@@ -2722,6 +2744,7 @@ object SparkEntry {
     // so the incrementally-maintained matrix must equal the
     // full-corpus rebuild bit-for-bit.
     "ov1b_overlap_store" -> kmvMatrixOracleSql,
+    "ov2_overlap_sparse" -> kmvMatrixSparseOracleSql,
     // st17: the SAME oracle — streamed state-store sketches min-k-merge
     // losslessly, so the final matrix must equal the batch build.
     "st17_stream_overlap" -> kmvMatrixOracleSql,
@@ -3161,11 +3184,22 @@ object SparkEntry {
     // knn1: the k-NN graph replayed exactly — same seeded assignment +
     // probing blocks as v3b (raw corpus, no fixture union), nProbe=3,
     // rank rn <= 5, no dup filter.
-    "knn1_graph" -> {
-      val cos = (a: String, b: String) =>
-        s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
-          s" * sqrt(list_dot_product($b, $b)), 0.0)"
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    "knn1_graph" -> knnGraphOracleSql,
+    // knn1c: the SAME oracle — a refresh recomputes every anchor's
+    // edges from the stored members through the frozen quantizer, so
+    // a store that went build → append → refresh must equal the
+    // from-scratch full-corpus build bit-for-bit.
+    "knn1c_graph_refresh" -> knnGraphOracleSql,
+  ) ++ oracleSqlPart2
+
+  /** knn1/knn1c oracle: the k-NN graph replayed exactly over the full
+    * corpus — seeded assignment (ar = 1), nProbe = 3 probing, top-5
+    * rank — shared by the build and refresh faces. */
+  private lazy val knnGraphOracleSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a))" +
+        s" * sqrt(list_dot_product($b, $b)), 0.0)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
          |seeds AS (SELECT vec_id AS list_id, v AS sv FROM e
          |          WHERE vec_id IN (${graft.analytics.VectorQueries.IvfSeedIds.mkString(", ")})),
@@ -3195,7 +3229,9 @@ object SparkEntry {
          |          ORDER BY sim_raw DESC, cand_id) AS rn
          |      FROM sims)
          |WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin
-    },
+  }
+
+  private lazy val oracleSqlPart2: Map[String, String] = Map(
     // knn2: knn1's graph build + the 4dp data-adaptive decile cut
     // (ORDER BY/LIMIT with ties ≡ the histogram read-off) + the
     // d6-style recursive-CTE components, with singleton clusters for

@@ -75,8 +75,7 @@ object SketchQueries {
       .orderBy(col("user_id"))
   }
 
-  private val cmsStoreCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+  private val cmsStoreCache = StoreCaches.register("q27_cms_store")
 
   /** q23 — INCREMENTAL HLL register store
     * (ops.Sketches.hllRegisters/hllMergeRegisters): lineitems outside
@@ -135,7 +134,7 @@ object SketchQueries {
   }
 
   private val hll64StoreCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+    StoreCaches.register("q23b_hll64_register_store")
 
   /** Shared q23/q23b/st13 readout: integer register stats
     * (oracle-exact) next to the float estimate's 3-sigma contract
@@ -165,8 +164,7 @@ object SketchQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  private val hllStoreCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+  private val hllStoreCache = StoreCaches.register("q23_hll_register_store")
 
   /** q24 — INCREMENTAL histogram-quantile store
     * (ops.Sketches.histBins/histMerge/histMedianBin): extended-price
@@ -223,7 +221,7 @@ object SketchQueries {
   }
 
   private val histStoreCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+    StoreCaches.register("q24_hist_quantile_store")
 
   /** q25 — INCREMENTAL KMV distinct-sketch store
     * (ops.Sketches.kmvSketch/kmvMergeSketches): the third mergeable
@@ -252,8 +250,7 @@ object SketchQueries {
     kmvContractReadout(merged, li)
   }
 
-  private val kmvStoreCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+  private val kmvStoreCache = StoreCaches.register("q25_kmv_store")
 
   /** Shared q25/st15 readout: exact-integer sketch stats (count,
     * min/max hash — oracle-replayed bit-for-bit) next to the
@@ -373,7 +370,7 @@ object SketchQueries {
   }
 
   private val kmvMatrixStoreCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+    StoreCaches.register("ov1b_overlap_store")
 
   /** Shared ov1/ov1b readout: the sketch-pair matrix next to the
     * exact pairwise intersection/union recomputed from RAW shingle
@@ -382,9 +379,31 @@ object SketchQueries {
     * binomial Jaccard contract. */
   private[graft] def matrixContractReadout(spark: SparkSession,
       sk: org.apache.spark.sql.DataFrame,
+      sh: org.apache.spark.sql.DataFrame): DataFrame =
+    matrixReadoutFrom(Sketches.kmvOverlapMatrix(sk, "source"), sh)
+
+  /** ov2 — the overlap matrix's SPARSE face
+    * (ops.Sketches.kmvOverlapMatrixSparse): the bottom-k-hash
+    * prescreen (one equi-join on sketch hash — only pairs sharing a
+    * bottom-k value can have n_inter > 0) restricts the matrix to
+    * candidate pairs, keeping the pair frame output-sized at large S
+    * instead of S²/2. Same sketches, same exact per-pair integers as
+    * ov1 — ov2's rows are ov1's filtered to shared-hash pairs, and
+    * the oracle is ov1's with the matching EXISTS filter on its pair
+    * CTE. SketchesSpec pins the disjoint-fixture contract (candidate
+    * frame ≪ S²). */
+  def kmvOverlapMatrixSparse(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("text"))
+    val sh = docs.select(col("source"),
+      explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+    matrixReadoutFrom(
+      Sketches.kmvOverlapMatrixSparse(Sketches.kmvSketch(sh, "source", "sh"),
+        "source"), sh)
+  }
+
+  private def matrixReadoutFrom(est: org.apache.spark.sql.DataFrame,
       sh: org.apache.spark.sql.DataFrame): DataFrame = {
     val k = Sketches.KmvK
-    val est = Sketches.kmvOverlapMatrix(sk, "source", k)
     val d = sh.select(col("source"), col("sh").as("__d")).distinct()
     val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
     val inter = d.select(col("source").as("__ga"), col("__d"))

@@ -517,6 +517,37 @@ object StreamQueries {
   private val streamedCc =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st19 — streaming near-dup components over the BUCKET-PARTITIONED
+    * label store (EventStreams.componentsStreamBucketed): st18's fold
+    * with the per-batch WRITE made O(touched buckets) instead of
+    * node-sized — the single remaining data-sized term in the
+    * incremental family removed (the store is one live table whose
+    * untouched bucket files stay byte-identical across batches,
+    * asserted in ComponentStoreSpec). Same exactness argument as
+    * st18: every pair discovered when its later doc arrives, the
+    * contraction fold exact ⇒ the final store equals the one-shot
+    * batch CC, gating on d6's oracle VERBATIM. */
+  def streamComponentsBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val labels = streamedCcb.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st19_").toString
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      EventStreams.componentsStreamBucketed(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
+        "doc_id", "text", s"$tmp/store", s"$tmp/lbl",
+        s"$tmp/cp", threshold = 0.8).awaitTermination()
+      s"$tmp/lbl/labels"
+    })
+    graft.ops.Dedup.readComponentStore(spark, labels)
+      .select(col("node"), col("component"))
+      .orderBy(col("node"))
+  }
+
+  private val streamedCcb =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st16 — STREAMING drift monitor: ks1's bounded bin frame
     * (ops.Profiling.driftBins) built as a streaming aggregation,
     * sum-merged in the state store across 8 micro-batches; the KS/PSI
@@ -572,7 +603,8 @@ object StreamQueries {
     "st7_stream_heavy_hitters", "st8_stream_count_min",
     "st9_stream_throttle", "st11_stream_asof", "st12_stream_scd2",
     "st13_stream_hll", "st14_stream_hist", "st15_stream_kmv",
-    "st16_stream_drift", "st17_stream_overlap", "st18_stream_components")
+    "st16_stream_drift", "st17_stream_overlap", "st18_stream_components",
+    "st19_stream_components_bucketed")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -587,7 +619,7 @@ object StreamQueries {
     streamedAsOf.clear(); streamedScd2.clear()
     streamedHll.clear(); streamedHist.clear()
     streamedKmv.clear(); streamedDrift.clear()
-    streamedOvm.clear(); streamedCc.clear()
+    streamedOvm.clear(); streamedCc.clear(); streamedCcb.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

@@ -146,8 +146,39 @@ object VectorQueries {
       .orderBy(col("vec_id"), col("rank"))
   }
 
-  private val knnStoreCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+  private val knnStoreCache = StoreCaches.register("knn1b_graph_store")
+
+  /** knn1c — BACK-EDGE REFRESH of the k-NN graph store
+    * (ops.Similarity.rebuildKnnEdges): the maintenance face closing
+    * the store's lifecycle. knn1b's append is one-directional (stored
+    * anchors keep build-time neighbors — the trade every incremental
+    * ANN graph makes), so after appends the back-edges are stale; the
+    * rebuild recomputes EVERY anchor's edges from the stored members —
+    * no re-signing, members and seeds untouched (KnnGraphStoreSpec) —
+    * and swaps the edge dir atomically. A refreshed two-generation
+    * store equals a from-scratch build over the full corpus
+    * bit-for-bit, so knn1c gates on knn1's full-replay oracle
+    * VERBATIM: assignment, probing and ranking over the whole corpus,
+    * through a store that went build → append → refresh. */
+  def knnGraphRefreshed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val p = knnRefreshStoreCache.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_knn_refresh").toString
+      graft.ops.Similarity.writeKnnGraphStore(
+        e.filter(col("vec_id") % 10 =!= 3), tmp, IvfSeedIds, k = 5, nProbe = 3)
+      graft.ops.Similarity.appendKnnGraph(
+        e.filter(col("vec_id") % 10 === 3), tmp, k = 5, nProbe = 3)
+      graft.ops.Similarity.rebuildKnnEdges(spark, tmp, k = 5, nProbe = 3)
+      tmp
+    })
+    spark.read.parquet(s"$p/edges")
+      .select(col("vec_id"), col("nbr_id"),
+        exactRound(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  private val knnRefreshStoreCache =
+    StoreCaches.register("knn1c_graph_refresh")
 
   /** knn2 — SEMANTIC CLUSTERING over the k-NN graph (the graph-based
     * dedup/cluster composition knn1's artifact exists for): keep the

@@ -657,6 +657,137 @@ object Dedup {
       .groupBy(col("node")).agg(min(col("component")).as("component"))
   }
 
+  /** Default bucket count for the partitioned component label store.
+    * Size so one bucket ≈ one write task's worth of label rows at the
+    * target corpus (10¹¹ nodes / 2¹⁴ buckets ≈ 6M rows ≈ 100 MB of
+    * (long, long)); the sf-test default keeps the touched/untouched
+    * assert meaningful. */
+  val ComponentStoreBuckets: Int = 64
+
+  private def componentBucket(c: Column, nBuckets: Int): Column =
+    pmod(c, lit(nBuckets.toLong))
+
+  /** BUCKET-PARTITIONED persisted component label store — the layout
+    * that makes [[mergeComponentStoreDelta]]'s per-batch WRITE
+    * O(touched buckets) instead of node-sized. Labels are parquet
+    * partitioned by `cb = component mod nBuckets` (the COMPONENT, not
+    * the node: a delta that merges components moves exactly the rows
+    * labeled by the touched roots, and those rows live in precisely
+    * the touched roots' bucket directories — bucketing by node would
+    * scatter one merged component's rewrites across every bucket). */
+  def writeComponentStore(labels: DataFrame, path: String,
+                          nBuckets: Int = ComponentStoreBuckets): Unit =
+    graft.etl.Sinks.overwritePartitions(
+      labels.select(col("node"), col("component"))
+        .withColumn("cb", componentBucket(col("component"), nBuckets)),
+      path, Seq("cb"))
+
+  /** The store scan: partition column comes back type-inferred, so pin
+    * it before arithmetic; an absent store reads as empty (day zero). */
+  def readComponentStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(path)
+        .select(col("node"), col("component"), col("cb").cast("long").as("cb"))
+    else
+      spark.range(0).selectExpr("id AS node", "id AS component",
+        "id AS cb")
+  }
+
+  /** [[mergeComponentLabels]] against the PERSISTED bucket store, the
+    * delta-writable face the streaming fold needs at 10¹¹ nodes: the
+    * fold itself was always delta-sized (root contraction), but a flat
+    * label table forces a node-sized rewrite per batch even when the
+    * delta touches three components. Here the write is
+    * O(rows in touched buckets):
+    *
+    *  1. delta endpoints resolve to current roots (one store equi-join;
+    *     the READ side stays a full two-column columnar scan — it is
+    *     the write amplification this layout removes);
+    *  2. CC runs over the |delta|-many contracted root pairs and yields
+    *     the root remap, FILTERED to actual moves;
+    *  3. touched buckets = buckets of moved old roots ∪ buckets of
+    *     their new roots ∪ buckets of brand-new nodes' components —
+    *     a frame bounded by the delta, collected (≤ nBuckets values);
+    *  4. ONLY those buckets' rows are read back (partition pruning on
+    *     cb), re-rooted, unioned with the new-node rows and rewritten
+    *     via dynamic partition overwrite. CLOSURE: a row outside the
+    *     touched buckets cannot need rewriting (its component changed
+    *     ⟹ its component is a moved root ⟹ its bucket is touched),
+    *     and every rewritten row lands in a touched bucket (unchanged
+    *     rows stay put; moved rows land in their new root's bucket,
+    *     touched by construction) — asserted file-level in
+    *     ComponentStoreSpec.
+    *
+    * The merge stays EXACT (min-id contraction, see
+    * [[mergeComponentLabels]]) so the store equals a full rebuild
+    * bit-for-bit, and it is REPLAY-SAFE: a re-run of the same delta
+    * finds no moved roots and no new nodes and writes nothing, while a
+    * retry over a partially-committed overwrite re-merges the affected
+    * roots and dedups duplicated node rows through the groupBy-min
+    * fold. A touched bucket whose rows ALL moved elsewhere is absent
+    * from the dynamic overwrite and its stale directory is deleted
+    * explicitly. Returns the touched bucket ids (empty = no-op). */
+  def mergeComponentStoreDelta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, deltaEdges: DataFrame,
+                               aCol: String, bCol: String,
+                               nBuckets: Int = ComponentStoreBuckets): Seq[Long] = {
+    val store = readComponentStore(spark, path)
+    val lbl = store.select(col("node"), col("component"))
+    val e = deltaEdges
+      .select(col(aCol).as("__na"), col(bCol).as("__nb"))
+      .join(lbl.select(col("node").as("__na"), col("component").as("__ra")),
+        Seq("__na"), "left")
+      .join(lbl.select(col("node").as("__nb"), col("component").as("__rb")),
+        Seq("__nb"), "left")
+      .select(col("__na"), col("__nb"),
+        coalesce(col("__ra"), col("__na")).as("root_a"),
+        coalesce(col("__rb"), col("__nb")).as("root_b"))
+      .localCheckpoint()
+    val remap = connectedComponents(
+        e.filter(col("root_a") =!= col("root_b")), "root_a", "root_b")
+      .select(col("node").as("__root"), col("component").as("__new"))
+      .filter(col("__root") =!= col("__new")) // only actual moves
+      .localCheckpoint()
+    def remapped(rows: DataFrame) =
+      rows.join(remap, rows("component") === remap("__root"), "left")
+        .select(rows("node"),
+          coalesce(col("__new"), rows("component")).as("component"))
+    val deltaNodes = e.select(col("__na").as("node"), col("root_a").as("component"))
+      .unionByName(e.select(col("__nb").as("node"), col("root_b").as("component")))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+    val newRows = remapped(
+        deltaNodes.join(lbl.select(col("node")), Seq("node"), "left_anti"))
+      .localCheckpoint()
+    val touched = remap
+      .select(componentBucket(col("__root"), nBuckets).as("cb"))
+      .unionByName(remap.select(componentBucket(col("__new"), nBuckets).as("cb")))
+      .unionByName(newRows.select(componentBucket(col("component"), nBuckets).as("cb")))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.nonEmpty) {
+      val cur = store.filter(col("cb").isin(touched: _*))
+        .select(col("node"), col("component"))
+      // groupBy-min dedup makes a crash-retry self-healing: a partially
+      // committed overwrite can leave a moved node in both its old and
+      // new bucket, and the re-merge must collapse the copies
+      val out = remapped(cur).unionByName(newRows)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .withColumn("cb", componentBucket(col("component"), nBuckets))
+        .localCheckpoint() // materialize BEFORE overwriting what it read
+      graft.etl.Sinks.overwritePartitions(out, path, Seq("cb"))
+      val present = out.select(col("cb")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(present).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/cb=$b"), true): Unit
+      }
+    }
+    touched
+  }
+
   /** [[connectedComponents]] plus the number of propagation rounds it
     * took to converge (exposed for scale tests — with pointer jumping
     * the label's reach doubles-plus-one per round, so a path graph of

@@ -546,19 +546,47 @@ object Similarity {
     * refreshes the back-edges). At 100 TB the daily cost is
     * sign+probe of the delta alone: the historical corpus is never
     * re-signed, and the candidate volume is nProbe × mean list size
-    * per DELTA anchor. */
+    * per DELTA anchor.
+    *
+    * The append is IDEMPOTENT and crash-recoverable (the
+    * Sinks.idempotentAppend discipline, keyed independently per
+    * artifact): member rows dedup against the store on cand_id —
+    * a replayed batch cannot duplicate members, which would otherwise
+    * let one neighbor fill several top-k edge slots on every later
+    * probe — and edge rows dedup on vec_id, so a crash BETWEEN the
+    * member append and the edge write is healed by the retry (members
+    * skip, edges derive for exactly the anchors still missing them,
+    * probing the post-append members as the crashed run would have).
+    * An anchor's k edge rows land atomically: TopKPerGroup's output is
+    * partitioned by the anchor key, so they share one output file. */
   def appendKnnGraph(delta: DataFrame, path: String, k: Int,
                      nProbe: Int = 2, idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
-    val d0 = delta.select(col(idCol).as("cand_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
     val cents = collectCents(spark.read.parquet(s"$path/seeds"))
-    assignWithLists(d0, cents)
-      .repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/members")
-    deltaKnnEdges(delta, path, k, nProbe, idCol, vecCol, Some(cents))
-      .write.mode("append").parquet(s"$path/edges")
+    // localCheckpoint for the same reason as Sinks.idempotentAppend:
+    // the anti-join must materialize BEFORE the append touches the
+    // files it reads, or a re-evaluation would see its own output
+    val novel = delta
+      .join(readMembers(spark, path).select(col("cand_id").as(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    if (!novel.isEmpty) {
+      val d0 = novel.select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      assignWithLists(d0, cents)
+        .repartition(col("list_id"))
+        .write.mode("append").partitionBy("list_id").parquet(s"$path/members")
+    }
+    val missing = delta
+      .join(spark.read.parquet(s"$path/edges")
+          .select(col("vec_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    if (!missing.isEmpty)
+      deltaKnnEdges(missing, path, k, nProbe, idCol, vecCol, Some(cents))
+        .localCheckpoint()
+        .write.mode("append").parquet(s"$path/edges")
   }
 
   /** The delta-append edge frame (exposed for the spec's plan
@@ -580,6 +608,77 @@ object Similarity {
       delta.select(col(idCol).as("anchor_id"), col(vecCol)), cents,
       nProbe, vecCol, "anchor_id")
     knnEdges(readMembers(spark, path), probes, k, cents.size)
+  }
+
+  /** BACK-EDGE REFRESH for the k-NN graph store — the maintenance
+    * face that completes the store's lifecycle the way compaction
+    * completes the sink's. [[appendKnnGraph]]'s contract is
+    * one-directional freshness: stored anchors keep their build-time
+    * neighbors, so edges go STALE as appended vectors land in probed
+    * lists. This pays the debt: every anchor's edges recompute from
+    * the STORED members — no re-signing (members arrive pre-assigned;
+    * probes re-derive from the frozen quantizer over the stored
+    * vectors), so the cost is the probe join + top-k alone — and the
+    * edge dir swaps atomically (staged tmp + rename, the compact
+    * discipline; a crash mid-rebuild leaves the old edges intact).
+    * Member and seed files are untouched (KnnGraphStoreSpec). After a
+    * rebuild the store equals a from-scratch build over the
+    * accumulated corpus bit-for-bit — knn1c gates on knn1's oracle
+    * VERBATIM on exactly this argument. */
+  def rebuildKnnEdges(spark: org.apache.spark.sql.SparkSession, path: String,
+                      k: Int, nProbe: Int = 2): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/edges")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/edges__rebuild_tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    freshKnnEdges(spark, path, k, nProbe)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"rebuildKnnEdges: rename $tmp -> $p failed")
+  }
+
+  /** STALENESS metric for the stored edges: the fraction of (sampled)
+    * anchors whose CURRENT top-k neighbor set differs from the stored
+    * one — the readout that decides when [[rebuildKnnEdges]] is due.
+    * `sampleFrac` < 1 probes a deterministic hash-sample of anchors
+    * (cost = frac × a rebuild's probe join; at 10¹¹ vectors the
+    * metric must not cost the refresh it schedules). Returns one row:
+    * (n_anchors, n_stale, stale_frac). */
+  def knnGraphStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
+                        k: Int, nProbe: Int = 2,
+                        sampleFrac: Double = 1.0): DataFrame = {
+    require(sampleFrac > 0 && sampleFrac <= 1.0)
+    val keep = pmod(xxhash64(col("vec_id")), lit(10000L)) <
+      lit((sampleFrac * 10000).toLong)
+    val cur = freshKnnEdges(spark, path, k, nProbe, Some(keep))
+      .select(col("vec_id"), col("nbr_id"))
+    val stored = spark.read.parquet(s"$path/edges")
+      .filter(keep).select(col("vec_id"), col("nbr_id"))
+      .localCheckpoint() // read once: feeds two anti-joins + the spine
+    val staleIds = cur.join(stored, Seq("vec_id", "nbr_id"), "left_anti")
+      .select(col("vec_id"))
+      .unionByName(stored.join(cur, Seq("vec_id", "nbr_id"), "left_anti")
+        .select(col("vec_id")))
+      .distinct()
+    stored.select(col("vec_id")).distinct()
+      .join(staleIds.withColumn("__stale", lit(1)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_anchors"),
+        coalesce(sum(col("__stale")), lit(0L)).as("n_stale"))
+      .withColumn("stale_frac", col("n_stale") / col("n_anchors"))
+  }
+
+  /** The rebuild frame: stored members as both corpus and (optionally
+    * filtered) anchor set, probed through the frozen quantizer. */
+  private def freshKnnEdges(spark: org.apache.spark.sql.SparkSession,
+                            path: String, k: Int, nProbe: Int,
+                            anchorFilter: Option[Column] = None): DataFrame = {
+    val members = readMembers(spark, path)
+    val cents = collectCents(spark.read.parquet(s"$path/seeds"))
+    val anchors0 = members.select(col("cand_id").as("vec_id"), col("__cv"))
+    val anchors = anchorFilter.map(anchors0.filter).getOrElse(anchors0)
+    val probes = probesFor(
+      anchors.select(col("vec_id").as("anchor_id"), col("__cv")),
+      cents, nProbe, "__cv", "anchor_id")
+    knnEdges(members, probes, k, cents.size)
   }
 
   /** Members scan: the partition column comes back type-inferred, so

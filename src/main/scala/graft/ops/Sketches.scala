@@ -358,7 +358,18 @@ object Sketches {
   // --------------------------------------------------------------
 
   /** Sketch size: RSD of the distinct estimate ≈ 1/√(k−2) ≈ 18%.
-    * Sets with < k distinct keys are counted EXACTLY. */
+    * Sets with < k distinct keys are counted EXACTLY.
+    *
+    * DECISION BOUNDARY for the intersection screen: the Jaccard
+    * estimate is binomial — J_est is the fraction of the |L| ≤ k
+    * union samples present in both sketches, so se(J_est) ≈
+    * √(J(1−J)/k). k = 32 separates "disjoint" from J ≳ 0.2 at 3σ —
+    * the near-dup / contamination regime ov1's screen serves, where
+    * any contaminated slice pair sits far above the band. It can NOT
+    * tell J = 0.01 from J = 0.1 (both within noise): that boundary
+    * needs se ≲ 0.03, i.e. k ≳ 200. Pass k explicitly for
+    * finer-grained screens; KmvSpec's k-sweep row (32/128/512) pins
+    * the √k error shrink empirically. */
   val KmvK: Int = 32
   /** Size of [[hllMix64]]'s hash space: g = limb1·2^31 + limb2 with
     * both limbs < 2^31, so g ∈ [0, 2^62). */
@@ -421,20 +432,68 @@ object Sketches {
     * integers per pair. */
   def kmvOverlapMatrix(sketch: DataFrame, groupCol: String,
                        k: Int = KmvK): DataFrame = {
-    val srcs = sketch.select(col(groupCol)).distinct()
-    val pairs = srcs.select(col(groupCol).as("__ga"))
-      .join(srcs.select(col(groupCol).as("__gb")), col("__ga") < col("__gb"))
-    def side(tag: String, asA: Int) =
-      pairs.join(sketch, col(groupCol) === col(tag))
-        .select(col("__ga"), col("__gb"), col("h"),
-          lit(asA).as("__ina"), lit(1 - asA).as("__inb"))
-    val u = side("__ga", 1).unionByName(side("__gb", 0))
-      .groupBy(col("__ga"), col("__gb"), col("h"))
-      .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
-    TopK.perGroup(u, Seq("__ga", "__gb"), Seq(("h", false)), k, "__rnk")
-      .groupBy(col("__ga"), col("__gb"))
-      .agg(count(lit(1)).as("n_l"), max(col("h")).as("max_h_l"),
-        count(when(col("__ina") === 1 && col("__inb") === 1, 1)).as("n_inter"))
+    val grouped = groupedSketch(sketch, groupCol)
+    pairStats(grouped.select(col(groupCol).as("__ga"), col("__hs").as("__ha"))
+      .join(grouped.select(col(groupCol).as("__gb"), col("__hs").as("__hb")),
+        col("__ga") < col("__gb")), k)
+  }
+
+  /** One row per group, its sketch as a SORTED array (≤ k longs) —
+    * the S-row frame every pair computation should join against
+    * instead of re-exploding S·k hash rows. */
+  private def groupedSketch(sketch: DataFrame, groupCol: String): DataFrame =
+    sketch.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("h"))).as("__hs"))
+
+  /** Per-pair KMV stats as pure SCALAR array math over a
+    * (__ga, __gb, __ha, __hb) pair frame: L = the k smallest of the
+    * distinct union (both inputs carry distinct hashes, so
+    * slice(sort(distinct(concat)))), n_l = |L|, max_h_l = L's last
+    * element, n_inter = |L ∩ A ∩ B|. O(k log k) per row in
+    * whole-stage codegen — no per-hash explosion, no union shuffle,
+    * no per-pair TopK heap; the EXACT same integers as the exploded
+    * formulation (asserted in SketchesSpec). */
+  private def pairStats(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .withColumn("__l",
+        slice(array_sort(array_distinct(concat(col("__ha"), col("__hb")))), 1, k))
+      .select(col("__ga"), col("__gb"),
+        size(col("__l")).cast("long").as("n_l"),
+        element_at(col("__l"), size(col("__l"))).as("max_h_l"),
+        size(array_intersect(array_intersect(col("__l"), col("__ha")),
+          col("__hb"))).cast("long").as("n_inter"))
+
+  /** The bottom-k-hash PRESCREEN: group pairs sharing at least one
+    * sketch hash, via ONE equi-join on h. Sound with no false
+    * negatives for overlap: n_inter > 0 requires a hash present in
+    * both sketches, so a pair absent here has n_inter = 0 exactly.
+    * This is what keeps the matrix OUTPUT-SIZED at large S — the
+    * join's frame is the candidate pairs themselves, never the S²/2
+    * cross frame (disjoint sources never meet; spec'd on a
+    * many-source disjoint fixture in SketchesSpec). */
+  def kmvOverlapCandidates(sketch: DataFrame, groupCol: String): DataFrame =
+    sketch.select(col(groupCol).as("__ga"), col("h"))
+      .join(sketch.select(col(groupCol).as("__gb"), col("h")), Seq("h"))
+      .filter(col("__ga") < col("__gb"))
+      .select(col("__ga"), col("__gb")).distinct()
+
+  /** [[kmvOverlapMatrix]] restricted to the prescreen's candidate
+    * pairs — the 100 TB face of the contamination screen. The dense
+    * matrix is right for small S (every pair's union stats, including
+    * provably-disjoint ones); at S = 10⁴ sources its S²/2-pair frame
+    * is 5·10⁷ rows of which almost all are disjoint noise a screen
+    * never acts on. Here the pair frame is the candidates alone
+    * (output-sized), each pair's stats the same exact scalar array
+    * math — the sparse result equals the dense matrix filtered to
+    * pairs sharing ≥ 1 bottom-k hash (a superset of n_inter > 0). */
+  def kmvOverlapMatrixSparse(sketch: DataFrame, groupCol: String,
+                             k: Int = KmvK): DataFrame = {
+    val grouped = groupedSketch(sketch, groupCol)
+    pairStats(kmvOverlapCandidates(sketch, groupCol)
+      .join(grouped.select(col(groupCol).as("__ga"), col("__hs").as("__ha")),
+        Seq("__ga"))
+      .join(grouped.select(col(groupCol).as("__gb"), col("__hs").as("__hb")),
+        Seq("__gb")), k)
   }
 
   def kmvIntersect(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {

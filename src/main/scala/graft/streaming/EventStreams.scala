@@ -241,6 +241,62 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** [[componentsStream]] over the BUCKET-PARTITIONED label store
+    * (ops.Dedup.writeComponentStore / mergeComponentStoreDelta) — the
+    * layout that removes the one data-sized term componentsStream
+    * keeps: its append-only `ver_b` dirs rewrite the COMPLETE (node,
+    * component) frame every micro-batch, a daily full-table write at
+    * 10¹¹ nodes even when the delta touches three components. Here
+    * each batch's fold rewrites ONLY the bucket directories holding
+    * roots the delta touched (dynamic partition overwrite; untouched
+    * bucket files stay byte-identical — asserted in
+    * ComponentStoreSpec), so the per-batch write is O(touched
+    * buckets) and the store is a single live table readers re-open
+    * per batch rather than a version chain.
+    *
+    * Sequencing: a `_last_batch` marker records the last folded batch.
+    * A replay (batchId ≤ marker) is safe — the fold is replay-stable
+    * (no moved roots, no new nodes ⇒ no write) — but a GAP is an
+    * error: silently folding batch b over a store that never saw b−1
+    * would drop that batch's pairs forever. Same exactness as st18:
+    * the final labels equal the one-shot batch CC bit-for-bit, gating
+    * on d6's oracle VERBATIM. */
+  def componentsStreamBucketed(docs: DataFrame, idCol: String, textCol: String,
+                               storePath: String, labelsPath: String,
+                               checkpoint: String, threshold: Double = 0.8,
+                               numHashes: Int = 32, shingleN: Int = 3,
+                               nBuckets: Int = graft.ops.Dedup.ComponentStoreBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ops.Dedup
+        val spark = batch.sparkSession
+        val (sigs, pairs) = signAndProbeBatch(batch, idCol, textCol,
+          storePath, threshold, numHashes, shingleN)
+        val markerP = new org.apache.hadoop.fs.Path(s"$labelsPath/_last_batch")
+        val lfs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val last =
+          if (lfs.exists(markerP)) {
+            val in = lfs.open(markerP)
+            try new String(in.readAllBytes(), "UTF-8").trim.toLong
+            finally in.close()
+          } else -1L
+        require(batchId <= last + 1,
+          s"componentsStreamBucketed: label store last folded batch $last " +
+            s"under $labelsPath — refusing to fold batch $batchId over a gap")
+        Dedup.mergeComponentStoreDelta(spark, s"$labelsPath/labels",
+          pairs, "id_a", "id_b", nBuckets): Unit
+        if (batchId > last) {
+          val out = lfs.create(markerP, true)
+          try out.write(batchId.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
+        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id")): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** STREAMING SemDeDup: the semantic face of
     * [[incrementalDedupStream]]. The first micro-batch freezes the
     * centroid quantizer (balanced √n rule on that batch); every batch

@@ -37,12 +37,16 @@ object DiagV3bVolume {
       .select(col("list_id"), coalesce(col("m"), lit(0L)).as("m"),
         coalesce(col("p"), lit(0L)).as("p"))
       .localCheckpoint()
+    // coalesce like the m/p columns above: sum/max return NULL on an
+    // empty joined frame (e.g. an empty embeddings table) and getLong
+    // would crash the audit instead of reporting zero volume
     val stats = joined.agg(
-      sum(col("m") * col("p")).as("pairs"),
-      sum(col("m")).as("members"), sum(col("p")).as("probes"),
-      max(col("m")).as("max_list"),
+      coalesce(sum(col("m") * col("p")), lit(0L)).as("pairs"),
+      coalesce(sum(col("m")), lit(0L)).as("members"),
+      coalesce(sum(col("p")), lit(0L)).as("probes"),
+      coalesce(max(col("m")), lit(0L)).as("max_list"),
       expr("percentile(m, 0.5)").as("med_list"),
-      max(col("m") * col("p")).as("max_list_pairs")).collect()(0)
+      coalesce(max(col("m") * col("p")), lit(0L)).as("max_list_pairs")).collect()(0)
     val model = n.toDouble * nProbe * math.sqrt(n.toDouble)
     println(s"[vol] dir=$dir n=$n nLists=${seedIds.size} nProbe=$nProbe")
     println(f"[vol] pairs=${stats.getLong(0)}%d model=${model.toLong}%d " +

@@ -141,6 +141,60 @@ class KmvSpec extends SparkSpec {
     assert(m.filter(r => r._2 == "c").forall(_._5 == 0L))
   }
 
+  test("sparse matrix = dense matrix filtered to shared-hash pairs (ov2 ≡ ov1|candidates)") {
+    val n = 2000
+    def slice(tag: String, lo: Int, hi: Int) =
+      spark.range(lo.toLong, hi.toLong)
+        .selectExpr(s"'$tag' AS grp", "concat('m', id) AS k")
+    val df = slice("a", 0, 2 * n)
+      .unionByName(slice("b", n, 3 * n))
+      .unionByName(slice("c", 5 * n, 6 * n))
+    val sk = Sketches.kmvSketch(df, "grp", "k").localCheckpoint()
+    val dense = Sketches.kmvOverlapMatrix(sk, "grp")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val cands = Sketches.kmvOverlapCandidates(sk, "grp")
+      .as[(String, String)].collect().toSet
+    val sparse = Sketches.kmvOverlapMatrixSparse(sk, "grp")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(sparse == dense.filter(r => cands.contains((r._1, r._2))))
+    // soundness: every pair the sparse face dropped is provably disjoint
+    assert(dense.filterNot(r => cands.contains((r._1, r._2))).forall(_._5 == 0L))
+    // the overlapping (a,b) pair must survive the prescreen
+    assert(cands.contains(("a", "b")))
+  }
+
+  test("prescreen keeps the pair frame output-sized on a many-source disjoint fixture") {
+    // 40 mutually disjoint sources: S²/2 = 780 cross pairs, but no two
+    // sources share a key — the candidate frame must be EMPTY
+    val s = 40
+    val df = spark.range(40000L)
+      .selectExpr(s"concat('s', id % $s) AS grp", "concat('z', id) AS k")
+    val sk = Sketches.kmvSketch(df, "grp", "k").localCheckpoint()
+    assert(Sketches.kmvOverlapCandidates(sk, "grp").count() == 0L)
+    assert(Sketches.kmvOverlapMatrixSparse(sk, "grp").count() == 0L)
+    // the dense face still prices every pair — that is why it is the
+    // small-S face and the sparse face the large-S one
+    assert(Sketches.kmvOverlapMatrix(sk, "grp").count() == (s * (s - 1) / 2).toLong)
+  }
+
+  test("k-sweep pins the binomial error contract (32/128/512)") {
+    // J = 1/3 engineered as in the intersection test; the Jaccard
+    // estimate must sit inside its own k's 3-sigma band at every k —
+    // the shrinking band IS the error contract the scaladoc states
+    val n = 30000
+    def set(lo: Int, hi: Int) = spark.range(lo.toLong, hi.toLong)
+      .selectExpr("'g' AS grp", "concat('q', id) AS k")
+    for (k <- Seq(32, 128, 512)) {
+      val skA = Sketches.kmvSketch(set(0, 2 * n), "grp", "k", k).drop("grp")
+      val skB = Sketches.kmvSketch(set(n, 3 * n), "grp", "k", k).drop("grp")
+      val jac = Sketches.kmvIntersect(skA, skB, k)
+        .collect().head.getAs[Double]("jaccard_est")
+      val sigma = 3.0 * math.sqrt((1.0 / 3) * (2.0 / 3) / k)
+      assert(math.abs(jac - 1.0 / 3.0) <= sigma,
+        s"k=$k jaccard_est $jac outside 3 sigma ($sigma)")
+    }
+  }
+
   test("incremental matrix store equals the full-corpus matrix (ov1b ≡ ov1)") {
     val ov1 = SparkEntry.queries("ov1_overlap_matrix")(spark, sfDir)
       .collect().map(_.toSeq).toSeq

@@ -66,6 +66,79 @@ class KnnGraphStoreSpec extends SparkSpec {
     assert(deltaIds.subsetOf(got.map(_._1)))
   }
 
+  private def edgeSet(p: String) =
+    spark.read.parquet(s"$p/edges")
+      .select(col("vec_id"), col("nbr_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+  test("append is idempotent — a replayed batch changes nothing") {
+    val p = java.nio.file.Files.createTempDirectory("graft_knnidem_spec").toString
+    Similarity.writeKnnGraphStore(base, p, IvfSeedIds, k = 5, nProbe = 3)
+    Similarity.appendKnnGraph(delta, p, k = 5, nProbe = 3)
+    val members1 = spark.read.parquet(s"$p/members").count()
+    val edges1 = edgeSet(p).sorted.toSeq
+    Similarity.appendKnnGraph(delta, p, k = 5, nProbe = 3) // replay
+    assert(spark.read.parquet(s"$p/members").count() === members1,
+      "replay must not duplicate member rows")
+    assert(edgeSet(p).sorted.toSeq === edges1,
+      "replay must not duplicate or alter edge rows")
+  }
+
+  test("retry heals a crash between the member append and the edge write") {
+    val p = java.nio.file.Files.createTempDirectory("graft_knncrash_spec").toString
+    Similarity.writeKnnGraphStore(base, p, IvfSeedIds, k = 5, nProbe = 3)
+    // simulate the crash: the delta's member rows landed, its edges did not
+    val d0 = delta.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("__cv"))
+    val cents = Similarity.collectCents(spark.read.parquet(s"$p/seeds"))
+    Similarity.assignWithLists(d0, cents).repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$p/members")
+    Similarity.appendKnnGraph(delta, p, k = 5, nProbe = 3) // the retry
+    // healed store equals the crash-free build+append bit-for-bit
+    assert(spark.read.parquet(s"$p/members").count() ===
+      spark.read.parquet(s"$store/members").count())
+    assert(edgeSet(p).sorted.toSeq === edgeSet(store).sorted.toSeq)
+  }
+
+  test("staleness metric flags appended back-edge debt; rebuild clears it") {
+    // exact-duplicate append GUARANTEES staleness: the twin assigns to
+    // its original's list (identical vector, same nearest centroid),
+    // the original probes its own list first, and cosine 1.0 must
+    // enter its top-5 — so at least the duplicated anchors go stale
+    val p = java.nio.file.Files.createTempDirectory("graft_knnstale_spec").toString
+    Similarity.writeKnnGraphStore(base, p, IvfSeedIds, k = 5, nProbe = 3)
+    val twins = base.filter(col("vec_id") % 17 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    Similarity.appendKnnGraph(twins, p, k = 5, nProbe = 3)
+    val stale = Similarity.knnGraphStaleness(spark, p, k = 5, nProbe = 3)
+      .collect().head
+    assert(stale.getAs[Long]("n_stale") > 0L, "duplicated anchors must be stale")
+    assert(stale.getAs[Double]("stale_frac") > 0.0 &&
+      stale.getAs[Double]("stale_frac") <= 1.0)
+    val membersBefore = listParts(s"$p/members")
+    Similarity.rebuildKnnEdges(spark, p, k = 5, nProbe = 3)
+    assert(listParts(s"$p/members") === membersBefore,
+      "rebuild must not touch member files")
+    val after = Similarity.knnGraphStaleness(spark, p, k = 5, nProbe = 3)
+      .collect().head
+    assert(after.getAs[Long]("n_stale") === 0L,
+      "a refreshed store has zero staleness by definition")
+    assert(after.getAs[Double]("stale_frac") === 0.0)
+  }
+
+  test("sampled staleness probes only the sampled anchors") {
+    // reuse the shared store (already appended in the first test)
+    val full = Similarity.knnGraphStaleness(spark, store, k = 5, nProbe = 3)
+      .collect().head
+    val sampled = Similarity.knnGraphStaleness(spark, store, k = 5,
+      nProbe = 3, sampleFrac = 0.3).collect().head
+    assert(sampled.getAs[Long]("n_anchors") < full.getAs[Long]("n_anchors"),
+      "the sample must cover fewer anchors than the full metric")
+    assert(sampled.getAs[Long]("n_stale") <= sampled.getAs[Long]("n_anchors"))
+  }
+
   test("delta append signs only the delta — members come pre-assigned") {
     val de = Similarity.deltaKnnEdges(delta, store, k = 5, nProbe = 3,
       idCol = "vec_id", vecCol = "embedding")
