@@ -79,6 +79,7 @@ object SparkEntry {
     "pr2_personalized"      -> (CoreQueries.personalizedPagerankTop _),
     "lp1_communities"       -> (CoreQueries.communities _),
     "tc1_triangles"         -> (CoreQueries.triangleCounts _),
+    "tc2_triangle_store"    -> (CoreQueries.triangleCountsIncremental _),
     "w12_ewma"              -> (CoreQueries.userEwma _),
     "w13_throttle_dedup"    -> (CoreQueries.throttleDedup _),
     "w14_trailing_window"   -> (CoreQueries.trailingHourWindow _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "t9_pii_redact"         -> (TextQueries.pii _),
     "t35_novelty"           -> (TextQueries.noveltyScores _),
     "r1_bm25_search"        -> (TextQueries.bm25Search _),
+    "r1b_bm25_store"        -> (TextQueries.bm25FromStore _),
     "r3_phrase_search"      -> (TextQueries.phraseSearch _),
     "t34_chunk_overlap"     -> (TextQueries.overlappingChunks _),
     "r2_hybrid_rrf"         -> (TextQueries.hybridRrf _),
@@ -1681,6 +1683,10 @@ object SparkEntry {
           |ORDER BY p.doc_id""".stripMargin),
     "t9_pii_redact" -> piiOracleSql,
     "r1_bm25_search" -> bm25OracleSql,
+    // r1b: the SAME oracle — doc postings are immutable and corpus
+    // stats additive, so the incrementally-appended inverted index
+    // must score identically to the in-flight corpus scan.
+    "r1b_bm25_store" -> bm25OracleSql,
     // r3: phrase adjacency replayed on the token arrays (1-based ws[i]
     // vs the engine's 0-based postings — first_pos = min(i) - 1)
     "r3_phrase_search" ->
@@ -1817,6 +1823,17 @@ object SparkEntry {
          |GROUP BY kk.user_id ORDER BY kk.user_id""".stripMargin
     },
     "tc1_triangles" ->
+      s"""WITH $tradeEdgesCte,
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+        |                   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_tri
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    // tc2: the SAME oracle — triangles(E ∪ D) = triangles(E) ⊎
+    // {triangles with ≥1 D edge}, so the store's absorbed counts must
+    // equal the full recount bit-for-bit.
+    "tc2_triangle_store" ->
       s"""WITH $tradeEdgesCte,
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v

@@ -50,6 +50,37 @@ object TextQueries {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  /** r1b — BM25 over the PERSISTED inverted-index store
+    * (ops.Retrieval.appendBm25Index/bm25FromIndex): the retrieval
+    * family's incremental face. The corpus is indexed in two
+    * idempotent appends (base slice, then the doc_id % 10 == 3
+    * delta — novel-doc anti-join, postings landing as new files
+    * inside term-bucket dirs, additive stats rows); the query then
+    * serves from the INDEX alone, pruning its scan to the query
+    * terms' bucket partitions. Postings are immutable and stats
+    * additive, so the index equals a one-shot build and the scores
+    * equal r1's bit-for-bit — r1b gates on r1's oracle VERBATIM. At
+    * 100 TB this is the difference between re-scanning the corpus
+    * per query batch and serving from ≤ |terms| bucket dirs. */
+  def bm25FromStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val p = bm25StoreCache.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      graft.ops.Retrieval.appendBm25Index(
+        docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", t): Unit
+      graft.ops.Retrieval.appendBm25Index(
+        docs.filter(col("doc_id") % 10 === 3), "doc_id", "text", t): Unit
+      t
+    })
+    graft.ops.Retrieval.bm25FromIndex(spark, p, BmTerms)
+      .select(col("doc_id"), col("dl"),
+        exactRound(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25StoreCache = StoreCaches.register("r1b_bm25_store")
+
   /** r2 — hybrid BM25 + dense-cosine retrieval fused by RRF
     * (ops.Retrieval.hybridRrf): the r1 lexical lane and a v1-style
     * probe-cosine dense lane (probe = vec_id 0), each cut to its lane

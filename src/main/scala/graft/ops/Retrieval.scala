@@ -39,6 +39,15 @@ object Retrieval {
       .filter(col("w").isin(terms: _*))   // prune before the shuffle
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
+    scorePostings(tf, stats, terms, k1, b)
+  }
+
+  /** The BM25 scoring tail over a (doc_id, dl, w, tf) postings frame
+    * and a one-row (n, sumdl) corpus-stats frame — shared by the
+    * in-flight [[bm25]] and the index-store [[bm25FromIndex]] so the
+    * two paths are the same arithmetic by construction. */
+  private def scorePostings(tf: DataFrame, stats: DataFrame,
+                            terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val avgdl = col("sumdl").cast("double") / col("n")
     // idf = ln((N - df + 0.5) / (df + 0.5) + 1)  [the standard
@@ -58,6 +67,89 @@ object Retrieval {
       .agg(sum(col("sco")))
       .withColumn("score", score)
       .select(col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** Term-bucket count for the persisted inverted index: the postings
+    * parquet is partitioned by `tb = xxhash64(term) mod TermBuckets`,
+    * so a query's scan prunes to ≤ |terms| bucket directories — the
+    * inverted-list layout (the knn-store members discipline applied
+    * to text). Sized like the knn store's seeds: at 10¹¹ docs a
+    * bucket holds ~1/256 of the postings volume, one query touches a
+    * few buckets, and appends land new files inside bucket dirs. */
+  val TermBuckets: Int = 256
+
+  private def termBucket(w: Column): Column =
+    pmod(xxhash64(w), lit(TermBuckets.toLong))
+
+  /** PERSISTED INVERTED-INDEX store for BM25 — the retrieval family's
+    * incremental face (the d9/knn1b store discipline applied to the
+    * search index, which at 100 TB is the difference between "re-scan
+    * the corpus per query batch" and "serve from the index"). Layout
+    * under `path`:
+    *
+    *  - `postings/` — (doc_id, dl, w, tf) for EVERY term, parquet
+    *    partitioned by term bucket: queries prune to their terms'
+    *    buckets; appends land new files inside bucket dirs, stored
+    *    postings never rewritten;
+    *  - `stats/` — one (n, sumdl) row PER APPENDED BATCH, append-only:
+    *    corpus stats are additive, so readers SUM and no
+    *    read-modify-write ever happens.
+    *
+    * [[appendBm25Index]] is idempotent (novel docs only — anti-join on
+    * doc_id, the Sinks discipline) and returns the number of docs
+    * actually indexed. Because doc postings are immutable and stats
+    * additive, the index after any append sequence equals the
+    * one-shot build over the same docs, and [[bm25FromIndex]]'s
+    * scores equal [[bm25]]'s bit-for-bit — r1b gates on r1's oracle
+    * VERBATIM. */
+  def appendBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                      path: String): Long = {
+    val spark = docs.sparkSession
+    val postingsP = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postingsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+      .withColumn("dl", size(col("ws")))
+    val novel =
+      (if (fs.exists(postingsP))
+        base.join(spark.read.parquet(postingsP.toString)
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else base).localCheckpoint() // materialize before touching the store
+    val n = novel.count()
+    if (n > 0) {
+      novel.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("dl"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tb", termBucket(col("w")))
+        .repartition(col("tb"))
+        .write.mode("append").partitionBy("tb").parquet(postingsP.toString)
+      novel.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .write.mode("append").parquet(s"$path/stats")
+    }
+    n
+  }
+
+  /** BM25 over the persisted index: the scan prunes to the query
+    * terms' bucket dirs (partition filter on tb — asserted in
+    * RetrievalSpec), document frequencies come from the pruned
+    * postings and corpus stats from the summed stats rows; the
+    * scoring tail is [[bm25]]'s own. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    terms: Seq[String], k1: Double = K1,
+                    b: Double = B): DataFrame = {
+    // the terms' bucket ids, computed by the same expression that
+    // bucketed the postings (one 1-row job; never hand-rolled hashing)
+    val tbs = spark.range(1)
+      .select(terms.map(t => termBucket(lit(t))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(tbs: _*) && col("w").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("w"), col("tf"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+    scorePostings(tf, stats, terms, k1, b)
   }
 
   /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion

@@ -455,8 +455,8 @@ object Sketches {
     * formulation (asserted in SketchesSpec). */
   private def pairStats(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .withColumn("__l",
-        slice(array_sort(array_distinct(concat(col("__ha"), col("__hb")))), 1, k))
+      .withColumn("__l", // sort_array, not array_sort: no comparator lambda
+        slice(sort_array(array_distinct(concat(col("__ha"), col("__hb")))), 1, k))
       .select(col("__ga"), col("__gb"),
         size(col("__l")).cast("long").as("n_l"),
         element_at(col("__l"), size(col("__l"))).as("max_h_l"),

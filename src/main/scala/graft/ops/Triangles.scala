@@ -72,4 +72,69 @@ object Triangles {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** INCREMENTAL per-node triangle counts — the graph family's store
+    * face (the d6b root-contraction discipline applied to triangle
+    * structure): absorb a batch of new edges into stored (node, n_tri)
+    * counts WITHOUT re-running the O(m^1.5) orientation pass over the
+    * accumulated graph.
+    *
+    * Exactness: triangles(E ∪ D) = triangles(E) ⊎ {triangles with ≥ 1
+    * D edge} — the increments enumerate exactly the second set, so
+    * stored counts plus increments equal a full recount bit-for-bit
+    * (tc2 gates on tc1's oracle VERBATIM on this identity).
+    * Enumeration probes from each novel edge's LOWER-degree endpoint
+    * (the Suri-Vassilvitskii orientation applied to the delta alone),
+    * so candidate wedges are Σ_{(u,v)∈D} min(deg u, deg v) — never a
+    * hub's full d² fan-out — closed by one equi-join against the
+    * updated edge set and DEDUPED by sorted triple (a triangle with 2
+    * or 3 novel edges is found once per novel edge and must count
+    * once). Replay-idempotent: already-stored delta edges anti-join
+    * away, an empty novel set adds nothing. */
+  def mergeTriangleCounts(storedCounts: DataFrame, storedEdges: DataFrame,
+                          deltaEdges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e0 = deltaEdges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val d0 = e0.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val novel = d0.join(storedEdges.select(col("u"), col("v")),
+        Seq("u", "v"), "left_anti")
+      .localCheckpoint() // feeds the union, the degree orient, the probe
+    val full = storedEdges.select(col("u"), col("v")).unionByName(novel)
+      .localCheckpoint() // feeds adjacency, degrees and the closure join
+    val adj = full.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(full.select(col("v").as("a"), col("u").as("b")))
+    val deg = adj.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    // orient each novel edge: probe from the lower-(degree, id) side
+    val orientedD = novel
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val cand = orientedD
+      .join(adj.select(col("a").as("s"), col("b").as("w")), Seq("s"))
+      .filter(col("w") =!= col("t"))
+    val closed = cand.join(
+      full.select(col("u").as("__cu"), col("v").as("__cv")),
+      least(col("t"), col("w")) === col("__cu") &&
+        greatest(col("t"), col("w")) === col("__cv"),
+      "left_semi")
+    val inc = closed
+      // sort_array, not array_sort: the latter plans a comparator lambda
+      .select(sort_array(array(col("s"), col("t"), col("w"))).as("__tri"))
+      .distinct()
+      .select(explode(col("__tri")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__inc"))
+    storedCounts.select(col("node"), col("n_tri"))
+      .join(inc, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("n_tri"), lit(0L)) + coalesce(col("__inc"), lit(0L)))
+          .as("n_tri"))
+  }
 }

@@ -57,6 +57,41 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("index store scores equal the in-flight scan bit-for-bit (r1b ≡ r1)") {
+    val terms = Seq("spark", "hash", "join")
+    val df = corpus.toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_bm25_spec").toString
+    // two appends + one REPLAY of the second (must index nothing new)
+    assert(Retrieval.appendBm25Index(df.filter($"doc_id" <= 2), "doc_id", "text", p) === 2L)
+    assert(Retrieval.appendBm25Index(df.filter($"doc_id" > 2), "doc_id", "text", p) === 2L)
+    assert(Retrieval.appendBm25Index(df.filter($"doc_id" > 2), "doc_id", "text", p) === 0L,
+      "a replayed batch must index nothing")
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(Retrieval.bm25FromIndex(spark, p, terms)) ===
+      rows(Retrieval.bm25(df, "doc_id", "text", terms)))
+  }
+
+  test("index query prunes the postings scan to the terms' bucket partitions") {
+    val df = corpus.toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_bm25_spec").toString
+    Retrieval.appendBm25Index(df, "doc_id", "text", p)
+    val q = Retrieval.bm25FromIndex(spark, p, Seq("spark"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+      "the term-bucket partition filter must reach the scan:\n" + plan.take(1200))
+  }
+
+  test("r1b query equals r1 on real data") {
+    val r1 = graft.analytics.TextQueries.bm25Search(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val r1b = graft.analytics.TextQueries.bm25FromStore(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(r1b === r1)
+    assert(r1.nonEmpty)
+  }
+
   test("hybrid RRF fuses lane ranks; single-lane docs carry null ranks") {
     val terms = Seq("spark", "hash", "join")
     val docs = corpus.toDF("doc_id", "text")

@@ -49,4 +49,51 @@ class TrianglesSpec extends SparkSpec {
     }
     assert(count3(edges) === ref.toMap)
   }
+
+  private def merged(base: Seq[(Long, Long)],
+                     delta: Seq[(Long, Long)]): Map[Long, Long] = {
+    val baseDf = base.toDF("u", "v")
+    Triangles.mergeTriangleCounts(
+        Triangles.perNode(baseDf, "u", "v"),
+        // stored edges are normalized by construction in the store path
+        baseDf.select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+          .distinct(),
+        delta.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental merge equals a full recount across engineered deltas") {
+    // (a) delta closes a wedge; (b) delta edge between two new nodes
+    // forming a triangle with 2 novel edges; (c) pure-delta triangle
+    // (all 3 edges novel); (d) delta replays a stored edge (no-op)
+    val base = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L))
+    val deltas = Seq(
+      Seq((3L, 1L)),                               // closes {1,2,3}
+      Seq((2L, 8L), (8L, 1L)),                     // {1,2,8}: 2 novel edges
+      Seq((20L, 21L), (21L, 22L), (22L, 20L)),     // all-novel triangle
+      Seq((5L, 6L)),                               // replay: adds nothing
+      Seq((3L, 1L), (2L, 8L), (8L, 1L), (6L, 1L))) // mixed batch
+    for (d <- deltas) {
+      assert(merged(base, d) === count3(base ++ d),
+        s"delta $d must equal the full recount")
+    }
+  }
+
+  test("incremental merge equals a full recount on a seeded random split") {
+    val rnd = new scala.util.Random(7)
+    val edges = (for (a <- 0L until 30L; b <- (a + 1) until 30L
+                      if rnd.nextDouble() < 0.25) yield (a, b)).toIndexedSeq
+    val (delta, base) = edges.partition { case (u, v) => (u * 31 + v) % 10 == 3 }
+    assert(delta.nonEmpty && base.nonEmpty)
+    assert(merged(base, delta) === count3(edges))
+  }
+
+  test("tc2 query equals tc1 on real data") {
+    val tc1 = SparkEntry.queries("tc1_triangles")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val tc2 = SparkEntry.queries("tc2_triangle_store")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(tc2 === tc1)
+    assert(tc1.nonEmpty)
+  }
 }
