@@ -130,28 +130,31 @@ object Bench {
         }
         name -> times
       }
-    // Cold-stream pass (SPARK_GRAFT_BENCH_COLD_STREAMS=1): st4–st9
-    // memoize their first run per dir, so the timed iterations above
-    // measure a batch re-read of the sink. Here each cached streaming
-    // query runs ONCE from a cleared memo — fresh staging, state store,
-    // checkpoint and sink — recording the real streaming path.
-    val coldStreams = sys.env.get("SPARK_GRAFT_BENCH_COLD_STREAMS")
-      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
-    val coldSamples: Seq[(String, Double)] =
-      if (!coldStreams) Seq.empty
+    // Cold passes: both memo families hide their initialization cost
+    // from the timed iterations above (streams memoize their first run
+    // per dir; batch stores memoize their persisted base). A cold pass
+    // runs each selected cached query ONCE from a cleared memo — fresh
+    // staging/state/checkpoint/sink for streams, temp tree deleted and
+    // base store rebuilt for batch stores — recording the number a
+    // long-lived session could otherwise never observe. ONE shared
+    // scaffold (timer, crash-omission, cache/checkpoint teardown) so
+    // the two passes always measure under identical conditions; a
+    // crashed query is OMITTED, not recorded as a bogus fast sample.
+    def coldPass(envVar: String, names: Set[String], reset: () => Unit,
+                 tag: String): Seq[(String, Double)] = {
+      val on = sys.env.get(envVar)
+        .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+      if (!on) Seq.empty
       else selected
-        .filter { case (n, _) =>
-          graft.analytics.StreamQueries.CachedStreamQueries.contains(n) }
+        .filter { case (n, _) => names.contains(n) }
         .flatMap { case (name, fn) =>
-          graft.analytics.StreamQueries.resetStreamCaches()
+          reset()
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          // a crashed streaming query must be OMITTED, not recorded as a
-          // (bogus, likely fast) cold sample — emit only on success
           val ok =
             try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
-              System.err.println(s"[bench] cold $name failed: ${e.getMessage}")
+              System.err.println(s"[bench] $tag $name failed: ${e.getMessage}")
               false
             }
           val t = (System.nanoTime() - t0) / 1e9
@@ -160,36 +163,13 @@ object Bench {
             .foreach(_.unpersist(blocking = true))
           if (ok) Some(name -> t) else None
         }
-    // Cold-store pass (SPARK_GRAFT_BENCH_COLD_STORES=1): the batch
-    // incremental-store queries memoize their persisted base store per
-    // dir, so the timed iterations above measure the steady-state delta
-    // merge (the store's point). Here each runs ONCE from a cleared
-    // memo — temp tree deleted, base store rebuilt — recording store
-    // INITIALIZATION cost, the number a long-lived session otherwise
-    // can never observe.
-    val coldStores = sys.env.get("SPARK_GRAFT_BENCH_COLD_STORES")
-      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
-    val coldStoreSamples: Seq[(String, Double)] =
-      if (!coldStores) Seq.empty
-      else selected
-        .filter { case (n, _) =>
-          graft.analytics.StoreCaches.cachedStoreQueries.contains(n) }
-        .flatMap { case (name, fn) =>
-          graft.analytics.StoreCaches.resetBatchStoreCaches()
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] cold store $name failed: ${e.getMessage}")
-              false
-            }
-          val t = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
-          if (ok) Some(name -> t) else None
-        }
+    }
+    val coldSamples = coldPass("SPARK_GRAFT_BENCH_COLD_STREAMS",
+      graft.analytics.StreamQueries.CachedStreamQueries,
+      () => graft.analytics.StreamQueries.resetStreamCaches(), "cold")
+    val coldStoreSamples = coldPass("SPARK_GRAFT_BENCH_COLD_STORES",
+      graft.analytics.StoreCaches.cachedStoreQueries,
+      () => graft.analytics.StoreCaches.resetBatchStoreCaches(), "cold store")
     def r3(x: Double): String = f"$x%.3f"
     def jsonMap(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }

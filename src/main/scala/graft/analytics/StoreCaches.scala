@@ -53,14 +53,17 @@ object StoreCaches {
     }
   }
 
-  /** The `graft_*` createTempDirectory ancestor of a memoized store
-    * path (stores are written UNDER the temp root, e.g. `<tmp>/cells`);
-    * falls back to the path itself so a miss can never walk up to a
-    * shared directory. */
+  /** The NEAREST `graft_*` createTempDirectory ancestor of a memoized
+    * store path (stores are written UNDER the temp root, e.g.
+    * `<tmp>/cells`). Nearest, not topmost: a graft_*-named SHARED
+    * ancestor (e.g. java.io.tmpdir itself pointed at a graft_-prefixed
+    * scratch dir) must never become the delete target — the blast
+    * radius stays one store's own temp tree. Falls back to the path
+    * itself so a miss can never walk up to a shared directory. */
   private def tempRoot(p: String): java.io.File = {
     var cur = java.nio.file.Paths.get(p)
     var found: java.nio.file.Path = null
-    while (cur != null) {
+    while (cur != null && found == null) {
       if (cur.getFileName != null &&
           cur.getFileName.toString.startsWith("graft_")) found = cur
       cur = cur.getParent

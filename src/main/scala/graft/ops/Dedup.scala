@@ -629,7 +629,23 @@ object Dedup {
   def mergeComponentLabels(storeLabels: DataFrame, deltaEdges: DataFrame,
                            aCol: String, bCol: String): DataFrame = {
     val lbl = storeLabels.select(col("node"), col("component"))
-    // resolve both endpoints to current roots in one pass
+    val (remap, deltaNodes) = contractDelta(lbl, deltaEdges, aCol, bCol)
+    // store rows re-rooted; delta endpoints (incl. brand-new nodes)
+    // enter at their contracted root, then re-root the same way
+    remapWith(remap)(lbl).unionByName(remapWith(remap)(deltaNodes))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+  }
+
+  /** Shared root-contraction core of [[mergeComponentLabels]] and
+    * [[mergeComponentStoreDelta]] — ONE home for the min-id merge both
+    * d6b and d6c/st19 gate their bit-for-bit rebuild-equality on:
+    * resolve delta endpoints to current roots (one labels equi-join;
+    * unseen nodes root at themselves), run CC over the contracted
+    * root pairs, fold the delta's own nodes to their contracted
+    * roots. Returns (root remap FILTERED to actual moves, delta node
+    * rows) — both |delta|-bounded. */
+  private def contractDelta(lbl: DataFrame, deltaEdges: DataFrame,
+                            aCol: String, bCol: String): (DataFrame, DataFrame) = {
     val e = deltaEdges
       .select(col(aCol).as("__na"), col(bCol).as("__nb"))
       .join(lbl.select(col("node").as("__na"), col("component").as("__ra")),
@@ -642,20 +658,20 @@ object Dedup {
       .localCheckpoint() // reused by the CC run and the new-node fold
     // CC over contracted edges only — |delta|-sized by construction
     val remap = connectedComponents(
-      e.filter(col("root_a") =!= col("root_b")), "root_a", "root_b")
+        e.filter(col("root_a") =!= col("root_b")), "root_a", "root_b")
       .select(col("node").as("__root"), col("component").as("__new"))
-    def remapped(roots: DataFrame) =
-      roots.join(remap, roots("component") === remap("__root"), "left")
-        .select(roots("node"),
-          coalesce(col("__new"), roots("component")).as("component"))
-    // store rows re-rooted; delta endpoints (incl. brand-new nodes)
-    // enter at their contracted root, then re-root the same way
+      .filter(col("__root") =!= col("__new")) // only actual moves
+      .localCheckpoint()
     val deltaNodes = e.select(col("__na").as("node"), col("root_a").as("component"))
       .unionByName(e.select(col("__nb").as("node"), col("root_b").as("component")))
       .groupBy(col("node")).agg(min(col("component")).as("component"))
-    remapped(lbl).unionByName(remapped(deltaNodes))
-      .groupBy(col("node")).agg(min(col("component")).as("component"))
+    (remap, deltaNodes)
   }
+
+  private def remapWith(remap: DataFrame)(rows: DataFrame): DataFrame =
+    rows.join(remap, rows("component") === remap("__root"), "left")
+      .select(rows("node"),
+        coalesce(col("__new"), rows("component")).as("component"))
 
   /** Default bucket count for the partitioned component label store.
     * Size so one bucket ≈ one write task's worth of label rows at the
@@ -736,29 +752,8 @@ object Dedup {
                                nBuckets: Int = ComponentStoreBuckets): Seq[Long] = {
     val store = readComponentStore(spark, path)
     val lbl = store.select(col("node"), col("component"))
-    val e = deltaEdges
-      .select(col(aCol).as("__na"), col(bCol).as("__nb"))
-      .join(lbl.select(col("node").as("__na"), col("component").as("__ra")),
-        Seq("__na"), "left")
-      .join(lbl.select(col("node").as("__nb"), col("component").as("__rb")),
-        Seq("__nb"), "left")
-      .select(col("__na"), col("__nb"),
-        coalesce(col("__ra"), col("__na")).as("root_a"),
-        coalesce(col("__rb"), col("__nb")).as("root_b"))
-      .localCheckpoint()
-    val remap = connectedComponents(
-        e.filter(col("root_a") =!= col("root_b")), "root_a", "root_b")
-      .select(col("node").as("__root"), col("component").as("__new"))
-      .filter(col("__root") =!= col("__new")) // only actual moves
-      .localCheckpoint()
-    def remapped(rows: DataFrame) =
-      rows.join(remap, rows("component") === remap("__root"), "left")
-        .select(rows("node"),
-          coalesce(col("__new"), rows("component")).as("component"))
-    val deltaNodes = e.select(col("__na").as("node"), col("root_a").as("component"))
-      .unionByName(e.select(col("__nb").as("node"), col("root_b").as("component")))
-      .groupBy(col("node")).agg(min(col("component")).as("component"))
-    val newRows = remapped(
+    val (remap, deltaNodes) = contractDelta(lbl, deltaEdges, aCol, bCol)
+    val newRows = remapWith(remap)(
         deltaNodes.join(lbl.select(col("node")), Seq("node"), "left_anti"))
       .localCheckpoint()
     val touched = remap
@@ -772,7 +767,7 @@ object Dedup {
       // groupBy-min dedup makes a crash-retry self-healing: a partially
       // committed overwrite can leave a moved node in both its old and
       // new bucket, and the re-merge must collapse the copies
-      val out = remapped(cur).unionByName(newRows)
+      val out = remapWith(remap)(cur).unionByName(newRows)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
         .withColumn("cb", componentBucket(col("component"), nBuckets))
         .localCheckpoint() // materialize BEFORE overwriting what it read

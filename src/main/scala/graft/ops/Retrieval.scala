@@ -91,43 +91,55 @@ object Retrieval {
     *    partitioned by term bucket: queries prune to their terms'
     *    buckets; appends land new files inside bucket dirs, stored
     *    postings never rewritten;
-    *  - `stats/` — one (n, sumdl) row PER APPENDED BATCH, append-only:
-    *    corpus stats are additive, so readers SUM and no
-    *    read-modify-write ever happens.
+    *  - `docs/` — one (doc_id, dl) row per indexed doc: the doc-length
+    *    sidecar every BM25 index keeps. Corpus stats (N, Σdl) DERIVE
+    *    from it at query time — a 2-column vectorized scan, never a
+    *    read-modify-write — so the stats can never drift from the doc
+    *    set (at very large N, roll the two scalars up during
+    *    compaction instead of rescanning).
     *
-    * [[appendBm25Index]] is idempotent (novel docs only — anti-join on
-    * doc_id, the Sinks discipline) and returns the number of docs
-    * actually indexed. Because doc postings are immutable and stats
-    * additive, the index after any append sequence equals the
-    * one-shot build over the same docs, and [[bm25FromIndex]]'s
-    * scores equal [[bm25]]'s bit-for-bit — r1b gates on r1's oracle
-    * VERBATIM. */
+    * The append is IDEMPOTENT per artifact (the appendKnnGraph
+    * discipline): postings anti-join on the postings' own doc ids,
+    * doc rows on the sidecar's — so a replayed batch adds nothing to
+    * either, and a crash BETWEEN the two appends is healed by the
+    * retry filling exactly the missing artifact. Because doc postings
+    * are immutable and the sidecar append-only, the index after any
+    * append sequence equals the one-shot build over the same docs,
+    * and [[bm25FromIndex]]'s scores equal [[bm25]]'s bit-for-bit —
+    * r1b gates on r1's oracle VERBATIM. Returns the number of docs
+    * actually added to the sidecar. */
   def appendBm25Index(docs: DataFrame, idCol: String, textCol: String,
                       path: String): Long = {
     val spark = docs.sparkSession
-    val postingsP = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = postingsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    def novelAgainst(base: DataFrame, store: String): DataFrame =
+      (if (exists(store))
+        base.join(spark.read.parquet(store).select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else base).localCheckpoint() // materialize before touching the store
     val base = docs.select(
       col(idCol).as("doc_id"),
       split(col(textCol), " ").as("ws"))
       .withColumn("dl", size(col("ws")))
-    val novel =
-      (if (fs.exists(postingsP))
-        base.join(spark.read.parquet(postingsP.toString)
-            .select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-      else base).localCheckpoint() // materialize before touching the store
-    val n = novel.count()
-    if (n > 0) {
-      novel.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+    // postings first: only token-bearing docs ever have posting rows,
+    // so keying this artifact on its own doc ids stays stable
+    val novelP = novelAgainst(base.filter(size(col("ws")) > 0),
+      s"$path/postings")
+    if (!novelP.isEmpty)
+      novelP.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
         .groupBy(col("doc_id"), col("dl"), col("w"))
         .agg(count(lit(1)).as("tf"))
         .withColumn("tb", termBucket(col("w")))
         .repartition(col("tb"))
-        .write.mode("append").partitionBy("tb").parquet(postingsP.toString)
-      novel.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-        .write.mode("append").parquet(s"$path/stats")
-    }
+        .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+    val novelD = novelAgainst(base, s"$path/docs")
+    val n = novelD.count()
+    if (n > 0)
+      novelD.select(col("doc_id"), col("dl"))
+        .write.mode("append").parquet(s"$path/docs")
     n
   }
 
@@ -147,8 +159,8 @@ object Retrieval {
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(tbs: _*) && col("w").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("w"), col("tf"))
-    val stats = spark.read.parquet(s"$path/stats")
-      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+    val stats = spark.read.parquet(s"$path/docs")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     scorePostings(tf, stats, terms, k1, b)
   }
 

@@ -619,21 +619,32 @@ object Similarity {
     * the STORED members — no re-signing (members arrive pre-assigned;
     * probes re-derive from the frozen quantizer over the stored
     * vectors), so the cost is the probe join + top-k alone — and the
-    * edge dir swaps atomically (staged tmp + rename, the compact
-    * discipline; a crash mid-rebuild leaves the old edges intact).
-    * Member and seed files are untouched (KnnGraphStoreSpec). After a
-    * rebuild the store equals a from-scratch build over the
-    * accumulated corpus bit-for-bit — knn1c gates on knn1's oracle
-    * VERBATIM on exactly this argument. */
+    * edge dir swaps via staged-tmp + two renames. A crash during the
+    * (long) rebuild write leaves the old edges fully intact; a crash
+    * inside the (instant) two-rename swap window can leave the store
+    * edge-less, and the NEXT rebuild heals it — it never reads the
+    * edge dir, and a parked `edges__rebuild_old` from a crashed swap
+    * is swept before publishing. Member and seed files are untouched
+    * (KnnGraphStoreSpec). After a rebuild the store equals a
+    * from-scratch build over the accumulated corpus bit-for-bit —
+    * knn1c gates on knn1's oracle VERBATIM on exactly this
+    * argument. */
   def rebuildKnnEdges(spark: org.apache.spark.sql.SparkSession, path: String,
                       k: Int, nProbe: Int = 2): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/edges")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/edges__rebuild_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/edges__rebuild_old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     freshKnnEdges(spark, path, k, nProbe)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"rebuildKnnEdges: rename $tmp -> $p failed")
+    // park-then-publish instead of delete-then-rename: the old edges
+    // survive until the new dir is in place, and any leftover parked
+    // dir from a previous crashed swap is swept first
+    if (fs.exists(old)) fs.delete(old, true): Unit
+    if (fs.exists(p))
+      require(fs.rename(p, old), s"rebuildKnnEdges: park $p -> $old failed")
+    require(fs.rename(tmp, p), s"rebuildKnnEdges: publish $tmp -> $p failed")
+    fs.delete(old, true): Unit
   }
 
   /** STALENESS metric for the stored edges: the fraction of (sampled)
@@ -651,19 +662,27 @@ object Similarity {
       lit((sampleFrac * 10000).toLong)
     val cur = freshKnnEdges(spark, path, k, nProbe, Some(keep))
       .select(col("vec_id"), col("nbr_id"))
+      .localCheckpoint() // feeds two anti-joins + the anchor spine
     val stored = spark.read.parquet(s"$path/edges")
       .filter(keep).select(col("vec_id"), col("nbr_id"))
-      .localCheckpoint() // read once: feeds two anti-joins + the spine
+      .localCheckpoint() // read once: feeds two anti-joins
     val staleIds = cur.join(stored, Seq("vec_id", "nbr_id"), "left_anti")
       .select(col("vec_id"))
       .unionByName(stored.join(cur, Seq("vec_id", "nbr_id"), "left_anti")
         .select(col("vec_id")))
       .distinct()
-    stored.select(col("vec_id")).distinct()
+    // spine = the sampled MEMBER anchors (cur derives from members),
+    // not the stored edges: an anchor with members but no edge rows —
+    // a crashed append's stalest possible state — must count as stale,
+    // and a store whose edges are empty must read 100% stale, not
+    // silently shrink the denominator
+    cur.select(col("vec_id")).distinct()
       .join(staleIds.withColumn("__stale", lit(1)), Seq("vec_id"), "left")
       .agg(count(lit(1)).as("n_anchors"),
         coalesce(sum(col("__stale")), lit(0L)).as("n_stale"))
-      .withColumn("stale_frac", col("n_stale") / col("n_anchors"))
+      .withColumn("stale_frac", // 0 sampled anchors reads 0.0, not null
+        when(col("n_anchors") > 0, col("n_stale") / col("n_anchors"))
+          .otherwise(lit(0.0)))
   }
 
   /** The rebuild frame: stored members as both corpus and (optionally

@@ -274,22 +274,34 @@ object EventStreams {
         val (sigs, pairs) = signAndProbeBatch(batch, idCol, textCol,
           storePath, threshold, numHashes, shingleN)
         val markerP = new org.apache.hadoop.fs.Path(s"$labelsPath/_last_batch")
+        val tmpP = new org.apache.hadoop.fs.Path(s"$labelsPath/_last_batch.tmp")
         val lfs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def readMarker(p: org.apache.hadoop.fs.Path): Long = {
+          val in = lfs.open(p)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+        }
+        // the staged tmp is the fallback: a crash between the old
+        // marker's delete and the rename publish must not read as -1
         val last =
-          if (lfs.exists(markerP)) {
-            val in = lfs.open(markerP)
-            try new String(in.readAllBytes(), "UTF-8").trim.toLong
-            finally in.close()
-          } else -1L
+          if (lfs.exists(markerP)) readMarker(markerP)
+          else if (lfs.exists(tmpP)) readMarker(tmpP)
+          else -1L
         require(batchId <= last + 1,
           s"componentsStreamBucketed: label store last folded batch $last " +
             s"under $labelsPath — refusing to fold batch $batchId over a gap")
         Dedup.mergeComponentStoreDelta(spark, s"$labelsPath/labels",
           pairs, "id_a", "id_b", nBuckets): Unit
         if (batchId > last) {
-          val out = lfs.create(markerP, true)
+          // staged write + rename: an in-place create could crash
+          // half-written and leave an unparsable marker that wedges
+          // every later batch — rename is the atomic publish
+          val out = lfs.create(tmpP, true)
           try out.write(batchId.toString.getBytes("UTF-8"))
           finally out.close()
+          if (lfs.exists(markerP)) lfs.delete(markerP, false): Unit
+          require(lfs.rename(tmpP, markerP),
+            s"componentsStreamBucketed: marker publish failed under $labelsPath")
         }
         graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id")): Unit
       }
