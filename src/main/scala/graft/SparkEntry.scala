@@ -123,6 +123,7 @@ object SparkEntry {
     "d6_neardup_components" -> (DedupQueries.neardupComponents _),
     "d6b_incremental_components" -> (DedupQueries.incrementalComponents _),
     "d6c_bucketed_components" -> (DedupQueries.bucketedIncrementalComponents _),
+    "d7b_incremental_survivors" -> (DedupQueries.incrementalSurvivors _),
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
     "d9_incremental_neardup" -> (DedupQueries.incrementalNearDups _),
@@ -202,6 +203,7 @@ object SparkEntry {
     "st17_stream_overlap"   -> (StreamQueries.streamOverlapMatrix _),
     "st18_stream_components" -> (StreamQueries.streamComponents _),
     "st19_stream_components_bucketed" -> (StreamQueries.streamComponentsBucketed _),
+    "st20_stream_bm25_index" -> (StreamQueries.streamBm25Index _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -485,6 +487,21 @@ object SparkEntry {
     * bottom-k, per-pair union bottom-k with membership flags, and the
     * exact pairwise intersection/union over shingle STRINGS. All
     * integer except the contract (literal true). */
+  /** d7/d7b oracle: the recursive-CC components plus the keep-best
+    * (n_chars desc, smallest id) survivorship readout. */
+  private lazy val survivorsOracleSql: String =
+    componentsCte +
+      """,
+        |ranked AS (
+        |  SELECT c.component, d.doc_id,
+        |    row_number() OVER (PARTITION BY c.component
+        |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d JOIN comp c ON d.doc_id = c.node)
+        |SELECT component,
+        |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+        |  count(*) AS n_members
+        |FROM ranked GROUP BY component ORDER BY component""".stripMargin
+
   private lazy val kmvMatrixOracleSql: String = kmvMatrixOracle("")
 
   /** ov2's oracle = ov1's with the prescreen replayed as an EXISTS on
@@ -1687,6 +1704,10 @@ object SparkEntry {
     // stats additive, so the incrementally-appended inverted index
     // must score identically to the in-flight corpus scan.
     "r1b_bm25_store" -> bm25OracleSql,
+    // st20: the SAME oracle once more — the streamed index is the
+    // same idempotent append per micro-batch, so draining the stream
+    // must leave an index that scores identically to the batch build.
+    "st20_stream_bm25_index" -> bm25OracleSql,
     // r3: phrase adjacency replayed on the token arrays (1-based ws[i]
     // vs the engine's 0-based postings — first_pos = min(i) - 1)
     "r3_phrase_search" ->
@@ -2333,18 +2354,11 @@ object SparkEntry {
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "st19_stream_components_bucketed" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
-    "d7_dedup_survivors" ->
-      (componentsCte +
-        """,
-          |ranked AS (
-          |  SELECT c.component, d.doc_id,
-          |    row_number() OVER (PARTITION BY c.component
-          |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
-          |  FROM documents d JOIN comp c ON d.doc_id = c.node)
-          |SELECT component,
-          |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
-          |  count(*) AS n_members
-          |FROM ranked GROUP BY component ORDER BY component""".stripMargin),
+    "d7_dedup_survivors" -> survivorsOracleSql,
+    // d7b: the SAME oracle — survivorship is a pure readout over the
+    // label store (which equals the rebuild bit-for-bit, the d6c
+    // contract) plus doc quality.
+    "d7b_incremental_survivors" -> survivorsOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

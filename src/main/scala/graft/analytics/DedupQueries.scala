@@ -215,6 +215,31 @@ object DedupQueries {
   private val ccBucketStoreCache =
     StoreCaches.register("d6c_bucketed_components")
 
+  /** d7b — INCREMENTAL dedup survivorship: d7's one-canonical-doc-per-
+    * group readout served from the incrementally-maintained BUCKET
+    * label store (d6c's machinery) instead of a fresh full-corpus CC.
+    * The store's labels equal the one-shot rebuild bit-for-bit (the
+    * d6c contract), and survivorship is a pure readout over labels +
+    * doc quality, so d7b gates on d7's oracle VERBATIM. The 100 TB
+    * daily shape: component freshness costs the delta fold; picking
+    * survivors costs one labels-sized join + group — never re-pairing
+    * the corpus. */
+  def incrementalSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val comp = bucketedIncrementalComponents(spark, dir)
+      .select(col("node"), col("component"))
+    val members = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"), col("n_chars"))
+      .join(comp, Seq("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("node"))
+    members.withColumn("__rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(min(when(col("__rn") === 1, col("node"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("component"))
+  }
+
   /** Dedup survivorship: one canonical doc per duplicate group (best
     * n_chars, ties to smallest id). */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =

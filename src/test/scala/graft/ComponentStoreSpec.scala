@@ -86,6 +86,15 @@ class ComponentStoreSpec extends SparkSpec {
     assert(files(p) === snapshot, "replay must not rewrite any file")
   }
 
+  test("d7b incremental survivorship equals d7 on real data") {
+    val d7 = SparkEntry.queries("d7_dedup_survivors")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val d7b = SparkEntry.queries("d7b_incremental_survivors")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(d7b === d7)
+    assert(d7.nonEmpty)
+  }
+
   test("brand-new nodes insert; day-zero store starts empty") {
     val p = java.nio.file.Files
       .createTempDirectory("graft_ccbspec").toString + "/labels"

@@ -92,6 +92,14 @@ class RetrievalSpec extends SparkSpec {
     assert(r1.nonEmpty)
   }
 
+  test("st20 streamed index equals r1 through 4 real micro-batches") {
+    val r1 = graft.analytics.TextQueries.bm25Search(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val st20 = graft.analytics.StreamQueries.streamBm25Index(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st20 === r1)
+  }
+
   test("hybrid RRF fuses lane ranks; single-lane docs carry null ranks") {
     val terms = Seq("spark", "hash", "join")
     val docs = corpus.toDF("doc_id", "text")
