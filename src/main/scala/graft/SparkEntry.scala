@@ -204,6 +204,7 @@ object SparkEntry {
     "st18_stream_components" -> (StreamQueries.streamComponents _),
     "st19_stream_components_bucketed" -> (StreamQueries.streamComponentsBucketed _),
     "st20_stream_bm25_index" -> (StreamQueries.streamBm25Index _),
+    "st21_stream_triangles" -> (StreamQueries.streamTriangleCounts _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -1844,6 +1845,16 @@ object SparkEntry {
          |GROUP BY kk.user_id ORDER BY kk.user_id""".stripMargin
     },
     "tc1_triangles" ->
+      s"""WITH $tradeEdgesCte,
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+        |                   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_tri
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    // st21: the SAME oracle as tc1/tc2 — per-batch increments sum to
+    // the one-shot count (the tc2 identity applied batch by batch).
+    "st21_stream_triangles" ->
       s"""WITH $tradeEdgesCte,
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v

@@ -976,7 +976,7 @@ object CoreQueries {
     * (measured 11.6× at 10× data); the histogram is a fixed-size
     * aggregate and tc1 returned to output-bound scaling. Identical
     * semantics: thr = max v with |{n >= v}| >= ceil(0.2·|pairs|). */
-  private def supplierCoEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[analytics] def supplierCoEdges(spark: SparkSession, dir: String): DataFrame = {
     val sp = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("k"), col("l_suppkey").cast("long").as("s"))
       .distinct()

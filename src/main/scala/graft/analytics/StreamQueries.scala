@@ -581,6 +581,36 @@ object StreamQueries {
   private val streamedBm25 =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st21 — STREAMING per-node triangle counts
+    * (EventStreams.triangleCountStream): the sparsified supplier
+    * graph's edges arrive as 4 micro-batches; each batch writes its
+    * ≥1-novel-edge triangle increment to an overwrite-idempotent
+    * `inc_<b>` dir and appends its novel edges — every crash window
+    * heals on replay because the increment derives from edge-store
+    * novelty. Σ increments ≡ the one-shot triangle count (the tc2
+    * identity applied batch by batch), so st21 gates on tc1's oracle
+    * VERBATIM — completing the graph family's batch (tc1) +
+    * incremental-store (tc2) + streaming (st21) triple. */
+  def streamTriangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val store = streamedTri.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st21_").toString
+      CoreQueries.supplierCoEdges(spark, dir)
+        .repartition(4).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      EventStreams.triangleCountStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
+        "u", "v", s"$tmp/store", s"$tmp/cp").awaitTermination()
+      s"$tmp/store"
+    })
+    EventStreams.readTriangleCounts(spark, store)
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
+  private val streamedTri =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st16 — STREAMING drift monitor: ks1's bounded bin frame
     * (ops.Profiling.driftBins) built as a streaming aggregation,
     * sum-merged in the state store across 8 micro-batches; the KS/PSI
@@ -637,7 +667,8 @@ object StreamQueries {
     "st9_stream_throttle", "st11_stream_asof", "st12_stream_scd2",
     "st13_stream_hll", "st14_stream_hist", "st15_stream_kmv",
     "st16_stream_drift", "st17_stream_overlap", "st18_stream_components",
-    "st19_stream_components_bucketed", "st20_stream_bm25_index")
+    "st19_stream_components_bucketed", "st20_stream_bm25_index",
+    "st21_stream_triangles")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -653,7 +684,7 @@ object StreamQueries {
     streamedHll.clear(); streamedHist.clear()
     streamedKmv.clear(); streamedDrift.clear()
     streamedOvm.clear(); streamedCc.clear(); streamedCcb.clear()
-    streamedBm25.clear()
+    streamedBm25.clear(); streamedTri.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

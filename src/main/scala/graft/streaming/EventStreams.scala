@@ -309,6 +309,77 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAMING per-node triangle counts — the graph family's
+    * streaming face, completing its batch (tc1) + incremental-store
+    * (tc2) + streaming triple. Store layout under `storePath`:
+    *
+    *  - `edges/`    — the accumulated normalized edge set
+    *    (idempotent append: novel edges only);
+    *  - `inc_<b>/`  — batch b's per-node triangle-count INCREMENT
+    *    (the ≥1-novel-edge triangles, ops.Triangles'
+    *    enumeration) — an append-only VERSION-DIR family like
+    *    st18's labels, each written with overwrite so a replayed
+    *    batch rewrites the same dir with the same rows.
+    *
+    * Readers sum the increments (a compaction pass can fold them).
+    * Crash-exactly-once without a marker: the increment derives from
+    * the batch's NOVEL edges (anti-join against the edge store), so
+    * the write order — increment dir FIRST (overwrite-idempotent),
+    * novel edges appended AFTER — makes every crash window heal on
+    * replay: a crash before the edge append leaves the batch's edges
+    * novel, so the refold recomputes the identical increment into the
+    * same dir; a crash after it finds nothing novel and an increment
+    * dir already in place. Each batch's cost is Σ min-degree over its
+    * novel edges, never the accumulated graph; the final summed
+    * counts equal the one-shot batch count (the tc2 identity), so
+    * st21 gates on tc1's oracle VERBATIM. */
+  def triangleCountStream(edges: DataFrame, srcCol: String, dstCol: String,
+                          storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ops.Triangles
+        val spark = batch.sparkSession
+        val edgesP = new org.apache.hadoop.fs.Path(s"$storePath/edges")
+        val fs = edgesP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stored =
+          if (fs.exists(edgesP)) spark.read.parquet(edgesP.toString)
+          else spark.range(0).selectExpr("id AS u", "id AS v")
+        val d0 = batch.select(col(srcCol).cast("long").as("u"),
+            col(dstCol).cast("long").as("v"))
+          .filter(col("u") =!= col("v"))
+          .select(least(col("u"), col("v")).as("u"),
+            greatest(col("u"), col("v")).as("v"))
+          .distinct()
+        val novel = d0.join(stored, Seq("u", "v"), "left_anti")
+          .localCheckpoint() // materialize BEFORE any store write
+        // zero-count empty increment still writes: the dir is the
+        // batch's completion record
+        Triangles.mergeTriangleCounts(
+            spark.range(0).selectExpr("id AS node", "id AS n_tri"),
+            stored, novel, "u", "v")
+          .write.mode("overwrite").parquet(s"$storePath/inc_$batchId")
+        if (!novel.isEmpty)
+          novel.write.mode("append").parquet(edgesP.toString)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Summed reader for [[triangleCountStream]]'s increment dirs:
+    * (node, n_tri) over all batches, zero rows dropped. */
+  def readTriangleCounts(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("inc_")).map(_.toString)
+    require(incs.nonEmpty, s"no triangle increments under $storePath")
+    spark.read.parquet(incs: _*)
+      .groupBy(col("node")).agg(sum(col("n_tri")).as("n_tri"))
+      .filter(col("n_tri") > 0)
+  }
+
   /** STREAMING BM25 index maintenance — the retrieval family's
     * streaming face: each micro-batch appends its documents to the
     * persisted inverted index (ops.Retrieval.appendBm25Index). The

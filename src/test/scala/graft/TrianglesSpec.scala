@@ -88,6 +88,14 @@ class TrianglesSpec extends SparkSpec {
     assert(merged(base, delta) === count3(edges))
   }
 
+  test("st21 streamed triangle counts equal tc1 through 4 real micro-batches") {
+    val tc1 = SparkEntry.queries("tc1_triangles")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val st21 = SparkEntry.queries("st21_stream_triangles")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st21 === tc1)
+  }
+
   test("tc2 query equals tc1 on real data") {
     val tc1 = SparkEntry.queries("tc1_triangles")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
