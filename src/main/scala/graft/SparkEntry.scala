@@ -65,6 +65,7 @@ object SparkEntry {
     "pf1_skew_profile"      -> (ProfileQueries.custkeySkewProfile _),
     "fp1_compaction_plan"   -> (ProfileQueries.eventCompactionPlan _),
     "cm1_corr_matrix"       -> (ProfileQueries.featureCorrMatrix _),
+    "cm1b_corr_store"       -> (ProfileQueries.corrMatrixStore _),
     "seq1_pattern_match"    -> (ProfileQueries.sequencePatterns _),
     "knn1_graph"            -> (VectorQueries.knnGraph _),
     "knn1b_graph_store"     -> (VectorQueries.knnGraphIncremental _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "st19_stream_components_bucketed" -> (StreamQueries.streamComponentsBucketed _),
     "st20_stream_bm25_index" -> (StreamQueries.streamBm25Index _),
     "st21_stream_triangles" -> (StreamQueries.streamTriangleCounts _),
+    "st22_stream_corr_moments" -> (StreamQueries.streamCorrMoments _),
     "m1_binary_meta"        -> (TextQueries.binaryMeta _),
     "m4_resize_pipeline"    -> (TextQueries.resizePipeline _),
     "t25_gopher_rules"      -> (TextQueries.gopherRules _),
@@ -502,6 +504,37 @@ object SparkEntry {
         |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
         |  count(*) AS n_members
         |FROM ranked GROUP BY component ORDER BY component""".stripMargin
+
+  /** cm1b/st22 oracle: the moment replay — exact DECIMAL sums over
+    * the full lineitem, then the IDENTICAL fixed-association double
+    * formula (the moments cast to double once, `n*Sxy - Sx*Sy` over
+    * `sqrt(va*vb)`), so both engines compute the same doubles from
+    * the same exact inputs. */
+  private lazy val corrMomentsOracleSql: String = {
+    val cols = graft.analytics.ProfileQueries.CorrCols
+    def dc(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val sums = cols.map(c => s"sum(${dc(c)}) AS s_$c") ++
+      (for { i <- cols.indices; j <- cols.indices if i <= j }
+        yield s"sum(${dc(cols(i))} * ${dc(cols(j))}) AS q_${cols(i)}__${cols(j)}")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val rows = pairs.map { case (a, b) =>
+      val num = s"${d("n")} * ${d(s"q_${a}__$b")} - ${d(s"s_$a")} * ${d(s"s_$b")}"
+      val va = s"${d("n")} * ${d(s"q_${a}__$a")} - ${d(s"s_$a")} * ${d(s"s_$a")}"
+      val vb = s"${d("n")} * ${d(s"q_${b}__$b")} - ${d(s"s_$b")} * ${d(s"s_$b")}"
+      s"SELECT '$a' AS col_a, '$b' AS col_b,\n" +
+        s"    (($num) / sqrt(($va) * ($vb))) AS cr FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM lineitem),
+       |u AS (
+       |  $rows)
+       |SELECT col_a, col_b,
+       |  floor(cr * 1000000 + 0.5) / 1000000 AS corr
+       |FROM u ORDER BY col_a, col_b""".stripMargin
+  }
 
   private lazy val kmvMatrixOracleSql: String = kmvMatrixOracle("")
 
@@ -1705,6 +1738,11 @@ object SparkEntry {
     // stats additive, so the incrementally-appended inverted index
     // must score identically to the in-flight corpus scan.
     "r1b_bm25_store" -> bm25OracleSql,
+    // cm1b: the moment-replay oracle (exact decimal sums + the fixed
+    // double formula); st22 the SAME oracle — decimal addition is
+    // lossless, so the streamed moments equal the batch build.
+    "cm1b_corr_store" -> corrMomentsOracleSql,
+    "st22_stream_corr_moments" -> corrMomentsOracleSql,
     // st20: the SAME oracle once more — the streamed index is the
     // same idempotent append per micro-batch, so draining the stream
     // must leave an index that scores identically to the batch build.

@@ -90,6 +90,44 @@ object ProfileQueries {
       .orderBy(col("col_a"), col("col_b"))
   }
 
+  /** The cm1b/st22 feature set: exact 2-decimal columns, so DECIMAL
+    * moment sums are exact and the store face merges losslessly. */
+  val CorrCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** cm1b — the correlation matrix from an INCREMENTALLY-maintained
+    * MOMENT store (ops.Profiling.corrMoments/cmAddMoments): the
+    * classic additive sufficient-statistics sketch as a store face.
+    * The base slice's one-row moment table (n, Σx, Σx·y in exact
+    * DECIMAL) persists once; the delta's moments ADD — decimal sums
+    * are exact and associative, so store + delta equals the full
+    * rebuild bit-for-bit — and the Pearson readout is a deterministic
+    * double formula over the exact moments, replayed verbatim by the
+    * oracle. The 100 TB shape: correlation freshness costs one
+    * delta-sized pass + an O(k²)-value merge; the corpus is never
+    * rescanned. (cm1's DuckDB-corr oracle stays: this face carries
+    * its own moment-replay oracle because the two accumulate
+    * differently at the last double digit.) */
+  def corrMatrixStore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val store = momentStoreCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_cm_store").toString
+      Profiling.corrMoments(
+          li.filter(col("l_orderkey") % 10 =!= 3), CorrCols)
+        .write.parquet(s"$p/m")
+      s"$p/m"
+    })
+    val merged = Profiling.cmAddMoments(
+      spark.read.parquet(store),
+      Profiling.corrMoments(li.filter(col("l_orderkey") % 10 === 3), CorrCols))
+    Profiling.corrFromMoments(merged, CorrCols)
+      .select(col("col_a"), col("col_b"),
+        exactRound(col("corr_raw"), 6).as("corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  private val momentStoreCache = StoreCaches.register("cm1b_corr_store")
+
   /** seq1 — MATCH_RECOGNIZE-style event-sequence detection per user:
     * each user's event history becomes an ordered code string (one
     * char per event type), then pattern hits are plain regex/substring

@@ -611,6 +611,39 @@ object StreamQueries {
   private val streamedTri =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st22 — STREAMING correlation moments: cm1b's one-row exact
+    * DECIMAL moment table (ops.Profiling.corrMoments) built as a
+    * streaming global aggregation, sum-merged in the state store
+    * across 8 micro-batches; the Pearson readout runs batch-side on
+    * the final moments. Decimal addition is exact and associative,
+    * so the streamed moments equal the batch build bit-for-bit and
+    * st22 gates on cm1b's moment-replay oracle VERBATIM — the
+    * continuous-monitoring shape: feature-correlation freshness with
+    * 1 + k + k(k+1)/2 values of state, the corpus streamed past
+    * once. */
+  def streamCorrMoments(spark: SparkSession, dir: String): DataFrame = {
+    val table = streamedCm.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st22_").toString
+      Tables.lineitem(spark, dir)
+        .select(ProfileQueries.CorrCols.map(col): _*)
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val name = s"graft_st22_${math.abs(dir.hashCode)}"
+      EventStreams.runAvailableNow(spark, s"$tmp/src", schema,
+        df => graft.ops.Profiling.corrMoments(df, ProfileQueries.CorrCols),
+        name, maxFilesPerTrigger = Some(1))
+      name
+    })
+    graft.ops.Profiling.corrFromMoments(
+        spark.table(table).localCheckpoint(), ProfileQueries.CorrCols)
+      .select(col("col_a"), col("col_b"),
+        graft.functions.Rounding.exactRound(col("corr_raw"), 6).as("corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  private val streamedCm =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st16 — STREAMING drift monitor: ks1's bounded bin frame
     * (ops.Profiling.driftBins) built as a streaming aggregation,
     * sum-merged in the state store across 8 micro-batches; the KS/PSI
@@ -668,7 +701,7 @@ object StreamQueries {
     "st13_stream_hll", "st14_stream_hist", "st15_stream_kmv",
     "st16_stream_drift", "st17_stream_overlap", "st18_stream_components",
     "st19_stream_components_bucketed", "st20_stream_bm25_index",
-    "st21_stream_triangles")
+    "st21_stream_triangles", "st22_stream_corr_moments")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -684,7 +717,7 @@ object StreamQueries {
     streamedHll.clear(); streamedHist.clear()
     streamedKmv.clear(); streamedDrift.clear()
     streamedOvm.clear(); streamedCc.clear(); streamedCcb.clear()
-    streamedBm25.clear(); streamedTri.clear()
+    streamedBm25.clear(); streamedTri.clear(); streamedCm.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

@@ -152,4 +152,69 @@ object Profiling {
         floor((col("__cum") - col(sizeCol)) / lit(target.toDouble)))
       .drop("__cum")
   }
+
+  // --------------------------------------------------------------
+  // Pearson-correlation MOMENT store: the classic additive
+  // sufficient-statistics sketch. Inputs are exact 2-decimal doubles
+  // (the testdata money/ratio columns), so DECIMAL sums make every
+  // moment EXACT and order-independent: the store face's add-merge
+  // and the streaming face's state-store sum are both lossless by
+  // arithmetic, and the final correlation is a deterministic double
+  // formula over identical exact inputs on any engine.
+  // --------------------------------------------------------------
+
+  /** One-row moment table over `cols`: n, per-column Σx and per-pair
+    * (i ≤ j) Σx·y — 1 + k + k(k+1)/2 values, all DECIMAL-exact
+    * (values cast to DECIMAL(18,2); products carry scale 4; sums stay
+    * inside DECIMAL(38,4) through ~10¹⁶ rows at these magnitudes).
+    * This is the ONE corpus pass; everything downstream — merge,
+    * correlation readout — runs on this bounded frame. */
+  def corrMoments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.select(cols.map(c =>
+      col(c).cast(DecimalType(18, 2)).as(s"__$c")): _*)
+    val aggs = (cols.map(c => sum(col(s"__$c")).as(s"s_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i <= j }
+        yield sum(col(s"__${cols(i)}") * col(s"__${cols(j)}"))
+          .as(s"q_${cols(i)}__${cols(j)}")))
+    base.agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Lossless moment merge: element-wise ADDITION of the one-row
+    * frames (counts and decimal sums are exact and associative, so
+    * store + delta ≡ full rebuild bit-for-bit — the q24/q27 additive
+    * law applied to second-order statistics). */
+  def cmAddMoments(a: DataFrame, b: DataFrame): DataFrame = {
+    val colsAll = a.columns.toSeq
+    require(colsAll == b.columns.toSeq,
+      s"moment schemas differ: $colsAll vs ${b.columns.toSeq}")
+    a.unionByName(b).agg(
+      sum(col(colsAll.head)).as(colsAll.head),
+      colsAll.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Pearson matrix from a moment row: for each pair,
+    * corr = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)·(n·Syy − Sy²)) — the
+    * moments cast to double ONCE (identical exact decimals round to
+    * identical doubles on any engine) and the formula evaluated in a
+    * fixed association order, so an SQL oracle reproduces the doubles
+    * bit-for-bit. Returns (col_a, col_b, corr_raw) rows. */
+  def corrFromMoments(moments: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val n = col("n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    val exprs = pairs.map { case (a, b) =>
+      val num = n * d(s"q_${a}__$b") - d(s"s_$a") * d(s"s_$b")
+      val va = n * d(s"q_${a}__$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = n * d(s"q_${b}__$b") - d(s"s_$b") * d(s"s_$b")
+      (num / sqrt(va * vb)).as(s"${a}__$b")
+    }
+    val one = moments.select(exprs: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__$b`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${pairs.size}, $stacked) AS (col_a, col_b, corr_raw)")
+  }
 }

@@ -112,6 +112,52 @@ class ProfilingSpec extends SparkSpec {
     assert(sized.forall(_._3 < 300L + 400L))
   }
 
+  test("corrMoments: store + delta add-merge equals full rebuild bit-for-bit") {
+    import graft.ops.Profiling
+    val cols = graft.analytics.ProfileQueries.CorrCols
+    val li = Tables.lineitem(spark, sfDir)
+    val merged = Profiling.cmAddMoments(
+        Profiling.corrMoments(li.filter(col("l_orderkey") % 10 =!= 3), cols),
+        Profiling.corrMoments(li.filter(col("l_orderkey") % 10 === 3), cols))
+      .collect().head
+    val rebuild = Profiling.corrMoments(li, cols).collect().head
+    assert(merged.toSeq === rebuild.toSeq,
+      "decimal moment sums must merge losslessly")
+  }
+
+  test("corrFromMoments matches plain-Scala Pearson on a planted frame") {
+    import graft.ops.Profiling
+    import spark.implicits._
+    val xs = Seq((1.0, 2.0, 10.0), (2.0, 4.5, 9.0), (3.0, 5.5, 7.0),
+      (4.0, 8.0, 4.0), (5.0, 10.5, 2.0))
+    val df = xs.toDF("a", "b", "c")
+    val got = Profiling.corrFromMoments(
+        Profiling.corrMoments(df, Seq("a", "b", "c")), Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def pearson(u: Seq[Double], v: Seq[Double]): Double = {
+      val n = u.size
+      val (mu, mv) = (u.sum / n, v.sum / n)
+      val cov = u.zip(v).map { case (x, y) => (x - mu) * (y - mv) }.sum
+      val su = math.sqrt(u.map(x => (x - mu) * (x - mu)).sum)
+      val sv = math.sqrt(v.map(y => (y - mv) * (y - mv)).sum)
+      cov / (su * sv)
+    }
+    val (a, b, c) = (xs.map(_._1), xs.map(_._2), xs.map(_._3))
+    assert(math.abs(got(("a", "b")) - pearson(a, b)) < 1e-9)
+    assert(math.abs(got(("a", "c")) - pearson(a, c)) < 1e-9)
+    assert(math.abs(got(("b", "c")) - pearson(b, c)) < 1e-9)
+    assert(got(("a", "c")) < 0, "anti-correlated pair must be negative")
+  }
+
+  test("cm1b and st22 agree with each other (shared moment oracle)") {
+    val cm1b = SparkEntry.queries("cm1b_corr_store")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val st22 = SparkEntry.queries("st22_stream_corr_moments")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(st22 === cm1b)
+    assert(cm1b.size === 6)
+  }
+
   test("sequencePatternsOf: planted histories match hand counts") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
