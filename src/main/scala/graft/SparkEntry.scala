@@ -505,6 +505,18 @@ object SparkEntry {
         |  count(*) AS n_members
         |FROM ranked GROUP BY component ORDER BY component""".stripMargin
 
+  /** tc1/tc2/st21 oracle: the triangle-count replay — ONE string so
+    * the three "same oracle VERBATIM" registrations are identical by
+    * construction. */
+  private lazy val triangleOracleSql: String =
+    s"""WITH $tradeEdgesCte,
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+      |                   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT node, count(*) AS n_tri
+      |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+      |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
+
   /** cm1b/st22 oracle: the moment replay — exact DECIMAL sums over
     * the full lineitem, then the IDENTICAL fixed-association double
     * formula (the moments cast to double once, `n*Sxy - Sx*Sy` over
@@ -1882,35 +1894,14 @@ object SparkEntry {
          |FROM kk, m, p WHERE kk.user_id = m.user_id
          |GROUP BY kk.user_id ORDER BY kk.user_id""".stripMargin
     },
-    "tc1_triangles" ->
-      s"""WITH $tradeEdgesCte,
-        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
-        |                   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v)
-        |SELECT node, count(*) AS n_tri
-        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
-        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    "tc1_triangles" -> triangleOracleSql,
     // st21: the SAME oracle as tc1/tc2 — per-batch increments sum to
     // the one-shot count (the tc2 identity applied batch by batch).
-    "st21_stream_triangles" ->
-      s"""WITH $tradeEdgesCte,
-        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
-        |                   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v)
-        |SELECT node, count(*) AS n_tri
-        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
-        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    "st21_stream_triangles" -> triangleOracleSql,
     // tc2: the SAME oracle — triangles(E ∪ D) = triangles(E) ⊎
     // {triangles with ≥1 D edge}, so the store's absorbed counts must
     // equal the full recount bit-for-bit.
-    "tc2_triangle_store" ->
-      s"""WITH $tradeEdgesCte,
-        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
-        |                   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v)
-        |SELECT node, count(*) AS n_tri
-        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
-        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    "tc2_triangle_store" -> triangleOracleSql,
     // gc1: data-adaptive k = max(2, ceil(0.7·avg-degree)), then 6
     // unrolled peel rounds — more than the data's cascade depth (4 at
     // sf0.01); post-fixpoint rounds are no-ops on both engines.

@@ -224,21 +224,12 @@ object DedupQueries {
     * daily shape: component freshness costs the delta fold; picking
     * survivors costs one labels-sized join + group — never re-pairing
     * the corpus. */
-  def incrementalSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val comp = bucketedIncrementalComponents(spark, dir)
-      .select(col("node"), col("component"))
-    val members = Tables.documents(spark, dir)
-      .select(col("doc_id").as("node"), col("n_chars"))
-      .join(comp, Seq("node"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component"))
-      .orderBy(col("n_chars").desc, col("node"))
-    members.withColumn("__rn", row_number().over(w))
-      .groupBy(col("component"))
-      .agg(min(when(col("__rn") === 1, col("node"))).as("keep_id"),
-        count(lit(1)).as("n_members"))
+  def incrementalSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.survivorsFromLabels(
+        Tables.documents(spark, dir),
+        bucketedIncrementalComponents(spark, dir),
+        "doc_id", "n_chars")
       .orderBy(col("component"))
-  }
 
   /** Dedup survivorship: one canonical doc per duplicate group (best
     * n_chars, ties to smallest id). */

@@ -571,11 +571,8 @@ object StreamQueries {
         "doc_id", "text", s"$tmp/idx", s"$tmp/cp").awaitTermination()
       s"$tmp/idx"
     })
-    graft.ops.Retrieval.bm25FromIndex(spark, idx, TextQueries.BmTerms)
-      .select(col("doc_id"), col("dl"),
-        graft.functions.Rounding.exactRound(col("score"), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
+    TextQueries.bm25Readout(
+      graft.ops.Retrieval.bm25FromIndex(spark, idx, TextQueries.BmTerms))
   }
 
   private val streamedBm25 =

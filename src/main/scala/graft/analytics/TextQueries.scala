@@ -43,8 +43,14 @@ object TextQueries {
     * engine-portable; the physical top-k is TakeOrderedAndProject
     * (per-partition partial top-k), not a global window. */
   def bm25Search(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Retrieval.bm25(
-      Tables.documents(spark, dir), "doc_id", "text", BmTerms)
+    bm25Readout(graft.ops.Retrieval.bm25(
+      Tables.documents(spark, dir), "doc_id", "text", BmTerms))
+
+  /** The r1/r1b/st20 presentation contract — rounded score, top-20,
+    * id tie-break — in ONE home, so the three faces' shared-oracle
+    * claim is structural rather than three synchronized copies. */
+  private[analytics] def bm25Readout(scored: DataFrame): DataFrame =
+    scored
       .select(col("doc_id"), col("dl"),
         exactRound(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -72,11 +78,7 @@ object TextQueries {
         docs.filter(col("doc_id") % 10 === 3), "doc_id", "text", t): Unit
       t
     })
-    graft.ops.Retrieval.bm25FromIndex(spark, p, BmTerms)
-      .select(col("doc_id"), col("dl"),
-        exactRound(col("score"), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
+    bm25Readout(graft.ops.Retrieval.bm25FromIndex(spark, p, BmTerms))
   }
 
   private val bm25StoreCache = StoreCaches.register("r1b_bm25_store")

@@ -844,11 +844,21 @@ object Dedup {
     * one row per multi-member group: (component, keep_id, n_members).
     * Docs in no pair survive trivially and are not listed. */
   def survivors(docs: DataFrame, idCol: String, textCol: String,
-                qualityCol: String, threshold: Double = 0.8): DataFrame = {
-    val pairs = minHashNearDups(docs, idCol, textCol, threshold)
-    val comp = connectedComponents(pairs, "id_a", "id_b")
+                qualityCol: String, threshold: Double = 0.8): DataFrame =
+    survivorsFromLabels(docs,
+      connectedComponents(
+        minHashNearDups(docs, idCol, textCol, threshold), "id_a", "id_b"),
+      idCol, qualityCol)
+
+  /** The survivor pick over an EXISTING (node, component) label frame —
+    * ONE home for the keep-best (quality desc, ties to smallest id)
+    * readout, shared by [[survivors]] (fresh full-corpus CC) and the
+    * d7b face (labels from the incrementally-maintained bucket store),
+    * so the d7 ≡ d7b tie-break contract cannot silently drift. */
+  def survivorsFromLabels(docs: DataFrame, labels: DataFrame, idCol: String,
+                          qualityCol: String): DataFrame = {
     val members = docs.select(col(idCol).as("node"), col(qualityCol))
-      .join(comp, Seq("node"))
+      .join(labels.select(col("node"), col("component")), Seq("node"))
     val w = Window.partitionBy(col("component"))
       .orderBy(col(qualityCol).desc, col("node"))
     members.withColumn("__rn", row_number().over(w))

@@ -93,16 +93,25 @@ object Triangles {
     * away, an empty novel set adds nothing. */
   def mergeTriangleCounts(storedCounts: DataFrame, storedEdges: DataFrame,
                           deltaEdges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
-    val e0 = deltaEdges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v"))
-    val d0 = e0.filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .distinct()
-    val novel = d0.join(storedEdges.select(col("u"), col("v")),
-        Seq("u", "v"), "left_anti")
-      .localCheckpoint() // feeds the union, the degree orient, the probe
+                          dstCol: String,
+                          assumeNovel: Boolean = false): DataFrame = {
+    // assumeNovel: the caller promises id-ordered distinct loop-free
+    // edges ALREADY anti-joined against the store (triangleCountStream
+    // runs that join itself) — skipping it here avoids paying the
+    // store-sized scan twice per micro-batch
+    val novel = (if (assumeNovel)
+      deltaEdges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+    else {
+      val e0 = deltaEdges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      e0.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+        .join(storedEdges.select(col("u"), col("v")),
+          Seq("u", "v"), "left_anti")
+    }).localCheckpoint() // feeds the union, the degree orient, the probe
     val full = storedEdges.select(col("u"), col("v")).unionByName(novel)
       .localCheckpoint() // feeds adjacency, degrees and the closure join
     val adj = full.select(col("u").as("a"), col("v").as("b"))

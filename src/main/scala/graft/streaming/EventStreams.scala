@@ -322,17 +322,22 @@ object EventStreams {
     *    batch rewrites the same dir with the same rows.
     *
     * Readers sum the increments (a compaction pass can fold them).
-    * Crash-exactly-once without a marker: the increment derives from
-    * the batch's NOVEL edges (anti-join against the edge store), so
-    * the write order — increment dir FIRST (overwrite-idempotent),
-    * novel edges appended AFTER — makes every crash window heal on
-    * replay: a crash before the edge append leaves the batch's edges
-    * novel, so the refold recomputes the identical increment into the
-    * same dir; a crash after it finds nothing novel and an increment
-    * dir already in place. Each batch's cost is Σ min-degree over its
-    * novel edges, never the accumulated graph; the final summed
-    * counts equal the one-shot batch count (the tc2 identity), so
-    * st21 gates on tc1's oracle VERBATIM. */
+    * Crash-exactly-once without a marker, via COMMIT-THEN-FREEZE: an
+    * increment dir with a `_SUCCESS` marker is IMMUTABLE — replays
+    * skip straight to the edge append. The write order (increment
+    * FIRST, novel edges AFTER) makes every window heal: a crash
+    * mid-increment leaves no `_SUCCESS` and no appended edges, so the
+    * replay rewrites the full increment from the still-fully-novel
+    * batch; a crash between the increment commit and the edge append
+    * — or mid-append — skips the frozen increment and appends exactly
+    * the still-missing edges. (A naive unconditional overwrite would
+    * CLOBBER a committed increment with an empty one when the batch
+    * replays after its edges landed — the counts would silently
+    * undercount forever; the freeze is what makes the replay safe.)
+    * Each batch's cost is Σ min-degree over its novel edges, never
+    * the accumulated graph; the final summed counts equal the
+    * one-shot batch count (the tc2 identity), so st21 gates on tc1's
+    * oracle VERBATIM. */
   def triangleCountStream(edges: DataFrame, srcCol: String, dstCol: String,
                           storePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -353,12 +358,16 @@ object EventStreams {
           .distinct()
         val novel = d0.join(stored, Seq("u", "v"), "left_anti")
           .localCheckpoint() // materialize BEFORE any store write
-        // zero-count empty increment still writes: the dir is the
-        // batch's completion record
-        Triangles.mergeTriangleCounts(
-            spark.range(0).selectExpr("id AS node", "id AS n_tri"),
-            stored, novel, "u", "v")
-          .write.mode("overwrite").parquet(s"$storePath/inc_$batchId")
+        val incDone = new org.apache.hadoop.fs.Path(
+          s"$storePath/inc_$batchId/_SUCCESS")
+        if (!fs.exists(incDone))
+          // zero-count empty increment still writes: the dir is the
+          // batch's completion record. assumeNovel: the anti-join
+          // above already ran — never pay the store scan twice
+          Triangles.mergeTriangleCounts(
+              spark.range(0).selectExpr("id AS node", "id AS n_tri"),
+              stored, novel, "u", "v", assumeNovel = true)
+            .write.mode("overwrite").parquet(s"$storePath/inc_$batchId")
         if (!novel.isEmpty)
           novel.write.mode("append").parquet(edgesP.toString)
       }
