@@ -43,12 +43,23 @@ object Catalog {
     registerExprFunction(spark, "vec_cosine", a =>
       Divide(dot(a(0), a(1)),
         nullIfZero(Multiply(Sqrt(dot(a(0), a(0))), Sqrt(dot(a(1), a(1)))))))
-    // SQL-surface conveniences; the columnar forms live in TextFunctions
-    spark.udf.register("token_count", (s: String) =>
-      if (s == null) 0
-      else graft.functions.TextFunctions.TokenPattern.r.findAllIn(s).size)
-    spark.udf.register("word_count", (s: String) =>
-      if (s == null || s.trim.isEmpty) 0 else s.trim.split("\\s+").length)
+    // SQL-surface conveniences registered as NATIVE expression trees
+    // (no Scala UDF survives anywhere in main): token_count is the
+    // codegen TokenCount, word_count the same trim/split/size tree as
+    // TextFunctions.wordCount; both keep the 0-for-null contract the
+    // old lambdas had
+    import org.apache.spark.sql.catalyst.expressions.{
+      IsNull, Length, Literal => Lit, Size, StringSplit, StringTrim}
+    import org.apache.spark.sql.types.StringType
+    def str(e: Expression) = Cast(e, StringType)
+    registerExprFunction(spark, "token_count", a =>
+      If(IsNull(a(0)), Lit(0), graft.functions.TokenCount(str(a(0)))))
+    registerExprFunction(spark, "word_count", a => {
+      val t = StringTrim(str(a(0)))
+      If(IsNull(a(0)), Lit(0),
+        If(EqualTo(Length(t), Lit(0)), Lit(0),
+          Size(StringSplit(t, Lit("\\s+"), Lit(-1)))))
+    })
   }
 
   /** Register a TranscriptPipeline output directory as the warehouse
