@@ -86,6 +86,37 @@ class ComponentStoreSpec extends SparkSpec {
     assert(files(p) === snapshot, "replay must not rewrite any file")
   }
 
+  test("componentsStreamBucketed fails fast when the label store is behind the checkpoint") {
+    import graft.streaming.EventStreams
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_st19gap_spec").toString
+    def run(): Unit = {
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      EventStreams.componentsStreamBucketed(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
+        "doc_id", "text", s"$tmp/store", s"$tmp/lbl", s"$tmp/cp")
+        .awaitTermination()
+    }
+    Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text").repartition(2).write.parquet(s"$tmp/src")
+    run() // folds batches 0..1; marker records the last of them
+    // simulate a lost/rolled-back label store with the CHECKPOINT
+    // intact: the next batch id continues PAST the store's history
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$tmp/lbl"))
+    Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$tmp/src")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    assert(e.getMessage.contains("refusing to fold") ||
+      Option(e.getCause).exists(_.getMessage.contains("refusing to fold")),
+      s"gap must fail fast, got: ${e.getMessage}")
+  }
+
   test("d7b incremental survivorship equals d7 on real data") {
     val d7 = SparkEntry.queries("d7_dedup_survivors")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
