@@ -44,22 +44,22 @@ object Catalog {
       Divide(dot(a(0), a(1)),
         nullIfZero(Multiply(Sqrt(dot(a(0), a(0))), Sqrt(dot(a(1), a(1)))))))
     // SQL-surface conveniences registered as NATIVE expression trees
-    // (no Scala UDF survives anywhere in main): token_count is the
-    // codegen TokenCount, word_count the same trim/split/size tree as
-    // TextFunctions.wordCount; both keep the 0-for-null contract the
-    // old lambdas had
-    import org.apache.spark.sql.catalyst.expressions.{
-      IsNull, Length, Literal => Lit, Size, StringSplit, StringTrim}
+    // built from THE columnar forms themselves (TextFunctions.tokenCount
+    // / wordCount through the bridge — structural sharing, not a copy
+    // kept in sync by a comment). No Scala UDF survives anywhere in
+    // main. The 0-for-null contract of the old lambdas is kept; the
+    // old word_count lambda additionally trimmed ALL control chars
+    // (Java String.trim) where the columnar contract trims spaces —
+    // the SQL surface now matches the columnar n_words path exactly,
+    // which is the contract the oracles gate.
+    import org.apache.spark.sql.catalyst.expressions.{IsNull, Literal => Lit}
     import org.apache.spark.sql.types.StringType
     def str(e: Expression) = Cast(e, StringType)
     registerExprFunction(spark, "token_count", a =>
       If(IsNull(a(0)), Lit(0), graft.functions.TokenCount(str(a(0)))))
-    registerExprFunction(spark, "word_count", a => {
-      val t = StringTrim(str(a(0)))
+    registerExprFunction(spark, "word_count", a =>
       If(IsNull(a(0)), Lit(0),
-        If(EqualTo(Length(t), Lit(0)), Lit(0),
-          Size(StringSplit(t, Lit("\\s+"), Lit(-1)))))
-    })
+        graft.functions.TextFunctions.wordCountExpr(str(a(0)))))
   }
 
   /** Register a TranscriptPipeline output directory as the warehouse

@@ -30,9 +30,25 @@ object TextFunctions {
 
   /** F5 — whitespace word count, as len(text.split()) in the reference
     * (helpers.py:162): split on runs of whitespace after trim. */
-  def wordCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+  def wordCount(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(wordCountExpr(
+      GraftColumnBridge.expression(text.cast("string"))))
+  }
+
+  /** Expression-level form of [[wordCount]] — ONE tree shared by the
+    * Column API above and the Catalog SQL-surface registration
+    * (Column trees cannot cross into registry functions — see
+    * GraftColumnBridge.registerExprFunction — but raw expressions go
+    * both ways, so the two surfaces cannot drift). */
+  private[graft] def wordCountExpr(
+      s: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val t = StringTrim(s)
+    If(EqualTo(Length(t), Literal(0)), Literal(0),
+      Size(StringSplit(t, Literal("\\s+"), Literal(-1))))
+  }
 
   /** U2 — truncate to at most `maxTokens` tokens
     * (helpers.py:90-98,184-187). The reference decodes BPE ids back to

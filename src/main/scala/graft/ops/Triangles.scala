@@ -99,19 +99,23 @@ object Triangles {
     // edges ALREADY anti-joined against the store (triangleCountStream
     // runs that join itself) — skipping it here avoids paying the
     // store-sized scan twice per micro-batch
-    val novel = (if (assumeNovel)
-      deltaEdges.select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v"))
-    else {
-      val e0 = deltaEdges.select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v"))
-      e0.filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"),
-          greatest(col("u"), col("v")).as("v"))
-        .distinct()
-        .join(storedEdges.select(col("u"), col("v")),
-          Seq("u", "v"), "left_anti")
-    }).localCheckpoint() // feeds the union, the degree orient, the probe
+    val novel =
+      if (assumeNovel)
+        // the caller checkpointed its novel frame already — the narrow
+        // rename-select below re-plans for free over that RDD
+        deltaEdges.select(col(srcCol).cast("long").as("u"),
+          col(dstCol).cast("long").as("v"))
+      else {
+        val e0 = deltaEdges.select(col(srcCol).cast("long").as("u"),
+          col(dstCol).cast("long").as("v"))
+        e0.filter(col("u") =!= col("v"))
+          .select(least(col("u"), col("v")).as("u"),
+            greatest(col("u"), col("v")).as("v"))
+          .distinct()
+          .join(storedEdges.select(col("u"), col("v")),
+            Seq("u", "v"), "left_anti")
+          .localCheckpoint() // feeds the union, the orient, the probe
+      }
     val full = storedEdges.select(col("u"), col("v")).unionByName(novel)
       .localCheckpoint() // feeds adjacency, degrees and the closure join
     val adj = full.select(col("u").as("a"), col("v").as("b"))

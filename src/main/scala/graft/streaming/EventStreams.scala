@@ -356,11 +356,23 @@ object EventStreams {
           .select(least(col("u"), col("v")).as("u"),
             greatest(col("u"), col("v")).as("v"))
           .distinct()
+        // gap guard (the componentsStreamBucketed discipline): batch
+        // ids are contiguous under AvailableNow, so a missing previous
+        // increment dir means the store was lost/rolled back while the
+        // checkpoint survived — silently restarting from an empty edge
+        // set would emit a plausible-looking but wrong count table
+        require(batchId == 0L || fs.exists(
+            new org.apache.hadoop.fs.Path(s"$storePath/inc_${batchId - 1}")),
+          s"triangleCountStream: store is missing inc_${batchId - 1} " +
+            s"under $storePath — refusing to fold batch $batchId over a gap")
         val novel = d0.join(stored, Seq("u", "v"), "left_anti")
           .localCheckpoint() // materialize BEFORE any store write
+        // our OWN completion marker, not parquet's _SUCCESS: committers
+        // configured with marksuccessfuljobs=false would otherwise
+        // never freeze the increment and the replay-clobber returns
         val incDone = new org.apache.hadoop.fs.Path(
-          s"$storePath/inc_$batchId/_SUCCESS")
-        if (!fs.exists(incDone))
+          s"$storePath/inc_$batchId/_GRAFT_DONE")
+        if (!fs.exists(incDone)) {
           // zero-count empty increment still writes: the dir is the
           // batch's completion record. assumeNovel: the anti-join
           // above already ran — never pay the store scan twice
@@ -368,6 +380,8 @@ object EventStreams {
               spark.range(0).selectExpr("id AS node", "id AS n_tri"),
               stored, novel, "u", "v", assumeNovel = true)
             .write.mode("overwrite").parquet(s"$storePath/inc_$batchId")
+          fs.create(incDone, true).close()
+        }
         if (!novel.isEmpty)
           novel.write.mode("append").parquet(edgesP.toString)
       }
