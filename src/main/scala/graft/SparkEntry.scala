@@ -58,6 +58,7 @@ object SparkEntry {
     "q25_kmv_store"         -> (SketchQueries.kmvStore _),
     "q27_cms_store"         -> (SketchQueries.countMinStore _),
     "q26_kmv_overlap"       -> (SketchQueries.kmvOverlap _),
+    "q26b_kmv_delta"        -> (SketchQueries.kmvDelta _),
     "ov1_overlap_matrix"    -> (SketchQueries.kmvOverlapMatrix _),
     "ov1b_overlap_store"    -> (SketchQueries.kmvOverlapMatrixIncremental _),
     "ov2_overlap_sparse"    -> (SketchQueries.kmvOverlapMatrixSparse _),
@@ -481,6 +482,47 @@ object SparkEntry {
       |       FROM (SELECT l_partkey, count(DISTINCT s) AS ns
       |             FROM base GROUP BY 1))
       |SELECT n_l, max_h_l, n_inter, exact_inter, exact_union,
+      |  true AS within_bound
+      |FROM st CROSS JOIN ex""".stripMargin
+  }
+
+  /** q26b oracle: [[kmvOverlapOracleSql]]'s sketches and union
+    * bottom-k with ONE-SIDED membership counts, and exact a-only /
+    * b-only sides from per-partkey year flags. */
+  private lazy val kmvDeltaOracleSql: String = {
+    val k = graft.ops.Sketches.KmvK
+    val h = polyHash64Sql("CAST(l_partkey AS VARCHAR)")
+    s"""WITH base AS (SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS s,
+      |         l_partkey
+      |       FROM lineitem WHERE year(l_shipdate) IN (1994, 1995)),
+      |k AS (SELECT s, $h AS h FROM base),
+      |${mix64ChainSql("s")},
+      |dg AS (SELECT DISTINCT s, g FROM mg),
+      |rk AS (SELECT s, g, row_number() OVER
+      |         (PARTITION BY s ORDER BY g) AS r FROM dg),
+      |ska AS (SELECT g FROM rk WHERE s = 1994 AND r <= $k),
+      |skb AS (SELECT g FROM rk WHERE s = 1995 AND r <= $k),
+      |lu AS (SELECT DISTINCT g FROM
+      |        (SELECT g FROM ska UNION ALL SELECT g FROM skb)),
+      |l AS (SELECT g FROM (SELECT g, row_number() OVER (ORDER BY g) AS r
+      |                     FROM lu) WHERE r <= $k),
+      |st AS (SELECT count(*) AS n_l, max(g) AS max_h_l,
+      |         count(CASE WHEN g IN (SELECT g FROM ska)
+      |                     AND g NOT IN (SELECT g FROM skb) THEN 1 END)
+      |           AS n_a_only,
+      |         count(CASE WHEN g IN (SELECT g FROM skb)
+      |                     AND g NOT IN (SELECT g FROM ska) THEN 1 END)
+      |           AS n_b_only
+      |       FROM l),
+      |ex AS (SELECT count(*) AS exact_union,
+      |         count(CASE WHEN a = 1 AND b = 0 THEN 1 END) AS exact_a_only,
+      |         count(CASE WHEN b = 1 AND a = 0 THEN 1 END) AS exact_b_only
+      |       FROM (SELECT l_partkey,
+      |               max(CASE WHEN s = 1994 THEN 1 ELSE 0 END) AS a,
+      |               max(CASE WHEN s = 1995 THEN 1 ELSE 0 END) AS b
+      |             FROM base GROUP BY 1))
+      |SELECT n_l, max_h_l, n_a_only, n_b_only,
+      |  exact_a_only, exact_b_only, exact_union,
       |  true AS within_bound
       |FROM st CROSS JOIN ex""".stripMargin
   }
@@ -2810,6 +2852,9 @@ object SparkEntry {
     // equal the batch sketch bit-for-bit (lossless minK merge).
     "st15_stream_kmv" -> kmvOracleSql,
     "q26_kmv_overlap" -> kmvOverlapOracleSql,
+    // q26b: q26's replay with one-sided membership counts and the
+    // per-partkey year-flag exact sides.
+    "q26b_kmv_delta" -> kmvDeltaOracleSql,
     "ov1_overlap_matrix" -> kmvMatrixOracleSql,
     // ov1b: the SAME oracle — the store+delta min-k merge is lossless,
     // so the incrementally-maintained matrix must equal the

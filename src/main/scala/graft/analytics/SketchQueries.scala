@@ -312,6 +312,40 @@ object SketchQueries {
           <= lit(sigma)).as("within_bound"))
   }
 
+  /** q26b — KMV set-DIFFERENCE estimate (ops.Sketches.kmvDifference):
+    * q26's snapshot slices asked the asymmetric question — how many
+    * 1994 parts did NOT ship in 1995, and vice versa (the
+    * training-snapshot "what's genuinely new" screen). Same sketches,
+    * same bottom-k union sample; membership counted one-sided, each
+    * direction riding its own 3σ binomial contract against the exact
+    * distinct-key replay. */
+  def kmvDelta(spark: SparkSession, dir: String): DataFrame = {
+    val k = Sketches.KmvK
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"))
+    def side(y: Int) = li.filter(col("yr") === y).withColumn("__s", lit(y))
+    val skA = Sketches.kmvSketch(side(1994), "__s", "l_partkey").drop("__s")
+    val skB = Sketches.kmvSketch(side(1995), "__s", "l_partkey").drop("__s")
+    val est = Sketches.kmvDifference(skA, skB, k)
+    val exact = side(1994).select(col("l_partkey"), col("__s"))
+      .unionByName(side(1995).select(col("l_partkey"), col("__s")))
+      .groupBy(col("l_partkey"))
+      .agg(max(when(col("__s") === 1994, 1).otherwise(0)).as("__a"),
+        max(when(col("__s") === 1995, 1).otherwise(0)).as("__b"))
+      .agg(count(lit(1)).as("exact_union"),
+        count(when(col("__a") === 1 && col("__b") === 0, 1)).as("exact_a_only"),
+        count(when(col("__b") === 1 && col("__a") === 0, 1)).as("exact_b_only"))
+    val sigma = 3.0 * math.sqrt(0.25 / k)
+    est.crossJoin(exact)
+      .select(col("n_l"), col("max_h_l"), col("n_a_only"), col("n_b_only"),
+        col("exact_a_only"), col("exact_b_only"), col("exact_union"),
+        (abs(col("n_a_only") / col("n_l") -
+            col("exact_a_only") / col("exact_union")) <= lit(sigma) &&
+          abs(col("n_b_only") / col("n_l") -
+            col("exact_b_only") / col("exact_union")) <= lit(sigma))
+          .as("within_bound"))
+  }
+
   /** ov1 — KMV shingle-overlap MATRIX across the 20 document sources
     * (ops.Sketches.kmvOverlapMatrix): the S-slice contamination
     * screen. Each source's distinct word-3-shingle set (the d2/d4

@@ -496,6 +496,31 @@ object Sketches {
         Seq("__gb")), k)
   }
 
+  /** Set-DIFFERENCE estimates from two single-set sketch tables — the
+    * SNAPSHOT-DELTA screen the intersection alone can't answer
+    * asymmetrically ("how much of slice A is NOT already in B", e.g.
+    * genuinely-new corpus mass between two training snapshots): the
+    * same bottom-k union sample L as [[kmvIntersect]], membership
+    * counted ONE-SIDED. L is a uniform sample of A ∪ B's hash space,
+    * so |L ∩ A∖B| / |L| estimates |A∖B| / |A∪B| with q26's binomial
+    * error, and ρ̂ · D̂(A∪B) estimates |A∖B|. Everything sketch-sized;
+    * exact-integer evidence (n_l, max_h_l, n_a_only, n_b_only) rides
+    * ahead of the float estimates for the oracle. */
+  def kmvDifference(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
+    val l = a.select(col("h")).unionByName(b.select(col("h")))
+      .distinct().orderBy(col("h")).limit(k)
+    l.join(a.select(col("h"), lit(1).as("__ina")), Seq("h"), "left")
+      .join(b.select(col("h"), lit(1).as("__inb")), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_l"), max(col("h")).as("max_h_l"),
+        count(when(col("__ina") === 1 && col("__inb").isNull, 1)).as("n_a_only"),
+        count(when(col("__inb") === 1 && col("__ina").isNull, 1)).as("n_b_only"))
+      .withColumn("union_est", kmvEstimate(col("n_l"), col("max_h_l"), k))
+      .withColumn("a_minus_b_est",
+        col("n_a_only") / col("n_l") * col("union_est"))
+      .withColumn("b_minus_a_est",
+        col("n_b_only") / col("n_l") * col("union_est"))
+  }
+
   def kmvIntersect(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
     val l = a.select(col("h")).unionByName(b.select(col("h")))
       .distinct().orderBy(col("h")).limit(k)

@@ -105,6 +105,28 @@ class KmvSpec extends SparkSpec {
     assert(inter > 0.5 * n && inter < 1.5 * n, s"inter_est $inter")
   }
 
+  test("difference estimate tracks the engineered 1/3-1/3-1/3 split") {
+    // A = [0, 2n), B = [n, 3n): |A \ B| = |B \ A| = n, |A ∪ B| = 3n
+    val n = 3000
+    def set(lo: Int, hi: Int) = spark.range(lo.toLong, hi.toLong)
+      .selectExpr("'g' AS grp", "concat('v', id) AS k")
+    val skA = Sketches.kmvSketch(set(0, 2 * n), "grp", "k").drop("grp")
+    val skB = Sketches.kmvSketch(set(n, 3 * n), "grp", "k").drop("grp")
+    val row = Sketches.kmvDifference(skA, skB).collect().head
+    val sigma = 3.0 * math.sqrt(0.25 / Sketches.KmvK)
+    for (c <- Seq("n_a_only", "n_b_only")) {
+      val frac = row.getAs[Long](c).toDouble / row.getAs[Long]("n_l")
+      assert(math.abs(frac - 1.0 / 3.0) <= sigma, s"$c fraction $frac")
+    }
+    val est = row.getAs[Double]("a_minus_b_est")
+    assert(est > 0.4 * n && est < 1.6 * n, s"a_minus_b_est $est")
+    // identical sketches: both one-sided counts must be exactly zero
+    val same = Sketches.kmvDifference(skA, skA).collect().head
+    assert(same.getAs[Long]("n_a_only") == 0L &&
+      same.getAs[Long]("n_b_only") == 0L &&
+      same.getAs[Double]("a_minus_b_est") == 0.0)
+  }
+
   test("disjoint sets estimate zero intersection") {
     def set(lo: Int, hi: Int) = spark.range(lo.toLong, hi.toLong)
       .selectExpr("'g' AS grp", "concat('w', id) AS k")
