@@ -215,28 +215,38 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     println(detail)
-    val budget = 1600 // chars for the queries map in the final line
-    val all = jsonMap(medians)
-    val compactQueries =
-      if (all.length <= budget) all
+    // The final line now carries BOTH the per-query median and its
+    // min-of-iters (the r12 verdict's ask): in a contended window the
+    // medians inflate but the mins usually stay clean, so a reader of
+    // the graded artifact alone can tell window noise from a plan
+    // regression. Both maps share one name set (a slowest-by-median
+    // prefix) so they stay directly comparable; the budget covers the
+    // COMBINED length of an entry in both maps.
+    val budget = 1400 // chars for queries + queries_min in the final line
+    val mins = samples.map { case (k, ts) => k -> ts.min }.toMap
+    val allMed = jsonMap(medians)
+    val allMin = jsonMap(medians.map { case (k, _) => k -> mins(k) })
+    val (compactQueries, compactMins) =
+      if (allMed.length + allMin.length <= budget) (allMed, allMin)
       else {
         // a TRUE slowest-prefix: stop at the first entry that no longer
         // fits — continuing would bias the map toward short-named
         // queries after the first overflow
         val bySlowest = medians.sortBy(-_._2)
         val keep = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-        var len = 2 // braces
+        var len = 4 // two sets of braces
         var full = false
         bySlowest.foreach { case (k, v) =>
-          val add = k.length + r3(v).length + 4
+          val add = 2 * (k.length + 4) + r3(v).length + r3(mins(k)).length
           if (!full && len + add <= budget) { keep += (k -> v); len += add }
           else full = true
         }
-        jsonMap(keep.sortBy(_._1).toSeq)
+        val kept = keep.sortBy(_._1).toSeq
+        (jsonMap(kept), jsonMap(kept.map { case (k, _) => k -> mins(k) }))
       }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""iters":$iters,"n_queries":${samples.size},$probeJson,""" +
-      s""""queries":$compactQueries,"sf":"$sfDir"}""")
+      s""""queries":$compactQueries,"queries_min":$compactMins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -680,8 +680,68 @@ object Dedup {
     * assert meaningful. */
   val ComponentStoreBuckets: Int = 64
 
+  /** Sentinel bucket count: resolve from the store's persisted `_meta`
+    * (an existing store), else data-size from the label row count (a
+    * fresh store). The default everywhere a caller doesn't genuinely
+    * know better — passing a literal N over a live store whose meta
+    * says otherwise fail-fasts instead of silently mis-pruning. */
+  val StoreSizedBuckets: Int = 0
+
+  /** Data-sized bucket count: one bucket ≈ 6M (long, long) label rows
+    * ≈ 100 MB per write task, floored at 8 so the touched/untouched
+    * pruning stays meaningful at fixture scale and capped at 2¹⁴
+    * (the 10¹¹-node sizing). Fixture-scale stores stop paying dozens
+    * of empty-file parquet footers per read. */
+  def dataSizedComponentBuckets(labelRows: Long): Int =
+    math.min(1L << 14, math.max(8L, labelRows / 6000000L)).toInt
+
   private def componentBucket(c: Column, nBuckets: Int): Column =
     pmod(c, lit(nBuckets.toLong))
+
+  /** The store's persisted bucket count — a `_meta` sidecar INSIDE the
+    * label dir (underscore-prefixed: parquet scans ignore it). The
+    * bucket count is frozen into the directory layout at write time
+    * (cb = component mod N); merging or reading with a different N
+    * would silently prune the wrong directories, so every merge
+    * resolves N from this sidecar and fail-fasts on a mismatch. */
+  def readComponentStoreMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[Int] =
+    graft.etl.StoreMeta.read(spark, path)
+
+  def writeComponentStoreMeta(spark: org.apache.spark.sql.SparkSession,
+                              path: String, nBuckets: Int): Unit =
+    graft.etl.StoreMeta.write(spark, path, nBuckets)
+
+  /** Resolve the effective bucket count for an operation against the
+    * store at `path`: the persisted meta wins; an explicit caller N
+    * must MATCH it (the guard — a mismatch used to silently mis-prune);
+    * a store with label data but no meta is a pre-meta layout and
+    * fail-fasts with the migration recipe rather than guessing. The
+    * fallback (fresh store, no meta) is the caller's N or `dataSized`
+    * for [[StoreSizedBuckets]]. */
+  private def resolveStoreBuckets(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, requested: Int,
+                                  dataSized: => Int): Int =
+    readComponentStoreMeta(spark, path) match {
+      case Some(m) =>
+        require(requested == StoreSizedBuckets || requested == m,
+          s"component store at $path is bucketed with nBuckets=$m but the " +
+            s"caller passed $requested — merging with a mismatched bucket " +
+            "count silently mis-prunes; pass StoreSizedBuckets (0) to use " +
+            "the store's own N, or migrate via rebucketComponentStore")
+        m
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(p) &&
+          fs.listStatus(p).exists(_.getPath.getName.startsWith("cb="))
+        require(!hasData,
+          s"component store at $path has label data but no _graft_meta " +
+            "sidecar (pre-meta layout): stamp the verified bucket count " +
+            "via writeComponentStoreMeta, or rebuild through " +
+            "rebucketComponentStore")
+        if (requested == StoreSizedBuckets) dataSized else requested
+    }
 
   /** BUCKET-PARTITIONED persisted component label store — the layout
     * that makes [[mergeComponentStoreDelta]]'s per-batch WRITE
@@ -692,24 +752,72 @@ object Dedup {
     * the touched roots' bucket directories — bucketing by node would
     * scatter one merged component's rewrites across every bucket). */
   def writeComponentStore(labels: DataFrame, path: String,
-                          nBuckets: Int = ComponentStoreBuckets): Unit =
+                          nBuckets: Int = StoreSizedBuckets): Unit = {
+    val spark = labels.sparkSession
+    // materialize once: the data-sized default needs a count, and the
+    // partitioned write must not recompute an arbitrary upstream plan
+    val rows = labels.select(col("node"), col("component")).localCheckpoint()
+    val n = resolveStoreBuckets(spark, path, nBuckets,
+      dataSizedComponentBuckets(rows.count()))
+    // meta FIRST: a crash between the two writes leaves meta + no
+    // labels, which reads as an empty store with a pinned N — the
+    // retry rewrites; labels-without-meta would fail-fast instead
+    writeComponentStoreMeta(spark, path, n)
     graft.etl.Sinks.overwritePartitions(
-      labels.select(col("node"), col("component"))
-        .withColumn("cb", componentBucket(col("component"), nBuckets)),
+      rows.withColumn("cb", componentBucket(col("component"), n)),
       path, Seq("cb"))
+  }
 
   /** The store scan: partition column comes back type-inferred, so pin
-    * it before arithmetic; an absent store reads as empty (day zero). */
+    * it before arithmetic; an absent store — or one holding only the
+    * `_graft_meta` sidecar (the crash window between meta and the
+    * first label write) — reads as empty (day zero). */
   def readComponentStore(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("cb=")))
       spark.read.parquet(path)
         .select(col("node"), col("component"), col("cb").cast("long").as("cb"))
     else
       spark.range(0).selectExpr("id AS node", "id AS component",
         "id AS cb")
+  }
+
+  /** RESIZE migration for the bucket store — the lifecycle face the
+    * frozen-at-write-time bucket count needs: rewrite the labels under
+    * a new `cb = component mod newBuckets` layout, leaving the (node,
+    * component) rows BIT-IDENTICAL (asserted in ComponentStoreSpec).
+    * Staged-tmp + park-then-publish (the rebuildKnnEdges discipline):
+    * the new tree builds fully beside the store, the old tree survives
+    * until the new one is in place, and a parked `__rebucket_old` from
+    * a crashed swap is swept on the next attempt. A crash inside the
+    * two-rename window leaves the store absent with the old tree
+    * parked — recovered on entry by restoring the park before
+    * rebuilding. */
+  def rebucketComponentStore(spark: org.apache.spark.sql.SparkSession,
+                             path: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"rebucketComponentStore: newBuckets=$newBuckets")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}__rebucket_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}__rebucket_old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p),
+        s"rebucketComponentStore: crash recovery restore $old -> $p failed")
+    val rows = readComponentStore(spark, path)
+      .select(col("node"), col("component"))
+      .withColumn("cb", componentBucket(col("component"), newBuckets))
+      .localCheckpoint() // materialize BEFORE any rename touches the source
+    if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+    rows.write.partitionBy("cb").parquet(tmp.toString)
+    writeComponentStoreMeta(spark, tmp.toString, newBuckets)
+    if (fs.exists(old)) fs.delete(old, true): Unit
+    if (fs.exists(p))
+      require(fs.rename(p, old), s"rebucketComponentStore: park $p failed")
+    require(fs.rename(tmp, p), s"rebucketComponentStore: publish $tmp failed")
+    fs.delete(old, true): Unit
   }
 
   /** [[mergeComponentLabels]] against the PERSISTED bucket store, the
@@ -749,17 +857,24 @@ object Dedup {
   def mergeComponentStoreDelta(spark: org.apache.spark.sql.SparkSession,
                                path: String, deltaEdges: DataFrame,
                                aCol: String, bCol: String,
-                               nBuckets: Int = ComponentStoreBuckets): Seq[Long] = {
+                               nBuckets: Int = StoreSizedBuckets): Seq[Long] = {
     val store = readComponentStore(spark, path)
     val lbl = store.select(col("node"), col("component"))
     val (remap, deltaNodes) = contractDelta(lbl, deltaEdges, aCol, bCol)
     val newRows = remapWith(remap)(
         deltaNodes.join(lbl.select(col("node")), Seq("node"), "left_anti"))
       .localCheckpoint()
+    // resolve N: persisted meta wins (mismatch fail-fasts); a fresh
+    // store data-sizes from the first batch's new nodes — small for a
+    // stream's day zero, which is exactly when few buckets are right
+    val metaBefore = readComponentStoreMeta(spark, path)
+    val nBucketsEff = resolveStoreBuckets(spark, path, nBuckets,
+      dataSizedComponentBuckets(newRows.count()))
+    if (metaBefore.isEmpty) writeComponentStoreMeta(spark, path, nBucketsEff)
     val touched = remap
-      .select(componentBucket(col("__root"), nBuckets).as("cb"))
-      .unionByName(remap.select(componentBucket(col("__new"), nBuckets).as("cb")))
-      .unionByName(newRows.select(componentBucket(col("component"), nBuckets).as("cb")))
+      .select(componentBucket(col("__root"), nBucketsEff).as("cb"))
+      .unionByName(remap.select(componentBucket(col("__new"), nBucketsEff).as("cb")))
+      .unionByName(newRows.select(componentBucket(col("component"), nBucketsEff).as("cb")))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
     if (touched.nonEmpty) {
       val cur = store.filter(col("cb").isin(touched: _*))
@@ -769,7 +884,7 @@ object Dedup {
       // new bucket, and the re-merge must collapse the copies
       val out = remapWith(remap)(cur).unionByName(newRows)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
-        .withColumn("cb", componentBucket(col("component"), nBuckets))
+        .withColumn("cb", componentBucket(col("component"), nBucketsEff))
         .localCheckpoint() // materialize BEFORE overwriting what it read
       graft.etl.Sinks.overwritePartitions(out, path, Seq("cb"))
       val present = out.select(col("cb")).distinct()

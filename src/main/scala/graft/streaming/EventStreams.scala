@@ -265,7 +265,7 @@ object EventStreams {
                                storePath: String, labelsPath: String,
                                checkpoint: String, threshold: Double = 0.8,
                                numHashes: Int = 32, shingleN: Int = 3,
-                               nBuckets: Int = graft.ops.Dedup.ComponentStoreBuckets)
+                               nBuckets: Int = graft.ops.Dedup.StoreSizedBuckets)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -313,20 +313,30 @@ object EventStreams {
     * streaming face, completing its batch (tc1) + incremental-store
     * (tc2) + streaming triple. Store layout under `storePath`:
     *
-    *  - `edges/`    — the accumulated normalized edge set
-    *    (idempotent append: novel edges only);
+    *  - `edges/`    — the accumulated adjacency, BUCKET-PARTITIONED by
+    *    endpoint hash (ops.Triangles.writeEdgeStore layout): both
+    *    orientations of each normalized edge, partitioned by
+    *    eb = xxhash64(a) mod N. Appends land new files inside the
+    *    novel endpoints' bucket dirs; stored files never rewrite.
     *  - `inc_<b>/`  — batch b's per-node triangle-count INCREMENT
-    *    (the ≥1-novel-edge triangles, ops.Triangles'
-    *    enumeration) — an append-only VERSION-DIR family like
-    *    st18's labels, each written with overwrite so a replayed
-    *    batch rewrites the same dir with the same rows.
+    *    (the ≥1-novel-edge triangles, ops.Triangles' enumeration) —
+    *    an append-only VERSION-DIR family, foldable into a
+    *    `base_<b>` snapshot by [[compactTriangleIncrements]].
     *
-    * Readers sum the increments (a compaction pass can fold them).
+    * Per-batch READS are delta-sized, not store-sized (the r12
+    * verdict's top ask — the d6c write discipline applied to reads):
+    * the novelty anti-join, the degree lookups and the closure
+    * existence probe all key on nodes the delta names, so ONE
+    * bucket-pruned read of the delta endpoints' dirs
+    * (Triangles.readAdjForDelta; inputFiles-asserted in
+    * TriangleEdgeStoreSpec) serves the whole batch — the full
+    * accumulated edge set is never scanned.
+    *
     * Crash-exactly-once without a marker, via COMMIT-THEN-FREEZE: an
-    * increment dir with a `_SUCCESS` marker is IMMUTABLE — replays
+    * increment dir with a `_GRAFT_DONE` marker is IMMUTABLE — replays
     * skip straight to the edge append. The write order (increment
     * FIRST, novel edges AFTER) makes every window heal: a crash
-    * mid-increment leaves no `_SUCCESS` and no appended edges, so the
+    * mid-increment leaves no marker and no appended edges, so the
     * replay rewrites the full increment from the still-fully-novel
     * batch; a crash between the increment commit and the edge append
     * — or mid-append — skips the frozen increment and appends exactly
@@ -334,10 +344,8 @@ object EventStreams {
     * CLOBBER a committed increment with an empty one when the batch
     * replays after its edges landed — the counts would silently
     * undercount forever; the freeze is what makes the replay safe.)
-    * Each batch's cost is Σ min-degree over its novel edges, never
-    * the accumulated graph; the final summed counts equal the
-    * one-shot batch count (the tc2 identity), so st21 gates on tc1's
-    * oracle VERBATIM. */
+    * The final summed counts equal the one-shot batch count (the tc2
+    * identity), so st21 gates on tc1's oracle VERBATIM. */
   def triangleCountStream(edges: DataFrame, srcCol: String, dstCol: String,
                           storePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -347,25 +355,28 @@ object EventStreams {
         val spark = batch.sparkSession
         val edgesP = new org.apache.hadoop.fs.Path(s"$storePath/edges")
         val fs = edgesP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val stored =
-          if (fs.exists(edgesP)) spark.read.parquet(edgesP.toString)
-          else spark.range(0).selectExpr("id AS u", "id AS v")
-        val d0 = batch.select(col(srcCol).cast("long").as("u"),
-            col(dstCol).cast("long").as("v"))
-          .filter(col("u") =!= col("v"))
-          .select(least(col("u"), col("v")).as("u"),
-            greatest(col("u"), col("v")).as("v"))
-          .distinct()
+        val d0 = Triangles.normalize(
+            batch.select(col(srcCol).cast("long").as("u"),
+              col(dstCol).cast("long").as("v")))
+          .localCheckpoint() // feeds the bucket collect AND the probes
         // gap guard (the componentsStreamBucketed discipline): batch
         // ids are contiguous under AvailableNow, so a missing previous
-        // increment dir means the store was lost/rolled back while the
-        // checkpoint survived — silently restarting from an empty edge
-        // set would emit a plausible-looking but wrong count table
-        require(batchId == 0L || fs.exists(
-            new org.apache.hadoop.fs.Path(s"$storePath/inc_${batchId - 1}")),
+        // increment — neither its dir nor a base that folded it —
+        // means the store was lost/rolled back while the checkpoint
+        // survived; silently restarting from an empty edge set would
+        // emit a plausible-looking but wrong count table
+        require(batchId == 0L ||
+            fs.exists(new org.apache.hadoop.fs.Path(
+              s"$storePath/inc_${batchId - 1}")) ||
+            compactedBase(fs, storePath).exists(_._2 >= batchId - 1),
           s"triangleCountStream: store is missing inc_${batchId - 1} " +
             s"under $storePath — refusing to fold batch $batchId over a gap")
-        val novel = d0.join(stored, Seq("u", "v"), "left_anti")
+        val prunedAdj = Triangles.readAdjForDelta(spark,
+            edgesP.toString, d0)
+          .localCheckpoint() // one pruned read feeds novelty + increment
+        val novel = d0.join(
+            prunedAdj.select(col("a").as("u"), col("b").as("v")),
+            Seq("u", "v"), "left_anti")
           .localCheckpoint() // materialize BEFORE any store write
         // our OWN completion marker, not parquet's _SUCCESS: committers
         // configured with marksuccessfuljobs=false would otherwise
@@ -374,31 +385,105 @@ object EventStreams {
           s"$storePath/inc_$batchId/_GRAFT_DONE")
         if (!fs.exists(incDone)) {
           // zero-count empty increment still writes: the dir is the
-          // batch's completion record. assumeNovel: the anti-join
-          // above already ran — never pay the store scan twice
-          Triangles.mergeTriangleCounts(
-              spark.range(0).selectExpr("id AS node", "id AS n_tri"),
-              stored, novel, "u", "v", assumeNovel = true)
+          // batch's completion record
+          Triangles.triangleIncrement(prunedAdj, novel)
             .write.mode("overwrite").parquet(s"$storePath/inc_$batchId")
           fs.create(incDone, true).close()
         }
         if (!novel.isEmpty)
-          novel.write.mode("append").parquet(edgesP.toString)
+          Triangles.appendEdgeStore(novel, edgesP.toString)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** Summed reader for [[triangleCountStream]]'s increment dirs:
-    * (node, n_tri) over all batches, zero rows dropped. */
+  /** The newest COMMITTED compaction snapshot under `storePath`, as
+    * (path, highest folded batch id) — a `base_<b>` dir counts only
+    * with its `_GRAFT_DONE` marker (a crashed compaction's unmarked
+    * dir is invisible to readers and overwritten by the retry). */
+  private def compactedBase(fs: org.apache.hadoop.fs.FileSystem,
+                            storePath: String): Option[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("base_") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_DONE")))
+      .map(p => p.toString -> p.getName.stripPrefix("base_").toLong)
+      .sortBy(-_._2).headOption
+  }
+
+  /** COMPACTION for [[triangleCountStream]]'s increment dirs — the
+    * lifecycle face the version-dir family needs (the r12 verdict's
+    * ask #2): after 10⁴ batches the summed read opens 10⁴ dirs. This
+    * folds base + all committed increments into ONE `base_<b>`
+    * snapshot (b = the highest folded batch id), commit-then-freeze
+    * with the same `_GRAFT_DONE` marker discipline as the increments
+    * themselves: a crash mid-write leaves an unmarked dir readers
+    * ignore and the retry overwrites; a crash after the marker but
+    * before the sweep leaves folded incs/old bases that the next
+    * call (or read — see [[readTriangleCounts]], which takes the
+    * NEWEST base and only incs beyond it) handles correctly, and the
+    * entry sweep removes. Idempotent: a second call with no new
+    * increments just re-sweeps. Exactness: count addition is
+    * associative, so base ⊎ tail ≡ Σ all increments ≡ the one-shot
+    * batch count (asserted against tc1's oracle in
+    * TriangleEdgeStoreSpec). Returns the folded-through batch id, or
+    * None if there was nothing to fold. */
+  def compactTriangleIncrements(spark: org.apache.spark.sql.SparkSession,
+                                storePath: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = compactedBase(fs, storePath)
+    val baseB = base.map(_._2).getOrElse(-1L)
+    // entry sweep: anything a newest base already folded is garbage
+    // from a crashed previous sweep
+    def sweep(upTo: Long): Unit = fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale =
+        (n.startsWith("inc_") && n.stripPrefix("inc_").toLong <= upTo) ||
+        (n.startsWith("base_") && n.stripPrefix("base_").toLong < upTo)
+      if (stale) fs.delete(p, true): Unit
+    }
+    sweep(baseB)
+    // only COMMITTED increments fold: an unmarked inc dir is a crashed
+    // batch the stream will rewrite — folding it would freeze a
+    // half-written increment into the base
+    val incs = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("inc_") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_DONE")))
+      .map(p => p.toString -> p.getName.stripPrefix("inc_").toLong)
+    if (incs.isEmpty) return base.map(_._2)
+    val newB = incs.map(_._2).max
+    val parts = base.map(_._1).toSeq ++ incs.map(_._1)
+    val folded = spark.read.parquet(parts: _*)
+      .groupBy(col("node")).agg(sum(col("n_tri")).as("n_tri"))
+      .localCheckpoint() // materialize BEFORE touching what it read
+    folded.write.mode("overwrite").parquet(s"$storePath/base_$newB")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$storePath/base_$newB/_GRAFT_DONE"), true).close()
+    sweep(newB)
+    Some(newB)
+  }
+
+  /** Summed reader for [[triangleCountStream]]'s counts: the newest
+    * committed `base_<b>` snapshot (if any) plus the increments BEYOND
+    * it — (node, n_tri), zero rows dropped. Increments a committed
+    * base already folded are ignored even if a crashed sweep left
+    * their dirs behind (double-counting them would silently inflate
+    * every count). */
   def readTriangleCounts(spark: org.apache.spark.sql.SparkSession,
                          storePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = compactedBase(fs, storePath)
+    val baseB = base.map(_._2).getOrElse(-1L)
     val incs = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("inc_")).map(_.toString)
-    require(incs.nonEmpty, s"no triangle increments under $storePath")
-    spark.read.parquet(incs: _*)
+      .filter(p => p.getName.startsWith("inc_") &&
+        p.getName.stripPrefix("inc_").toLong > baseB)
+      .map(_.toString)
+    val parts = base.map(_._1).toSeq ++ incs
+    require(parts.nonEmpty, s"no triangle increments under $storePath")
+    spark.read.parquet(parts: _*)
       .groupBy(col("node")).agg(sum(col("n_tri")).as("n_tri"))
       .filter(col("n_tri") > 0)
   }

@@ -126,6 +126,65 @@ class ComponentStoreSpec extends SparkSpec {
     assert(d7.nonEmpty)
   }
 
+  test("a merge with a mismatched bucket count fail-fasts instead of mis-pruning") {
+    val p = store(base) // meta persisted as B
+    assert(Dedup.readComponentStoreMeta(spark, p) === Some(B))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.mergeComponentStoreDelta(spark, p, pairs((11L, 21L)),
+        "id_a", "id_b", B * 2)
+    }
+    assert(e.getMessage.contains("mismatched bucket count"))
+    // the store-sized sentinel resolves to the persisted N and merges
+    val touched = Dedup.mergeComponentStoreDelta(spark, p, pairs((11L, 21L)),
+      "id_a", "id_b")
+    assert(touched.nonEmpty && labelSet(p) === rebuild(base :+ (11L, 21L)))
+  }
+
+  test("a pre-meta store (labels without _graft_meta) fail-fasts with the recipe") {
+    val p = store(base)
+    val meta = new java.io.File(p, "_graft_meta")
+    assert(meta.exists()); assert(meta.delete())
+    val e = intercept[IllegalArgumentException] {
+      Dedup.mergeComponentStoreDelta(spark, p, pairs((11L, 21L)), "id_a", "id_b", B)
+    }
+    assert(e.getMessage.contains("rebucketComponentStore"))
+    // stamping the verified N unblocks the merge
+    Dedup.writeComponentStoreMeta(spark, p, B)
+    Dedup.mergeComponentStoreDelta(spark, p, pairs((11L, 21L)), "id_a", "id_b", B)
+    assert(labelSet(p) === rebuild(base :+ (11L, 21L)))
+  }
+
+  test("rebucket migration leaves labels bit-identical and re-pins the meta") {
+    val p = store(base)
+    val before = labelSet(p)
+    Dedup.rebucketComponentStore(spark, p, 3)
+    assert(Dedup.readComponentStoreMeta(spark, p) === Some(3))
+    assert(labelSet(p) === before, "migration must not change any label")
+    // dirs follow the new modulus; no parked/staged trees remain
+    val parent = new java.io.File(p).getParentFile
+    assert(!new java.io.File(parent, "labels__rebucket_tmp").exists())
+    assert(!new java.io.File(parent, "labels__rebucket_old").exists())
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cb=")).toSet
+    assert(dirs.forall(_.stripPrefix("cb=").toLong < 3))
+    // merges keep working under the new layout without re-passing N
+    Dedup.mergeComponentStoreDelta(spark, p, pairs((11L, 21L)), "id_a", "id_b")
+    assert(labelSet(p) === rebuild(base :+ (11L, 21L)))
+  }
+
+  test("data-sized default buckets floor at 8 for fixture-scale stores") {
+    assert(Dedup.dataSizedComponentBuckets(0L) === 8)
+    assert(Dedup.dataSizedComponentBuckets(100L) === 8)
+    assert(Dedup.dataSizedComponentBuckets(120000000L) === 20)
+    assert(Dedup.dataSizedComponentBuckets(Long.MaxValue / 4) === (1 << 14))
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ccbspec").toString + "/labels"
+    Dedup.writeComponentStore(
+      Dedup.connectedComponents(pairs(base: _*), "id_a", "id_b"), p)
+    assert(Dedup.readComponentStoreMeta(spark, p) === Some(8))
+    assert(labelSet(p) === rebuild(base))
+  }
+
   test("brand-new nodes insert; day-zero store starts empty") {
     val p = java.nio.file.Files
       .createTempDirectory("graft_ccbspec").toString + "/labels"
