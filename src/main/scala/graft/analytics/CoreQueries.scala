@@ -910,33 +910,37 @@ object CoreQueries {
       .orderBy(col("n_tri").desc, col("node"))
       .limit(20)
 
-  /** tc2 — INCREMENTAL per-node triangle counts
-    * (ops.Triangles.mergeTriangleCounts): the graph family's store
-    * face. The sparsified supplier graph's edges arrive in two
+  /** tc2 — INCREMENTAL per-node triangle counts against the
+    * BUCKET-PARTITIONED adjacency store
+    * (ops.Triangles.mergeTriangleCountsBucketed): the graph family's
+    * store face. The sparsified supplier graph's edges arrive in two
     * batches — a deterministic 10% edge slice plays the delta — and
     * the stored (node, n_tri) counts absorb it WITHOUT re-running the
     * O(m^1.5) orientation pass: new triangles are exactly those with
     * ≥ 1 novel edge, enumerated from the novel edges alone (probe
     * from the lower-degree endpoint, close against the updated edge
-    * set, dedup by sorted triple). The identity triangles(E ∪ D) =
-    * triangles(E) ⊎ {≥1-D-edge triangles} makes stored + increments
-    * equal a full recount bit-for-bit, so tc2 gates on tc1's oracle
-    * VERBATIM. At 10¹¹ edges the daily cost is Σ min-degree over the
-    * delta, not the corpus. */
+    * set, dedup by sorted triple). The edge store is partitioned by
+    * endpoint hash bucket, so every per-merge READ — novelty, degree,
+    * closure — prunes to the delta endpoints' bucket dirs instead of
+    * scanning the accumulated edge set (r13: the d6c write discipline
+    * applied to reads). The identity triangles(E ∪ D) = triangles(E)
+    * ⊎ {≥1-D-edge triangles} makes stored + increments equal a full
+    * recount bit-for-bit, so tc2 gates on tc1's oracle VERBATIM. At
+    * 10¹¹ edges the daily cost is Σ min-degree over the delta, not
+    * the corpus. */
   def triangleCountsIncremental(spark: SparkSession, dir: String): DataFrame = {
     val edges = supplierCoEdges(spark, dir).localCheckpoint()
     val isDelta = pmod(col("u") * 31 + col("v"), lit(10)) === 3
     val p = triStoreCache.getOrElseUpdate(dir, {
       val t = java.nio.file.Files.createTempDirectory("graft_tri_store").toString
-      val base = edges.filter(!isDelta)
-      base.write.parquet(s"$t/edges")
-      graft.ops.Triangles.perNode(
-          spark.read.parquet(s"$t/edges"), "u", "v", assumeDistinct = true)
+      val base = edges.filter(!isDelta).localCheckpoint()
+      graft.ops.Triangles.writeEdgeStore(base, "u", "v", s"$t/edges")
+      graft.ops.Triangles.perNode(base, "u", "v", assumeDistinct = true)
         .write.parquet(s"$t/tri")
       t
     })
-    graft.ops.Triangles.mergeTriangleCounts(
-        spark.read.parquet(s"$p/tri"), spark.read.parquet(s"$p/edges"),
+    graft.ops.Triangles.mergeTriangleCountsBucketed(
+        spark.read.parquet(s"$p/tri"), s"$p/edges",
         edges.filter(isDelta), "u", "v")
       .orderBy(col("n_tri").desc, col("node"))
       .limit(20)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting via degree orientation — the graph
@@ -36,12 +36,7 @@ object Triangles {
               assumeDistinct: Boolean = false): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
-    val und =
-      if (assumeDistinct) e0
-      else e0.filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"),
-          greatest(col("u"), col("v")).as("v"))
-        .distinct()
+    val und = if (assumeDistinct) e0 else normalize(e0)
     // Undirected degree per node (each edge touches both endpoints).
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -73,56 +68,152 @@ object Triangles {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
-  /** INCREMENTAL per-node triangle counts — the graph family's store
-    * face (the d6b root-contraction discipline applied to triangle
-    * structure): absorb a batch of new edges into stored (node, n_tri)
-    * counts WITHOUT re-running the O(m^1.5) orientation pass over the
-    * accumulated graph.
+  /** id-ordered distinct loop-free (u, v) — every store path's edge
+    * normal form. */
+  def normalize(edges: DataFrame): DataFrame =
+    edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  // ===== bucket-partitioned adjacency edge store =====
+  //
+  // The layout that makes the incremental faces' per-batch READS
+  // delta-sized (the d6c discipline applied to adjacency — the r12
+  // verdict's top ask): edges persist as BOTH orientations (a, b),
+  // parquet-partitioned by eb = xxhash64(a) mod N. Every per-batch
+  // probe the merge needs keys on a node the DELTA names —
+  //  - novelty: is (u, v) stored?  -> row (a=u, b=v) in bucket(u);
+  //  - degree:  deg(n), n a delta endpoint -> count of a=n rows, all
+  //    in bucket(n) (both orientations stored, so one dir holds a
+  //    node's complete adjacency);
+  //  - wedges:  neighbors of the oriented delta source s -> a=s rows;
+  //  - closure: does edge (t, w) exist? t is a delta endpoint -> row
+  //    (a=t, b=w) in bucket(t)
+  // — so ONE pruned read of the delta endpoints' bucket dirs serves
+  // the whole merge, and the per-batch read cost is O(adjacency of
+  // touched buckets) instead of the full accumulated edge set.
+  // Buckets hash the node id (components bucket the component VALUE
+  // because min-id labels cluster; node ids are arbitrary, so the
+  // hash spreads hubs' neighbors evenly). The bucket count freezes
+  // into the layout at write time and is pinned by the same
+  // `_graft_meta` sidecar the component store uses; appends land new
+  // files inside existing bucket dirs and never rewrite stored rows.
+
+  /** Data-sized bucket count: one bucket ≈ 6M (long, long) adjacency
+    * rows ≈ 100 MB per read task, floor 8 (fixture-scale pruning stays
+    * meaningful), cap 2¹⁴ (the 10¹¹-edge sizing). */
+  def dataSizedEdgeBuckets(adjRows: Long): Int =
+    math.min(1L << 14, math.max(8L, adjRows / 6000000L)).toInt
+
+  private def edgeBucket(c: Column, nBuckets: Int): Column =
+    pmod(xxhash64(c), lit(nBuckets.toLong))
+
+  private def mirror(und: DataFrame): DataFrame =
+    und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+
+  /** Seed the store from a batch edge set (normalized here). */
+  def writeEdgeStore(edges: DataFrame, srcCol: String, dstCol: String,
+                     path: String, nBuckets: Int = 0): Unit = {
+    val spark = edges.sparkSession
+    val und = normalize(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")))
+    val adj = mirror(und).localCheckpoint() // counted, then written
+    val n = if (nBuckets > 0) nBuckets else dataSizedEdgeBuckets(adj.count())
+    // data first: the overwrite DELETES the target dir, so a meta
+    // written before it would be wiped. The crash window (data, no
+    // meta) fail-fasts on every merge/read path and heals by
+    // re-running this seed — which overwrites unconditionally
+    adj.withColumn("eb", edgeBucket(col("a"), n))
+      .repartition(col("eb"))
+      .write.mode("overwrite").partitionBy("eb").parquet(path)
+    graft.etl.StoreMeta.write(spark, path, n)
+  }
+
+  /** The store's bucket count — fail-fast if the store has data but no
+    * meta (a foreign layout: pruning with a guessed N reads the wrong
+    * dirs). */
+  private def storeBuckets(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Option[Int] = {
+    val meta = graft.etl.StoreMeta.read(spark, path)
+    if (meta.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(p) ||
+          !fs.listStatus(p).exists(_.getPath.getName.startsWith("eb=")),
+        s"edge store at $path has data but no _graft_meta sidecar — " +
+          "seed through writeEdgeStore/appendEdgeStore")
+    }
+    meta
+  }
+
+  /** The pruned adjacency read: all (a, b) rows in the bucket dirs of
+    * the delta's endpoints — the ONE store read a merge needs. The
+    * bucket list derives from the (already |delta|-bounded) endpoint
+    * set, collected (≤ min(2|delta|, nBuckets) values); `.isin` on the
+    * partition column prunes at planning time, so untouched bucket
+    * dirs are never opened (inputFiles-asserted in
+    * TriangleEdgeStoreSpec). An absent store reads as empty. */
+  def readAdjForDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                      deltaUnd: DataFrame): DataFrame =
+    storeBuckets(spark, path) match {
+      case None => spark.range(0).selectExpr("id AS a", "id AS b")
+      case Some(n) =>
+        val buckets = deltaUnd
+          .select(explode(array(col("u"), col("v"))).as("__n"))
+          .select(edgeBucket(col("__n"), n).as("eb"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        spark.read.parquet(path)
+          .filter(col("eb").isin(buckets: _*))
+          .select(col("a"), col("b"))
+    }
+
+  /** Append novel normalized edges (both orientations) into their
+    * bucket dirs — new files only, stored rows never rewritten. Day
+    * zero (no store yet) seeds meta with a data-sized N. The caller
+    * owns novelty (anti-join against [[readAdjForDelta]]); appending a
+    * non-novel edge would double its adjacency rows. */
+  def appendEdgeStore(novelUnd: DataFrame, path: String): Unit = {
+    val spark = novelUnd.sparkSession
+    val adj = mirror(novelUnd).localCheckpoint()
+    val n = storeBuckets(spark, path).getOrElse {
+      val sized = dataSizedEdgeBuckets(adj.count())
+      graft.etl.StoreMeta.write(spark, path, sized)
+      sized
+    }
+    if (!adj.isEmpty)
+      adj.withColumn("eb", edgeBucket(col("a"), n))
+        .repartition(col("eb"))
+        .write.mode("append").partitionBy("eb").parquet(path)
+  }
+
+  /** The ≥1-novel-edge triangle increment from PRUNED adjacency — the
+    * shared core of the incremental faces. `prunedAdj` must contain
+    * the complete adjacency of every bucket holding a delta endpoint
+    * (the [[readAdjForDelta]] contract) and exclude the novel edges;
+    * `novelUnd` must be normalized and novel.
     *
     * Exactness: triangles(E ∪ D) = triangles(E) ⊎ {triangles with ≥ 1
-    * D edge} — the increments enumerate exactly the second set, so
-    * stored counts plus increments equal a full recount bit-for-bit
-    * (tc2 gates on tc1's oracle VERBATIM on this identity).
+    * D edge} — this enumerates exactly the second set, so stored
+    * counts plus increments equal a full recount bit-for-bit (tc2 and
+    * st21 gate on tc1's oracle VERBATIM on this identity).
     * Enumeration probes from each novel edge's LOWER-degree endpoint
     * (the Suri-Vassilvitskii orientation applied to the delta alone),
     * so candidate wedges are Σ_{(u,v)∈D} min(deg u, deg v) — never a
-    * hub's full d² fan-out — closed by one equi-join against the
-    * updated edge set and DEDUPED by sorted triple (a triangle with 2
-    * or 3 novel edges is found once per novel edge and must count
-    * once). Replay-idempotent: already-stored delta edges anti-join
-    * away, an empty novel set adds nothing. */
-  def mergeTriangleCounts(storedCounts: DataFrame, storedEdges: DataFrame,
-                          deltaEdges: DataFrame, srcCol: String,
-                          dstCol: String,
-                          assumeNovel: Boolean = false): DataFrame = {
-    // assumeNovel: the caller promises id-ordered distinct loop-free
-    // edges ALREADY anti-joined against the store (triangleCountStream
-    // runs that join itself) — skipping it here avoids paying the
-    // store-sized scan twice per micro-batch
-    val novel =
-      if (assumeNovel)
-        // the caller checkpointed its novel frame already — the narrow
-        // rename-select below re-plans for free over that RDD
-        deltaEdges.select(col(srcCol).cast("long").as("u"),
-          col(dstCol).cast("long").as("v"))
-      else {
-        val e0 = deltaEdges.select(col(srcCol).cast("long").as("u"),
-          col(dstCol).cast("long").as("v"))
-        e0.filter(col("u") =!= col("v"))
-          .select(least(col("u"), col("v")).as("u"),
-            greatest(col("u"), col("v")).as("v"))
-          .distinct()
-          .join(storedEdges.select(col("u"), col("v")),
-            Seq("u", "v"), "left_anti")
-          .localCheckpoint() // feeds the union, the orient, the probe
-      }
-    val full = storedEdges.select(col("u"), col("v")).unionByName(novel)
-      .localCheckpoint() // feeds adjacency, degrees and the closure join
-    val adj = full.select(col("u").as("a"), col("v").as("b"))
-      .unionByName(full.select(col("v").as("a"), col("u").as("b")))
-    val deg = adj.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    * hub's full d² fan-out — closed by an adjacency-existence
+    * semi-join keyed on delta endpoints and DEDUPED by sorted triple
+    * (a triangle with 2 or 3 novel edges is found once per novel edge
+    * and must count once). Degree completeness: deg(n) is only ever
+    * joined for delta endpoints, whose buckets are pruned IN, so the
+    * a=n row count is the node's full degree in E ∪ D. */
+  def triangleIncrement(prunedAdj: DataFrame, novelUnd: DataFrame): DataFrame = {
+    val fullAdj = prunedAdj.select(col("a"), col("b"))
+      .unionByName(mirror(novelUnd))
+      .localCheckpoint() // feeds degrees, the wedge probe and the closure
+    val deg = fullAdj.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
     // orient each novel edge: probe from the lower-(degree, id) side
-    val orientedD = novel
+    val orientedD = novelUnd
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
       .select(when(col("du") < col("dv") ||
@@ -131,23 +222,64 @@ object Triangles {
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
     val cand = orientedD
-      .join(adj.select(col("a").as("s"), col("b").as("w")), Seq("s"))
+      .join(fullAdj.select(col("a").as("s"), col("b").as("w")), Seq("s"))
       .filter(col("w") =!= col("t"))
+    // closure keyed (t, w): t is a delta endpoint, so its bucket — and
+    // with it the (a=t, b=w) existence row — is pruned in
     val closed = cand.join(
-      full.select(col("u").as("__cu"), col("v").as("__cv")),
-      least(col("t"), col("w")) === col("__cu") &&
-        greatest(col("t"), col("w")) === col("__cv"),
-      "left_semi")
-    val inc = closed
+      fullAdj.select(col("a").as("t"), col("b").as("w")),
+      Seq("t", "w"), "left_semi")
+    closed
       // sort_array, not array_sort: the latter plans a comparator lambda
       .select(sort_array(array(col("s"), col("t"), col("w"))).as("__tri"))
       .distinct()
       .select(explode(col("__tri")).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("__inc"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Merged counts = stored + increment (full outer, absent = 0). */
+  def addCounts(storedCounts: DataFrame, inc: DataFrame): DataFrame =
     storedCounts.select(col("node"), col("n_tri"))
-      .join(inc, Seq("node"), "full_outer")
+      .join(inc.select(col("node"), col("n_tri").as("__inc")),
+        Seq("node"), "full_outer")
       .select(col("node"),
         (coalesce(col("n_tri"), lit(0L)) + coalesce(col("__inc"), lit(0L)))
           .as("n_tri"))
+
+  /** INCREMENTAL per-node triangle counts against the BUCKETED edge
+    * store — the graph family's store face: absorb a batch of new
+    * edges into stored (node, n_tri) counts WITHOUT re-running the
+    * O(m^1.5) orientation pass, reading only the delta endpoints'
+    * bucket dirs. Replay-idempotent (already-stored delta edges
+    * anti-join away; an empty novel set adds nothing) and read-only —
+    * the caller decides if/when the delta lands in the store
+    * ([[appendEdgeStore]]). */
+  def mergeTriangleCountsBucketed(storedCounts: DataFrame,
+                                  edgeStorePath: String, deltaEdges: DataFrame,
+                                  srcCol: String, dstCol: String): DataFrame = {
+    val spark = deltaEdges.sparkSession
+    val d0 = normalize(deltaEdges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v")))
+      .localCheckpoint() // feeds the bucket-list collect AND the probes
+    val prunedAdj = readAdjForDelta(spark, edgeStorePath, d0)
+      .localCheckpoint() // one pruned read feeds novelty + the increment
+    val novel = d0.join(prunedAdj.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .localCheckpoint()
+    addCounts(storedCounts, triangleIncrement(prunedAdj, novel))
+  }
+
+  /** The flat-frame face (spec fixtures, in-memory merges): stored
+    * edges arrive as a normalized (u, v) frame; adjacency derives
+    * in-plan. Same core, same exactness argument. */
+  def mergeTriangleCounts(storedCounts: DataFrame, storedEdges: DataFrame,
+                          deltaEdges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val d0 = normalize(deltaEdges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")))
+    val stored = storedEdges.select(col("u"), col("v"))
+    val novel = d0.join(stored, Seq("u", "v"), "left_anti")
+      .localCheckpoint()
+    addCounts(storedCounts, triangleIncrement(mirror(stored), novel))
   }
 }
