@@ -59,6 +59,7 @@ object SparkEntry {
     "q27_cms_store"         -> (SketchQueries.countMinStore _),
     "q26_kmv_overlap"       -> (SketchQueries.kmvOverlap _),
     "q26b_kmv_delta"        -> (SketchQueries.kmvDelta _),
+    "q26c_kmv_fine"         -> (SketchQueries.kmvFineOverlap _),
     "ov1_overlap_matrix"    -> (SketchQueries.kmvOverlapMatrix _),
     "ov1b_overlap_store"    -> (SketchQueries.kmvOverlapMatrixIncremental _),
     "ov2_overlap_sparse"    -> (SketchQueries.kmvOverlapMatrixSparse _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "t35_novelty"           -> (TextQueries.noveltyScores _),
     "r1_bm25_search"        -> (TextQueries.bm25Search _),
     "r1b_bm25_store"        -> (TextQueries.bm25FromStore _),
+    "r1c_bm25_compacted"    -> (TextQueries.bm25FromCompactedStore _),
     "r3_phrase_search"      -> (TextQueries.phraseSearch _),
     "t34_chunk_overlap"     -> (TextQueries.overlappingChunks _),
     "r2_hybrid_rrf"         -> (TextQueries.hybridRrf _),
@@ -150,6 +152,8 @@ object SparkEntry {
     "t12_surprisal"         -> (TextQueries.surprisal _),
     "t14_topk_per_source"   -> (TextQueries.topQualityPerSource _),
     "t15_weighted_sample"   -> (TextQueries.weightedSample _),
+    "t15b_weighted_sample_store" -> (TextQueries.weightedSampleFromStore _),
+    "st23_stream_weighted_sample" -> (StreamQueries.streamWeightedSample _),
     "t16_weighted_per_src"  -> (TextQueries.weightedSamplePerSource _),
     "t17_chunking"          -> (TextQueries.chunkDocs _),
     "t18_sequence_pack"     -> (TextQueries.sequencePack _),
@@ -525,6 +529,90 @@ object SparkEntry {
       |  exact_a_only, exact_b_only, exact_union,
       |  true AS within_bound
       |FROM st CROSS JOIN ex""".stripMargin
+  }
+
+  /** t15/t15b/st23 oracle: the Efraimidis–Spirakis race replayed in
+    * exact arithmetic — the polyHash-derived uniform01 (quadratic
+    * finalizer over the two 30-bit halves), the −ln(u)/w race, the
+    * bottom-50 by (race, doc_id). */
+  private lazy val weightedSampleOracleSql: String =
+    s"""WITH hh AS (
+       |  SELECT doc_id, source, n_chars, ${polyHash64Sql("w")} AS hv
+       |  FROM (SELECT doc_id, source, n_chars,
+       |          CAST(doc_id AS VARCHAR) || 'v1' AS w FROM documents)),
+       |h AS (
+       |  SELECT doc_id, source, n_chars,
+       |    -ln((((hv & 1073741823) * (hv & 1073741823) + (hv >> 30))
+       |           % 1073741789 + 0.5) / 1073741789.0)
+       |      / greatest(n_chars, 1) AS race
+       |  FROM hh)
+       |SELECT doc_id, source, n_chars
+       |FROM (SELECT doc_id, source, n_chars FROM h
+       |      ORDER BY race, doc_id LIMIT 50)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q26c oracle: the fine-regime (k = 256) overlap replay — three
+    * key-space band slices of o_orderkey, per-slice bottom-k at BOTH
+    * k = 256 and k = 32, per-pair union bottom-k with two-sided
+    * membership counts, exact churn-band intersection from the
+    * modulus directly. All integer except the contract (literal
+    * true). */
+  private lazy val kmvFineOracleSql: String = {
+    val h = polyHash64Sql("CAST(o_orderkey AS VARCHAR)")
+    s"""WITH mk AS (SELECT o_orderkey, o_orderkey % 1000 AS m FROM orders),
+      |sl AS (SELECT 'a' AS s, o_orderkey FROM mk WHERE m < 550
+      |  UNION ALL SELECT 'b10', o_orderkey FROM mk WHERE m >= 450
+      |  UNION ALL SELECT 'b01', o_orderkey FROM mk WHERE m >= 540),
+      |k AS (SELECT s, $h AS h FROM (SELECT DISTINCT s, o_orderkey FROM sl)),
+      |${mix64ChainSql("s")},
+      |dg AS (SELECT DISTINCT s, g FROM mg),
+      |rk AS (SELECT s, g, row_number() OVER
+      |         (PARTITION BY s ORDER BY g) AS r FROM dg),
+      |pairs AS (SELECT 'snap_j10' AS pair, 'b10' AS sb
+      |          UNION ALL SELECT 'snap_j01', 'b01'),
+      |ska AS (SELECT g, r FROM rk WHERE s = 'a' AND r <= 256),
+      |skb AS (SELECT pair, g, r FROM pairs p
+      |        JOIN rk ON rk.s = p.sb WHERE r <= 256),
+      |lu AS (SELECT DISTINCT pair, g FROM
+      |        (SELECT pair, g FROM skb
+      |         UNION ALL SELECT pair, g FROM pairs CROSS JOIN ska)),
+      |l AS (SELECT pair, g FROM
+      |       (SELECT pair, g, row_number() OVER
+      |          (PARTITION BY pair ORDER BY g) AS r FROM lu) WHERE r <= 256),
+      |st AS (SELECT l.pair, count(*) AS n_l, max(l.g) AS max_h_l,
+      |         count(CASE WHEN ia.g IS NOT NULL AND ib.g IS NOT NULL
+      |                    THEN 1 END) AS n_inter
+      |       FROM l
+      |       LEFT JOIN (SELECT g FROM ska) ia ON l.g = ia.g
+      |       LEFT JOIN (SELECT pair, g FROM skb) ib
+      |         ON l.pair = ib.pair AND l.g = ib.g
+      |       GROUP BY 1),
+      |lu32 AS (SELECT DISTINCT pair, g FROM
+      |          (SELECT pair, g FROM skb WHERE r <= 32
+      |           UNION ALL SELECT pair, g FROM pairs
+      |             CROSS JOIN (SELECT g FROM ska WHERE r <= 32))),
+      |l32 AS (SELECT pair, g FROM
+      |         (SELECT pair, g, row_number() OVER
+      |            (PARTITION BY pair ORDER BY g) AS r FROM lu32) WHERE r <= 32),
+      |st32 AS (SELECT l32.pair, count(*) AS n_l32,
+      |           count(CASE WHEN ia.g IS NOT NULL AND ib.g IS NOT NULL
+      |                      THEN 1 END) AS n_inter32
+      |         FROM l32
+      |         LEFT JOIN (SELECT g FROM ska WHERE r <= 32) ia ON l32.g = ia.g
+      |         LEFT JOIN (SELECT pair, g FROM skb WHERE r <= 32) ib
+      |           ON l32.pair = ib.pair AND l32.g = ib.g
+      |         GROUP BY 1),
+      |ex AS (SELECT 'snap_j10' AS pair,
+      |         count(DISTINCT o_orderkey) AS exact_union,
+      |         count(DISTINCT CASE WHEN m >= 450 AND m < 550
+      |                        THEN o_orderkey END) AS exact_inter FROM mk
+      |  UNION ALL SELECT 'snap_j01', count(DISTINCT o_orderkey),
+      |         count(DISTINCT CASE WHEN m >= 540 AND m < 550
+      |                        THEN o_orderkey END) FROM mk)
+      |SELECT pair, n_l, max_h_l, n_inter, n_l32, n_inter32,
+      |  exact_inter, exact_union, true AS within_bound
+      |FROM st JOIN st32 USING (pair) JOIN ex USING (pair)
+      |ORDER BY pair""".stripMargin
   }
 
   /** ov1 oracle: the full matrix replayed — per-source distinct
@@ -1792,6 +1880,10 @@ object SparkEntry {
     // stats additive, so the incrementally-appended inverted index
     // must score identically to the in-flight corpus scan.
     "r1b_bm25_store" -> bm25OracleSql,
+    // r1c: the SAME oracle again — compaction is row-preserving (one
+    // scan, one write per bucket dir), so the folded index must score
+    // identically to the append-accumulated one.
+    "r1c_bm25_compacted" -> bm25OracleSql,
     // cm1b: the moment-replay oracle (exact decimal sums + the fixed
     // double formula); st22 the SAME oracle — decimal addition is
     // lossless, so the streamed moments equal the batch build.
@@ -2218,21 +2310,13 @@ object SparkEntry {
          |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
-    "t15_weighted_sample" ->
-      s"""WITH hh AS (
-         |  SELECT doc_id, source, n_chars, ${polyHash64Sql("w")} AS hv
-         |  FROM (SELECT doc_id, source, n_chars,
-         |          CAST(doc_id AS VARCHAR) || 'v1' AS w FROM documents)),
-         |h AS (
-         |  SELECT doc_id, source, n_chars,
-         |    -ln((((hv & 1073741823) * (hv & 1073741823) + (hv >> 30))
-         |           % 1073741789 + 0.5) / 1073741789.0)
-         |      / greatest(n_chars, 1) AS race
-         |  FROM hh)
-         |SELECT doc_id, source, n_chars
-         |FROM (SELECT doc_id, source, n_chars FROM h
-         |      ORDER BY race, doc_id LIMIT 50)
-         |ORDER BY doc_id""".stripMargin,
+    "t15_weighted_sample" -> weightedSampleOracleSql,
+    // t15b/st23: the SAME oracle — the race keys are deterministic in
+    // (doc_id, n_chars, salt), so bottom-k(bottom-k(A) ∪ B) =
+    // bottom-k(A ∪ B): the incremental store and the streamed fold
+    // must both equal the one-shot draw row-for-row.
+    "t15b_weighted_sample_store" -> weightedSampleOracleSql,
+    "st23_stream_weighted_sample" -> weightedSampleOracleSql,
     "t17_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, text,
@@ -2855,6 +2939,8 @@ object SparkEntry {
     // q26b: q26's replay with one-sided membership counts and the
     // per-partkey year-flag exact sides.
     "q26b_kmv_delta" -> kmvDeltaOracleSql,
+    // q26c: the k=256 fine-regime replay with both membership counts
+    "q26c_kmv_fine" -> kmvFineOracleSql,
     "ov1_overlap_matrix" -> kmvMatrixOracleSql,
     // ov1b: the SAME oracle — the store+delta min-k merge is lossless,
     // so the incrementally-maintained matrix must equal the

@@ -346,6 +346,77 @@ object SketchQueries {
           .as("within_bound"))
   }
 
+  /** q26c — the FINE-GRAINED overlap regime at k = 256
+    * (ops.Sketches.kmvIntersect with an explicit k): the decision
+    * boundary pinned in ops.Sketches' scaladoc and KmvSpec's k-sweep,
+    * demonstrated at the query surface. The default k = 32 separates
+    * "disjoint" from J ≳ 0.2 but canNOT tell J = 0.01 from J = 0.1
+    * (both inside its binomial noise band); that boundary needs
+    * se = √(J(1−J)/k) ≲ 0.03, i.e. k ≳ 200. Here two snapshot pairs
+    * with TRUE Jaccard 0.1 and 0.01 by construction — 55%-wide
+    * o_orderkey key-space bands overlapping by a 10% vs a 1% churn
+    * band, the "how much of snapshot B is really new" screen — are
+    * estimated at BOTH k: the k = 32 membership counts (n_inter32,
+    * expected ~3 vs ~0 — indistinguishable) sit next to the k = 256
+    * counts (~26 vs ~3), and each pair's k = 256 estimate rides a
+    * J-aware 3σ contract tight enough that the two bands cannot
+    * overlap: |Ĵ−J| ≤ 3√(J(1−J)/256) gives Ĵ₁ ≥ 0.044 > 0.029 ≥ Ĵ₂.
+    * Cost stays sketch-bounded — 256 longs per slice instead of 32;
+    * the corpus passes are unchanged. The oracle replays sketches and
+    * both membership counts in exact integer SQL. */
+  def kmvFineOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val kFine = 256
+    val kCoarse = Sketches.KmvK
+    val keys = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), pmod(col("o_orderkey"), lit(1000L)).as("__m"))
+    // ONE corpus pass builds all three slice sketches: each key emits
+    // a row per band it belongs to (snapshot A = first 55% of the key
+    // space; b10/b01 overlap it by a 10%/1% churn band and run to the
+    // end), and the k = 32 sketch of a slice is the RANK-≤32 PREFIX
+    // of its k = 256 sketch (bottom-k nests in k), so both regimes
+    // read from the same ≤ 3·256-row checkpointed table.
+    val tagged = keys.select(col("o_orderkey"), explode(array(
+        when(col("__m") < 550, lit("a")),
+        when(col("__m") >= 450, lit("b10")),
+        when(col("__m") >= 540, lit("b01")))).as("__s"))
+      .filter(col("__s").isNotNull)
+    val sk = Sketches.kmvSketch(tagged, "__s", "o_orderkey", kFine)
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__s")).orderBy(col("h"))))
+      .localCheckpoint() // ≤ 768 rows, probed 4× per pair below
+    def side(s: String, k: Int) =
+      sk.filter(col("__s") === s && col("__r") <= k).select(col("h"))
+    def pairRow(name: String, sb: String) = {
+      val fine = Sketches.kmvIntersect(side("a", kFine), side(sb, kFine), kFine)
+      val coarse = Sketches.kmvIntersect(side("a", kCoarse), side(sb, kCoarse),
+          kCoarse)
+        .select(col("n_l").as("n_l32"), col("n_inter").as("n_inter32"))
+      fine.crossJoin(coarse).withColumn("pair", lit(name))
+    }
+    // ONE exact scan serves both pairs (A ∪ B = the whole key space
+    // for both — the bands cover [0, 550) ∪ [lo, 1000) with lo < 550;
+    // A ∩ B = the churn band)
+    val exact = keys.agg(
+      countDistinct(col("o_orderkey")).as("exact_union"),
+      countDistinct(when(col("__m") >= 450 && col("__m") < 550,
+        col("o_orderkey"))).as("__inter_b10"),
+      countDistinct(when(col("__m") >= 540 && col("__m") < 550,
+        col("o_orderkey"))).as("__inter_b01"))
+    val rows = pairRow("snap_j01", "b01").unionByName(pairRow("snap_j10", "b10"))
+      .crossJoin(broadcast(exact))
+      .withColumn("exact_inter", when(col("pair") === "snap_j01",
+        col("__inter_b01")).otherwise(col("__inter_b10")))
+    val jex = col("exact_inter").cast("double") / col("exact_union")
+    val band = lit(3.0) *
+      sqrt(greatest(jex * (lit(1.0) - jex), lit(1.0 / kFine)) /
+        lit(kFine.toDouble))
+    rows.select(col("pair"), col("n_l"), col("max_h_l"), col("n_inter"),
+        col("n_l32"), col("n_inter32"), col("exact_inter"), col("exact_union"),
+        (abs(col("n_inter") / col("n_l") - jex) <= band).as("within_bound"))
+      .orderBy(col("pair"))
+  }
+
   /** ov1 — KMV shingle-overlap MATRIX across the 20 document sources
     * (ops.Sketches.kmvOverlapMatrix): the S-slice contamination
     * screen. Each source's distinct word-3-shingle set (the d2/d4

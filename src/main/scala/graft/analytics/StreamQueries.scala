@@ -641,6 +641,39 @@ object StreamQueries {
   private val streamedCm =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st23 — STREAMING weighted sample
+    * (EventStreams.weightedSampleStream): the documents table arrives
+    * as 8 micro-batches, each folding into a 50-row sample snapshot
+    * (commit-then-freeze `sample_<b>` dirs, gap-guarded, swept to the
+    * newest — state is k rows by construction). The race keys are
+    * deterministic, so the min-k fold is idempotent/commutative/
+    * associative and the drained sample equals the one-shot draw
+    * row-for-row — st23 gates on t15's oracle VERBATIM, completing
+    * the sampling family's batch (t15) + incremental-store (t15b) +
+    * streaming triple: a "sample long documents more" mix that stays
+    * current over a corpus that never stops arriving. */
+  def streamWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val store = streamedWs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st23_").toString
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .repartition(8).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      EventStreams.weightedSampleStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
+        "doc_id", greatest(col("n_chars"), lit(1)).cast("double"),
+        k = 50, salt = "v1", s"$tmp/store", s"$tmp/cp").awaitTermination()
+      s"$tmp/store"
+    })
+    EventStreams.readWeightedSample(spark, store)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val streamedWs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st16 — STREAMING drift monitor: ks1's bounded bin frame
     * (ops.Profiling.driftBins) built as a streaming aggregation,
     * sum-merged in the state store across 8 micro-batches; the KS/PSI
@@ -698,7 +731,8 @@ object StreamQueries {
     "st13_stream_hll", "st14_stream_hist", "st15_stream_kmv",
     "st16_stream_drift", "st17_stream_overlap", "st18_stream_components",
     "st19_stream_components_bucketed", "st20_stream_bm25_index",
-    "st21_stream_triangles", "st22_stream_corr_moments")
+    "st21_stream_triangles", "st22_stream_corr_moments",
+    "st23_stream_weighted_sample")
 
   /** Cold-path reset for the bench: forget every streamed-result memo
     * so the next call re-stages the source, replays the stream through
@@ -715,6 +749,7 @@ object StreamQueries {
     streamedKmv.clear(); streamedDrift.clear()
     streamedOvm.clear(); streamedCc.clear(); streamedCcb.clear()
     streamedBm25.clear(); streamedTri.clear(); streamedCm.clear()
+    streamedWs.clear()
   }
 
   /** st3 — stream-stream interval join (EventStreams.clickViewJoin,

@@ -83,6 +83,34 @@ object TextQueries {
 
   private val bm25StoreCache = StoreCaches.register("r1b_bm25_store")
 
+  /** r1c — BM25 over the COMPACTED index store
+    * (ops.Retrieval.compactBm25Index): the store-lifecycle face r1b
+    * leaves open. r1b's append-only discipline is what makes its
+    * writes idempotent — and what accumulates one file-set per batch
+    * forever, so after 10⁴ appends a pruned query read opens 10⁴
+    * footers per touched bucket. Here the index is built in THREE
+    * appends (so touched term buckets really hold multiple file-sets
+    * — CompactionSpec asserts that precondition and the 1-file bound
+    * after), folded by the staged-swap compaction, and queried: the
+    * fold is row-preserving by construction, so r1c gates on r1's
+    * oracle VERBATIM — the same "lossless maintenance, batch gate"
+    * argument every incremental face in this library rides. */
+  def bm25FromCompactedStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val p = bm25CompactedCache.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_bm25_cmp").toString
+      Seq(col("doc_id") % 10 < 3, col("doc_id") % 10 === 3,
+          col("doc_id") % 10 > 3)
+        .foreach(slice => graft.ops.Retrieval.appendBm25Index(
+          docs.filter(slice), "doc_id", "text", t): Unit)
+      graft.ops.Retrieval.compactBm25Index(spark, t): Unit
+      t
+    })
+    bm25Readout(graft.ops.Retrieval.bm25FromIndex(spark, p, BmTerms))
+  }
+
+  private val bm25CompactedCache = StoreCaches.register("r1c_bm25_compacted")
+
   /** r2 — hybrid BM25 + dense-cosine retrieval fused by RRF
     * (ops.Retrieval.hybridRrf): the r1 lexical lane and a v1-style
     * probe-cosine dense lane (probe = vec_id 0), each cut to its lane
@@ -224,6 +252,40 @@ object TextQueries {
       greatest(col("n_chars"), lit(1)).cast("double"), k = 50, salt = "v1")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  /** t15b — the weighted sample over an INCREMENTALLY-MAINTAINED
+    * store (the d9/q25 discipline applied to sampling): the base
+    * corpus slice's bottom-50 persists ONCE; a delta merges by
+    * re-racing the stored rows against the delta's and re-taking the
+    * bottom-50 — the corpus is never rescanned after day one.
+    * Exactness: the race keys are deterministic in (doc_id, n_chars,
+    * salt), so bottom-k is a min-k fold over a fixed total order and
+    * bottom-k(bottom-k(A) ∪ B) = bottom-k(A ∪ B) — t15b gates on
+    * t15's oracle VERBATIM (nothing numeric is persisted that could
+    * drift; the store holds plain sample rows). At 100 TB the merge
+    * costs one delta scan plus a k-row store read. */
+  def weightedSampleFromStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = greatest(col("n_chars"), lit(1)).cast("double")
+    val p = sampleStoreCache.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_t15b").toString
+      graft.ops.Sampling.weightedSample(
+          docs.filter(col("doc_id") % 10 =!= 3), "doc_id", w, k = 50,
+          salt = "v1")
+        .write.parquet(s"$t/sample")
+      s"$t/sample"
+    })
+    graft.ops.Sampling.weightedSample(
+        spark.read.parquet(p)
+          .unionByName(docs.filter(col("doc_id") % 10 === 3)),
+        "doc_id", w, k = 50, salt = "v1")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleStoreCache =
+    StoreCaches.register("t15b_weighted_sample_store")
 
   /** t17 — fixed-window chunking with overlap
     * (ops.TextAnalysis.chunk): 200-char windows, 40-char overlap,

@@ -143,6 +143,21 @@ object Retrieval {
     n
   }
 
+  /** Fold the index's append-accumulated small files
+    * (etl.BucketCompaction): every term-bucket dir and the doc-length
+    * sidecar rewrite to ONE file each, so a query's pruned read opens
+    * O(|terms|) footers however many append batches built the index.
+    * Row-preserving by construction — [[bm25FromIndex]] over the
+    * compacted index equals the uncompacted one bit-for-bit (r1c
+    * gates on r1's oracle VERBATIM; CompactionSpec asserts the 1-file
+    * bound and row identity). Run in the store's maintenance slot
+    * between appends. Returns the dirs rewritten. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] =
+    graft.etl.BucketCompaction.compactStore(spark, s"$path/postings", "tb") ++
+      graft.etl.BucketCompaction.compactDirs(spark, path, Seq("docs"))
+        .map(d => s"docs/$d")
+
   /** BM25 over the persisted index: the scan prunes to the query
     * terms' bucket dirs (partition filter on tb — asserted in
     * RetrievalSpec), document frequencies come from the pruned

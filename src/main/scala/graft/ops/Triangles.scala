@@ -188,6 +188,18 @@ object Triangles {
         .write.mode("append").partitionBy("eb").parquet(path)
   }
 
+  /** Fold the edge store's append-accumulated small files
+    * (etl.BucketCompaction): each endpoint-bucket dir rewrites to ONE
+    * file, bounding a delta probe's footer reads at O(touched
+    * buckets) however many batches appended. Row-preserving —
+    * [[readAdjForDelta]] and every merge over the compacted store are
+    * unchanged (CompactionSpec) — and the `_graft_meta` sidecar (a
+    * root file) is never touched, so the bucket modulus survives.
+    * Run between batches, never racing a streaming merge. */
+  def compactEdgeStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] =
+    graft.etl.BucketCompaction.compactStore(spark, path, "eb")
+
   /** The ≥1-novel-edge triangle increment from PRUNED adjacency — the
     * shared core of the incremental faces. `prunedAdj` must contain
     * the complete adjacency of every bucket holding a delta endpoint

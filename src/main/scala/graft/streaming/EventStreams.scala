@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -486,6 +486,92 @@ object EventStreams {
     spark.read.parquet(parts: _*)
       .groupBy(col("node")).agg(sum(col("n_tri")).as("n_tri"))
       .filter(col("n_tri") > 0)
+  }
+
+  /** The newest COMMITTED weighted-sample snapshot under `storePath`
+    * (`sample_<b>` + `_GRAFT_DONE`), as (path, batch id). */
+  private def committedSample(fs: org.apache.hadoop.fs.FileSystem,
+                              storePath: String): Option[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("sample_") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_DONE")))
+      .map(p => p.toString -> p.getName.stripPrefix("sample_").toLong)
+      .sortBy(-_._2).headOption
+  }
+
+  /** STREAMING Efraimidis–Spirakis weighted sample — the sampling
+    * family's streaming face (t15 batch → t15b store → st23 stream):
+    * each micro-batch folds into a k-ROW sample snapshot, the
+    * bounded-state form of "sample long documents more" over a
+    * corpus that never stops arriving. State is k rows BY
+    * CONSTRUCTION — the snapshot write is output-sized at any corpus
+    * scale, the micro-batch cost is one map-side race projection plus
+    * a top-k heap (TakeOrderedAndProject, no corpus sort).
+    *
+    * Exactness: the race keys are DETERMINISTIC in (key, weight,
+    * salt) — [[graft.ops.Sampling.uniform01]] — so bottom-k is a
+    * min-k fold over a fixed total order: idempotent, commutative,
+    * associative, hence fold(fold(A) ∪ B) = fold(A ∪ B) and the
+    * drained stream's sample equals the one-shot batch draw
+    * ROW-FOR-ROW — st23 gates on t15's oracle VERBATIM.
+    *
+    * Lifecycle (the inc-dir discipline with built-in compaction):
+    * each batch writes `sample_<b>` commit-then-freeze; an
+    * already-committed batch id replays as a no-op; a GAP (batch b
+    * with no committed b−1) fail-fasts — silently folding over a
+    * lost snapshot would drop every earlier batch's candidates; the
+    * sweep keeps only the newest snapshot, so the dir count is O(1)
+    * without a separate compaction pass (the snapshot IS the fold).
+    * `weight` is a Column over the batch's own columns, so the
+    * stored rows re-derive their races identically on every merge —
+    * nothing numeric is persisted that could drift. */
+  def weightedSampleStream(rows: DataFrame, keyCol: String, weight: Column,
+                           k: Int, salt: String, storePath: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val newest = committedSample(fs, storePath)
+        val nb = newest.map(_._2).getOrElse(-1L)
+        if (batchId > nb) {
+          require(batchId == nb + 1,
+            s"weightedSampleStream: newest committed sample is $nb under " +
+              s"$storePath — refusing to fold batch $batchId over a gap")
+          val stored = newest.map(p => spark.read.parquet(p._1))
+            .getOrElse(batch.limit(0))
+          val merged = graft.ops.Sampling.weightedSample(
+              stored.unionByName(batch), keyCol, weight, k, salt)
+            .localCheckpoint() // materialize BEFORE touching the store
+          merged.write.mode("overwrite").parquet(s"$storePath/sample_$batchId")
+          fs.create(new org.apache.hadoop.fs.Path(
+            s"$storePath/sample_$batchId/_GRAFT_DONE"), true).close()
+          // sweep superseded snapshots (crash here: the next batch or
+          // read still takes the NEWEST committed dir)
+          fs.listStatus(root).map(_.getPath).foreach { p =>
+            if (p.getName.startsWith("sample_") &&
+                p.getName.stripPrefix("sample_").toLong < batchId)
+              fs.delete(p, true): Unit
+          }
+        } // batchId <= nb: replayed batch already folded — no-op
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Reader for [[weightedSampleStream]]'s state: the newest
+    * committed snapshot. */
+  def readWeightedSample(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newest = committedSample(fs, storePath)
+    require(newest.nonEmpty, s"no committed sample under $storePath")
+    spark.read.parquet(newest.get._1)
   }
 
   /** STREAMING BM25 index maintenance — the retrieval family's
