@@ -220,9 +220,15 @@ object Triangles {
     * joined for delta endpoints, whose buckets are pruned IN, so the
     * a=n row count is the node's full degree in E ∪ D. */
   def triangleIncrement(prunedAdj: DataFrame, novelUnd: DataFrame): DataFrame = {
+    // NO checkpoint here: callers pass a MATERIALIZED prunedAdj and a
+    // materialized novel set (the contract below), so this union is a
+    // cheap block-manager read + an in-plan mirror of the (small)
+    // novel frame per consumer — one full materialization per batch,
+    // not two (the r13 sf1 measurement: a second checkpoint of the
+    // union costs a store-sized write+read per batch and dominated
+    // dense batches)
     val fullAdj = prunedAdj.select(col("a"), col("b"))
       .unionByName(mirror(novelUnd))
-      .localCheckpoint() // feeds degrees, the wedge probe and the closure
     val deg = fullAdj.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
     // orient each novel edge: probe from the lower-(degree, id) side
     val orientedD = novelUnd
@@ -274,12 +280,22 @@ object Triangles {
         col(dstCol).cast("long").as("v")))
       .localCheckpoint() // feeds the bucket-list collect AND the probes
     val prunedAdj = readAdjForDelta(spark, edgeStorePath, d0)
-      .localCheckpoint() // one pruned read feeds novelty + the increment
-    val novel = d0.join(prunedAdj.select(col("a").as("u"), col("b").as("v")),
-        Seq("u", "v"), "left_anti")
-      .localCheckpoint()
-    addCounts(storedCounts, triangleIncrement(prunedAdj, novel))
+      .localCheckpoint() // the batch's ONE store-sized materialization
+    addCounts(storedCounts,
+      triangleIncrement(prunedAdj, novelAgainst(prunedAdj, d0)))
   }
+
+  /** The delta's NOVEL edges against a pruned adjacency read: the
+    * normalized (a < b) orientation alone carries every stored edge
+    * — and for a delta edge (u, v) that row sits in bucket(u), which
+    * the delta prunes IN — so the anti-join's build side is half the
+    * adjacency frame. Checkpointed: novelty must be pinned BEFORE
+    * any caller mutates the store it was derived from. */
+  def novelAgainst(prunedAdj: DataFrame, d0: DataFrame): DataFrame =
+    d0.join(prunedAdj.filter(col("a") < col("b"))
+        .select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_anti")
+      .localCheckpoint()
 
   /** The flat-frame face (spec fixtures, in-memory merges): stored
     * edges arrive as a normalized (u, v) frame; adjacency derives
@@ -292,6 +308,7 @@ object Triangles {
     val stored = storedEdges.select(col("u"), col("v"))
     val novel = d0.join(stored, Seq("u", "v"), "left_anti")
       .localCheckpoint()
-    addCounts(storedCounts, triangleIncrement(mirror(stored), novel))
+    addCounts(storedCounts,
+      triangleIncrement(mirror(stored).localCheckpoint(), novel))
   }
 }

@@ -373,11 +373,8 @@ object EventStreams {
             s"under $storePath — refusing to fold batch $batchId over a gap")
         val prunedAdj = Triangles.readAdjForDelta(spark,
             edgesP.toString, d0)
-          .localCheckpoint() // one pruned read feeds novelty + increment
-        val novel = d0.join(
-            prunedAdj.select(col("a").as("u"), col("b").as("v")),
-            Seq("u", "v"), "left_anti")
-          .localCheckpoint() // materialize BEFORE any store write
+          .localCheckpoint() // the batch's ONE store-sized materialization
+        val novel = Triangles.novelAgainst(prunedAdj, d0)
         // our OWN completion marker, not parquet's _SUCCESS: committers
         // configured with marksuccessfuljobs=false would otherwise
         // never freeze the increment and the replay-clobber returns
