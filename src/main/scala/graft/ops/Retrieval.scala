@@ -78,8 +78,32 @@ object Retrieval {
     * few buckets, and appends land new files inside bucket dirs. */
   val TermBuckets: Int = 256
 
-  private def termBucket(w: Column): Column =
-    pmod(xxhash64(w), lit(TermBuckets.toLong))
+  private def termBucket(w: Column, n: Int): Column =
+    pmod(xxhash64(w), lit(n.toLong))
+
+  /** The index's bucket modulus, pinned by the same `_graft_meta`
+    * sidecar the component/edge stores use (the d6c lifecycle guard
+    * applied here): the modulus freezes into the postings layout at
+    * first append, and a reader or appender running with a DIFFERENT
+    * `TermBuckets` would silently prune to the wrong dirs / scatter
+    * new postings across two bucketings. Resolution order: the
+    * store's own sidecar wins; a store with `tb=` data but no sidecar
+    * predates the guard — fail fast with the migration recipe rather
+    * than guess. A fresh store adopts the current [[TermBuckets]]. */
+  private def indexBuckets(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Int = {
+    val postings = s"$path/postings"
+    graft.etl.StoreMeta.read(spark, postings).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(postings)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(p) ||
+          !fs.listStatus(p).exists(_.getPath.getName.startsWith("tb=")),
+        s"BM25 index at $path has postings but no _graft_meta sidecar — " +
+          "rebuild through appendBm25Index (or write the sidecar with " +
+          "the modulus the store was built with)")
+      TermBuckets
+    }
+  }
 
   /** PERSISTED INVERTED-INDEX store for BM25 — the retrieval family's
     * incremental face (the d9/knn1b store discipline applied to the
@@ -111,15 +135,27 @@ object Retrieval {
   def appendBm25Index(docs: DataFrame, idCol: String, textCol: String,
                       path: String): Long = {
     val spark = docs.sparkSession
-    def exists(p: String): Boolean = {
+    // "has data", not "dir exists": the _graft_meta sidecar leads the
+    // first postings write, so the bare dir is not yet a readable store
+    def hasData(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(hp) && fs.listStatus(hp).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
     }
     def novelAgainst(base: DataFrame, store: String): DataFrame =
-      (if (exists(store))
+      (if (hasData(store))
         base.join(spark.read.parquet(store).select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       else base).localCheckpoint() // materialize before touching the store
+    val nb = indexBuckets(spark, path)
+    // pin the modulus BEFORE the first append (append never deletes
+    // the dir, so the sidecar can lead the data; a crash in between
+    // leaves a sidecar over an empty store — consistent either way)
+    if (graft.etl.StoreMeta.read(spark, s"$path/postings").isEmpty)
+      graft.etl.StoreMeta.write(spark, s"$path/postings", nb)
     val base = docs.select(
       col(idCol).as("doc_id"),
       split(col(textCol), " ").as("ws"))
@@ -132,7 +168,7 @@ object Retrieval {
       novelP.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
         .groupBy(col("doc_id"), col("dl"), col("w"))
         .agg(count(lit(1)).as("tf"))
-        .withColumn("tb", termBucket(col("w")))
+        .withColumn("tb", termBucket(col("w"), nb))
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
     val novelD = novelAgainst(base, s"$path/docs")
@@ -166,10 +202,12 @@ object Retrieval {
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     terms: Seq[String], k1: Double = K1,
                     b: Double = B): DataFrame = {
-    // the terms' bucket ids, computed by the same expression that
-    // bucketed the postings (one 1-row job; never hand-rolled hashing)
+    // the terms' bucket ids under the STORE's pinned modulus, computed
+    // by the same expression that bucketed the postings (one 1-row
+    // job; never hand-rolled hashing)
+    val n = indexBuckets(spark, path)
     val tbs = spark.range(1)
-      .select(terms.map(t => termBucket(lit(t))): _*)
+      .select(terms.map(t => termBucket(lit(t), n)): _*)
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).distinct
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(tbs: _*) && col("w").isin(terms: _*))

@@ -72,6 +72,39 @@ class RetrievalSpec extends SparkSpec {
       rows(Retrieval.bm25(df, "doc_id", "text", terms)))
   }
 
+  test("the index's bucket modulus is pinned by _graft_meta: a foreign N is honored, a missing sidecar fails fast") {
+    val terms = Seq("spark", "hash", "join")
+    val df = corpus.toDF("doc_id", "text")
+    val reference = {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25_meta").toString
+      Retrieval.appendBm25Index(df, "doc_id", "text", p)
+      Retrieval.bm25FromIndex(spark, p, terms)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    // a store PRE-pinned to a different modulus: both the append and
+    // the query must resolve N from the sidecar, not the constant —
+    // scores identical, layout under the foreign N
+    val p64 = java.nio.file.Files.createTempDirectory("graft_bm25_meta").toString
+    graft.etl.StoreMeta.write(spark, s"$p64/postings", 64)
+    Retrieval.appendBm25Index(df, "doc_id", "text", p64)
+    val buckets = Option(new java.io.File(s"$p64/postings").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("tb="))
+      .map(_.getName.stripPrefix("tb=").toLong)
+    assert(buckets.nonEmpty && buckets.forall(_ < 64),
+      s"postings must bucket under the pinned N=64, got $buckets")
+    assert(Retrieval.bm25FromIndex(spark, p64, terms)
+      .collect().map(_.toString).sorted.toSeq === reference)
+    // a store with postings but NO sidecar (predates the guard):
+    // reading with a guessed modulus would silently mis-prune — fail
+    val pRaw = java.nio.file.Files.createTempDirectory("graft_bm25_meta").toString
+    Retrieval.appendBm25Index(df, "doc_id", "text", pRaw)
+    new java.io.File(s"$pRaw/postings/_graft_meta").delete()
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25FromIndex(spark, pRaw, terms).collect()
+    }
+    assert(e.getMessage.contains("_graft_meta"))
+  }
+
   test("index query prunes the postings scan to the terms' bucket partitions") {
     val df = corpus.toDF("doc_id", "text")
     val p = java.nio.file.Files.createTempDirectory("graft_bm25_spec").toString
