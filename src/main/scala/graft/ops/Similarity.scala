@@ -150,14 +150,41 @@ object Similarity {
       * s1b's oracle verbatim (IncrementalAnnSpec pins both the
       * equivalence and the store-files-untouched contract). At 100 TB
       * the daily cost is sign+write of the delta alone — the signature
-      * compute over the historical corpus is never repaid. */
+      * compute over the historical corpus is never repaid.
+      *
+      * IDEMPOTENT (the appendKnnGraph/appendBm25Index discipline): a
+      * replayed delta appends nothing — without this, a crash-retry
+      * would double the replayed rows, and the duplicate candidate
+      * would take two ranks in the probe's top-k window and displace
+      * a legitimate neighbor. The novelty check is SIGNATURE-PRUNED:
+      * a replayed row carries the same vector, hence the same
+      * signature, so scanning only the delta's own signature dirs for
+      * stored ids is sound — the id read is delta-bucket-sized, not
+      * index-sized. (Same id with a DIFFERENT vector is an upsert,
+      * not an append — out of this store's contract, like every
+      * immutable-artifact store here.) */
     def appendToIndex(delta: DataFrame, path: String,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Unit =
-      delta.select(col(idCol).as("cand_id"),
+                      vecCol: String = "embedding"): Unit = {
+      val spark = delta.sparkSession
+      val signed = delta.select(col(idCol).as("cand_id"),
           col(vecCol).cast("array<double>").as("__cv"))
         .withColumn("__sig", signature(col("__cv")))
-        .write.mode("append").partitionBy("__sig").parquet(path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val novel = (if (fs.exists(p)) {
+        val deltaSigs = signed.select(col("__sig")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        signed.join(
+          spark.read.parquet(path)
+            .filter(col("__sig").isin(deltaSigs: _*))
+            .select(col("cand_id")).distinct(),
+          Seq("cand_id"), "left_anti")
+      } else signed)
+        .localCheckpoint() // pin novelty BEFORE touching the store
+      if (!novel.isEmpty)
+        novel.write.mode("append").partitionBy("__sig").parquet(path)
+    }
 
     /** Approximate cosine top-k against a persisted [[writeIndex]]
       * index. The query set's probe signatures are collected (queries

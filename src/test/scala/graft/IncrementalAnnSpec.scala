@@ -46,6 +46,25 @@ class IncrementalAnnSpec extends SparkSpec {
       "append == rebuild at probe time (partition scheme is the signature)")
   }
 
+  test("a replayed append adds nothing: files byte-identical, probe unchanged") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lsh = new SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val p = java.nio.file.Files.createTempDirectory("annspec_replay").toString
+    val delta = corpus.filter(col("vec_id") % 10 === 3)
+    lsh.writeIndex(corpus.filter(col("vec_id") % 10 =!= 3), p)
+    lsh.appendToIndex(delta, p)
+    val before = listParts(p)
+    val probeBefore = lsh.annTopKFromIndex(spark, p, queries, 10)
+      .collect().map(_.toString).sorted.toSeq
+    lsh.appendToIndex(delta, p) // the crash-retry replay
+    assert(listParts(p) === before,
+      "a replayed delta must append no files and rewrite none")
+    assert(lsh.annTopKFromIndex(spark, p, queries, 10)
+      .collect().map(_.toString).sorted.toSeq === probeBefore)
+  }
+
   test("registered s1c equals s1b on the same corpus and queries") {
     val a = SparkEntry.queries("s1c_ann_incremental")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
