@@ -51,6 +51,31 @@ object Similarity {
   final class SignRandomProjectionLsh(dim: Int, nBits: Int = 12, seed: Long = 42L) {
     require(nBits <= 30, "signature must fit an Int")
 
+    /** Layout fingerprint pinned into the index's `_graft_meta`
+      * sidecar (the d6c/edge-store/BM25 lifecycle guard, applied to
+      * the LSH parameters): the signature function — hence the
+      * partition layout and every probe's pruning — is a pure
+      * function of (dim, nBits, seed), and an instance built with ANY
+      * other triple would silently probe the wrong bucket dirs. The
+      * fingerprint hashes the triple (stable MurmurHash3 over the
+      * three values), so writers pin it and probes/appends fail fast
+      * on a mismatch instead of returning plausible-but-wrong
+      * neighbors. Indexes written before the guard carry no sidecar
+      * and are accepted as-is (the caller owns parameter discipline
+      * there, as before). */
+    val layoutFingerprint: Int =
+      scala.util.hashing.MurmurHash3.orderedHash(Seq(dim, nBits, seed))
+
+    private def requireFingerprint(
+        spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      graft.etl.StoreMeta.read(spark, path).foreach(fp =>
+        require(fp == layoutFingerprint,
+          s"LSH index at $path was written with different (dim, nBits, " +
+            s"seed) parameters (fingerprint $fp != $layoutFingerprint) — " +
+            "probing or appending with this instance would silently use " +
+            "the wrong signature buckets; rebuild or use the original " +
+            "parameters"))
+
     /** hyperplanes(bit)(dim) in [-1, 1). */
     val hyperplanes: Array[Array[Double]] = {
       val rnd = new scala.util.Random(seed)
@@ -132,11 +157,17 @@ object Similarity {
       * analog of the reference's pgvector index tables
       * (database/lambda/schema.sql:47-63): index once, probe many. */
     def writeIndex(corpus: DataFrame, path: String,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
       corpus.select(col(idCol).as("cand_id"),
           col(vecCol).cast("array<double>").as("__cv"))
         .withColumn("__sig", signature(col("__cv")))
         .write.mode("overwrite").partitionBy("__sig").parquet(path)
+      // data first: the overwrite deletes the target dir, so a meta
+      // written before it would be wiped (the writeEdgeStore order);
+      // the crash window (data, no meta) re-runs this unconditional
+      // overwrite
+      graft.etl.StoreMeta.write(corpus.sparkSession, path, layoutFingerprint)
+    }
 
     /** Append a DELTA of vectors to an existing [[writeIndex]] index —
       * the daily-ingest face the d9/d3c/d11b/j11b stores have, applied
@@ -167,6 +198,7 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
       val spark = delta.sparkSession
+      requireFingerprint(spark, path)
       val signed = delta.select(col(idCol).as("cand_id"),
           col(vecCol).cast("array<double>").as("__cv"))
         .withColumn("__sig", signature(col("__cv")))
@@ -184,6 +216,10 @@ object Similarity {
         .localCheckpoint() // pin novelty BEFORE touching the store
       if (!novel.isEmpty)
         novel.write.mode("append").partitionBy("__sig").parquet(path)
+      // a day-zero append created the store: pin the fingerprint
+      // (append never deletes, so meta-after-data has no wipe hazard)
+      if (graft.etl.StoreMeta.read(spark, path).isEmpty)
+        graft.etl.StoreMeta.write(spark, path, layoutFingerprint)
     }
 
     /** Approximate cosine top-k against a persisted [[writeIndex]]
@@ -196,6 +232,7 @@ object Similarity {
                          queries: DataFrame, k: Int,
                          vecCol: String = "embedding",
                          queryIdCol: String = "query_id"): DataFrame = {
+      requireFingerprint(spark, path)
       val probeSigs = queries
         .select(explode(probeSignatures(col(vecCol).cast("array<double>"))).as("__s"))
         .distinct().collect().map(_.getInt(0)).toSeq

@@ -65,6 +65,29 @@ class IncrementalAnnSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === probeBefore)
   }
 
+  test("a mismatched (dim, nBits, seed) instance fails fast against a pinned index") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lsh = new SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val p = java.nio.file.Files.createTempDirectory("annspec_fp").toString
+    lsh.writeIndex(corpus, p)
+    // same dim, different seed: signatures — and so the partition
+    // layout — silently diverge; the fingerprint must catch it for
+    // both the probe and the append
+    val foreign = new SignRandomProjectionLsh(dim = 64, nBits = 8, seed = 7L)
+    val e1 = intercept[IllegalArgumentException] {
+      foreign.annTopKFromIndex(spark, p, queries, 10).collect()
+    }
+    assert(e1.getMessage.contains("fingerprint"))
+    val e2 = intercept[IllegalArgumentException] {
+      foreign.appendToIndex(corpus.limit(5), p)
+    }
+    assert(e2.getMessage.contains("fingerprint"))
+    // the original instance still probes fine
+    assert(lsh.annTopKFromIndex(spark, p, queries, 10).count() > 0)
+  }
+
   test("registered s1c equals s1b on the same corpus and queries") {
     val a = SparkEntry.queries("s1c_ann_incremental")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
