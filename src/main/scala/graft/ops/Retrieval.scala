@@ -190,9 +190,9 @@ object Retrieval {
     * between appends. Returns the dirs rewritten. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Seq[String] =
-    graft.etl.BucketCompaction.compactStore(spark, s"$path/postings", "tb") ++
+    graft.etl.BucketCompaction.compactStore(spark, s"$path/postings", "tb")
+      .map(d => s"postings/$d") ++
       graft.etl.BucketCompaction.compactDirs(spark, path, Seq("docs"))
-        .map(d => s"docs/$d")
 
   /** BM25 over the persisted index: the scan prunes to the query
     * terms' bucket dirs (partition filter on tb — asserted in

@@ -204,7 +204,17 @@ object Similarity {
         .withColumn("__sig", signature(col("__cv")))
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val novel = (if (fs.exists(p)) {
+      // "has data", not "dir exists" (the appendBm25Index guard): a
+      // day-zero append whose delta was empty/fully-non-novel leaves a
+      // dir holding only the _graft_meta sidecar, and a bare-exists
+      // gate would then aim spark.read.parquet at a parquet-less dir.
+      // The signature partition dirs are underscore-prefixed
+      // (`__sig=<v>`), so they count as data explicitly.
+      val existed = fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        n.startsWith("__sig=") || (!n.startsWith("_") && !n.startsWith("."))
+      }
+      val novel = (if (existed) {
         val deltaSigs = signed.select(col("__sig")).distinct()
           .collect().map(_.getInt(0)).toSeq
         signed.join(
@@ -216,9 +226,17 @@ object Similarity {
         .localCheckpoint() // pin novelty BEFORE touching the store
       if (!novel.isEmpty)
         novel.write.mode("append").partitionBy("__sig").parquet(path)
-      // a day-zero append created the store: pin the fingerprint
-      // (append never deletes, so meta-after-data has no wipe hazard)
-      if (graft.etl.StoreMeta.read(spark, path).isEmpty)
+      // pin the fingerprint ONLY when this append CREATED the store
+      // (append never deletes, so meta-after-data has no wipe hazard).
+      // A pre-guard legacy index (data, no sidecar) is NOT auto-pinned:
+      // locking it to whatever instance happens to append first would
+      // make the first post-guard appender authoritative even when its
+      // (dim, nBits, seed) differ from the layout the store was built
+      // with — legacy stores keep caller-owned parameter discipline
+      // until an explicit rebuild ([[writeIndex]]) pins them. (A crash
+      // between the data write and this pin leaves the same unpinned
+      // state — safe but unguarded, healed by a writeIndex rebuild.)
+      if (!existed && graft.etl.StoreMeta.read(spark, path).isEmpty)
         graft.etl.StoreMeta.write(spark, path, layoutFingerprint)
     }
 

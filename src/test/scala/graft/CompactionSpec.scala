@@ -51,6 +51,11 @@ class CompactionSpec extends SparkSpec {
 
     val rewritten = Retrieval.compactBm25Index(spark, idx)
     assert(rewritten.nonEmpty)
+    // labels are index-root-relative: postings buckets carry their
+    // subdir, the sidecar is exactly "docs" (not "docs/docs")
+    assert(rewritten.forall(d => d.startsWith("postings/tb=") || d == "docs"),
+      s"mislabeled rewritten dirs: $rewritten")
+    assert(rewritten.contains("docs"))
     bucketDirs(s"$idx/postings", "tb").foreach { d =>
       assert(BucketCompaction.dataFileCount(spark, d.toString) == 1,
         s"bucket ${d.getName} not folded to one file")

@@ -88,6 +88,44 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(lsh.annTopKFromIndex(spark, p, queries, 10).count() > 0)
   }
 
+  test("a day-zero empty append leaves a store later appends can still build") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val lsh = new SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val p = java.nio.file.Files.createTempDirectory("annspec_dayzero").toString + "/idx"
+    // the hazard: an empty/fully-non-novel day-zero delta must not
+    // leave a dir whose presence makes the NEXT append read parquet
+    // from a parquet-less store ("has data", not "dir exists")
+    lsh.appendToIndex(corpus.limit(0), p)
+    lsh.appendToIndex(corpus, p) // must not crash on schema inference
+    assert(lsh.annTopKFromIndex(spark, p, queries, 10).count() > 0)
+  }
+
+  test("appending to a legacy (unpinned) index does not pin the appender's fingerprint") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val lsh = new SignRandomProjectionLsh(dim = 64, nBits = 8)
+    val p = java.nio.file.Files.createTempDirectory("annspec_legacy").toString
+    lsh.writeIndex(corpus.filter(col("vec_id") % 10 =!= 3), p)
+    // simulate a pre-guard index: data present, no sidecar
+    val meta = new org.apache.hadoop.fs.Path(s"$p/_graft_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(meta, false)
+    // a FOREIGN instance appends (legacy stores keep caller-owned
+    // parameter discipline — nothing to fail fast against) ...
+    val foreign = new SignRandomProjectionLsh(dim = 64, nBits = 8, seed = 7L)
+    foreign.appendToIndex(corpus.filter(col("vec_id") % 10 === 3).limit(3), p)
+    // ... and must NOT become authoritative: pinning the foreign
+    // fingerprint would permanently lock the store to the WRONG
+    // layout and reject the instance that actually built it
+    assert(graft.etl.StoreMeta.read(spark, p).isEmpty,
+      "append onto a legacy store must not auto-pin")
+    // the original builder instance remains usable
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(lsh.annTopKFromIndex(spark, p, queries, 5).count() > 0)
+  }
+
   test("registered s1c equals s1b on the same corpus and queries") {
     val a = SparkEntry.queries("s1c_ann_incremental")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
