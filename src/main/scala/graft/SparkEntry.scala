@@ -83,6 +83,7 @@ object SparkEntry {
     "lp1_communities"       -> (CoreQueries.communities _),
     "tc1_triangles"         -> (CoreQueries.triangleCounts _),
     "tc2_triangle_store"    -> (CoreQueries.triangleCountsIncremental _),
+    "tc2b_triangle_store_sparse" -> (CoreQueries.triangleCountsIncrementalSparse _),
     "w12_ewma"              -> (CoreQueries.userEwma _),
     "w13_throttle_dedup"    -> (CoreQueries.throttleDedup _),
     "w14_trailing_window"   -> (CoreQueries.trailingHourWindow _),
@@ -2036,6 +2037,9 @@ object SparkEntry {
     // {triangles with ≥1 D edge}, so the store's absorbed counts must
     // equal the full recount bit-for-bit.
     "tc2_triangle_store" -> triangleOracleSql,
+    // tc2b: the SAME oracle — the sparse-regime adaptive read serves
+    // the identical adjacency relation, and base ∪ delta = all edges
+    "tc2b_triangle_store_sparse" -> triangleOracleSql,
     // gc1: data-adaptive k = max(2, ceil(0.7·avg-degree)), then 6
     // unrolled peel rounds — more than the data's cascade depth (4 at
     // sf0.01); post-fixpoint rounds are no-ops on both engines.

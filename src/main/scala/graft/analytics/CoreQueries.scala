@@ -955,6 +955,38 @@ object CoreQueries {
 
   private val triStoreCache = StoreCaches.register("tc2_triangle_store")
 
+  /** tc2b — the SPARSE-regime face of the adaptive bucketed merge
+    * (ops.Triangles.readAdjForDeltaAdaptive): tc2 with the default
+    * data-sized bucket floor (8) sees every delta touch every bucket,
+    * so the driver gate would only ever exercise the dense a<b-half
+    * read; here the store is built with 64 buckets and the delta is
+    * the 8 lexicographically-first edges — ≤ 16 touched buckets, under
+    * the [[graft.ops.Triangles.DenseBucketFraction]] cut — so the
+    * PRUNED read path is oracle-gated every round too (both regimes of
+    * the r14 adaptive read live in CORRECTNESS, not just specs). The
+    * merged counts cover base ∪ delta = ALL edges whichever path
+    * serves the adjacency, so tc2b gates on tc1's oracle VERBATIM. */
+  def triangleCountsIncrementalSparse(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supplierCoEdges(spark, dir).localCheckpoint()
+    val delta = edges.orderBy(col("u"), col("v")).limit(8).localCheckpoint()
+    val p = triSparseStoreCache.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_tri_sparse").toString
+      val base = edges.join(delta, Seq("u", "v"), "left_anti").localCheckpoint()
+      graft.ops.Triangles.writeEdgeStore(base, "u", "v", s"$t/edges",
+        nBuckets = 64)
+      graft.ops.Triangles.perNode(base, "u", "v", assumeDistinct = true)
+        .write.parquet(s"$t/tri")
+      t
+    })
+    graft.ops.Triangles.mergeTriangleCountsBucketed(
+        spark.read.parquet(s"$p/tri"), s"$p/edges", delta, "u", "v")
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
+  private val triSparseStoreCache =
+    StoreCaches.register("tc2b_triangle_store_sparse")
+
   /** gc1 — k-core of the same sparsified supplier graph
     * ([[graft.ops.KCore]]): the link-pruning face of the graph family.
     * k is DATA-ADAPTIVE — max(2, ceil(0.7·avg-degree)) — because the
@@ -987,7 +1019,7 @@ object CoreQueries {
     * (measured 11.6× at 10× data); the histogram is a fixed-size
     * aggregate and tc1 returned to output-bound scaling. Identical
     * semantics: thr = max v with |{n >= v}| >= ceil(0.2·|pairs|). */
-  private[analytics] def supplierCoEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def supplierCoEdges(spark: SparkSession, dir: String): DataFrame = {
     val sp = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("k"), col("l_suppkey").cast("long").as("s"))
       .distinct()

@@ -565,10 +565,14 @@ object StreamQueries {
       Tables.documents(spark, dir).select(col("doc_id"), col("text"))
         .repartition(4).write.parquet(s"$tmp/src")
       val schema = spark.read.parquet(s"$tmp/src").schema
+      // maintainEvery = 2: the 4-batch fixture runs the in-stream
+      // compaction slot twice, so the oracle gates the index THROUGH
+      // its own maintenance (r14 — not just across manual compaction)
       EventStreams.bm25IndexStream(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
-        "doc_id", "text", s"$tmp/idx", s"$tmp/cp").awaitTermination()
+        "doc_id", "text", s"$tmp/idx", s"$tmp/cp",
+        maintainEvery = 2).awaitTermination()
       s"$tmp/idx"
     })
     TextQueries.bm25Readout(
@@ -594,10 +598,14 @@ object StreamQueries {
       CoreQueries.supplierCoEdges(spark, dir)
         .repartition(4).write.parquet(s"$tmp/src")
       val schema = spark.read.parquet(s"$tmp/src").schema
+      // maintainEvery = 2: batches 1 and 3 fold the edge buckets and
+      // the committed increments from inside the stream — the r14
+      // maintenance slot, gated by tc1's oracle verbatim
       EventStreams.triangleCountStream(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
-        "u", "v", s"$tmp/store", s"$tmp/cp").awaitTermination()
+        "u", "v", s"$tmp/store", s"$tmp/cp",
+        maintainEvery = 2).awaitTermination()
       s"$tmp/store"
     })
     EventStreams.readTriangleCounts(spark, store)

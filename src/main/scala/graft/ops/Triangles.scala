@@ -81,8 +81,10 @@ object Triangles {
   // The layout that makes the incremental faces' per-batch READS
   // delta-sized (the d6c discipline applied to adjacency — the r12
   // verdict's top ask): edges persist as BOTH orientations (a, b),
-  // parquet-partitioned by eb = xxhash64(a) mod N. Every per-batch
-  // probe the merge needs keys on a node the DELTA names —
+  // parquet-partitioned by (eb = xxhash64(a) mod N, o) where o tags
+  // the orientation (0 = the normalized a < b row, 1 = its mirror).
+  // Every per-batch probe the merge needs keys on a node the DELTA
+  // names —
   //  - novelty: is (u, v) stored?  -> row (a=u, b=v) in bucket(u);
   //  - degree:  deg(n), n a delta endpoint -> count of a=n rows, all
   //    in bucket(n) (both orientations stored, so one dir holds a
@@ -99,6 +101,17 @@ object Triangles {
   // into the layout at write time and is pinned by the same
   // `_graft_meta` sidecar the component store uses; appends land new
   // files inside existing bucket dirs and never rewrite stored rows.
+  //
+  // The o sub-partition exists for the DENSE regime (r14): when a
+  // batch touches ≥ DenseBucketFraction of the buckets, pruning
+  // skips little and the both-orientations layout would read 2E rows
+  // where r12's flat store read E. `o` makes "the normalized half"
+  // a DIRECTORY-level prune — `filter(o = 0)` is a partition-column
+  // literal predicate, so the dense read opens half the files and
+  // decodes exactly E rows (an in-row `a < b` filter could not prune:
+  // parquet pushdown takes column-vs-literal only, and the two
+  // orientations interleave inside every file). Same write volume,
+  // 2N leaf dirs instead of N.
 
   /** Data-sized bucket count: one bucket ≈ 6M (long, long) adjacency
     * rows ≈ 100 MB per read task, floor 8 (fixture-scale pruning stays
@@ -113,13 +126,20 @@ object Triangles {
     und.select(col("u").as("a"), col("v").as("b"))
       .unionByName(und.select(col("v").as("a"), col("u").as("b")))
 
+  /** [[mirror]] with the orientation tag the store partitions on:
+    * o = 0 carries the normalized a < b rows, o = 1 their mirrors. */
+  private def mirrorTagged(und: DataFrame): DataFrame =
+    und.select(col("u").as("a"), col("v").as("b"), lit(0).as("o"))
+      .unionByName(
+        und.select(col("v").as("a"), col("u").as("b"), lit(1).as("o")))
+
   /** Seed the store from a batch edge set (normalized here). */
   def writeEdgeStore(edges: DataFrame, srcCol: String, dstCol: String,
                      path: String, nBuckets: Int = 0): Unit = {
     val spark = edges.sparkSession
     val und = normalize(edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v")))
-    val adj = mirror(und).localCheckpoint() // counted, then written
+    val adj = mirrorTagged(und).localCheckpoint() // counted, then written
     val n = if (nBuckets > 0) nBuckets else dataSizedEdgeBuckets(adj.count())
     // data first: the overwrite DELETES the target dir, so a meta
     // written before it would be wiped. The crash window (data, no
@@ -127,7 +147,7 @@ object Triangles {
     // re-running this seed — which overwrites unconditionally
     adj.withColumn("eb", edgeBucket(col("a"), n))
       .repartition(col("eb"))
-      .write.mode("overwrite").partitionBy("eb").parquet(path)
+      .write.mode("overwrite").partitionBy("eb", "o").parquet(path)
     graft.etl.StoreMeta.write(spark, path, n)
   }
 
@@ -169,6 +189,84 @@ object Triangles {
           .select(col("a"), col("b"))
     }
 
+  /** Touched-bucket fraction at which the merge's adjacency read
+    * switches from the pruned both-orientations scan to the
+    * normalized-half scan. Cost model per unit of store volume E:
+    * pruned scans and materializes 2·f·E rows (f = touched fraction,
+    * both o dirs of the touched buckets); the half path prunes to the
+    * o=0 dirs — a directory-level prune, so it scans AND materializes
+    * exactly E rows, deriving the mirror in-plan. Per-row costs
+    * cancel, so the analytic crossover is f* = 0.5 — confirmed by the
+    * measured sweep (PERFORMANCE.md round-14 crossover table).
+    * Correctness is regime-invariant — both sources yield the
+    * identical adjacency relation for every bucket the delta
+    * touches. */
+  val DenseBucketFraction: Double = 0.5
+
+  private[graft] def isDenseDelta(touched: Int, nBuckets: Int): Boolean =
+    touched >= DenseBucketFraction * nBuckets
+
+  /** REGIME-ADAPTIVE adjacency read for the incremental merges — the
+    * r13 dense-batch fix. The both-orientations layout exists so a
+    * SPARSE delta's probes prune to its endpoints' bucket dirs; but
+    * when a dense batch (a backfill, a first seed, a fixture that
+    * touches every bucket) names ≥ [[DenseBucketFraction]] of the
+    * dirs, pruning skips little and the scan pays the full 2E
+    * both-orientations volume where the pre-bucketed flat store read
+    * E. This picks per delta: sparse → the pruned read; dense → the
+    * store's normalized a<b half (E rows — exactly one row per edge,
+    * whatever buckets hold it) with the mirror derived in-plan, the
+    * same derivation [[mergeTriangleCounts]] uses for flat frames.
+    * The returned frame is already MATERIALIZED (the batch's one
+    * store-sized-at-most localCheckpoint) — callers must not
+    * checkpoint it again; the in-plan mirror union on the dense path
+    * replays block-manager reads, not the parquet scan. Exactness is
+    * unchanged: both sources contain the complete adjacency of every
+    * delta endpoint (the dense path carries ALL nodes' adjacency — a
+    * superset — and [[triangleIncrement]] only ever joins on delta
+    * endpoints), so tc2/st21 gate on tc1's oracle verbatim at every
+    * delta density (TriangleEdgeStoreSpec sweeps both regimes). */
+  def readAdjForDeltaAdaptive(spark: org.apache.spark.sql.SparkSession,
+                              path: String, deltaUnd: DataFrame): DataFrame =
+    readAdjPlanForDelta(spark, path, deltaUnd)._1
+
+  /** [[readAdjForDeltaAdaptive]] plus its regime evidence: the second
+    * element is Some(normalized-half frame, materialized) exactly when
+    * the read was served COMPLETE — the dense path, or an absent store
+    * (trivially complete and empty) — which is the ingredient the
+    * stream's work-regime fallback needs (a recount requires the
+    * whole edge set; a sparse pruned read cannot provide it, and a
+    * sparse delta never wants the fallback anyway). */
+  private[graft] def readAdjPlanForDelta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      deltaUnd: DataFrame): (DataFrame, Option[DataFrame]) =
+    storeBuckets(spark, path) match {
+      case None =>
+        val empty = spark.range(0).selectExpr("id AS a", "id AS b")
+        (empty, Some(empty))
+      case Some(n) =>
+        val buckets = deltaUnd
+          .select(explode(array(col("u"), col("v"))).as("__n"))
+          .select(edgeBucket(col("__n"), n).as("eb"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        if (!isDenseDelta(buckets.length, n))
+          (spark.read.parquet(path)
+            .filter(col("eb").isin(buckets: _*))
+            .select(col("a"), col("b"))
+            .localCheckpoint(), None)
+        else {
+          // o = 0 is a partition-column literal predicate: the scan
+          // opens only the normalized-half dirs and decodes E rows,
+          // not 2E — the dense-regime win, at r12-flat-store cost
+          val half = spark.read.parquet(path)
+            .filter(col("o") === 0)
+            .select(col("a"), col("b"))
+            .localCheckpoint()
+          (half.unionByName(
+            half.select(col("b").as("a"), col("a").as("b"))), Some(half))
+        }
+    }
+
   /** Append novel normalized edges (both orientations) into their
     * bucket dirs — new files only, stored rows never rewritten. Day
     * zero (no store yet) seeds meta with a data-sized N. The caller
@@ -176,7 +274,7 @@ object Triangles {
     * non-novel edge would double its adjacency rows. */
   def appendEdgeStore(novelUnd: DataFrame, path: String): Unit = {
     val spark = novelUnd.sparkSession
-    val adj = mirror(novelUnd).localCheckpoint()
+    val adj = mirrorTagged(novelUnd).localCheckpoint()
     val n = storeBuckets(spark, path).getOrElse {
       val sized = dataSizedEdgeBuckets(adj.count())
       graft.etl.StoreMeta.write(spark, path, sized)
@@ -185,11 +283,11 @@ object Triangles {
     if (!adj.isEmpty)
       adj.withColumn("eb", edgeBucket(col("a"), n))
         .repartition(col("eb"))
-        .write.mode("append").partitionBy("eb").parquet(path)
+        .write.mode("append").partitionBy("eb", "o").parquet(path)
   }
 
   /** Fold the edge store's append-accumulated small files
-    * (etl.BucketCompaction): each endpoint-bucket dir rewrites to ONE
+    * (etl.BucketCompaction): each (eb, o) leaf dir rewrites to ONE
     * file, bounding a delta probe's footer reads at O(touched
     * buckets) however many batches appended. Row-preserving —
     * [[readAdjForDelta]] and every merge over the compacted store are
@@ -197,8 +295,17 @@ object Triangles {
     * root file) is never touched, so the bucket modulus survives.
     * Run between batches, never racing a streaming merge. */
   def compactEdgeStore(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Seq[String] =
-    graft.etl.BucketCompaction.compactStore(spark, path, "eb")
+                       path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("eb=") && !n.contains("__compact_"))
+      .sorted.toSeq.flatMap { eb =>
+        graft.etl.BucketCompaction.compactStore(spark, s"$path/$eb", "o")
+          .map(o => s"$eb/$o")
+      }
+  }
 
   /** The ≥1-novel-edge triangle increment from PRUNED adjacency — the
     * shared core of the incremental faces. `prunedAdj` must contain
@@ -279,8 +386,9 @@ object Triangles {
     val d0 = normalize(deltaEdges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v")))
       .localCheckpoint() // feeds the bucket-list collect AND the probes
-    val prunedAdj = readAdjForDelta(spark, edgeStorePath, d0)
-      .localCheckpoint() // the batch's ONE store-sized materialization
+    // already materialized inside (regime-adaptive: pruned 2fE rows
+    // sparse, a<b half = E rows dense) — no second checkpoint
+    val prunedAdj = readAdjForDeltaAdaptive(spark, edgeStorePath, d0)
     addCounts(storedCounts,
       triangleIncrement(prunedAdj, novelAgainst(prunedAdj, d0)))
   }

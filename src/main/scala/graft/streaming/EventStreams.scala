@@ -345,9 +345,39 @@ object EventStreams {
     * replays after its edges landed — the counts would silently
     * undercount forever; the freeze is what makes the replay safe.)
     * The final summed counts equal the one-shot batch count (the tc2
-    * identity), so st21 gates on tc1's oracle VERBATIM. */
+    * identity), so st21 gates on tc1's oracle VERBATIM.
+    *
+    * MAINTENANCE SLOT (r14): every `maintainEvery` batches the stream
+    * folds its own stores from inside foreachBatch — the edge store's
+    * bucket dirs compact to one file each ([[graft.ops.Triangles
+    * .compactEdgeStore]]) and the committed `inc_<b>` dirs fold into
+    * a `base_<b>` snapshot ([[compactTriangleIncrements]]) — so a
+    * long-lived stream reads O(touched buckets) footers and O(1)
+    * increment dirs however many batches ran. Both folds are
+    * row-preserving and replay-safe: a batch replayed across its own
+    * fold skips its frozen (now folded) increment via the gap guard's
+    * base acceptance and appends nothing novel. 0 disables.
+    *
+    * WORK-REGIME FALLBACK (r14): the ≥1-novel-edge enumeration costs
+    * Σ min-degree over the delta — measured 2.2× the one-shot recount
+    * at a 25% backfill batch (PERFORMANCE.md round-14 phases) — so
+    * when the adaptive read served the COMPLETE edge set (dense
+    * regime) and the novel set is ≥ `workRebuildFraction` of the
+    * stored edges, the increment computes as recount-and-diff
+    * instead: triangles(E ∪ D) in one orientation pass, minus the
+    * store's own summed counts — which equal triangles(E) EXACTLY by
+    * this stream's invariant (base ⊎ incs ≡ the one-shot count; this
+    * face owns that invariant, which is why the fallback lives here
+    * and not in the generic merge). The diff is exact row arithmetic,
+    * so the written increment — and every later sum — is unchanged
+    * bit-for-bit whichever regime computed it; st21 gates on tc1's
+    * oracle verbatim across the threshold. Production-shaped deltas
+    * (≤ a few %) never trigger it; backfill batches and the first
+    * seed batch do. ≤ 0 disables. */
   def triangleCountStream(edges: DataFrame, srcCol: String, dstCol: String,
-                          storePath: String, checkpoint: String)
+                          storePath: String, checkpoint: String,
+                          maintainEvery: Int = 8,
+                          workRebuildFraction: Double = 0.15)
       : org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -371,9 +401,11 @@ object EventStreams {
             compactedBase(fs, storePath).exists(_._2 >= batchId - 1),
           s"triangleCountStream: store is missing inc_${batchId - 1} " +
             s"under $storePath — refusing to fold batch $batchId over a gap")
-        val prunedAdj = Triangles.readAdjForDelta(spark,
-            edgesP.toString, d0)
-          .localCheckpoint() // the batch's ONE store-sized materialization
+        // materialized inside (regime-adaptive: a sparse batch prunes
+        // to its endpoints' bucket dirs; a dense batch — the backfill
+        // case — reads the store's a<b half, E rows instead of 2E)
+        val (prunedAdj, halfOpt) = Triangles.readAdjPlanForDelta(spark,
+          edgesP.toString, d0)
         val novel = Triangles.novelAgainst(prunedAdj, d0)
         // our OWN completion marker, not parquet's _SUCCESS: committers
         // configured with marksuccessfuljobs=false would otherwise
@@ -381,14 +413,43 @@ object EventStreams {
         val incDone = new org.apache.hadoop.fs.Path(
           s"$storePath/inc_$batchId/_GRAFT_DONE")
         if (!fs.exists(incDone)) {
+          val inc = halfOpt match {
+            case Some(half) if workRebuildFraction > 0 && {
+                val nN = novel.count()
+                // max(…, 1): an absent/empty store makes ANY non-empty
+                // first batch a backfill — recount beats enumerating
+                // wedges from scratch there too
+                nN > 0 && nN >= workRebuildFraction * math.max(half.count(), 1L)
+              } =>
+              val full = Triangles.perNode(
+                half.select(col("a").as("u"), col("b").as("v"))
+                  .unionByName(novel.select(col("u"), col("v"))),
+                "u", "v", assumeDistinct = true)
+              // triangles(E) from the store's own counts — computed
+              // BEFORE inc_<b> exists, so the sum covers batches < b
+              val prev =
+                if (batchId == 0L)
+                  spark.range(0).selectExpr("id AS node", "id AS n_tri")
+                else readTriangleCounts(spark, storePath)
+              full.join(prev.select(col("node"), col("n_tri").as("__prev")),
+                  Seq("node"), "full_outer")
+                .select(col("node"),
+                  (coalesce(col("n_tri"), lit(0L)) -
+                    coalesce(col("__prev"), lit(0L))).as("n_tri"))
+                .filter(col("n_tri") =!= 0)
+            case _ => Triangles.triangleIncrement(prunedAdj, novel)
+          }
           // zero-count empty increment still writes: the dir is the
           // batch's completion record
-          Triangles.triangleIncrement(prunedAdj, novel)
-            .write.mode("overwrite").parquet(s"$storePath/inc_$batchId")
+          inc.write.mode("overwrite").parquet(s"$storePath/inc_$batchId")
           fs.create(incDone, true).close()
         }
         if (!novel.isEmpty)
           Triangles.appendEdgeStore(novel, edgesP.toString)
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+          Triangles.compactEdgeStore(spark, edgesP.toString)
+          compactTriangleIncrements(spark, storePath): Unit
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -533,6 +594,24 @@ object EventStreams {
         val spark = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(storePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // (k, salt) pin (the sketch-store discipline): a restarted
+        // stream folding with a different k or salt would silently
+        // shrink/grow the sample or fold under a different race order.
+        // The sidecar LEADS the first snapshot — snapshot writes only
+        // touch sample_<b> subdirs, so the root sidecar is never
+        // wiped and every crash window reads consistently.
+        graft.etl.StoreMeta.requireFamily(spark, storePath, "wsample") match {
+          case Some(m) =>
+            require(m.get("k").contains(k.toString) &&
+                m.get("salt").contains(salt),
+              s"weighted-sample store at $storePath is pinned to " +
+                s"k=${m.getOrElse("k", "?")} salt='${m.getOrElse("salt", "?")}'" +
+                s" but this stream runs k=$k salt='$salt' — refusing to " +
+                "fold under mismatched race parameters")
+          case None =>
+            graft.etl.StoreMeta.pinFamily(spark, storePath, "wsample",
+              Map("k" -> k.toString, "salt" -> salt))
+        }
         val newest = committedSample(fs, storePath)
         val nb = newest.map(_._2).getOrElse(-1L)
         if (batchId > nb) {
@@ -583,14 +662,30 @@ object EventStreams {
     * one-shot batch build and queries against it score identically —
     * st20 gates on r1's oracle VERBATIM. The production shape for a
     * continuously-ingesting searchable corpus: per-batch cost is
-    * tokenize+append of the batch alone. */
+    * tokenize+append of the batch alone.
+    *
+    * MAINTENANCE SLOT (r14 — the lifecycle wiring the r13 verdict
+    * asked for): every `maintainEvery` batches the stream compacts
+    * its own index (ops.Retrieval.compactBm25Index) from inside
+    * foreachBatch — the stream IS the store's owner, so the
+    * no-concurrent-reader caveat of the staged swap holds by
+    * construction, and a long-lived stream's postings dirs stay at
+    * O(1) files instead of one file-set per batch forever. Compaction
+    * is row-preserving and heal-on-entry, so a crash anywhere in the
+    * slot — or a replayed batch re-running it — changes nothing
+    * (r1/st20's oracle gates verbatim across it). 0 disables (the
+    * owner compacts manually, the pre-r14 contract). */
   def bm25IndexStream(docs: DataFrame, idCol: String, textCol: String,
-                      indexPath: String, checkpoint: String)
+                      indexPath: String, checkpoint: String,
+                      maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Retrieval.appendBm25Index(
-          batch, idCol, textCol, indexPath): Unit
+          batch, idCol, textCol, indexPath)
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+          graft.ops.Retrieval.compactBm25Index(
+            batch.sparkSession, indexPath): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -85,7 +85,11 @@ class CompactionSpec extends SparkSpec {
       Triangles.normalize(d1.toDF("u", "v")), p)
     Triangles.appendEdgeStore(
       Triangles.normalize(d2.toDF("u", "v")), p)
-    val before = bucketDirs(p, "eb")
+    // the store's leaves are eb=X/o=Y (r14 orientation sub-partition)
+    def leafDirs(path: String): Seq[java.io.File] =
+      bucketDirs(path, "eb").flatMap(eb => bucketDirs(eb.toString, "o"))
+    def leafName(d: java.io.File) = s"${d.getParentFile.getName}/${d.getName}"
+    val before = leafDirs(p)
     assert(before.exists(d =>
       BucketCompaction.dataFileCount(spark, d.toString) > 1))
     val rowsBefore = sortedRows(p)
@@ -93,13 +97,13 @@ class CompactionSpec extends SparkSpec {
     // leave their files BYTE-identical (name + size)
     val alreadyCompact = before
       .filter(d => BucketCompaction.dataFileCount(spark, d.toString) == 1)
-      .map(d => d.getName -> fileSig(d)).toMap
+      .map(d => leafName(d) -> fileSig(d)).toMap
     Triangles.compactEdgeStore(spark, p)
-    val after = bucketDirs(p, "eb")
+    val after = leafDirs(p)
     after.foreach(d =>
       assert(BucketCompaction.dataFileCount(spark, d.toString) == 1))
     alreadyCompact.foreach { case (name, sig) =>
-      assert(fileSig(after.find(_.getName == name).get) == sig,
+      assert(fileSig(after.find(leafName(_) == name).get) == sig,
         s"already-compact dir $name was rewritten")
     }
     assert(sortedRows(p) == rowsBefore)
@@ -180,5 +184,69 @@ class CompactionSpec extends SparkSpec {
     BucketCompaction.compactStore(spark, parent, "b")
     assert(rows() == expected)
     assert(!fs.exists(hp("b=0__compact_old")))
+  }
+
+  // ===== the r14 in-stream maintenance slot: a LONG stream (4x the
+  // trigger) must keep its own file counts bounded, with the face's
+  // results identical to a one-shot build =====
+
+  test("bm25 stream maintenance: 8 batches at maintainEvery=2 end at 1 file per dir") {
+    import graft.streaming.EventStreams
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val root = tmp("graft_cmp_bm25stream")
+    docs.repartition(8).write.parquet(s"$root/src")
+    val schema = spark.read.parquet(s"$root/src").schema
+    EventStreams.bm25IndexStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/src"),
+      "doc_id", "text", s"$root/idx", s"$root/cp",
+      maintainEvery = 2).awaitTermination()
+    // the final batch (7) ran the slot, so EVERY dir is fully folded —
+    // without the slot each of the 8 appends would land its own
+    // file-set in the touched dirs
+    bucketDirs(s"$root/idx/postings", "tb").foreach { d =>
+      assert(BucketCompaction.dataFileCount(spark, d.toString) === 1,
+        s"postings ${d.getName} not folded by the in-stream slot")
+    }
+    assert(BucketCompaction.dataFileCount(spark, s"$root/idx/docs") === 1)
+    // the maintained index scores identically to a one-shot build
+    val oneShot = tmp("graft_cmp_bm25oneshot")
+    Retrieval.appendBm25Index(docs, "doc_id", "text", oneShot)
+    def scores(p: String) = Retrieval
+      .bm25FromIndex(spark, p, graft.analytics.TextQueries.BmTerms)
+      .collect().map(_.toString).sorted.toSeq
+    assert(scores(s"$root/idx") === scores(oneShot))
+  }
+
+  test("triangle stream maintenance: 8 batches at maintainEvery=2 end fully folded") {
+    import graft.streaming.EventStreams
+    val root = tmp("graft_cmp_tristream")
+    allEdges.toDF("u", "v").repartition(8).write.parquet(s"$root/src")
+    val schema = spark.read.parquet(s"$root/src").schema
+    EventStreams.triangleCountStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/src"),
+      "u", "v", s"$root/store", s"$root/cp",
+      maintainEvery = 2).awaitTermination()
+    // batch 7's slot folded everything: 1 file per (eb, o) leaf, no
+    // loose inc dirs, exactly one committed base
+    val leaves = bucketDirs(s"$root/store/edges", "eb")
+      .flatMap(eb => bucketDirs(eb.toString, "o"))
+    assert(leaves.nonEmpty)
+    leaves.foreach { d =>
+      assert(BucketCompaction.dataFileCount(spark, d.toString) === 1,
+        s"edge leaf ${d.getParentFile.getName}/${d.getName} not folded " +
+          "by the in-stream slot")
+    }
+    val dirs = new java.io.File(s"$root/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.exists(_.startsWith("inc_")), s"unfolded incs: $dirs")
+    assert(dirs.count(_.startsWith("base_")) === 1)
+    // and the maintained store's counts equal the one-shot recount
+    val got = EventStreams.readTriangleCounts(spark, s"$root/store")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Triangles.perNode(allEdges.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
   }
 }

@@ -36,9 +36,15 @@ class TriangleEdgeStoreSpec extends SparkSpec {
     val expectedBuckets = Seq(1L, 2L).toDF("n")
       .select(pmod(xxhash64($"n"), lit(8L)).as("eb"))
       .distinct().as[Long].collect().toSet
-    def parquetFilesUnder(dir: java.io.File): Int =
-      Option(dir.listFiles()).toSeq.flatten
-        .count(_.getName.endsWith(".parquet"))
+    def parquetFilesUnder(dir: java.io.File): Int = {
+      // recurse: the store's leaves are eb=X/o=Y subdirs (r14 layout)
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir.toPath)
+      try s.iterator().asScala.count(f =>
+        java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
     val bucketDirs = new java.io.File(p).listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("eb="))
     assert(bucketDirs.length > 2,
@@ -87,6 +93,50 @@ class TriangleEdgeStoreSpec extends SparkSpec {
     assert(got === recount(allEdges))
   }
 
+  test("adaptive read: dense deltas serve from the a<b half, sparse from pruned dirs") {
+    assert(!Triangles.isDenseDelta(2, 8))
+    assert(!Triangles.isDenseDelta(3, 8)) // 3 < 0.5*8
+    assert(Triangles.isDenseDelta(4, 8))
+    assert(Triangles.isDenseDelta(8, 8))
+    val p = tmp("graft_tes_adaptive") + "/edges"
+    Triangles.writeEdgeStore(baseEdges.toDF("u", "v"), "u", "v", p, nBuckets = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the ~10% random delta's endpoints hash into every one of the 8
+    // buckets -> dense regime: the read must equal BOTH orientations
+    // of the stored normalized edges exactly (each edge twice)
+    val dense = Triangles.readAdjForDeltaAdaptive(spark, p,
+      deltaEdges.toDF("u", "v"))
+    val expected = baseEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    assert(pairs(dense) === expected)
+    assert(dense.count() === 2L * baseEdges.size)
+    // a one-edge delta names <= 2 of 8 buckets -> sparse regime: the
+    // adaptive read must equal the pruned read (a strict subset of the
+    // store whenever pruning skips buckets)
+    val oneEdge = Seq((1L, 2L)).toDF("u", "v")
+    val sparse = Triangles.readAdjForDeltaAdaptive(spark, p, oneEdge)
+    assert(pairs(sparse) === pairs(Triangles.readAdjForDelta(spark, p, oneEdge)))
+    assert(pairs(sparse).subsetOf(expected))
+    assert(sparse.count() < dense.count(),
+      "the sparse fixture must actually prune something")
+  }
+
+  test("bucketed merge equals a full recount at EVERY delta density (regime sweep)") {
+    // mod 2 -> ~50% delta (dense), 3 -> ~33%, 10 -> ~10% (the tc2
+    // default), 100 -> ~1% (sparse at 8 buckets only for tiny deltas,
+    // but the SWEEP is the contract: the adaptive read may pick either
+    // source and the merge must be split-invariant)
+    for (mod <- Seq(2L, 3L, 10L, 100L)) {
+      val (d, b) = allEdges.partition { case (u, v) => (u * 31 + v) % mod == mod - 1 }
+      val p = tmp(s"graft_tes_sweep$mod") + "/edges"
+      Triangles.writeEdgeStore(b.toDF("u", "v"), "u", "v", p, nBuckets = 8)
+      val got = toMap(Triangles.mergeTriangleCountsBucketed(
+        Triangles.perNode(b.toDF("u", "v"), "u", "v"),
+        p, d.toDF("u", "v"), "u", "v").filter($"n_tri" > 0))
+      assert(got === recount(allEdges), s"delta density 1/$mod must equal recount")
+    }
+  }
+
   test("append writes only novel endpoints' buckets; stored files stay byte-identical") {
     val p = tmp("graft_tes_append") + "/edges"
     Triangles.writeEdgeStore(baseEdges.toDF("u", "v"), "u", "v", p, nBuckets = 8)
@@ -120,6 +170,42 @@ class TriangleEdgeStoreSpec extends SparkSpec {
       Triangles.readAdjForDelta(spark, p, Seq((1L, 2L)).toDF("u", "v"))
     }
     assert(e.getMessage.contains("_graft_meta"))
+  }
+
+  test("work-regime fallback: recount-and-diff increments equal enumerated ones bit-for-bit") {
+    // the same source streamed twice: default threshold (the 25%-ish
+    // batches all trigger the recount-and-diff) vs fallback disabled
+    // (pure enumeration). Counts, per-batch increments and the final
+    // recount must agree exactly.
+    def run(root: String, frac: Double): Unit = {
+      // stage 4 deterministic slices as separate sequential writes:
+      // file order (hence batch content) must match across the two
+      // runs for the per-batch increment compare to mean anything
+      val n = allEdges.size
+      for (i <- 0 until 4)
+        allEdges.slice(i * n / 4, (i + 1) * n / 4).toDF("u", "v")
+          .coalesce(1).write.mode("append").parquet(s"$root/src")
+      val schema = spark.read.parquet(s"$root/src").schema
+      EventStreams.triangleCountStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src"),
+        "u", "v", s"$root/store", s"$root/cp",
+        maintainEvery = 0, workRebuildFraction = frac).awaitTermination()
+    }
+    val rootA = tmp("graft_tes_wr_on")
+    val rootB = tmp("graft_tes_wr_off")
+    run(rootA, 0.15)
+    run(rootB, 0.0)
+    def incRows(root: String, b: Int): Set[(Long, Long)] =
+      spark.read.parquet(s"$root/store/inc_$b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (b <- 0 until 4)
+      assert(incRows(rootA, b) === incRows(rootB, b),
+        s"batch $b: fallback and enumerated increments must be identical")
+    assert(toMap(EventStreams.readTriangleCounts(spark, s"$rootA/store"))
+      === recount(allEdges))
+    assert(toMap(EventStreams.readTriangleCounts(spark, s"$rootB/store"))
+      === recount(allEdges))
   }
 
   test("compaction folds increments losslessly and the stream continues across it") {
