@@ -60,15 +60,16 @@ object SketchQueries {
     val ev = Tables.events(spark, dir).select(col("user_id"), col("event_id"))
     val store = cmsStoreCache.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_cms_store").toString
-      Sketches.countMin(ev.filter(col("event_id") % 10 =!= 3), "user_id")
-        .write.parquet(s"$p/cells")
+      Sketches.writeCmsStore(ev.filter(col("event_id") % 10 =!= 3),
+        "user_id", s"$p/cells")
       s"$p/cells"
     })
-    val deltaCells = Sketches.countMin(
-      ev.filter(col("event_id") % 10 === 3), "user_id")
-    val merged = Sketches.cmMergeCells(
-      spark.read.parquet(store), deltaCells)
-    val est = Sketches.countMinEstimatesFrom(merged, ev, "user_id")
+    // width/depth resolve FROM the store's pinned sidecar (r14): the
+    // delta's cells and the point-query probes both use the pinned
+    // geometry, so a store built at any width×depth is honored
+    val (merged, w, d) = Sketches.mergeCmsStoreDelta(
+      spark, store, ev.filter(col("event_id") % 10 === 3), "user_id")
+    val est = Sketches.countMinEstimatesFrom(merged, ev, "user_id", w, d)
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
     est.join(exact, "user_id")
       .select(col("user_id"), col("est"), col("exact"))
@@ -96,15 +97,16 @@ object SketchQueries {
       .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey"))
     val store = hllStoreCache.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_hll_store").toString
-      Sketches.hllRegisters(li.filter(col("l_orderkey") % 10 =!= 3),
-          "l_returnflag", "l_suppkey")
-        .write.parquet(s"$p/regs")
+      Sketches.writeHllStore(li.filter(col("l_orderkey") % 10 =!= 3),
+        "l_returnflag", "l_suppkey", s"$p/regs", lane = 32)
       s"$p/regs"
     })
-    val deltaRegs = Sketches.hllRegisters(
-      li.filter(col("l_orderkey") % 10 === 3), "l_returnflag", "l_suppkey")
-    val merged = Sketches.hllMergeRegisters(
-      spark.read.parquet(store), deltaRegs, "l_returnflag")
+    // the delta's registers build with the store's pinned limb lane;
+    // the explicit expectation guards against this face ever pointing
+    // at q23b's 64-bit store (max-merging across mixes is meaningless)
+    val (merged, _) = Sketches.mergeHllStoreDelta(spark, store,
+      li.filter(col("l_orderkey") % 10 === 3), "l_returnflag", "l_suppkey",
+      expectLane = 32)
     hllContractReadout(merged, li)
   }
 
@@ -121,15 +123,13 @@ object SketchQueries {
       .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey"))
     val store = hll64StoreCache.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_hll64_store").toString
-      Sketches.hllRegisters64(li.filter(col("l_orderkey") % 10 =!= 3),
-          "l_returnflag", "l_suppkey")
-        .write.parquet(s"$p/regs")
+      Sketches.writeHllStore(li.filter(col("l_orderkey") % 10 =!= 3),
+        "l_returnflag", "l_suppkey", s"$p/regs", lane = 64)
       s"$p/regs"
     })
-    val deltaRegs = Sketches.hllRegisters64(
-      li.filter(col("l_orderkey") % 10 === 3), "l_returnflag", "l_suppkey")
-    val merged = Sketches.hllMergeRegisters(
-      spark.read.parquet(store), deltaRegs, "l_returnflag")
+    val (merged, _) = Sketches.mergeHllStoreDelta(spark, store,
+      li.filter(col("l_orderkey") % 10 === 3), "l_returnflag", "l_suppkey",
+      expectLane = 64)
     hllContractReadout(merged, li)
   }
 
@@ -183,17 +183,16 @@ object SketchQueries {
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
     val store = histStoreCache.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_hist_store").toString
-      Sketches.histBins(li.filter(col("l_orderkey") % 10 =!= 3),
-          "l_returnflag", "l_extendedprice", w)
-        .write.parquet(s"$p/bins")
+      Sketches.writeHistStore(li.filter(col("l_orderkey") % 10 =!= 3),
+        "l_returnflag", "l_extendedprice", s"$p/bins", w)
       s"$p/bins"
     })
-    val deltaBins = Sketches.histBins(
+    // the delta's bins build at the store's pinned width; the explicit
+    // expectation pins this face's readout constant to the store's
+    val (merged, wPinned) = Sketches.mergeHistStoreDelta(spark, store,
       li.filter(col("l_orderkey") % 10 === 3),
-      "l_returnflag", "l_extendedprice", w)
-    val merged = Sketches.histMerge(
-      spark.read.parquet(store), deltaBins, "l_returnflag")
-    histContractReadout(merged, li, w)
+      "l_returnflag", "l_extendedprice", expectWidth = w)
+    histContractReadout(merged, li, wPinned)
   }
 
   /** Shared q24/st14 readout: median bin off the cumulative bins plus
@@ -238,16 +237,15 @@ object SketchQueries {
       .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey"))
     val store = kmvStoreCache.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_kmv_store").toString
-      Sketches.kmvSketch(li.filter(col("l_orderkey") % 10 =!= 3),
-          "l_returnflag", "l_suppkey")
-        .write.parquet(s"$p/sk")
+      Sketches.writeKmvStore(li.filter(col("l_orderkey") % 10 =!= 3),
+        "l_returnflag", "l_suppkey", s"$p/sk")
       s"$p/sk"
     })
-    val deltaSk = Sketches.kmvSketch(
+    // the delta sketches at the store's pinned k and the estimator
+    // reads out at that k — a store pinned at any k is honored
+    val (merged, k) = Sketches.mergeKmvStoreDelta(spark, store,
       li.filter(col("l_orderkey") % 10 === 3), "l_returnflag", "l_suppkey")
-    val merged = Sketches.kmvMergeSketches(
-      spark.read.parquet(store), deltaSk, "l_returnflag")
-    kmvContractReadout(merged, li)
+    kmvContractReadout(merged, li, k)
   }
 
   private val kmvStoreCache = StoreCaches.register("q25_kmv_store")
@@ -256,9 +254,8 @@ object SketchQueries {
     * min/max hash — oracle-replayed bit-for-bit) next to the
     * estimator's 3σ contract boolean (σ = exact/√(k−2); +1 absorbs
     * the sub-k exact regime's rounding). */
-  private[graft] def kmvContractReadout(sketch: DataFrame,
-                                        li: DataFrame): DataFrame = {
-    val k = Sketches.KmvK
+  private[graft] def kmvContractReadout(sketch: DataFrame, li: DataFrame,
+                                        k: Int = Sketches.KmvK): DataFrame = {
     val stats = sketch.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_vals"), min(col("h")).as("min_h"),
         max(col("h")).as("max_h"))
@@ -462,15 +459,13 @@ object SketchQueries {
         explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
     val store = kmvMatrixStoreCache.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_ovm_store").toString
-      Sketches.kmvSketch(shingled(docs.filter(col("doc_id") % 10 =!= 3)),
-          "source", "sh")
-        .write.parquet(s"$p/sk")
+      Sketches.writeKmvStore(shingled(docs.filter(col("doc_id") % 10 =!= 3)),
+        "source", "sh", s"$p/sk")
       s"$p/sk"
     })
-    val deltaSk = Sketches.kmvSketch(
-      shingled(docs.filter(col("doc_id") % 10 === 3)), "source", "sh")
-    val merged = Sketches.kmvMergeSketches(
-      spark.read.parquet(store), deltaSk, "source")
+    val (merged, _) = Sketches.mergeKmvStoreDelta(spark, store,
+      shingled(docs.filter(col("doc_id") % 10 === 3)), "source", "sh",
+      expectK = Sketches.KmvK) // the matrix readout's σ assumes this k
     matrixContractReadout(spark, merged, shingled(docs))
   }
 

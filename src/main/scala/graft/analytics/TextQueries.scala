@@ -270,16 +270,17 @@ object TextQueries {
     val w = greatest(col("n_chars"), lit(1)).cast("double")
     val p = sampleStoreCache.getOrElseUpdate(dir, {
       val t = java.nio.file.Files.createTempDirectory("graft_t15b").toString
-      graft.ops.Sampling.weightedSample(
-          docs.filter(col("doc_id") % 10 =!= 3), "doc_id", w, k = 50,
-          salt = "v1")
-        .write.parquet(s"$t/sample")
+      graft.ops.Sampling.writeWeightedSampleStore(
+        docs.filter(col("doc_id") % 10 =!= 3), "doc_id", w,
+        s"$t/sample", k = 50, salt = "v1")
       s"$t/sample"
     })
-    graft.ops.Sampling.weightedSample(
-        spark.read.parquet(p)
-          .unionByName(docs.filter(col("doc_id") % 10 === 3)),
-        "doc_id", w, k = 50, salt = "v1")
+    // (k, salt) resolve from the store's pinned sidecar (r14); the
+    // explicit expectations pin this face to t15's draw — a drifted
+    // store fail-fasts instead of gating a different sample
+    graft.ops.Sampling.mergeWeightedSampleStore(spark, p,
+        docs.filter(col("doc_id") % 10 === 3), "doc_id", w,
+        expectK = 50, expectSalt = "v1")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

@@ -31,13 +31,105 @@ object StoreMeta {
     }
   }
 
-  def write(spark: SparkSession, dir: String, n: Int): Unit = {
+  def write(spark: SparkSession, dir: String, n: Int): Unit =
+    writeRaw(spark, dir, n.toString)
+
+  private def writeRaw(spark: SparkSession, dir: String, body: String): Unit = {
     val (p, tmp) = paths(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    try out.write(n.toString.getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false): Unit
     require(fs.rename(tmp, p), s"StoreMeta: publish failed under $dir")
   }
+
+  private def readRaw(spark: SparkSession, dir: String): Option[String] = {
+    val (p, tmp) = paths(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fs.exists(p)) Some(p)
+      else if (fs.exists(tmp)) Some(tmp) else None
+    src.map { f =>
+      val in = fs.open(f)
+      try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    }
+  }
+
+  // ===== multi-parameter sidecar (the sketch-store families) =====
+  //
+  // The single-int face pins a layout's ONE parameter (a bucket
+  // modulus, a fingerprint). The sketch stores freeze SEVERAL values
+  // into their persisted artifacts at write time — KMV's k, CMS's
+  // width×depth, HLL's register count + limb lane, the histogram's
+  // bin width, the weighted sample's k + salt — and merging with any
+  // other values silently corrupts the estimates (the exact bug class
+  // the bucket-modulus pin eradicated). Serialized as sorted
+  // `key=value` lines under the SAME `_graft_meta` name with the same
+  // staged-publish discipline; a `family` tag stops a CMS delta from
+  // merging into a KMV dir.
+
+  /** The store's parameter map, None if no sidecar. A bare-int
+    * sidecar (the single-int face) parses as Map("n" -> it), so the
+    * two faces never silently shadow each other. */
+  def readParams(spark: SparkSession, dir: String): Option[Map[String, String]] =
+    readRaw(spark, dir).map { body =>
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        line.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case Array(n) => "n" -> n.trim
+        }
+      }.toMap
+    }
+
+  def writeParams(spark: SparkSession, dir: String,
+                  params: Map[String, String]): Unit = {
+    require(params.nonEmpty, "StoreMeta.writeParams: empty parameter map")
+    params.foreach { case (k, v) =>
+      require(!k.contains("=") && !k.contains("\n") && !v.contains("\n"),
+        s"StoreMeta.writeParams: unserializable entry $k=$v") }
+    writeRaw(spark, dir,
+      params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+
+  /** True when `dir` holds anything beyond sidecars/markers — the
+    * "has data, so a missing sidecar is a pre-meta layout" probe. */
+  def hasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Pin a family-tagged parameter map on a freshly-written store
+    * (call it AFTER the data lands: an overwrite deletes the target
+    * dir, so a leading sidecar would be wiped). */
+  def pinFamily(spark: SparkSession, dir: String, family: String,
+                params: Map[String, String]): Unit =
+    writeParams(spark, dir, params + ("family" -> family))
+
+  /** Resolve a family-tagged store's pinned parameters. Fail-fast on:
+    * a sidecar tagged with ANOTHER family (merging across families
+    * silently corrupts both), or data with no sidecar (a pre-pin
+    * layout — stamp or rebuild rather than guess). An absent/empty
+    * store resolves to None: the caller's parameters apply and the
+    * caller pins them. */
+  def requireFamily(spark: SparkSession, dir: String,
+                    family: String): Option[Map[String, String]] =
+    readParams(spark, dir) match {
+      case Some(m) =>
+        require(m.get("family").contains(family),
+          s"store at $dir is pinned to family '${m.getOrElse("family", "?")}'" +
+            s" but this operation expects '$family' — refusing to merge " +
+            "across sketch families")
+        Some(m)
+      case None =>
+        require(!hasData(spark, dir),
+          s"$family store at $dir has data but no _graft_meta sidecar " +
+            "(pre-pin layout): rebuild through its write-store face, or " +
+            "stamp the sidecar with the parameters it was built with")
+        None
+    }
 }

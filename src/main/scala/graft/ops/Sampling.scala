@@ -105,6 +105,60 @@ object Sampling {
       .drop("__race")
   }
 
+  /** Seed a PINNED weighted-sample store (the `_graft_meta` sketch-
+    * store discipline applied to the sampling family): the bottom-k
+    * rows persist with k and the race salt frozen in a family-tagged
+    * sidecar. The weight is a Column over the rows' own columns —
+    * re-derived identically on every merge, so it needs no pin — but
+    * k and salt are exactly the two parameters whose silent drift
+    * corrupts a refold: a different salt is a DIFFERENT total order
+    * over races (the "lossless min-k fold" argument evaporates), and
+    * a different k folds into the wrong bound. Data first: the
+    * overwrite deletes the target dir. */
+  def writeWeightedSampleStore(df: DataFrame, key: String, weight: Column,
+                               path: String, k: Int,
+                               salt: String = "v1"): Unit = {
+    weightedSample(df, key, weight, k, salt)
+      .write.mode("overwrite").parquet(path)
+    graft.etl.StoreMeta.pinFamily(df.sparkSession, path, "wsample",
+      Map("k" -> k.toString, "salt" -> salt))
+  }
+
+  /** The store's pinned (k, salt) — fail-fast on a pre-pin or
+    * foreign-family store. */
+  def weightedSampleStoreParams(spark: org.apache.spark.sql.SparkSession,
+                                path: String): (Int, String) = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, path, "wsample")
+      .getOrElse(sys.error(s"no weighted-sample store at $path"))
+    require(m.contains("k") && m.contains("salt"),
+      s"weighted-sample store at $path pins no k/salt — sidecar: $m")
+    (m("k").toInt, m("salt"))
+  }
+
+  /** Merge delta ROWS into the pinned store's sample: stored ∪ delta
+    * re-races under the STORE's pinned (k, salt) — a foreign pin is
+    * honored end to end — and explicit caller expectations that
+    * disagree fail-fast instead of silently folding under the wrong
+    * order. Read-only (the caller owns when the merged sample
+    * replaces the stored one). */
+  def mergeWeightedSampleStore(spark: org.apache.spark.sql.SparkSession,
+                               path: String, deltaRows: DataFrame,
+                               key: String, weight: Column,
+                               expectK: Int = 0,
+                               expectSalt: String = null): DataFrame = {
+    val (k, salt) = weightedSampleStoreParams(spark, path)
+    require(expectK <= 0 || expectK == k,
+      s"weighted-sample store at $path is pinned to k=$k but the caller " +
+        s"expects k=$expectK — folding mismatched sample sizes corrupts " +
+        "the draw")
+    require(expectSalt == null || expectSalt == salt,
+      s"weighted-sample store at $path is pinned to salt='$salt' but the " +
+        s"caller expects '$expectSalt' — two salts are two different race " +
+        "orders; their bottom-k folds share nothing")
+    weightedSample(spark.read.parquet(path).unionByName(deltaRows),
+      key, weight, k, salt)
+  }
+
   /** Token-budget mixture selection: per stratum (source/domain),
     * take documents in priority order until the cumulative token count
     * reaches the stratum's budget — the building block of a "sample N

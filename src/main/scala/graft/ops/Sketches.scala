@@ -532,4 +532,190 @@ object Sketches {
       .withColumn("union_est", kmvEstimate(col("n_l"), col("max_h_l"), k))
       .withColumn("inter_est", col("jaccard_est") * col("union_est"))
   }
+
+  // ===== parameter-pinned sketch stores =====
+  //
+  // The `_graft_meta` discipline (component/edge/BM25/LSH stores)
+  // applied to the SKETCH families — the r13 verdict's ask #2. Every
+  // persisted sketch freezes its parameters into the artifact at
+  // write time: a KMV store built at k=32 merged with a k=64 delta,
+  // a CMS cell table probed with a different width, an HLL register
+  // table max-merged across limb lanes, a histogram added across bin
+  // widths, or a weighted sample refolded under a different salt all
+  // produce PLAUSIBLE-LOOKING, silently-wrong estimates — no schema
+  // mismatch, no exception, just corrupt numbers. These faces pin the
+  // parameters in a family-tagged sidecar (etl.StoreMeta.pinFamily)
+  // and every merge resolves them FROM THE STORE, failing fast when a
+  // caller's explicit expectation disagrees — so the foreign-parameter
+  // case is honored end-to-end (the delta is sketched at the store's
+  // pinned parameters, not the caller's default) and the mismatch case
+  // is an error, never a corruption. Write order is data-then-pin:
+  // these writes are `overwrite` (which deletes the target dir), so
+  // the sidecar must FOLLOW the data; the crash window (data, no
+  // sidecar) fail-fasts on the next merge and heals by re-running the
+  // unconditional overwrite write.
+
+  private def metaInt(m: Map[String, String], path: String, key: String): Int = {
+    require(m.contains(key),
+      s"sketch store at $path pins no '$key' — sidecar: $m")
+    m(key).toInt
+  }
+
+  /** Seed a pinned KMV store: the ≤k-smallest-hash sketch of `df`,
+    * with k frozen in the sidecar. */
+  def writeKmvStore(df: DataFrame, groupCol: String, keyCol: String,
+                    path: String, k: Int = KmvK): Unit = {
+    val spark = df.sparkSession
+    kmvSketch(df, groupCol, keyCol, k).write.mode("overwrite").parquet(path)
+    graft.etl.StoreMeta.pinFamily(spark, path, "kmv", Map("k" -> k.toString))
+  }
+
+  /** The store's pinned k (fail-fast on a pre-pin or foreign-family
+    * store). */
+  def kmvStoreK(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, path, "kmv")
+      .getOrElse(sys.error(s"no KMV store at $path"))
+    metaInt(m, path, "k")
+  }
+
+  /** Merge delta ROWS into the pinned store's sketch: the delta is
+    * sketched at the STORE's k — a foreign pinned k is honored end to
+    * end — and an explicit caller expectation (expectK > 0) that
+    * disagrees fail-fasts instead of corrupting the bottom-k. Returns
+    * (merged sketch, the pinned k) so readouts estimate at the k the
+    * store was built with. */
+  def mergeKmvStoreDelta(spark: org.apache.spark.sql.SparkSession,
+                         path: String, deltaRows: DataFrame,
+                         groupCol: String, keyCol: String,
+                         expectK: Int = 0): (DataFrame, Int) = {
+    val k = kmvStoreK(spark, path)
+    require(expectK <= 0 || expectK == k,
+      s"KMV store at $path is pinned to k=$k but the caller expects " +
+        s"k=$expectK — merging mismatched bottom-k sketches silently " +
+        "corrupts the estimate")
+    (kmvMergeSketches(spark.read.parquet(path),
+      kmvSketch(deltaRows, groupCol, keyCol, k), groupCol, k), k)
+  }
+
+  /** Seed a pinned CMS store: the (j, bucket, cnt) counter table with
+    * width×depth frozen in the sidecar (the PolyHash family constants
+    * are part of the code's contract — a `hash` version tag pins them
+    * so a future family change can't silently add cells across
+    * incompatible hashes). */
+  def writeCmsStore(df: DataFrame, keyCol: String, path: String,
+                    width: Int = 64, depth: Int = 4): Unit = {
+    val spark = df.sparkSession
+    countMin(df, keyCol, width, depth).write.mode("overwrite").parquet(path)
+    graft.etl.StoreMeta.pinFamily(spark, path, "cms", Map(
+      "width" -> width.toString, "depth" -> depth.toString, "hash" -> "poly1"))
+  }
+
+  /** The store's pinned (width, depth). */
+  def cmsStoreParams(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Int, Int) = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, path, "cms")
+      .getOrElse(sys.error(s"no CMS store at $path"))
+    require(m.get("hash").forall(_ == "poly1"),
+      s"CMS store at $path was built with hash family ${m.get("hash")} — " +
+        "this build sketches with poly1; adding cells across hash " +
+        "families is meaningless")
+    (metaInt(m, path, "width"), metaInt(m, path, "depth"))
+  }
+
+  /** Merge delta ROWS into the pinned CMS store's cells at the
+    * store's own width×depth; an explicit caller expectation that
+    * disagrees fail-fasts. Returns (merged cells, width, depth) so
+    * point queries probe with the pinned geometry. */
+  def mergeCmsStoreDelta(spark: org.apache.spark.sql.SparkSession,
+                         path: String, deltaRows: DataFrame, keyCol: String,
+                         expectWidth: Int = 0, expectDepth: Int = 0)
+      : (DataFrame, Int, Int) = {
+    val (w, d) = cmsStoreParams(spark, path)
+    require((expectWidth <= 0 || expectWidth == w) &&
+        (expectDepth <= 0 || expectDepth == d),
+      s"CMS store at $path is pinned to width=$w depth=$d but the caller " +
+        s"expects width=$expectWidth depth=$expectDepth — adding counter " +
+        "cells across geometries silently corrupts every estimate")
+    (cmMergeCells(spark.read.parquet(path), countMin(deltaRows, keyCol, w, d)),
+      w, d)
+  }
+
+  /** Seed a pinned HLL register store. `lane` picks the mix: 32 =
+    * [[hllRegisters]] (31-bit, ~2·10^9 ceiling), 64 =
+    * [[hllRegisters64]] (two-limb 62-bit). The register count m and
+    * the lane are both frozen: max-merging registers built from
+    * DIFFERENT mixes is meaningless even at the same m. */
+  def writeHllStore(df: DataFrame, groupCol: String, keyCol: String,
+                    path: String, lane: Int = 32): Unit = {
+    require(lane == 32 || lane == 64, s"unknown HLL lane $lane")
+    val spark = df.sparkSession
+    val regs = if (lane == 64) hllRegisters64(df, groupCol, keyCol)
+               else hllRegisters(df, groupCol, keyCol)
+    regs.write.mode("overwrite").parquet(path)
+    graft.etl.StoreMeta.pinFamily(spark, path, "hll", Map(
+      "m" -> HllM.toString, "lane" -> lane.toString))
+  }
+
+  /** Merge delta ROWS into the pinned HLL store: the delta's
+    * registers are built with the STORE's pinned lane, and a caller
+    * expectation (expectLane > 0) that disagrees fail-fasts. The
+    * pinned m must equal this build's [[HllM]] — the register count
+    * is a code constant here, so a store from a different-m build
+    * cannot be merged, only re-sketched. Returns (merged registers,
+    * lane). */
+  def mergeHllStoreDelta(spark: org.apache.spark.sql.SparkSession,
+                         path: String, deltaRows: DataFrame,
+                         groupCol: String, keyCol: String,
+                         expectLane: Int = 0): (DataFrame, Int) = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, path, "hll")
+      .getOrElse(sys.error(s"no HLL store at $path"))
+    val pinnedM = metaInt(m, path, "m")
+    require(pinnedM == HllM,
+      s"HLL store at $path is pinned to m=$pinnedM registers but this " +
+        s"build sketches at m=$HllM — max-merging across register counts " +
+        "silently corrupts the harmonic estimate; rebuild the store")
+    val lane = metaInt(m, path, "lane")
+    require(expectLane <= 0 || expectLane == lane,
+      s"HLL store at $path is pinned to the $lane-bit limb lane but the " +
+        s"caller expects $expectLane — the two mixes share nothing; " +
+        "max-merging them is meaningless")
+    val deltaRegs = if (lane == 64) hllRegisters64(deltaRows, groupCol, keyCol)
+                    else hllRegisters(deltaRows, groupCol, keyCol)
+    (hllMergeRegisters(spark.read.parquet(path), deltaRegs, groupCol), lane)
+  }
+
+  /** Seed a pinned histogram store with the bin width frozen (bins
+    * are floor(v / w): adding counts across widths mixes
+    * incompatible bin ids that happen to collide numerically). The
+    * width round-trips through the sidecar as its exact Java double
+    * string. */
+  def writeHistStore(df: DataFrame, groupCol: String, valCol: String,
+                     path: String, binWidth: Double): Unit = {
+    val spark = df.sparkSession
+    histBins(df, groupCol, valCol, binWidth)
+      .write.mode("overwrite").parquet(path)
+    graft.etl.StoreMeta.pinFamily(spark, path, "hist", Map(
+      "bin_width" -> binWidth.toString))
+  }
+
+  /** Merge delta ROWS into the pinned histogram store at the store's
+    * own bin width; a caller expectation (expectWidth, NaN = none)
+    * that disagrees fail-fasts. Returns (merged bins, width). */
+  def mergeHistStoreDelta(spark: org.apache.spark.sql.SparkSession,
+                          path: String, deltaRows: DataFrame,
+                          groupCol: String, valCol: String,
+                          expectWidth: Double = Double.NaN)
+      : (DataFrame, Double) = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, path, "hist")
+      .getOrElse(sys.error(s"no histogram store at $path"))
+    require(m.contains("bin_width"),
+      s"histogram store at $path pins no 'bin_width' — sidecar: $m")
+    val w = m("bin_width").toDouble
+    require(expectWidth.isNaN || expectWidth == w,
+      s"histogram store at $path is pinned to bin_width=$w but the " +
+        s"caller expects $expectWidth — adding counts across bin widths " +
+        "silently corrupts every quantile")
+    (histMerge(spark.read.parquet(path),
+      histBins(deltaRows, groupCol, valCol, w), groupCol), w)
+  }
 }
