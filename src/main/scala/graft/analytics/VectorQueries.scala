@@ -138,6 +138,11 @@ object VectorQueries {
         e.filter(col("vec_id") % 10 =!= 3), tmp, IvfSeedIds, k = 5, nProbe = 3)
       graft.ops.Similarity.appendKnnGraph(
         e.filter(col("vec_id") % 10 === 3), tmp, k = 5, nProbe = 3)
+      // the owner's maintenance slot (r14): fold the two generations'
+      // file-sets — the oracle then gates over a COMPACTED store, so
+      // the fold's row preservation is driver-verified every round
+      // (the r1c pattern applied to the knn store)
+      graft.ops.Similarity.compactKnnGraphStore(spark, tmp)
       tmp
     })
     spark.read.parquet(s"$p/edges")

@@ -613,7 +613,55 @@ object Similarity {
       nProbe, vecCol, "anchor_id")
     knnEdges(members, probes, k, cents.size)
       .write.mode("overwrite").parquet(s"$path/edges")
+    // pin the store's graph parameters (r14 — the sketch-store
+    // discipline): k and nProbe shape every stored edge row, and the
+    // list count pins the frozen quantizer's size. Data first: the
+    // artifact overwrites above touch only SUBDIRS, so the root
+    // sidecar survives a later in-place rebuild.
+    graft.etl.StoreMeta.pinFamily(spark, path, "knn", Map(
+      "k" -> k.toString, "n_probe" -> nProbe.toString,
+      "n_lists" -> cents.size.toString))
   }
+
+  /** Fail-fast guard for every operation against a pinned knn store:
+    * a caller k/nProbe that disagrees with the pin would silently mix
+    * differently-shaped neighbor sets (append) or swap the graph for
+    * a differently-parameterized one (rebuild); a quantizer whose
+    * collected size disagrees with the pinned list count means the
+    * seeds dir was clobbered after the build. A store with data but
+    * no sidecar is pre-pin and fail-fasts with the migration recipe
+    * (etl.StoreMeta.requireFamily). */
+  private def requireKnnParams(spark: org.apache.spark.sql.SparkSession,
+                               path: String, k: Int, nProbe: Int,
+                               nLists: Int): Unit =
+    graft.etl.StoreMeta.requireFamily(spark, path, "knn").foreach { m =>
+      require(m.get("k").forall(_ == k.toString) &&
+          m.get("n_probe").forall(_ == nProbe.toString),
+        s"knn graph store at $path is pinned to k=${m.getOrElse("k", "?")} " +
+          s"nProbe=${m.getOrElse("n_probe", "?")} but the caller passed " +
+          s"k=$k nProbe=$nProbe — mismatched parameters silently corrupt " +
+          "the neighbor sets; rebuild through writeKnnGraphStore to " +
+          "re-parameterize")
+      require(m.get("n_lists").forall(_ == nLists.toString),
+        s"knn graph store at $path pins ${m.getOrElse("n_lists", "?")} " +
+          s"quantizer lists but the seeds dir holds $nLists — the frozen " +
+          "quantizer was modified after the build; restore it or rebuild")
+    }
+
+  /** Fold the knn store's append-accumulated small files
+    * (etl.BucketCompaction): every `list_id=` member dir and the edge
+    * dir rewrite to ONE file each, bounding a probe's footer reads at
+    * O(probed lists) however many appends built the store. Row
+    * preserving — probes, staleness and rebuilds over the compacted
+    * store are unchanged (KnnGraphStoreSpec), and knn1b gates on its
+    * oracle verbatim over a compacted store. Run as the store's owner
+    * between appends; the staged swap shares heal-on-entry with the
+    * BM25/edge stores. */
+  def compactKnnGraphStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Seq[String] =
+    graft.etl.BucketCompaction.compactStore(spark, s"$path/members", "list_id")
+      .map(d => s"members/$d") ++
+      graft.etl.BucketCompaction.compactDirs(spark, path, Seq("edges"))
 
   /** Append a DELTA of vectors to a [[writeKnnGraphStore]] store:
     * the delta alone is signed against the frozen quantizer (ONE
@@ -646,6 +694,7 @@ object Similarity {
                      vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
     val cents = collectCents(spark.read.parquet(s"$path/seeds"))
+    requireKnnParams(spark, path, k, nProbe, cents.size)
     // localCheckpoint for the same reason as Sinks.idempotentAppend:
     // the anti-join must materialize BEFORE the append touches the
     // files it reads, or a re-evaluation would see its own output
@@ -713,6 +762,8 @@ object Similarity {
     * argument. */
   def rebuildKnnEdges(spark: org.apache.spark.sql.SparkSession, path: String,
                       k: Int, nProbe: Int = 2): Unit = {
+    requireKnnParams(spark, path, k, nProbe,
+      collectCents(spark.read.parquet(s"$path/seeds")).size)
     val p = new org.apache.hadoop.fs.Path(s"$path/edges")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/edges__rebuild_tmp")
     val old = new org.apache.hadoop.fs.Path(s"$path/edges__rebuild_old")
@@ -740,6 +791,8 @@ object Similarity {
                         k: Int, nProbe: Int = 2,
                         sampleFrac: Double = 1.0): DataFrame = {
     require(sampleFrac > 0 && sampleFrac <= 1.0)
+    requireKnnParams(spark, path, k, nProbe,
+      collectCents(spark.read.parquet(s"$path/seeds")).size)
     val keep = pmod(xxhash64(col("vec_id")), lit(10000L)) <
       lit((sampleFrac * 10000).toLong)
     val cur = freshKnnEdges(spark, path, k, nProbe, Some(keep))

@@ -155,4 +155,77 @@ class KnnGraphStoreSpec extends SparkSpec {
       _.isInstanceOf[graft.functions.NearestCentroid]),
       "stored members must never be re-signed on append")
   }
+
+  test("compaction folds member lists and edges to one file each; everything reads unchanged") {
+    import graft.etl.BucketCompaction
+    val p = java.nio.file.Files.createTempDirectory("graft_knn_cmp").toString
+    // three generations so list dirs really accumulate file-sets
+    Similarity.writeKnnGraphStore(
+      base.filter(col("vec_id") % 3 =!= 0), p, IvfSeedIds, k = 5, nProbe = 3)
+    Similarity.appendKnnGraph(base.filter(col("vec_id") % 3 === 0), p,
+      k = 5, nProbe = 3)
+    Similarity.appendKnnGraph(delta, p, k = 5, nProbe = 3)
+    def rows(d: String) =
+      spark.read.parquet(d).collect().map(_.toString).sorted.toSeq
+    val membersBefore = rows(s"$p/members")
+    val edgesBefore = rows(s"$p/edges")
+    val listDirs = new java.io.File(s"$p/members").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("list_id="))
+    assert(listDirs.exists(d =>
+        BucketCompaction.dataFileCount(spark, d.toString) > 1),
+      "fixture must accumulate multi-file list dirs before compacting")
+    val rewritten = Similarity.compactKnnGraphStore(spark, p)
+    assert(rewritten.nonEmpty)
+    assert(rewritten.forall(d => d.startsWith("members/list_id=") || d == "edges"))
+    listDirs.foreach { d =>
+      assert(BucketCompaction.dataFileCount(spark, d.toString) == 1,
+        s"list dir ${d.getName} not folded")
+    }
+    assert(BucketCompaction.dataFileCount(spark, s"$p/edges") == 1)
+    assert(rows(s"$p/members") == membersBefore)
+    assert(rows(s"$p/edges") == edgesBefore)
+    // staleness and rebuild behave identically over the compacted store
+    assert(Similarity.knnGraphStaleness(spark, p, k = 5, nProbe = 3)
+      .collect().head.getLong(1) >= 0L)
+    Similarity.rebuildKnnEdges(spark, p, k = 5, nProbe = 3)
+    // idempotent: nothing left above the bound
+    assert(Similarity.compactKnnGraphStore(spark, p)
+      .forall(_ == "edges"), "only the rebuilt edge dir may need a refold")
+  }
+
+  test("pinned graph parameters: mismatched k/nProbe and a clobbered quantizer fail fast") {
+    val p = java.nio.file.Files.createTempDirectory("graft_knn_pin").toString
+    Similarity.writeKnnGraphStore(base, p, IvfSeedIds, k = 5, nProbe = 3)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendKnnGraph(delta, p, k = 7, nProbe = 3)
+    }
+    assert(e1.getMessage.contains("pinned to k=5"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.rebuildKnnEdges(spark, p, k = 5, nProbe = 2)
+    }
+    assert(e2.getMessage.contains("nProbe=3"))
+    // clobbered quantizer: drop one seed row's file set and the pinned
+    // list count no longer matches the collected one
+    val seeds = spark.read.parquet(s"$p/seeds").collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(seeds.drop(1).toSeq),
+        spark.read.parquet(s"$p/seeds").schema)
+      .write.mode("overwrite").parquet(s"$p/seeds")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.appendKnnGraph(delta, p, k = 5, nProbe = 3)
+    }
+    assert(e3.getMessage.contains("quantizer"))
+  }
+
+  test("a pre-pin store (data, no sidecar) fail-fasts with the migration recipe") {
+    val p = java.nio.file.Files.createTempDirectory("graft_knn_prepin").toString
+    Similarity.writeKnnGraphStore(base, p, IvfSeedIds, k = 5, nProbe = 3)
+    val meta = new org.apache.hadoop.fs.Path(s"$p/_graft_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(meta, false))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendKnnGraph(delta, p, k = 5, nProbe = 3)
+    }
+    assert(e.getMessage.contains("no _graft_meta sidecar"))
+  }
 }
