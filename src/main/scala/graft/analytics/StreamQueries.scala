@@ -497,11 +497,13 @@ object StreamQueries {
       Tables.documents(spark, dir).select(col("doc_id"), col("text"))
         .repartition(4).write.parquet(s"$tmp/src")
       val schema = spark.read.parquet(s"$tmp/src").schema
+      // maintainEvery = 2: the signature store folds from inside the
+      // stream (the r14 maintenance slot), gated by d6's oracle
       EventStreams.componentsStream(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
         "doc_id", "text", s"$tmp/store", s"$tmp/labels",
-        s"$tmp/cp", threshold = 0.8).awaitTermination()
+        s"$tmp/cp", threshold = 0.8, maintainEvery = 2).awaitTermination()
       // the final version is whatever the stream actually wrote —
       // derived from the label dir, not coupled to the staging
       // repartition count (fewer files than partitions is legal)
@@ -537,7 +539,7 @@ object StreamQueries {
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
         "doc_id", "text", s"$tmp/store", s"$tmp/lbl",
-        s"$tmp/cp", threshold = 0.8).awaitTermination()
+        s"$tmp/cp", threshold = 0.8, maintainEvery = 2).awaitTermination()
       s"$tmp/lbl/labels"
     })
     graft.ops.Dedup.readComponentStore(spark, labels)

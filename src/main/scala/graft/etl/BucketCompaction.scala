@@ -119,6 +119,20 @@ object BucketCompaction {
     }
   }
 
+  /** Fold a FLAT append-only parquet store — a
+    * [[graft.etl.Sinks.idempotentAppend]] target such as the MinHash
+    * signature stores or near-dup pair logs, which land one file-set
+    * per micro-batch forever — to one file, via the same staged swap
+    * applied to the dir itself (parent = its enclosing dir). Returns
+    * true when a rewrite happened. Row-preserving; run as the store's
+    * owner between appends. */
+  def compactFlatStore(spark: SparkSession, path: String,
+                       maxFiles: Int = 1): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    require(p.getParent != null, s"compactFlatStore: no parent for $path")
+    compactDirs(spark, p.getParent.toString, Seq(p.getName), maxFiles).nonEmpty
+  }
+
   /** Compact every partition dir (`<partPrefix>=<value>`) of a
     * bucket-partitioned store holding more than `maxFiles` data
     * files. The dir listing is one driver-side metadata call bounded

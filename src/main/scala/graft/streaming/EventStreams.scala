@@ -153,18 +153,28 @@ object EventStreams {
     * Replay safety: both sinks go through `Sinks.idempotentAppend`
     * (pairs keyed (id_a, id_b), signatures keyed doc id), so a
     * replayed micro-batch inserts nothing new. The store bootstraps
-    * itself empty on first batch. */
+    * itself empty on first batch. Every `maintainEvery` batches the
+    * stream folds its own flat stores (signatures + pair log) to one
+    * file each from inside foreachBatch (the r14 maintenance-slot
+    * discipline — the stream is the owner, so the staged swap never
+    * races a reader); row-preserving, so the pair set and every
+    * later novelty anti-join are unchanged. 0 disables. */
   def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
                              storePath: String, pairsPath: String,
                              checkpoint: String, threshold: Double = 0.8,
-                             numHashes: Int = 32, shingleN: Int = 3)
+                             numHashes: Int = 32, shingleN: Int = 3,
+                             maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (sigs, pairs) = signAndProbeBatch(batch, idCol, textCol,
           storePath, threshold, numHashes, shingleN)
         graft.etl.Sinks.idempotentAppend(pairs, pairsPath, Seq("id_a", "id_b"))
-        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id")): Unit
+        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id"))
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+          graft.etl.BucketCompaction.compactFlatStore(batch.sparkSession, storePath)
+          graft.etl.BucketCompaction.compactFlatStore(batch.sparkSession, pairsPath): Unit
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -210,7 +220,8 @@ object EventStreams {
   def componentsStream(docs: DataFrame, idCol: String, textCol: String,
                        storePath: String, labelsPath: String,
                        checkpoint: String, threshold: Double = 0.8,
-                       numHashes: Int = 32, shingleN: Int = 3)
+                       numHashes: Int = 32, shingleN: Int = 3,
+                       maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -235,7 +246,11 @@ object EventStreams {
         Dedup.mergeComponentLabels(prev, pairs, "id_a", "id_b")
           .write.mode("overwrite") // replay-idempotent: same ver, same fold
           .parquet(s"$labelsPath/ver_$batchId")
-        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id")): Unit
+        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id"))
+        // maintenance slot: the signature store is this face's one
+        // unboundedly-accumulating flat dir (labels are version dirs)
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+          graft.etl.BucketCompaction.compactFlatStore(spark, storePath): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -265,7 +280,8 @@ object EventStreams {
                                storePath: String, labelsPath: String,
                                checkpoint: String, threshold: Double = 0.8,
                                numHashes: Int = 32, shingleN: Int = 3,
-                               nBuckets: Int = graft.ops.Dedup.StoreSizedBuckets)
+                               nBuckets: Int = graft.ops.Dedup.StoreSizedBuckets,
+                               maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -303,7 +319,9 @@ object EventStreams {
           require(lfs.rename(tmpP, markerP),
             s"componentsStreamBucketed: marker publish failed under $labelsPath")
         }
-        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id")): Unit
+        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id"))
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+          graft.etl.BucketCompaction.compactFlatStore(spark, storePath): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -218,6 +218,38 @@ class CompactionSpec extends SparkSpec {
     assert(scores(s"$root/idx") === scores(oneShot))
   }
 
+  test("dedup stream maintenance: flat signature/pair stores fold to one file, pairs unchanged") {
+    import graft.streaming.EventStreams
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def run(root: String, every: Int): Unit = {
+      docs.repartition(8).write.parquet(s"$root/src")
+      val schema = spark.read.parquet(s"$root/src").schema
+      EventStreams.incrementalDedupStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src"),
+        "doc_id", "text", s"$root/store", s"$root/pairs", s"$root/cp",
+        maintainEvery = every).awaitTermination()
+    }
+    val rootA = tmp("graft_cmp_dedupstream")
+    val rootB = tmp("graft_cmp_dedupstream_off")
+    run(rootA, 2)
+    run(rootB, 0)
+    // batch 7 ran the slot last: both flat stores fully folded
+    assert(BucketCompaction.dataFileCount(spark, s"$rootA/store") === 1,
+      "signature store not folded by the in-stream slot")
+    assert(BucketCompaction.dataFileCount(spark, s"$rootA/pairs") === 1,
+      "pair log not folded by the in-stream slot")
+    assert(BucketCompaction.dataFileCount(spark, s"$rootB/store") > 1,
+      "the unmaintained fixture must actually accumulate file-sets")
+    // row-preserving: the maintained stream's pairs equal the
+    // unmaintained one's (set equality — discovery order may differ
+    // only if batching differed, which the shared staging prevents)
+    def pairSet(root: String) = spark.read.parquet(s"$root/pairs")
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(rootA) === pairSet(rootB))
+  }
+
   test("triangle stream maintenance: 8 batches at maintainEvery=2 end fully folded") {
     import graft.streaming.EventStreams
     val root = tmp("graft_cmp_tristream")
