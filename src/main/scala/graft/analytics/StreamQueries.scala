@@ -54,10 +54,13 @@ object StreamQueries {
       // pins the stream's input to this call's snapshot
       Tables.embeddings(spark, dir).write.parquet(s"$tmp/src")
       val schema = spark.read.parquet(s"$tmp/src").schema
+      // maintainEvery = 1: the single AvailableNow batch runs the
+      // maintenance slot too, so the oracle gates THROUGH the fold of
+      // the survivor log + assignment buckets (the r14 st18-st21 recipe)
       EventStreams.semanticDedupStream(
         spark.readStream.schema(schema).parquet(s"$tmp/src"),
         "vec_id", "embedding", s"$tmp/store", s"$tmp/survivors",
-        s"$tmp/cp", tau = 0.45).awaitTermination()
+        s"$tmp/cp", tau = 0.45, maintainEvery = 1).awaitTermination()
       s"$tmp/survivors"
     })
     spark.read.parquet(survivors)
@@ -116,12 +119,14 @@ object StreamQueries {
       c.write.parquet(s"$tmp/store")
       CoreQueries.derivedNewSnapshot(c).write.parquet(s"$tmp/snap")
       val schema = spark.read.parquet(s"$tmp/snap").schema
+      // maintainEvery = 1: the op-log fold runs inside the gate, so
+      // the oracle reads a COMPACTED log (row-preserving by spec)
       EventStreams.snapshotCdcStream(
         spark.readStream.schema(schema).parquet(s"$tmp/snap"),
         keyCols = Seq("c_custkey"),
         valueCols = Seq("c_name", "c_acctbal", "c_mktsegment"),
         storePath = s"$tmp/store", opsPath = s"$tmp/ops",
-        checkpoint = s"$tmp/cp").awaitTermination()
+        checkpoint = s"$tmp/cp", maintainEvery = 1).awaitTermination()
       s"$tmp/ops"
     })
     spark.read.parquet(ops)
@@ -331,12 +336,17 @@ object StreamQueries {
             FileTime.fromMillis(mtimeBase + v * 60000L)))
       }
       val schema = spark.read.parquet(s"$tmp/src").schema
+      // maintainEvery = 1: batch 2 (v = 2) prunes ver_0 inside the
+      // gate — the version-chain maintenance is exercised, and the
+      // final ver_2 read (which the prune never touches) still must
+      // hash-match cdc2's batch oracle
       EventStreams.scd2Stream(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
         keyCols = Seq("c_custkey"),
         valueCols = Seq("c_acctbal", "c_mktsegment"),
-        storeDir = s"$tmp/store", checkpoint = s"$tmp/cp")
+        storeDir = s"$tmp/store", checkpoint = s"$tmp/cp",
+        maintainEvery = 1)
         .awaitTermination()
       s"$tmp/store/ver_2"
     })

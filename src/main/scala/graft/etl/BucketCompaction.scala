@@ -38,7 +38,9 @@ import org.apache.spark.sql.SparkSession
   * row-identity and the 1-file bound dir by dir). Partition-valued
   * dirs (`tb=5`, `eb=12`) keep their value from the DIR NAME, which
   * the swap preserves; `_graft_meta` and other root sidecars are
-  * never touched.
+  * never touched, and a sidecar INSIDE a flat store dir (the
+  * parameter pins of the signature/token stores) is copied into the
+  * staged replacement so the pin survives the swap.
   */
 object BucketCompaction {
 
@@ -109,6 +111,21 @@ object BucketCompaction {
       //    bounds memory at one bucket, never the store
       spark.read.parquet(live.toString).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
+      // carry IN-DIR sidecars/markers into the staged copy (a FLAT
+      // store's `_graft_meta` parameter pin lives inside the dir being
+      // swapped; losing it would turn the next probe's pre-pin
+      // fail-fast against the store's own owner). COPY, not move: the
+      // live dir stays complete until the publish, so every crash
+      // window still holds a pinned store.
+      fs.listStatus(live).map(_.getPath).filter { q =>
+        val n = q.getName
+        n.startsWith("_graft_meta") || n == "_GRAFT_DONE"
+      }.foreach { q =>
+        val in = fs.open(q)
+        val bytes = try in.readAllBytes() finally in.close()
+        val out = fs.create(new org.apache.hadoop.fs.Path(tmp, q.getName), true)
+        try out.write(bytes) finally out.close()
+      }
       // 2./3./4. park, publish, sweep
       require(fs.rename(live, old),
         s"BucketCompaction: park $live -> $old failed")

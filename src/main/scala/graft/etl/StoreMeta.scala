@@ -17,19 +17,16 @@ object StoreMeta {
     new org.apache.hadoop.fs.Path(s"$dir/_graft_meta"),
     new org.apache.hadoop.fs.Path(s"$dir/_graft_meta.tmp"))
 
-  def read(spark: SparkSession, dir: String): Option[Int] = {
-    val (p, tmp) = paths(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the staged tmp is the crash fallback: a crash between the old
-    // meta's delete and the rename publish must not read as absent
-    val src = if (fs.exists(p)) Some(p)
-      else if (fs.exists(tmp)) Some(tmp) else None
-    src.map { f =>
-      val in = fs.open(f)
-      try new String(in.readAllBytes(), "UTF-8").trim.toInt
-      finally in.close()
+  /** The single-int face's value. Delegates to [[readParams]] so a
+    * family-tagged sidecar that carries an `n` key still reads — and a
+    * sidecar WITHOUT one fail-fasts with the map in the message instead
+    * of a bare NumberFormatException. */
+  def read(spark: SparkSession, dir: String): Option[Int] =
+    readParams(spark, dir).map { m =>
+      require(m.contains("n"),
+        s"_graft_meta under $dir pins no 'n' — sidecar: $m")
+      m("n").toInt
     }
-  }
 
   def write(spark: SparkSession, dir: String, n: Int): Unit =
     writeRaw(spark, dir, n.toString)
@@ -93,13 +90,18 @@ object StoreMeta {
   }
 
   /** True when `dir` holds anything beyond sidecars/markers — the
-    * "has data, so a missing sidecar is a pre-meta layout" probe. */
+    * "has data, so a missing sidecar is a pre-meta layout" probe.
+    * A partition directory whose COLUMN starts with an underscore
+    * (`__cb=5`) is data, not a marker — the `=` discriminates it from
+    * every sidecar/marker name in this codebase (`_graft_meta`,
+    * `_GRAFT_DONE`, `_SUCCESS` carry none). */
   def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists { s =>
       val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+      (!n.startsWith("_") && !n.startsWith(".")) ||
+        (n.contains("=") && !n.contains("__compact_"))
     }
   }
 

@@ -265,36 +265,97 @@ object Dedup {
       .select(col("__id"), col("__band.band").as("band"),
         col("__band.band_hash").as("band_hash"))
 
-  /** Persist the per-doc MinHash signature store (overwrite). The real
-    * 100 TB dedup operation is "new batch vs existing corpus", not a
-    * full re-dedup: the store pays the corpus shingle+signature pass
-    * ONCE; every later [[incrementalMinHashNearDups]] call reads
-    * signatures from parquet and never re-scans the corpus text.
-    * Docstore upkeep composes with the engine's idempotent-append
-    * discipline (graft.etl.Sinks.idempotentAppend): append the delta's
-    * signatures after deduping it. */
+  /** The signature stores' sidecar families + write-time defaults.
+    * `numHashes` and `shingleN` are FROZEN into a MinHash store's
+    * persisted artifacts (the m-columns and the shingle digest sets):
+    * a delta signed at different values band-joins and Jaccard-verifies
+    * against incomparable numbers — silent garbage candidate sets, the
+    * exact class `requireFamily` fail-fasts for the sketch stores. So
+    * they pin, probes resolve them FROM the store, and an explicit
+    * caller expectation that disagrees fail-fasts. */
+  val DefaultNumHashes = 32
+  val DefaultShingleN = 3
+  private[graft] val MinHashFamily = "minhash_signatures"
+  private[graft] val SimHashFamily = "simhash_signatures"
+
+  private def metaInt(m: Map[String, String], path: String, key: String): Int = {
+    require(m.contains(key),
+      s"signature store at $path pins no '$key' — sidecar: $m")
+    m(key).toInt
+  }
+
+  /** Pin a freshly-written MinHash signature store (data must already
+    * be on disk — an overwrite deletes the target dir first). Also the
+    * streaming bootstrap's pin (EventStreams creates the store empty
+    * on first contact and stamps it through this). */
+  private[graft] def pinMinHashStore(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, numHashes: Int,
+                                     shingleN: Int): Unit =
+    graft.etl.StoreMeta.pinFamily(spark, path, MinHashFamily, Map(
+      "num_hashes" -> numHashes.toString, "shingle_n" -> shingleN.toString))
+
+  /** The store's pinned (numHashes, shingleN) — fail-fast on a pre-pin
+    * or foreign-family store, or on an explicit caller expectation
+    * (`expect* > 0`) that disagrees with the pin. */
+  def minHashStoreParams(spark: org.apache.spark.sql.SparkSession,
+                         path: String, expectNumHashes: Int = 0,
+                         expectShingleN: Int = 0): (Int, Int) = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, path, MinHashFamily)
+      .getOrElse(sys.error(s"no MinHash signature store at $path"))
+    val nh = metaInt(m, path, "num_hashes")
+    val sn = metaInt(m, path, "shingle_n")
+    require(expectNumHashes <= 0 || expectNumHashes == nh,
+      s"MinHash store at $path is pinned to numHashes=$nh but the caller " +
+        s"expects $expectNumHashes — signatures across hash counts are " +
+        "incomparable; rebuild the store or drop the expectation")
+    require(expectShingleN <= 0 || expectShingleN == sn,
+      s"MinHash store at $path is pinned to shingleN=$sn but the caller " +
+        s"expects $expectShingleN — re-shingling a delta at a different n " +
+        "silently corrupts every candidate set and Jaccard verify")
+    (nh, sn)
+  }
+
+  /** Persist the per-doc MinHash signature store (overwrite), with
+    * (numHashes, shingleN) frozen in a family-tagged `_graft_meta`
+    * sidecar. The real 100 TB dedup operation is "new batch vs
+    * existing corpus", not a full re-dedup: the store pays the corpus
+    * shingle+signature pass ONCE; every later
+    * [[incrementalMinHashNearDups]] call reads signatures from parquet
+    * and never re-scans the corpus text. Docstore upkeep composes with
+    * the engine's idempotent-append discipline
+    * (graft.etl.Sinks.idempotentAppend): append the delta's signatures
+    * after deduping it. */
   def writeMinHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                             path: String, numHashes: Int = 32,
-                             shingleN: Int = 3): Unit =
+                             path: String, numHashes: Int = DefaultNumHashes,
+                             shingleN: Int = DefaultShingleN): Unit = {
     minHashPerDoc(df, idCol, textCol, numHashes, shingleN)
       .write.mode("overwrite").parquet(path)
+    pinMinHashStore(df.sparkSession, path, numHashes, shingleN)
+  }
 
   /** Near-dup pairs of a DELTA batch against a persisted signature
     * store (plus within-delta pairs). Only the delta is shingled and
-    * signed; the corpus side's bands come from the stored m-columns
-    * (cheap column math, no text). The band join's left side is the
-    * delta — small, so the join broadcasts it — and the exact-Jaccard
-    * verify reads shingle sets from the store. Returns (id_a, id_b,
-    * jaccard) where at least one side is a delta doc; delta ids must
-    * not collide with store ids. */
+    * signed — at the STORE's pinned (numHashes, shingleN), so a store
+    * built with foreign parameters is honored end to end; the default
+    * `numHashes`/`shingleN` of 0 mean "resolve from the pin", and an
+    * explicit value that disagrees with the pin fail-fasts (the
+    * Sketches merge discipline). The corpus side's bands come from the
+    * stored m-columns (cheap column math, no text). The band join's
+    * left side is the delta — small, so the join broadcasts it — and
+    * the exact-Jaccard verify reads shingle sets from the store.
+    * Returns (id_a, id_b, jaccard) where at least one side is a delta
+    * doc; delta ids must not collide with store ids. */
   def incrementalMinHashNearDups(delta: DataFrame, idCol: String, textCol: String,
                                  storePath: String, threshold: Double = 0.8,
-                                 numHashes: Int = 32, bands: Int = 8,
-                                 shingleN: Int = 3,
-                                 saltBuckets: Int = 1): DataFrame =
+                                 numHashes: Int = 0, bands: Int = 8,
+                                 shingleN: Int = 0,
+                                 saltBuckets: Int = 1): DataFrame = {
+    val (nh, sn) = minHashStoreParams(delta.sparkSession, storePath,
+      numHashes, shingleN)
     incrementalMinHashNearDupsFromSigs(
-      minHashPerDoc(delta, idCol, textCol, numHashes, shingleN).localCheckpoint(),
-      storePath, threshold, numHashes, bands, saltBuckets)
+      minHashPerDoc(delta, idCol, textCol, nh, sn).localCheckpoint(),
+      storePath, threshold, nh, bands, saltBuckets)
+  }
 
   /** [[incrementalMinHashNearDups]] from PRE-COMPUTED delta signatures
     * (a `minHashPerDoc` frame, ideally checkpointed) — the entry point
@@ -305,6 +366,12 @@ object Dedup {
       deltaSig: DataFrame, storePath: String, threshold: Double,
       numHashes: Int, bands: Int, saltBuckets: Int): DataFrame = {
     val spark = deltaSig.sparkSession
+    // the caller signed deltaSig at `numHashes` — it MUST be the pin's
+    // value, or the band join below compares incomparable signatures
+    val (pinnedNh, _) = minHashStoreParams(spark, storePath)
+    require(pinnedNh == numHashes,
+      s"delta signatures were built at numHashes=$numHashes but the store " +
+        s"at $storePath is pinned to $pinnedNh — refusing the band join")
     val store = spark.read.parquet(storePath)
     val all = store.unionByName(deltaSig)
     val l = bandedFromPerDoc(deltaSig, numHashes, bands)
@@ -533,11 +600,33 @@ object Dedup {
     * SimHash analog of [[writeMinHashSignatures]]: the corpus text is
     * scanned and vote-aggregated ONCE; every later
     * [[incrementalSimHashNearDups]] call band-joins a delta against
-    * these 8-byte signatures and never re-reads corpus text. */
+    * these 8-byte signatures and never re-reads corpus text. The
+    * signature geometry here is a CODE constant, not a caller
+    * parameter — so the pin freezes the build's constants (60 bits,
+    * PolyHash word folds) the way the HLL store freezes its register
+    * count: a store from a different-geometry build cannot be probed,
+    * only re-signed. */
   def writeSimHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                             path: String): Unit =
+                             path: String): Unit = {
     simHashSignatures(df, idCol, textCol)
       .write.mode("overwrite").parquet(path)
+    graft.etl.StoreMeta.pinFamily(df.sparkSession, path, SimHashFamily, Map(
+      "bits" -> SimHashBits.toString, "hash" -> "poly1"))
+  }
+
+  /** Fail-fast resolution of a SimHash store's pin against this
+    * build's constants. */
+  private def requireSimHashStore(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Unit = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, path, SimHashFamily)
+      .getOrElse(sys.error(s"no SimHash signature store at $path"))
+    val bits = metaInt(m, path, "bits")
+    require(bits == SimHashBits && m.get("hash").forall(_ == "poly1"),
+      s"SimHash store at $path is pinned to bits=$bits " +
+        s"hash=${m.getOrElse("hash", "?")} but this build signs at " +
+        s"bits=$SimHashBits hash=poly1 — Hamming distances across " +
+        "geometries are meaningless; rebuild the store")
+  }
 
   /** INCREMENTAL SimHash near-dups: a delta batch against a persisted
     * signature store (plus within-delta pairs). Only the delta is
@@ -552,6 +641,7 @@ object Dedup {
                                  storePath: String, maxHamming: Int = 3,
                                  saltBuckets: Int = 1): DataFrame = {
     val spark = delta.sparkSession
+    requireSimHashStore(spark, storePath)
     val deltaSig = simHashSignatures(delta, idCol, textCol).localCheckpoint()
     val all = spark.read.parquet(storePath).unionByName(deltaSig)
     def banded(sigs: DataFrame) = sigs

@@ -69,18 +69,60 @@ object FuzzyJoin {
       .drop("__k0")
   }
 
+  /** The hood index's sidecar family. Both parameters are FROZEN into
+    * the persisted keys: `maxDist` decides the deletion depth every
+    * `__k` was generated at (depth-1 and depth-2 hood sets never
+    * intersect correctly across builds), and `blockCols` are hashed
+    * INTO `__k` — probing with either one different yields silently
+    * empty/garbage candidate sets. So the writer pins them, and the
+    * delta probe resolves maxDist FROM the store (0 = resolve) and
+    * requires the caller's blockCols to equal the pinned list exactly
+    * (they also name delta columns, so they cannot be inferred). */
+  private[graft] val HoodFamily = "fuzzy_hoods"
+
   /** Persist the deletion-neighborhood index of a rep table — the
     * store half of the incremental fuzzy join (d9's discipline for
     * edit distance): (hood key, string, blocks, rep id) rows written
     * once; later deltas equi-join their own hoods against it, so the
-    * store is never re-scanned for candidate generation. */
+    * store is never re-scanned for candidate generation. (maxDist,
+    * blockCols) freeze into a family-tagged `_graft_meta` sidecar. */
   def writeHoodIndex(reps: DataFrame, idCol: String, strCol: String,
                      path: String, maxDist: Int = 1,
-                     blockCols: Seq[String] = Nil): Unit =
+                     blockCols: Seq[String] = Nil): Unit = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2, got $maxDist")
     keyedHoods(
       reps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
         blockCols.map(col): _*), "__s", maxDist, blockCols)
       .write.mode("overwrite").parquet(path)
+    graft.etl.StoreMeta.pinFamily(reps.sparkSession, path, HoodFamily, Map(
+      "max_dist" -> maxDist.toString,
+      "block_cols" -> blockCols.mkString(",")))
+  }
+
+  /** Resolve a hood index's pinned maxDist, fail-fast on a pre-pin or
+    * foreign-family store, a disagreeing explicit expectation
+    * (`expectMaxDist > 0`), or blockCols that differ from the pin. */
+  private def hoodIndexMaxDist(spark: org.apache.spark.sql.SparkSession,
+                               path: String, expectMaxDist: Int,
+                               blockCols: Seq[String]): Int = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, path, HoodFamily)
+      .getOrElse(sys.error(s"no hood index at $path"))
+    require(m.contains("max_dist"),
+      s"hood index at $path pins no 'max_dist' — sidecar: $m")
+    val md = m("max_dist").toInt
+    require(expectMaxDist <= 0 || expectMaxDist == md,
+      s"hood index at $path is pinned to maxDist=$md but the caller " +
+        s"expects $expectMaxDist — deletion hoods across depths never " +
+        "join correctly; rebuild the index or drop the expectation")
+    val pinnedBlocks = m.getOrElse("block_cols", "")
+    require(pinnedBlocks == blockCols.mkString(","),
+      s"hood index at $path is pinned to blockCols=[$pinnedBlocks] but " +
+        s"the caller probes with [${blockCols.mkString(",")}] — block " +
+        "values are hashed into every stored key; the probe would be " +
+        "silently empty")
+    md
+  }
 
   /** Incremental fuzzy pairs: `deltaReps` against the persisted hood
     * index PLUS itself — never store-vs-store. Returns rep-level
@@ -95,14 +137,13 @@ object FuzzyJoin {
     * equi-join. */
   def deltaEditDistancePairs(deltaReps: DataFrame, idCol: String,
                              strCol: String, indexPath: String,
-                             maxDist: Int = 1,
+                             maxDist: Int = 0,
                              blockCols: Seq[String] = Nil): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 2,
-      s"maxDist must be 1 or 2, got $maxDist")
     val spark = deltaReps.sparkSession
+    val md = hoodIndexMaxDist(spark, indexPath, maxDist, blockCols)
     val d = keyedHoods(
       deltaReps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
-        blockCols.map(col): _*), "__s", maxDist, blockCols)
+        blockCols.map(col): _*), "__s", md, blockCols)
     val right = spark.read.parquet(indexPath)
       .withColumn("__in_store", lit(true))
       .unionByName(d.withColumn("__in_store", lit(false)))
@@ -123,7 +164,7 @@ object FuzzyJoin {
           (col("__s") === col("__s_b") && col("__rid") < col("__rid_b"))))(_ && _)
     d.join(right, cond)
       .select(col("__rid").as("id_a"), col("__rid_b").as("id_b"),
-        levenshtein(col("__s"), col("__s_b"), maxDist).as("dist"),
+        levenshtein(col("__s"), col("__s_b"), md).as("dist"),
         col("__in_store").as("b_in_store"))
       .where(col("dist") >= 0)
       .distinct() // pairs that met on several hood keys

@@ -62,24 +62,74 @@ object SetSimJoin {
         explode(col("__sh")).as("__s"))
       .select(col("__id"), col("__sz"), xxhash64(col("__s")).as("__tok"))
 
+  /** The token stores' sidecar family. `shingleN` is FROZEN into the
+    * persisted digest rows (each `__tok` is the hash of an n-shingle
+    * and each `__sz` the doc's distinct n-shingle count): a delta
+    * re-shingled at a different n joins incomparable digests and
+    * verifies against wrong set sizes — silent garbage, the class
+    * `requireFamily` fail-fasts for every other pinned store. Probes
+    * therefore resolve shingleN FROM the pin (0 = resolve) and
+    * fail-fast an explicit expectation that disagrees. */
+  private[graft] val TokenFamily = "setsim_tokens"
+  val DefaultShingleN = 3
+
+  private def metaInt(m: Map[String, String], where: String, key: String): Int = {
+    require(m.contains(key),
+      s"token store at $where pins no '$key' — sidecar: $m")
+    m(key).toInt
+  }
+
+  /** The pinned shingleN of a token store dir, with an optional caller
+    * expectation. */
+  private def tokenStoreShingleN(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, expect: Int): Int = {
+    val m = graft.etl.StoreMeta.requireFamily(spark, dir, TokenFamily)
+      .getOrElse(sys.error(s"no token store at $dir"))
+    val sn = metaInt(m, dir, "shingle_n")
+    require(expect <= 0 || expect == sn,
+      s"token store at $dir is pinned to shingleN=$sn but the caller " +
+        s"expects $expect — digests across shingle widths never match; " +
+        "rebuild the store or drop the expectation")
+    sn
+  }
+
+  /** A catalog table's storage directory — where the bucketed face's
+    * pin lives (the table DIR is the persisted artifact; the catalog
+    * entry is re-creatable metadata). */
+  private def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                            table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .location.toString
+
   /** Persist a corpus's token rows — the set-similarity store the
     * incremental face joins deltas against (the d9/d3c store pattern:
-    * the stored corpus is never re-shingled). */
+    * the stored corpus is never re-shingled) — with shingleN frozen in
+    * a family-tagged `_graft_meta` sidecar. */
   def writeTokenStore(df: DataFrame, idCol: String, textCol: String,
-                      path: String, shingleN: Int = 3): Unit =
+                      path: String, shingleN: Int = DefaultShingleN): Unit = {
     tokenRows(df, idCol, textCol, shingleN)
       .write.mode("overwrite").parquet(path)
+    graft.etl.StoreMeta.pinFamily(df.sparkSession, path, TokenFamily,
+      Map("shingle_n" -> shingleN.toString))
+  }
 
   /** Bucketed token store (catalog table, bucketBy __tok) — the j9
     * zero-exchange layout applied to the dedup store: the store-side
     * document-frequency aggregate reads pre-clustered buckets and
     * plans NO shuffle (asserted in SetSimJoinSpec), which at 100 TB is
-    * the daily job's dominant exchange gone. */
+    * the daily job's dominant exchange gone. The pin (shingleN + the
+    * bucket count) lands in the TABLE DIRECTORY: the catalog entry is
+    * session metadata, the dir is the artifact that outlives it. */
   def writeBucketedTokenStore(df: DataFrame, idCol: String, textCol: String,
                               table: String, buckets: Int,
-                              shingleN: Int = 3): Unit =
+                              shingleN: Int = DefaultShingleN): Unit = {
     graft.etl.Sinks.writeBucketed(
       tokenRows(df, idCol, textCol, shingleN), table, buckets, Seq("__tok"))
+    graft.etl.StoreMeta.pinFamily(df.sparkSession,
+      tableLocation(df.sparkSession, table), TokenFamily,
+      Map("shingle_n" -> shingleN.toString, "buckets" -> buckets.toString))
+  }
 
   /** Exact verification on per-document digest arrays, shared by
     * every face. `restrict = true` semi-joins the token rows to
@@ -121,11 +171,26 @@ object SetSimJoin {
   def incrementalJaccardJoinBucketed(delta: DataFrame, idCol: String,
                                      textCol: String, storeTable: String,
                                      threshold: Double,
-                                     shingleN: Int = 3,
+                                     shingleN: Int = 0,
                                      restrictVerify: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
     val spark = delta.sparkSession
-    val dRows = tokenRows(delta, idCol, textCol, shingleN).localCheckpoint()
+    val loc = tableLocation(spark, storeTable)
+    val sn = tokenStoreShingleN(spark, loc, shingleN)
+    // the pin also freezes the bucket count — cross-check it against
+    // what the catalog believes, so a table rebuilt under the same name
+    // with a different layout (or a stale pin) fails fast here instead
+    // of silently planning a differently-clustered aggregate
+    val pinnedBuckets = graft.etl.StoreMeta.readParams(spark, loc)
+      .flatMap(_.get("buckets")).map(_.toInt)
+    val catalogBuckets = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(storeTable))
+      .bucketSpec.map(_.numBuckets)
+    require(pinnedBuckets == catalogBuckets,
+      s"token store table $storeTable pins buckets=$pinnedBuckets but the " +
+        s"catalog holds $catalogBuckets — rebuild through " +
+        "writeBucketedTokenStore")
+    val dRows = tokenRows(delta, idCol, textCol, sn).localCheckpoint()
     val store = spark.table(storeTable)
     val sf = store.groupBy(col("__tok")).agg(count(lit(1)).as("__cs"))
     val df2 = dRows.groupBy(col("__tok")).agg(count(lit(1)).as("__cd"))
@@ -178,16 +243,19 @@ object SetSimJoin {
     * be stale; full-set joining sidesteps that entirely).
     *
     * Returns (id_a, id_b, jaccard), id_a < id_b; delta ids must not
-    * collide with store ids. */
+    * collide with store ids. The delta is shingled at the STORE's
+    * pinned shingleN (default 0 = resolve from the pin; an explicit
+    * disagreeing value fail-fasts). */
   def incrementalJaccardJoin(delta: DataFrame, idCol: String,
                              textCol: String, storePath: String,
                              threshold: Double,
-                             shingleN: Int = 3,
+                             shingleN: Int = 0,
                              restrictVerify: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val spark = delta.sparkSession
-    val dRows = tokenRows(delta, idCol, textCol, shingleN).localCheckpoint()
+    val sn = tokenStoreShingleN(spark, storePath, shingleN)
+    val dRows = tokenRows(delta, idCol, textCol, sn).localCheckpoint()
     val all = spark.read.parquet(storePath).unionByName(dRows)
     val freq = all.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     val ranked = dRows.join(freq, "__tok")

@@ -1091,9 +1091,44 @@ object Similarity {
     * corpus vector with its cluster and centroid similarity,
     * PARTITIONED BY a bucket of cluster_id so a delta's cluster-keyed
     * neighbor join prunes to touched buckets. */
+  /** The assignment store's bucket modulus: cluster-keyed reads prune
+    * on `__cb = cluster_id mod cb`, so `cb` is FROZEN into the
+    * directory layout at write time — appending with a different
+    * modulus mis-partitions rows into dirs the pruned reads never
+    * open (silently dropped prior art). Pinned in a family-tagged
+    * `_graft_meta` under `<store>/assignments`; every append and
+    * probe resolves it FROM the pin. */
+  val DefaultAssignmentBuckets = 64
+  private val SemAssignFamily = "semdedup_assignments"
+
+  private def pinAssignments(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, cb: Int): Unit =
+    graft.etl.StoreMeta.pinFamily(spark, dir, SemAssignFamily,
+      Map("cb" -> cb.toString))
+
+  /** The pinned modulus of an assignment store dir: None when the dir
+    * is absent/empty (day zero — the caller's value applies and the
+    * first append pins it); fail-fast on a pre-pin dir with data, a
+    * foreign family, or an explicit expectation (`expect > 0`) that
+    * disagrees with the pin. */
+  private def assignmentBuckets(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, expect: Int): Option[Int] =
+    graft.etl.StoreMeta.requireFamily(spark, dir, SemAssignFamily).map { m =>
+      require(m.contains("cb"),
+        s"assignment store at $dir pins no 'cb' — sidecar: $m")
+      val cb = m("cb").toInt
+      require(expect <= 0 || expect == cb,
+        s"assignment store at $dir is pinned to cb=$cb buckets but the " +
+          s"caller expects $expect — appending under a different modulus " +
+          "mis-partitions rows out of every pruned read")
+      cb
+    }
+
   def writeSemanticDedupStore(corpus: DataFrame, path: String,
                               idCol: String = "vec_id",
-                              vecCol: String = "embedding"): Unit = {
+                              vecCol: String = "embedding",
+                              assignBuckets: Int = DefaultAssignmentBuckets)
+      : Unit = {
     val n = corpus.count()
     val step = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val c0 = corpus.select(col(idCol).as("__vid"),
@@ -1103,9 +1138,10 @@ object Similarity {
       .withColumn("__sn", VF.norm(col("__sv")))
     seeds.write.mode("overwrite").parquet(s"$path/centroids")
     assignToSeeds(c0, seeds)
-      .withColumn("__cb", pmod(col("cluster_id"), lit(64)))
+      .withColumn("__cb", pmod(col("cluster_id"), lit(assignBuckets)))
       .write.mode("overwrite").partitionBy("__cb")
       .parquet(s"$path/assignments")
+    pinAssignments(corpus.sparkSession, s"$path/assignments", assignBuckets)
   }
 
   /** Freeze centroids from a bootstrap corpus (balanced √n rule)
@@ -1139,14 +1175,25 @@ object Similarity {
     * should be appended (dropped rows must not become prior art). */
   def appendSemanticAssignments(delta: DataFrame, storePath: String,
                                 idCol: String = "vec_id",
-                                vecCol: String = "embedding"): Long = {
-    val seeds = delta.sparkSession.read.parquet(s"$storePath/centroids")
+                                vecCol: String = "embedding",
+                                expectBuckets: Int = 0): Long = {
+    val spark = delta.sparkSession
+    val dir = s"$storePath/assignments"
+    // the pin decides the modulus; day zero (no assignments yet) takes
+    // the caller expectation or the default, and pins it after the
+    // first append materializes the dir
+    val pinned = assignmentBuckets(spark, dir, expectBuckets)
+    val cb = pinned.getOrElse(
+      if (expectBuckets > 0) expectBuckets else DefaultAssignmentBuckets)
+    val seeds = spark.read.parquet(s"$storePath/centroids")
     val d0 = delta.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__cv"))
     val rows = assignToSeeds(d0, seeds)
-      .withColumn("__cb", pmod(col("cluster_id"), lit(64)))
-    graft.etl.Sinks.idempotentAppendPartitioned(
-      rows, s"$storePath/assignments", Seq("__vid"), "__cb")
+      .withColumn("__cb", pmod(col("cluster_id"), lit(cb)))
+    val n = graft.etl.Sinks.idempotentAppendPartitioned(
+      rows, dir, Seq("__vid"), "__cb")
+    if (pinned.isEmpty) pinAssignments(spark, dir, cb)
+    n
   }
 
   /** INCREMENTAL SemDeDup: dedup a DELTA batch against a persisted
@@ -1177,13 +1224,18 @@ object Similarity {
       col(vecCol).cast("array<double>").as("__cv"))
     val assigned = assignToSeeds(d0, seeds).localCheckpoint()
     // a store bootstrapped by writeSemanticCentroids has no
-    // assignments yet — treat the missing dir as an empty prior corpus
+    // assignments yet — treat the missing dir as an empty prior corpus.
+    // The modulus resolves from the PIN (requireFamily fail-fasts a
+    // pre-pin dir with data); the empty-frame fallback carries zero
+    // rows, so the default there only shapes the schema
+    val cb = assignmentBuckets(spark, s"$storePath/assignments", 0)
+      .getOrElse(DefaultAssignmentBuckets)
     val store =
       if (new org.apache.hadoop.fs.Path(s"$storePath/assignments")
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(s"$storePath/assignments")))
         spark.read.parquet(s"$storePath/assignments")
-      else assigned.limit(0).withColumn("__cb", pmod(col("cluster_id"), lit(64)))
+      else assigned.limit(0).withColumn("__cb", pmod(col("cluster_id"), lit(cb)))
     val x = assigned.select(col("cluster_id"), col("__vid").as("id_x"),
       col("__cv").as("vx"), col("__n").as("nx"), col("__csim").as("cx"))
     def simTo(y: DataFrame) = x.join(y, Seq("cluster_id"))

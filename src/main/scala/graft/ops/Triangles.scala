@@ -148,25 +148,54 @@ object Triangles {
     adj.withColumn("eb", edgeBucket(col("a"), n))
       .repartition(col("eb"))
       .write.mode("overwrite").partitionBy("eb", "o").parquet(path)
-    graft.etl.StoreMeta.write(spark, path, n)
+    pinEdgeStore(spark, path, n)
   }
+
+  /** The sidecar family + layout tag of the (eb, o) edge store. The
+    * layout tag exists because the LAYOUT is a frozen parameter too:
+    * r14 deepened the leaves from `eb=` to `(eb=, o=)`, and appending
+    * the deeper shape into a pre-r14 store — or pruning `o === 0` over
+    * one — produces mixed-depth partition dirs / missing-column reads,
+    * exactly the silent-merge class the bucket-count pin closed. A
+    * bare-int pre-r14 sidecar parses family-less and fail-fasts below
+    * before any mutation. */
+  private val EdgeFamily = "triangle_edges"
+  private val EdgeLayout = "o1"
+
+  private def pinEdgeStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, n: Int): Unit =
+    graft.etl.StoreMeta.pinFamily(spark, path, EdgeFamily,
+      Map("n" -> n.toString, "layout" -> EdgeLayout))
 
   /** The store's bucket count — fail-fast if the store has data but no
     * meta (a foreign layout: pruning with a guessed N reads the wrong
-    * dirs). */
+    * dirs), or a sidecar without this build's family + layout tag (a
+    * pre-(eb,o) store: appending or half-pruning it would corrupt the
+    * layout — rebuild through [[writeEdgeStore]]). */
   private def storeBuckets(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Option[Int] = {
-    val meta = graft.etl.StoreMeta.read(spark, path)
-    if (meta.isEmpty) {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(!fs.exists(p) ||
-          !fs.listStatus(p).exists(_.getPath.getName.startsWith("eb=")),
-        s"edge store at $path has data but no _graft_meta sidecar — " +
-          "seed through writeEdgeStore/appendEdgeStore")
+                           path: String): Option[Int] =
+    graft.etl.StoreMeta.readParams(spark, path) match {
+      case Some(m) =>
+        require(m.get("family").contains(EdgeFamily) &&
+            m.get("layout").contains(EdgeLayout),
+          s"edge store at $path is pinned to " +
+            s"family=${m.getOrElse("family", "<none>")} " +
+            s"layout=${m.getOrElse("layout", "<none>")} but this build " +
+            s"reads/writes the ($EdgeFamily, layout=$EdgeLayout) shape — " +
+            "appending across layouts mixes partition depths; rebuild " +
+            "through writeEdgeStore")
+        require(m.contains("n"),
+          s"edge store sidecar at $path pins no bucket count — sidecar: $m")
+        Some(m("n").toInt)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!fs.exists(p) ||
+            !fs.listStatus(p).exists(_.getPath.getName.startsWith("eb=")),
+          s"edge store at $path has data but no _graft_meta sidecar — " +
+            "seed through writeEdgeStore/appendEdgeStore")
+        None
     }
-    meta
-  }
 
   /** The pruned adjacency read: all (a, b) rows in the bucket dirs of
     * the delta's endpoints — the ONE store read a merge needs. The
@@ -277,7 +306,7 @@ object Triangles {
     val adj = mirrorTagged(novelUnd).localCheckpoint()
     val n = storeBuckets(spark, path).getOrElse {
       val sized = dataSizedEdgeBuckets(adj.count())
-      graft.etl.StoreMeta.write(spark, path, sized)
+      pinEdgeStore(spark, path, sized)
       sized
     }
     if (!adj.isEmpty)
@@ -299,12 +328,21 @@ object Triangles {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.startsWith("eb=") && !n.contains("__compact_"))
-      .sorted.toSeq.flatMap { eb =>
-        graft.etl.BucketCompaction.compactStore(spark, s"$path/$eb", "o")
-          .map(o => s"$eb/$o")
-      }
+    else {
+      // heal ROOT-level crash artifacts first: pre-(eb,o) compaction
+      // staged its swaps at root (`eb=X__compact_old/tmp`), and the
+      // per-eb loop below filters those names out of its listing — a
+      // leftover parked dir with no live sibling would otherwise never
+      // republish and its bucket's adjacency would silently vanish
+      // from pruned reads
+      graft.etl.BucketCompaction.heal(spark, path)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("eb=") && !n.contains("__compact_"))
+        .sorted.toSeq.flatMap { eb =>
+          graft.etl.BucketCompaction.compactStore(spark, s"$path/$eb", "o")
+            .map(o => s"$eb/$o")
+        }
+    }
   }
 
   /** The ≥1-novel-edge triangle increment from PRUNED adjacency — the

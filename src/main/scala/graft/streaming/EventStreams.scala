@@ -162,7 +162,7 @@ object EventStreams {
   def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
                              storePath: String, pairsPath: String,
                              checkpoint: String, threshold: Double = 0.8,
-                             numHashes: Int = 32, shingleN: Int = 3,
+                             numHashes: Int = 0, shingleN: Int = 0,
                              maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -184,23 +184,35 @@ object EventStreams {
     * [[incrementalDedupStream]] and [[componentsStream]]: the batch is
     * shingled+signed exactly ONCE (the checkpointed signatures feed
     * both the pair search and the caller's store append), the store
-    * bootstraps empty on first contact via the Hadoop FS API, and the
-    * delta pairs probe the store-so-far. Callers must consume `pairs`
+    * bootstraps empty AND PARAMETER-PINNED on first contact via the
+    * Hadoop FS API, and the delta pairs probe the store-so-far. An
+    * existing store's pinned (numHashes, shingleN) win — a stream
+    * resumed against a foreign-parameter store signs at the STORE's
+    * values, and an explicit stream expectation that disagrees
+    * fail-fasts instead of silently banding incomparable signatures
+    * (the Sketches merge discipline). Callers must consume `pairs`
     * BEFORE appending `sigs` to the store. */
   private def signAndProbeBatch(batch: DataFrame, idCol: String,
       textCol: String, storePath: String, threshold: Double,
       numHashes: Int, shingleN: Int): (DataFrame, DataFrame) = {
     import graft.ops.Dedup
-    val sigs = Dedup.minHashPerDoc(batch, idCol, textCol, numHashes, shingleN)
-      .localCheckpoint()
+    val spark = batch.sparkSession
     val storeP = new org.apache.hadoop.fs.Path(storePath)
-    val fs = storeP.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(storeP))
+    val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (nh, sn) =
+      if (fs.exists(storeP))
+        Dedup.minHashStoreParams(spark, storePath, numHashes, shingleN)
+      else (if (numHashes > 0) numHashes else Dedup.DefaultNumHashes,
+            if (shingleN > 0) shingleN else Dedup.DefaultShingleN)
+    val sigs = Dedup.minHashPerDoc(batch, idCol, textCol, nh, sn)
+      .localCheckpoint()
+    if (!fs.exists(storeP)) {
       sigs.limit(0).write.parquet(storePath)
+      Dedup.pinMinHashStore(spark, storePath, nh, sn)
+    }
     val pairs = Dedup.incrementalMinHashNearDupsFromSigs(
       sigs, storePath, threshold,
-      numHashes = numHashes, bands = 8, saltBuckets = 1)
+      numHashes = nh, bands = 8, saltBuckets = 1)
     (sigs, pairs)
   }
 
@@ -220,7 +232,7 @@ object EventStreams {
   def componentsStream(docs: DataFrame, idCol: String, textCol: String,
                        storePath: String, labelsPath: String,
                        checkpoint: String, threshold: Double = 0.8,
-                       numHashes: Int = 32, shingleN: Int = 3,
+                       numHashes: Int = 0, shingleN: Int = 0,
                        maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -279,7 +291,7 @@ object EventStreams {
   def componentsStreamBucketed(docs: DataFrame, idCol: String, textCol: String,
                                storePath: String, labelsPath: String,
                                checkpoint: String, threshold: Double = 0.8,
-                               numHashes: Int = 32, shingleN: Int = 3,
+                               numHashes: Int = 0, shingleN: Int = 0,
                                nBuckets: Int = graft.ops.Dedup.StoreSizedBuckets,
                                maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -443,8 +455,12 @@ object EventStreams {
                 half.select(col("a").as("u"), col("b").as("v"))
                   .unionByName(novel.select(col("u"), col("v"))),
                 "u", "v", assumeDistinct = true)
-              // triangles(E) from the store's own counts — computed
-              // BEFORE inc_<b> exists, so the sum covers batches < b
+              // triangles(E) from the store's own counts: the sum of
+              // COMMITTED increments covers exactly batches < b — a
+              // replay's own crashed unmarked inc_<b> is invisible to
+              // readTriangleCounts (its marker filter), so prev never
+              // double-subtracts a crashed attempt and the overwrite
+              // below never reads the path it is about to replace
               val prev =
                 if (batchId == 0L)
                   spark.range(0).selectExpr("id AS node", "id AS n_tri")
@@ -542,11 +558,18 @@ object EventStreams {
   }
 
   /** Summed reader for [[triangleCountStream]]'s counts: the newest
-    * committed `base_<b>` snapshot (if any) plus the increments BEYOND
-    * it — (node, n_tri), zero rows dropped. Increments a committed
-    * base already folded are ignored even if a crashed sweep left
-    * their dirs behind (double-counting them would silently inflate
-    * every count). */
+    * committed `base_<b>` snapshot (if any) plus the COMMITTED
+    * increments beyond it — (node, n_tri), zero rows dropped.
+    * Increments a committed base already folded are ignored even if a
+    * crashed sweep left their dirs behind (double-counting them would
+    * silently inflate every count), and an UNMARKED `inc_<b>` dir — a
+    * batch that crashed between its parquet write and its
+    * `_GRAFT_DONE` marker — is invisible exactly as it is to
+    * [[compactTriangleIncrements]]: the replaying stream is about to
+    * overwrite it, so reading it would either wedge that overwrite
+    * ("cannot overwrite a path that is also being read from") or,
+    * through the work-regime fallback's `prev`, double-subtract the
+    * crashed attempt's counts. Committed state only, everywhere. */
   def readTriangleCounts(spark: org.apache.spark.sql.SparkSession,
                          storePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(storePath)
@@ -555,7 +578,8 @@ object EventStreams {
     val baseB = base.map(_._2).getOrElse(-1L)
     val incs = fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith("inc_") &&
-        p.getName.stripPrefix("inc_").toLong > baseB)
+        p.getName.stripPrefix("inc_").toLong > baseB &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_DONE")))
       .map(_.toString)
     val parts = base.map(_._1).toSeq ++ incs
     require(parts.nonEmpty, s"no triangle increments under $storePath")
@@ -721,13 +745,24 @@ object EventStreams {
     * against everything ingested before it. Survivors land in
     * `survivorsPath`, keyed idempotent — a replayed micro-batch
     * inserts nothing new. Per-batch cost is delta-vs-touched-clusters,
-    * never corpus-vs-corpus. */
+    * never corpus-vs-corpus.
+    *
+    * MAINTENANCE SLOT (r15 — the last semantic-family face without
+    * one): every `maintainEvery` batches the stream folds its own two
+    * accumulating stores from inside foreachBatch — the flat survivor
+    * log to one file, and each `__cb=` bucket dir of the partitioned
+    * assignment store to one file (both appends land a file-set per
+    * batch forever otherwise). Row-preserving and owner-run between
+    * batches, so st4 gates on d11's oracle verbatim THROUGH the slot;
+    * the assignment pin survives the swap (sidecars are carried —
+    * BucketCompaction). 0 disables. */
   def semanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
                           storePath: String, survivorsPath: String,
-                          checkpoint: String, tau: Double = 0.95)
+                          checkpoint: String, tau: Double = 0.95,
+                          maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.Similarity
         // materialize the micro-batch ONCE: it feeds up to three actions
         // (centroid freeze, dedup, assignment append) which would each
@@ -747,6 +782,12 @@ object EventStreams {
           Similarity.appendSemanticAssignments(
             b.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
             storePath, idCol, vecCol): Unit
+        }
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+          val spark = batch.sparkSession
+          graft.etl.BucketCompaction.compactFlatStore(spark, survivorsPath)
+          graft.etl.BucketCompaction.compactStore(
+            spark, s"$storePath/assignments", "__cb"): Unit
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -780,13 +821,23 @@ object EventStreams {
     * downstream incremental stages consume (re-embed / re-dedup /
     * re-index only the delta). Diff ops are materialized to the log
     * BEFORE the store overwrite — the lazy `old` frame must never read
-    * a half-replaced store. */
+    * a half-replaced store.
+    *
+    * MAINTENANCE SLOT (r15): the op LOG is this face's one
+    * unboundedly-accumulating dir (the snapshot store is a full
+    * overwrite each batch — one file-set by construction); every
+    * `maintainEvery` batches the stream folds it to one file from
+    * inside foreachBatch. Row-preserving, so the log's content — and
+    * the idempotent append's anti-join against it — are unchanged and
+    * st6 gates on cdc1's oracle verbatim through the slot. 0
+    * disables. */
   def snapshotCdcStream(snapshots: DataFrame, keyCols: Seq[String],
                         valueCols: Seq[String], storePath: String,
-                        opsPath: String, checkpoint: String)
+                        opsPath: String, checkpoint: String,
+                        maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     snapshots.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val storeP = new org.apache.hadoop.fs.Path(storePath)
         val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -796,7 +847,9 @@ object EventStreams {
         val diff = graft.ops.Cdc.snapshotDiff(old, batch, keyCols, valueCols)
         graft.etl.Sinks.idempotentAppend(diff, opsPath, keyCols :+ "op")
         // after the ops are durably written, the batch becomes the store
-        batch.write.mode("overwrite").parquet(storePath): Unit
+        batch.write.mode("overwrite").parquet(storePath)
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+          graft.etl.BucketCompaction.compactFlatStore(spark, opsPath): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -831,13 +884,27 @@ object EventStreams {
     * intervals (≤ live keys) against the snapshot; closed history is
     * carried forward untouched. At warehouse scale the closed set
     * would be partition-appended rather than rewritten; the fold
-    * logic is identical. */
+    * logic is identical.
+    *
+    * MAINTENANCE SLOT (r15): the version CHAIN is this face's
+    * accumulation — each batch lands a complete `ver_v` dir and a
+    * long-lived stream keeps every superseded one forever. Every
+    * `maintainEvery` batches the stream prunes dirs at version
+    * ≤ v − 2: `ver_v` is the live table and `ver_{v-1}` must survive
+    * because a crash BEFORE this batch's checkpoint commit replays it,
+    * and the replay folds from exactly `ver_{v-1}` (pruning it would
+    * turn the replay into a from-empty fold that silently reopens
+    * every interval). Older dirs are unreachable by construction —
+    * batch v−1's checkpoint committed before batch v ran, so no replay
+    * reaches past v−1. Readers take the HIGHEST version, which the
+    * prune never touches; st12 gates on cdc2's oracle verbatim through
+    * the slot. 0 disables. */
   def scd2Stream(snapshots: DataFrame, keyCols: Seq[String],
                  valueCols: Seq[String], storeDir: String,
-                 checkpoint: String)
+                 checkpoint: String, maintainEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     snapshots.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           // fail fast on a mixed batch: folding two snapshot versions
@@ -890,7 +957,17 @@ object EventStreams {
               lit(v).as("valid_from") :+ lit(null).cast("int").as("valid_to"): _*)
           closed.select(outCols: _*)
             .unionByName(stillOpen).unionByName(closedNow).unionByName(openedNow)
-            .write.mode("overwrite").parquet(s"$storeDir/ver_$v"): Unit
+            .write.mode("overwrite").parquet(s"$storeDir/ver_$v")
+          if (maintainEvery > 0 &&
+              batchId % maintainEvery == maintainEvery - 1) {
+            val root = new org.apache.hadoop.fs.Path(storeDir)
+            fs.listStatus(root).map(_.getPath)
+              .filter { p =>
+                val n = p.getName
+                n.startsWith("ver_") && n.stripPrefix("ver_").toLong <= v - 2
+              }
+              .foreach(p => fs.delete(p, true): Unit)
+          }
         }
       }
       .option("checkpointLocation", checkpoint)
