@@ -52,19 +52,26 @@ object TriangleRegimeStudy {
         s
       }.min
     }
+    // the half path AS THE ADAPTIVE READ PERFORMS IT: the o = 0
+    // partition-directory prune (opens half the files, decodes E
+    // rows). The r14 version of this harness measured a row-level
+    // a < b filter instead — a full both-orientations scan — which
+    // overstated the half path's cost and left f* = 0.5 confirmed
+    // only analytically (the r14 ADVICE finding); this is the honest
+    // measurement.
     def halfSecs(): Double =
       (1 to iters).map { _ =>
         val (_, s) = time {
           spark.read.parquet(s"$root/edges256")
-            .filter(col("a") < col("b"))
+            .filter(col("o") === 0)
             .select(col("a"), col("b"))
             .localCheckpoint().count()
         }
         s
       }.min
     val half = halfSecs()
-    println(f"[regime] half-read (E rows, full scan): $half%.3f s")
-    for (f <- Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 1.0)) {
+    println(f"[regime] half-read (E rows, o=0 partition prune): $half%.3f s")
+    for (f <- Seq(0.125, 0.25, 0.3125, 0.375, 0.4375, 0.5, 0.625, 0.75, 1.0)) {
       val p = prunedSecs(f)
       println(f"[regime] pruned f=$f%.3f: $p%.3f s (vs half $half%.3f -> " +
         s"${if (p < half) "pruned" else "half"} wins)")

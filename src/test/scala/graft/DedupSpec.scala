@@ -314,4 +314,72 @@ class DedupSpec extends SparkSpec {
     // doc 4: too short for any gram → intact
     assert(byId(4L) == ((4L, 2L, 2L, 0L, "short doc")))
   }
+
+  test("minhash store pin: foreign (numHashes, shingleN) honored; mismatch and pre-pin fail fast") {
+    val store = java.nio.file.Files.createTempDirectory("mh_pin").toString
+    // a FOREIGN geometry: not the writer defaults
+    Dedup.writeMinHashSignatures(docs, "doc_id", "text", store,
+      numHashes = 16, shingleN = 2)
+    val delta = docs.filter($"doc_id" < 3)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+    // default probe (0 = resolve from the pin) must equal a probe whose
+    // delta was EXPLICITLY signed at the pinned geometry — bit-for-bit
+    val got = Dedup.incrementalMinHashNearDups(delta, "doc_id", "text", store)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val exp = Dedup.incrementalMinHashNearDupsFromSigs(
+        Dedup.minHashPerDoc(delta, "doc_id", "text", 16, 2),
+        store, 0.8, 16, 8, 1)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === exp)
+    assert(got.nonEmpty, "id-shifted copies must pair with their originals")
+    // an explicit disagreeing expectation fail-fasts
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinHashNearDups(delta, "doc_id", "text", store,
+        numHashes = 32)
+    }
+    assert(e1.getMessage.contains("numHashes=16"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinHashNearDups(delta, "doc_id", "text", store,
+        shingleN = 3)
+    }
+    assert(e2.getMessage.contains("shingleN=2"))
+    // a pre-pin store (data, no sidecar) fail-fasts
+    assert(new java.io.File(store, "_graft_meta").delete())
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinHashNearDups(delta, "doc_id", "text", store)
+    }
+    assert(e3.getMessage.contains("_graft_meta"))
+    // a foreign FAMILY fail-fasts (a KMV pin is not a signature store)
+    graft.etl.StoreMeta.pinFamily(spark, store, "kmv", Map("k" -> "64"))
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinHashNearDups(delta, "doc_id", "text", store)
+    }
+    assert(e4.getMessage.contains("family"))
+  }
+
+  test("simhash store pin: geometry is build-constant; foreign bits and pre-pin fail fast") {
+    val store = java.nio.file.Files.createTempDirectory("sh_pin").toString
+    Dedup.writeSimHashSignatures(docs, "doc_id", "text", store)
+    val m = graft.etl.StoreMeta.readParams(spark, store)
+    assert(m.exists(_.get("family").contains("simhash_signatures")))
+    assert(m.exists(_.get("bits").contains("60")))
+    val delta = docs.filter($"doc_id" < 2)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+    // pinned store probes fine
+    assert(Dedup.incrementalSimHashNearDups(delta, "doc_id", "text", store, 0)
+      .count() >= 2L)
+    // a store signed by a different-geometry build cannot be probed
+    graft.etl.StoreMeta.pinFamily(spark, store, "simhash_signatures",
+      Map("bits" -> "48", "hash" -> "poly1"))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalSimHashNearDups(delta, "doc_id", "text", store, 3)
+    }
+    assert(e1.getMessage.contains("bits=48"))
+    // pre-pin (data, no sidecar) fail-fasts
+    assert(new java.io.File(store, "_graft_meta").delete())
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalSimHashNearDups(delta, "doc_id", "text", store, 3)
+    }
+    assert(e2.getMessage.contains("_graft_meta"))
+  }
 }

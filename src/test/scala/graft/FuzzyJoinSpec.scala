@@ -141,4 +141,38 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("hood index pin: foreign maxDist honored; mismatch/blockCols/pre-pin fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hood_pin").toString
+    val store = Seq((1L, "alpha"), (2L, "omega")).toDF("id", "s")
+    // a FOREIGN depth: 2, not the default 1
+    FuzzyJoin.writeHoodIndex(store, "id", "s", dir, maxDist = 2)
+    val m = graft.etl.StoreMeta.readParams(spark, dir)
+    assert(m.exists(_.get("max_dist").contains("2")))
+    // default probe (0 = resolve) finds a DIST-2 pair — proof the
+    // pinned depth, not the old default of 1, generated the delta hoods
+    val delta = Seq((10L, "alphaxy")).toDF("id", "s") // 2 edits from alpha
+    val got = FuzzyJoin.deltaEditDistancePairs(delta, "id", "s", dir)
+      .as[(Long, Long, Int, Boolean)].collect().toSet
+    assert(got === Set((10L, 1L, 2, true)), s"got $got")
+    // a disagreeing explicit depth fail-fasts
+    val e1 = intercept[IllegalArgumentException] {
+      FuzzyJoin.deltaEditDistancePairs(delta, "id", "s", dir, maxDist = 1)
+    }
+    assert(e1.getMessage.contains("maxDist=2"))
+    // blockCols are hashed into every stored key: a differing probe
+    // list fail-fasts instead of silently returning nothing
+    val e2 = intercept[IllegalArgumentException] {
+      FuzzyJoin.deltaEditDistancePairs(
+        delta.withColumn("blk", lit(1)), "id", "s", dir,
+        blockCols = Seq("blk"))
+    }
+    assert(e2.getMessage.contains("block"))
+    // pre-pin (data, no sidecar) fail-fasts
+    assert(new java.io.File(dir, "_graft_meta").delete())
+    val e3 = intercept[IllegalArgumentException] {
+      FuzzyJoin.deltaEditDistancePairs(delta, "id", "s", dir)
+    }
+    assert(e3.getMessage.contains("_graft_meta"))
+  }
 }

@@ -160,4 +160,60 @@ class SetSimJoinSpec extends SparkSpec {
     // docs 1 and 2 have no 3-shingles; 3 and 4 are identical
     assert(out === Set((3L, 4L)))
   }
+
+  test("token store pin: foreign shingleN honored; mismatch and pre-pin fail fast") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ss_pin").toString
+    val delta = docs.filter($"doc_id" % 10 === 3)
+    // a FOREIGN shingle width (2, not the default 3)
+    SetSimJoin.writeTokenStore(docs.filter($"doc_id" % 10 =!= 3),
+      "doc_id", "text", tmp, shingleN = 2)
+    // default probe (0 = resolve from the pin) equals the explicitly
+    // matching probe bit-for-bit
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", round($"jaccard", 6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs(SetSimJoin.incrementalJaccardJoin(
+      delta, "doc_id", "text", tmp, 0.7))
+    val exp = pairs(SetSimJoin.incrementalJaccardJoin(
+      delta, "doc_id", "text", tmp, 0.7, shingleN = 2))
+    assert(got === exp)
+    assert(got.nonEmpty, "planted near-dups must pair at shingleN=2 too")
+    // a disagreeing explicit width fail-fasts
+    val e1 = intercept[IllegalArgumentException] {
+      SetSimJoin.incrementalJaccardJoin(delta, "doc_id", "text", tmp, 0.7,
+        shingleN = 3)
+    }
+    assert(e1.getMessage.contains("shingleN=2"))
+    // pre-pin (data, no sidecar) fail-fasts
+    assert(new java.io.File(tmp, "_graft_meta").delete())
+    val e2 = intercept[IllegalArgumentException] {
+      SetSimJoin.incrementalJaccardJoin(delta, "doc_id", "text", tmp, 0.7)
+    }
+    assert(e2.getMessage.contains("_graft_meta"))
+  }
+
+  test("bucketed token store pin: shingleN + bucket count frozen in the table dir") {
+    val table = "graft_ss_pin_tbl"
+    SetSimJoin.writeBucketedTokenStore(docs.filter($"doc_id" % 10 =!= 3),
+      "doc_id", "text", table, buckets = 4, shingleN = 2)
+    val loc = java.net.URI.create(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location.toString).getPath
+    val m = graft.etl.StoreMeta.readParams(spark, loc)
+    assert(m.exists(_.get("shingle_n").contains("2")))
+    assert(m.exists(_.get("buckets").contains("4")))
+    val delta = docs.filter($"doc_id" % 10 === 3)
+    // default probe resolves the pinned width and matches an explicit one
+    val got = SetSimJoin.incrementalJaccardJoinBucketed(
+      delta, "doc_id", "text", table, 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exp = SetSimJoin.incrementalJaccardJoinBucketed(
+      delta, "doc_id", "text", table, 0.7, shingleN = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === exp && got.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      SetSimJoin.incrementalJaccardJoinBucketed(delta, "doc_id", "text",
+        table, 0.7, shingleN = 3)
+    }
+    assert(e.getMessage.contains("shingleN=2"))
+  }
 }

@@ -214,4 +214,60 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("embeddings.parquet"),
       "incremental plan must not re-scan the corpus embeddings")
   }
+
+  test("assignment-store modulus pin: foreign cb honored end-to-end; mismatch/pre-pin fail fast") {
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val corpus = (0L until 16L).map { i =>
+      val base = Array.fill(4)(0.0)
+      base(i.toInt % 4) = 1.0
+      base((i.toInt + 1) % 4) = 0.1 * (i / 4)
+      (i, base.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    // a FOREIGN modulus (16, not the 64 default) frozen at write
+    val store = java.nio.file.Files.createTempDirectory("sd_pin").toString
+    Similarity.writeSemanticDedupStore(corpus, store, assignBuckets = 16)
+    val m = graft.etl.StoreMeta.readParams(spark, s"$store/assignments")
+    assert(m.exists(_.get("cb").contains("16")))
+    // the layout really is mod-16: no __cb dir at or above 16
+    val cbDirs = new java.io.File(s"$store/assignments").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__cb="))
+      .map(_.getName.stripPrefix("__cb=").toInt)
+    assert(cbDirs.nonEmpty && cbDirs.forall(_ < 16))
+    // probe + survivor append resolve the pinned modulus and match the
+    // default-modulus store's results exactly (cb is layout, not math)
+    val delta = Seq(
+      (101L, v(1, 0.01, 0, 0)),
+      (102L, v(0.1, 0.1, 0.99, 0.05)),
+      (104L, v(-1, -1, -1, -1))
+    ).toDF("vec_id", "embedding")
+    val store64 = java.nio.file.Files.createTempDirectory("sd_pin64").toString
+    Similarity.writeSemanticDedupStore(corpus, store64)
+    def result(st: String) = Similarity.incrementalSemanticDedup(delta, st, tau = 0.95)
+      .select($"vec_id", $"cluster_id", round($"centroid_sim", 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(result(store) === result(store64))
+    Similarity.appendSemanticAssignments(delta, store)
+    // appended rows landed inside the mod-16 layout, not a 64-bucket one
+    val cbAfter = new java.io.File(s"$store/assignments").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__cb="))
+      .map(_.getName.stripPrefix("__cb=").toInt)
+    assert(cbAfter.forall(_ < 16))
+    // a disagreeing explicit expectation fail-fasts
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendSemanticAssignments(delta, store, expectBuckets = 64)
+    }
+    assert(e1.getMessage.contains("cb=16"))
+    // pre-pin (data, no sidecar) fail-fasts on both probe and append —
+    // the partition dirs are underscore-prefixed (__cb=), so hasData
+    // must still see them as data
+    assert(new java.io.File(s"$store/assignments", "_graft_meta").delete())
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.incrementalSemanticDedup(delta, store, tau = 0.95)
+    }
+    assert(e2.getMessage.contains("_graft_meta"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.appendSemanticAssignments(delta, store)
+    }
+    assert(e3.getMessage.contains("_graft_meta"))
+  }
 }

@@ -510,4 +510,150 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(spark.read.parquet(s"$tmp/ops").count() == ops2.size)
   }
+
+  test("semanticDedupStream maintenance: survivor + assignment folds leave 1-file dirs, output unchanged") {
+    def unit(i: Int): Seq[Double] = (0 until 8).map(j => if (j == i) 1.0 else 0.0)
+    // 4 sequential micro-batches; later batches repeat earlier unit
+    // directions (dropped as prior art) and add fresh ones (survive) —
+    // the maintained and unmaintained runs must agree EXACTLY
+    val src = java.nio.file.Files.createTempDirectory("semmx-src").toString
+    for (b <- 0 until 4)
+      (0 until 2).map(i => ((b * 2 + i).toLong, unit((b * 2 + i) % 6)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$src/a=$b")
+    val schema = spark.read.parquet(s"$src/a=0").schema
+    def run(root: String, every: Int): Unit =
+      EventStreams.semanticDedupStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$src/*"),
+        "vec_id", "embedding", s"$root/store", s"$root/survivors",
+        s"$root/cp", tau = 0.95, maintainEvery = every).awaitTermination()
+    val a = java.nio.file.Files.createTempDirectory("semmx-a").toString
+    val b = java.nio.file.Files.createTempDirectory("semmx-b").toString
+    run(a, 2)
+    run(b, 0)
+    def survivors(root: String) = spark.read.parquet(s"$root/survivors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors(a) === survivors(b))
+    assert(survivors(a).nonEmpty)
+    // the maintained run's dirs are folded: ONE data file in the
+    // survivor log and in every assignment bucket dir (the final slot
+    // fired at batch 3, after that batch's own appends)
+    assert(graft.etl.BucketCompaction.dataFileCount(spark, s"$a/survivors") === 1)
+    val cbDirs = new java.io.File(s"$a/store/assignments").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__cb="))
+    assert(cbDirs.nonEmpty)
+    for (d <- cbDirs)
+      assert(graft.etl.BucketCompaction.dataFileCount(spark, d.toString) <= 1,
+        s"assignment bucket ${d.getName} must be folded")
+    // the modulus pin survives the fold
+    assert(graft.etl.StoreMeta.readParams(spark, s"$a/store/assignments")
+      .exists(_.get("family").contains("semdedup_assignments")))
+    // and the unmaintained run really accumulated more files (the
+    // fixture exercises the fold, not a vacuous pass)
+    assert(graft.etl.BucketCompaction.dataFileCount(spark, s"$b/survivors") > 1)
+  }
+
+  test("incrementalDedupStream maintenance preserves the signature store's pin across folds") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val src = java.nio.file.Files.createTempDirectory("dedmx-src").toString
+    docs.filter($"doc_id" < 250).coalesce(1).write.parquet(s"$src/a=1")
+    docs.filter($"doc_id" >= 250).coalesce(1).write.mode("append")
+      .parquet(s"$src/a=2")
+    val schema = spark.read.parquet(s"$src/a=1").schema
+    val store = java.nio.file.Files.createTempDirectory("dedmx-st").toString + "/sigs"
+    val pairs = java.nio.file.Files.createTempDirectory("dedmx-pr").toString + "/pairs"
+    EventStreams.incrementalDedupStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*"),
+      "doc_id", "text", store, pairs,
+      java.nio.file.Files.createTempDirectory("dedmx-cp").toString,
+      maintainEvery = 1).awaitTermination()
+    // the store folded to one file AND kept its family pin (the
+    // staged-swap sidecar carry): a lost pin would turn the next
+    // batch's probe into a pre-pin fail-fast against the stream itself
+    assert(graft.etl.BucketCompaction.dataFileCount(spark, store) === 1)
+    assert(graft.etl.StoreMeta.readParams(spark, store)
+      .exists(_.get("family").contains("minhash_signatures")))
+    val streamed = spark.read.parquet(pairs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val oneShot = graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed === oneShot)
+  }
+
+  test("snapshotCdcStream maintenance: the op log folds to one file, content unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_mx_").toString
+    val day1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    val day2 = Seq((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0))
+    day1.toDF("k", "name", "bal").write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit =
+      EventStreams.snapshotCdcStream(
+        spark.readStream.schema(schema).parquet(s"$tmp/src"),
+        Seq("k"), Seq("name", "bal"),
+        s"$tmp/store", s"$tmp/ops", s"$tmp/cp",
+        maintainEvery = 1).awaitTermination()
+    run()
+    day2.toDF("k", "name", "bal").write.mode("append").parquet(s"$tmp/src")
+    run()
+    val ops = spark.read.parquet(s"$tmp/ops").as[(Long, String)].collect().toSet
+    assert(ops === Set((1L, "I"), (2L, "I"), (3L, "I"),
+      (2L, "U"), (3L, "D"), (4L, "I")))
+    assert(graft.etl.BucketCompaction.dataFileCount(spark, s"$tmp/ops") === 1,
+      "every batch ran the fold, so the log must be one file")
+  }
+
+  test("scd2Stream maintenance: superseded version dirs prune; the live fold is untouched") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2mx").toString
+    import java.nio.file.attribute.FileTime
+    val rows = Seq(
+      (1L, 10.0, "A", 0), (2L, 5.0, "B", 0),            // v0
+      (1L, 11.0, "A", 1),                               // v1: 1 changes, 2 deleted
+      (1L, 11.0, "A", 2), (2L, 6.0, "B", 2))            // v2: 2 reappears
+    val base = System.currentTimeMillis() - 10
+    for (v <- 0 until 3) {
+      rows.filter(_._4 == v)
+        .toDF("c_custkey", "c_acctbal", "c_mktsegment", "__ver")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      // pin mtimes so file order = version order under maxFilesPerTrigger
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/src"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filter(f => java.nio.file.Files
+            .getLastModifiedTime(f).toMillis > base + v * 60000L)
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            FileTime.fromMillis(base + v * 60000L)))
+      } finally walk.close()
+    }
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(root: String, every: Int): Unit =
+      graft.streaming.EventStreams.scd2Stream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src"),
+        keyCols = Seq("c_custkey"),
+        valueCols = Seq("c_acctbal", "c_mktsegment"),
+        storeDir = s"$root/store", checkpoint = s"$root/cp",
+        maintainEvery = every).awaitTermination()
+    val a = java.nio.file.Files.createTempDirectory("scd2mx-a").toString
+    val b = java.nio.file.Files.createTempDirectory("scd2mx-b").toString
+    run(a, 1)
+    run(b, 0)
+    def table(root: String) = spark.read.parquet(s"$root/store/ver_2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getInt(3), if (r.isNullAt(4)) None else Some(r.getInt(4)))).toSet
+    assert(table(a) === table(b))
+    assert(table(a).nonEmpty)
+    // maintained run: only the live fold and its replay predecessor
+    val dirsA = new java.io.File(s"$a/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("ver_")).toSet
+    assert(dirsA === Set("ver_1", "ver_2"), s"got $dirsA")
+    // unmaintained run keeps the whole chain
+    val dirsB = new java.io.File(s"$b/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("ver_")).toSet
+    assert(dirsB === Set("ver_0", "ver_1", "ver_2"))
+  }
 }

@@ -208,6 +208,86 @@ class TriangleEdgeStoreSpec extends SparkSpec {
       === recount(allEdges))
   }
 
+  test("crash replay: an unmarked inc dir is invisible to reads and safely overwritten") {
+    // simulate the exact window the committed-only reader closes: a
+    // dense batch crashed BETWEEN its inc parquet write and its
+    // _GRAFT_DONE marker. The replay must (a) not read the unmarked
+    // dir as prior state — the fallback's prev would double-subtract
+    // it, or the overwrite would wedge on "cannot overwrite a path
+    // that is also being read from" — and (b) land the exact counts.
+    val root = tmp("graft_tes_crash")
+    val (first, rest) = allEdges.splitAt(allEdges.size / 2)
+    def run(): Unit = {
+      val schema = spark.read.parquet(s"$root/src").schema
+      EventStreams.triangleCountStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src"),
+        "u", "v", s"$root/store", s"$root/cp",
+        maintainEvery = 0).awaitTermination()
+    }
+    first.toDF("u", "v").coalesce(1).write.parquet(s"$root/src")
+    run() // batch 0 commits
+    // the crashed batch-1 attempt: garbage counts, no marker
+    Seq((999L, 7L), (998L, 3L)).toDF("node", "n_tri")
+      .coalesce(1).write.parquet(s"$root/store/inc_1")
+    assert(!new java.io.File(s"$root/store/inc_1/_GRAFT_DONE").exists())
+    // committed-only reads must not see the crashed attempt
+    val committed = toMap(EventStreams.readTriangleCounts(spark, s"$root/store"))
+    assert(committed === recount(first))
+    assert(!committed.contains(999L))
+    // the replay: batch 1 is a ~50% delta -> dense regime + the
+    // work fallback (novel >= 0.15 x stored), whose prev must come
+    // from committed state only
+    rest.toDF("u", "v").coalesce(1).write.mode("append").parquet(s"$root/src")
+    run()
+    assert(new java.io.File(s"$root/store/inc_1/_GRAFT_DONE").exists(),
+      "the replay must commit the rewritten increment")
+    assert(toMap(EventStreams.readTriangleCounts(spark, s"$root/store"))
+      === recount(allEdges),
+      "counts after the crash replay must equal the one-shot recount")
+  }
+
+  test("a pre-(eb,o) layout sidecar fail-fasts before any read or append") {
+    val p = tmp("graft_tes_legacy") + "/edges"
+    Triangles.writeEdgeStore(baseEdges.toDF("u", "v"), "u", "v", p, nBuckets = 4)
+    // a pre-r14 store's sidecar is the bare bucket count — no family,
+    // no layout tag (written through the meta API so the local FS
+    // checksum follows the rewrite)
+    graft.etl.StoreMeta.write(spark, p, 4)
+    val e1 = intercept[IllegalArgumentException] {
+      Triangles.readAdjForDelta(spark, p, Seq((1L, 2L)).toDF("u", "v"))
+    }
+    assert(e1.getMessage.contains("layout"))
+    val e2 = intercept[IllegalArgumentException] {
+      Triangles.appendEdgeStore(Seq((300L, 301L)).toDF("u", "v"), p)
+    }
+    assert(e2.getMessage.contains("layout"))
+    // rebuilding through the writer heals: new pin, reads work again
+    Triangles.writeEdgeStore(baseEdges.toDF("u", "v"), "u", "v", p, nBuckets = 4)
+    assert(Triangles.readAdjForDelta(spark, p, Seq((1L, 2L)).toDF("u", "v"))
+      .count() >= 0L)
+  }
+
+  test("compactEdgeStore republishes a root-level parked dir from a pre-(eb,o) crash") {
+    val p = tmp("graft_tes_rootheal") + "/edges"
+    Triangles.writeEdgeStore(baseEdges.toDF("u", "v"), "u", "v", p, nBuckets = 4)
+    val before = toMap(Triangles.readAdjForDelta(spark, p,
+        baseEdges.toDF("u", "v"))
+      .groupBy($"a").agg(count(lit(1)).as("n")))
+    // simulate the pre-r14 compaction crash: one bucket parked at root
+    // with no live sibling (crash between park and publish, tmp gone)
+    val eb = new java.io.File(p).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("eb=")).head
+    assert(eb.renameTo(new java.io.File(p, eb.getName + "__compact_old")))
+    Triangles.compactEdgeStore(spark, p)
+    assert(new java.io.File(p, eb.getName).exists(),
+      "the parked bucket must republish under its live name")
+    val after = toMap(Triangles.readAdjForDelta(spark, p,
+        baseEdges.toDF("u", "v"))
+      .groupBy($"a").agg(count(lit(1)).as("n")))
+    assert(after === before, "no adjacency row may vanish across the heal")
+  }
+
   test("compaction folds increments losslessly and the stream continues across it") {
     val root = tmp("graft_tes_compact")
     val (first, rest) = allEdges.splitAt(allEdges.size * 3 / 4)
