@@ -155,6 +155,8 @@ object SparkEntry {
     "t15_weighted_sample"   -> (TextQueries.weightedSample _),
     "t15b_weighted_sample_store" -> (TextQueries.weightedSampleFromStore _),
     "st23_stream_weighted_sample" -> (StreamQueries.streamWeightedSample _),
+    "st24_stream_setsim"    -> (StreamQueries.streamSetSimJoin _),
+    "st25_stream_fuzzy"     -> (StreamQueries.streamFuzzyJoin _),
     "t16_weighted_per_src"  -> (TextQueries.weightedSamplePerSource _),
     "t17_chunking"          -> (TextQueries.chunkDocs _),
     "t18_sequence_pack"     -> (TextQueries.sequencePack _),
@@ -229,6 +231,33 @@ object SparkEntry {
     "md3_gold_oral_arguments" -> (MedallionQueries.goldOralArgumentsQuery _),
     "k6_xml"                -> (MedallionQueries.xmlSerializationQuery _),
   )
+
+  /** Shared j11/st24 oracle: the full brute-force set-sim join. */
+  private val setSimFullOracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  floor((len(list_intersect(a.s, b.s))::DOUBLE
+      |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000 + 0.5) / 10000 AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared j10/st25 oracle: the quadratic all-pairs edit-distance
+    * join (blocking-completeness proof for the batch face; stream
+    * completeness for st25 — every pair surfaces when its later rep
+    * arrives). */
+  private val fuzzyAllPairsOracleSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b ON b.c_custkey > a.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared j11b/j11c oracle: brute force over delta-touching pairs. */
   private val setSimDeltaOracleSql: String =
@@ -2629,12 +2658,8 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
-    "j10_fuzzy_join" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |  levenshtein(a.c_name, b.c_name) AS dist
-        |FROM customer a JOIN customer b ON b.c_custkey > a.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY id_a, id_b""".stripMargin,
+    "j10_fuzzy_join" -> fuzzyAllPairsOracleSql,
+    "st25_stream_fuzzy" -> fuzzyAllPairsOracleSql,
     // c4: all three ER stages replayed — quadratic levenshtein pairs
     // (blocking-completeness proof), conjunctive attribute agreement,
     // recursive-CTE components, canonical fold. DECIMAL balance sum.
@@ -3306,20 +3331,10 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
-    "j11_setsim_join" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |                   for i in range(1, len(ws) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        |  WHERE len(ws) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  floor((len(list_intersect(a.s, b.s))::DOUBLE
-        |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin,
+    "j11_setsim_join" -> setSimFullOracleSql,
+    // st24: the streamed pair sink must equal the one-shot batch join
+    // (every pair is found when its later doc arrives) — j11 verbatim
+    "st24_stream_setsim" -> setSimFullOracleSql,
     // v3: per-anchor argmax under the non-duplicate constraint,
     // unrounded-cosine tie-break by id — the TopKPerGroup semantics.
     // Fixture = base + near-dup twin (excluded by the constraint) +

@@ -106,6 +106,77 @@ object StreamQueries {
   private val streamedPairs =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st24 — STREAMING set-similarity join
+    * (EventStreams.setSimJoinStream), completing the PPJoin family's
+    * batch (j11) + incremental (j11b/j11c) + streaming triple: the
+    * documents table arrives as TWO micro-batches
+    * (maxFilesPerTrigger = 1), batch 1 prefix-joins against the empty
+    * pinned store and finds its within-batch pairs, batch 2 against
+    * batch 1's appended token rows — every pair of the corpus is
+    * found when its later doc arrives, so the drained pair sink must
+    * hash-match j11's brute-force oracle VERBATIM. maintainEvery = 1:
+    * both flat stores fold inside the gate (the pin survives the
+    * sidecar-carrying swap). */
+  def streamSetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = streamedSetSimPairs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st24_").toString
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).coalesce(1)
+        .write.parquet(s"$tmp/src/a=1")
+      docs.filter(col("doc_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/src/a=2")
+      val schema = spark.read.parquet(s"$tmp/src/a=1").schema
+      EventStreams.setSimJoinStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/src/*"),
+        "doc_id", "text", s"$tmp/store", s"$tmp/pairs", s"$tmp/cp",
+        threshold = 0.7, maintainEvery = 1).awaitTermination()
+      s"$tmp/pairs"
+    })
+    spark.read.parquet(pairs)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Rounding.exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val streamedSetSimPairs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** st25 — STREAMING fuzzy (edit-distance ≤ 1) join
+    * (EventStreams.fuzzyJoinStream), completing the
+    * deletion-neighborhood family's triple (j10 batch /
+    * deltaEditDistancePairs incremental / this): the customer table
+    * arrives as TWO micro-batches, each probing the pinned hood index
+    * so-far and appending its own hood rows — cross-batch pairs
+    * (including equal names, the adoption path) surface when the
+    * later rep arrives, and the drained normalized pair sink must
+    * hash-match j10's quadratic all-pairs oracle VERBATIM.
+    * maintainEvery = 1 folds the index + pair log inside the gate. */
+  def streamFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = streamedFuzzyPairs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st25_").toString
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))
+      c.filter(col("c_custkey") % 2 === 0).coalesce(1)
+        .write.parquet(s"$tmp/src/a=1")
+      c.filter(col("c_custkey") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/src/a=2")
+      val schema = spark.read.parquet(s"$tmp/src/a=1").schema
+      EventStreams.fuzzyJoinStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/src/*"),
+        "c_custkey", "c_name", s"$tmp/index", s"$tmp/pairs", s"$tmp/cp",
+        maxDist = 1, maintainEvery = 1).awaitTermination()
+      s"$tmp/pairs"
+    })
+    spark.read.parquet(pairs)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val streamedFuzzyPairs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st6 — STREAMING snapshot-CDC (EventStreams.snapshotCdcStream):
     * yesterday's customer table seeds the store; the derived "today"
     * full dump (cdc1's exact derivation) arrives as one AvailableNow

@@ -333,6 +333,19 @@ object Dedup {
     pinMinHashStore(df.sparkSession, path, numHashes, shingleN)
   }
 
+  /** Append a delta's signatures to a pinned [[writeMinHashSignatures]]
+    * store — the upkeep half of the daily-dedup loop (sign once, probe,
+    * then append the SURVIVORS so they become prior art): the delta is
+    * signed at the STORE's pinned (numHashes, shingleN) and appended
+    * idempotent on the doc id, exactly what the streaming faces do
+    * inline. Returns inserted row count. */
+  def appendMinHashSignatures(delta: DataFrame, idCol: String,
+                              textCol: String, path: String): Long = {
+    val (nh, sn) = minHashStoreParams(delta.sparkSession, path)
+    graft.etl.Sinks.idempotentAppend(
+      minHashPerDoc(delta, idCol, textCol, nh, sn), path, Seq("__id"))
+  }
+
   /** Near-dup pairs of a DELTA batch against a persisted signature
     * store (plus within-delta pairs). Only the delta is shingled and
     * signed — at the STORE's pinned (numHashes, shingleN), so a store
@@ -612,6 +625,17 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
     graft.etl.StoreMeta.pinFamily(df.sparkSession, path, SimHashFamily, Map(
       "bits" -> SimHashBits.toString, "hash" -> "poly1"))
+  }
+
+  /** Append a delta's 8-byte signatures to a pinned
+    * [[writeSimHashSignatures]] store, idempotent on the doc id; the
+    * pin guard refuses a foreign-geometry store first. Returns
+    * inserted row count. */
+  def appendSimHashSignatures(delta: DataFrame, idCol: String,
+                              textCol: String, path: String): Long = {
+    requireSimHashStore(delta.sparkSession, path)
+    graft.etl.Sinks.idempotentAppend(
+      simHashSignatures(delta, idCol, textCol), path, Seq("__id"))
   }
 
   /** Fail-fast resolution of a SimHash store's pin against this

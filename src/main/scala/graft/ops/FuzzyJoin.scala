@@ -124,6 +124,23 @@ object FuzzyJoin {
     md
   }
 
+  /** Append a delta's hood rows to a pinned [[writeHoodIndex]] index —
+    * the upkeep face that turns the fuzzy join into a store triple
+    * (write / probe / append): hoods are generated at the INDEX's
+    * pinned (maxDist, blockCols) and appended idempotent on the rep id
+    * (a replayed batch inserts nothing; a rep's rows land in one job).
+    * Returns inserted row count. */
+  def appendHoodIndex(deltaReps: DataFrame, idCol: String, strCol: String,
+                      path: String, maxDist: Int = 0,
+                      blockCols: Seq[String] = Nil): Long = {
+    val md = hoodIndexMaxDist(deltaReps.sparkSession, path, maxDist, blockCols)
+    graft.etl.Sinks.idempotentAppend(
+      keyedHoods(
+        deltaReps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
+          blockCols.map(col): _*), "__s", md, blockCols),
+      path, Seq("__rid"))
+  }
+
   /** Incremental fuzzy pairs: `deltaReps` against the persisted hood
     * index PLUS itself — never store-vs-store. Returns rep-level
     * (id_a, id_b, dist, b_in_store): delta-delta pairs ordered

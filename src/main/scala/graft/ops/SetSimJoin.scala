@@ -53,7 +53,7 @@ object SetSimJoin {
   /** Map-side token rows: one (doc id, set size, 8-byte shingle
     * digest) row per distinct shingle — the exchange/storage format of
     * both the batch and incremental faces (never shingle text). */
-  private[ops] def tokenRows(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def tokenRows(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int): DataFrame =
     df.select(col(idCol).as("__id"),
         Dedup.shingles(col(textCol), shingleN).as("__sh"))
@@ -81,7 +81,7 @@ object SetSimJoin {
 
   /** The pinned shingleN of a token store dir, with an optional caller
     * expectation. */
-  private def tokenStoreShingleN(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def tokenStoreShingleN(spark: org.apache.spark.sql.SparkSession,
                                  dir: String, expect: Int): Int = {
     val m = graft.etl.StoreMeta.requireFamily(spark, dir, TokenFamily)
       .getOrElse(sys.error(s"no token store at $dir"))
@@ -129,6 +129,20 @@ object SetSimJoin {
     graft.etl.StoreMeta.pinFamily(df.sparkSession,
       tableLocation(df.sparkSession, table), TokenFamily,
       Map("shingle_n" -> shingleN.toString, "buckets" -> buckets.toString))
+  }
+
+  /** Append a delta's token rows to a pinned [[writeTokenStore]] store
+    * — the daily-ingest upkeep face (the d9 signature-append
+    * discipline applied to the digest rows): the delta is shingled at
+    * the STORE's pinned shingleN and appended idempotent on the doc id
+    * (a replayed batch inserts nothing; a doc's rows land in one job,
+    * so the anti-join key is the doc, not the row). Returns inserted
+    * row count. */
+  def appendTokenStore(delta: DataFrame, idCol: String, textCol: String,
+                       path: String, shingleN: Int = 0): Long = {
+    val sn = tokenStoreShingleN(delta.sparkSession, path, shingleN)
+    graft.etl.Sinks.idempotentAppend(
+      tokenRows(delta, idCol, textCol, sn), path, Seq("__id"))
   }
 
   /** Exact verification on per-document digest arrays, shared by
@@ -251,11 +265,24 @@ object SetSimJoin {
                              threshold: Double,
                              shingleN: Int = 0,
                              restrictVerify: Boolean = false): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
     val spark = delta.sparkSession
     val sn = tokenStoreShingleN(spark, storePath, shingleN)
-    val dRows = tokenRows(delta, idCol, textCol, sn).localCheckpoint()
+    incrementalJaccardJoinFromRows(
+      tokenRows(delta, idCol, textCol, sn).localCheckpoint(),
+      storePath, threshold, restrictVerify)
+  }
+
+  /** [[incrementalJaccardJoin]] from PRE-COMPUTED delta token rows (a
+    * `tokenRows` frame at the store's pinned shingleN, ideally
+    * checkpointed) — the entry point for callers that also need the
+    * rows afterwards (the streaming face appends them to the store),
+    * so the delta text is shingled exactly once per micro-batch. */
+  private[graft] def incrementalJaccardJoinFromRows(
+      dRows: DataFrame, storePath: String, threshold: Double,
+      restrictVerify: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = dRows.sparkSession
     val all = spark.read.parquet(storePath).unionByName(dRows)
     val freq = all.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     val ranked = dRows.join(freq, "__tok")

@@ -810,6 +810,114 @@ object EventStreams {
       .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"),
         Seq("train" -> 0.9, "val" -> 0.1), salt))
 
+  /** STREAMING set-similarity join — the PPJoin family's streaming
+    * face, completing its batch (j11) + incremental (j11b/j11c) +
+    * streaming triple exactly the way st5 completes MinHash: every
+    * micro-batch is shingled ONCE at the store's pinned shingleN,
+    * prefix-joined against the token store-so-far
+    * (ops.SetSimJoin.incrementalJaccardJoinFromRows — the one-sided
+    * prefix theorem holds per batch whatever the running document
+    * frequencies are, so recall is 100% at every batch), its verified
+    * pairs land keyed-idempotent in `pairsPath`, and its own token
+    * rows append to the store so each batch joins against everything
+    * ingested before it. Every pair of the eventual corpus is found
+    * exactly when its LATER doc arrives, so the drained pair sink
+    * equals the one-shot batch join — st24 gates on j11's oracle
+    * VERBATIM. The store bootstraps empty AND PINNED on first contact;
+    * a resumed stream resolves the pin (a disagreeing explicit
+    * shingleN fail-fasts). Pairs are consumed BEFORE the token append
+    * — the lazily-planned verify must never see the batch's own rows
+    * on both sides. Every `maintainEvery` batches the stream folds its
+    * two flat stores (the sidecar-carrying swap keeps the pin). */
+  def setSimJoinStream(docs: DataFrame, idCol: String, textCol: String,
+                       storePath: String, pairsPath: String,
+                       checkpoint: String, threshold: Double = 0.7,
+                       shingleN: Int = 0, maintainEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ops.SetSimJoin
+        val spark = batch.sparkSession
+        val storeP = new org.apache.hadoop.fs.Path(storePath)
+        val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val sn =
+          if (fs.exists(storeP))
+            SetSimJoin.tokenStoreShingleN(spark, storePath, shingleN)
+          else if (shingleN > 0) shingleN
+          else SetSimJoin.DefaultShingleN
+        val dRows = SetSimJoin
+          .tokenRows(batch, idCol, textCol, sn).localCheckpoint()
+        if (!fs.exists(storeP)) {
+          dRows.limit(0).write.parquet(storePath)
+          graft.etl.StoreMeta.pinFamily(spark, storePath,
+            SetSimJoin.TokenFamily, Map("shingle_n" -> sn.toString))
+        }
+        val pairs = SetSimJoin.incrementalJaccardJoinFromRows(
+          dRows, storePath, threshold)
+        graft.etl.Sinks.idempotentAppend(pairs, pairsPath, Seq("id_a", "id_b"))
+        graft.etl.Sinks.idempotentAppend(dRows, storePath, Seq("__id"))
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+          graft.etl.BucketCompaction.compactFlatStore(spark, storePath)
+          graft.etl.BucketCompaction.compactFlatStore(spark, pairsPath): Unit
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** STREAMING fuzzy (edit-distance) join — the deletion-neighborhood
+    * family's streaming face, completing ITS triple (j10 batch /
+    * deltaEditDistancePairs incremental / this): each micro-batch
+    * probes the pinned hood index (candidates are delta-hood-sized;
+    * the only store access is the 8-byte-key equi-join), its pairs —
+    * normalized to id order, so delta-store and delta-delta
+    * discoveries of the same pair collapse — land keyed-idempotent in
+    * `pairsPath`, and the batch's own hood rows append to the index.
+    * Every pair of the eventual corpus is found exactly when its LATER
+    * rep arrives (equal strings across batches pair at dist 0 through
+    * the adoption path), so the drained sink equals the one-shot
+    * editDistanceJoin — st25 gates on j10's quadratic oracle VERBATIM.
+    * Crash-safe the signAndProbeBatch way: pairs are consumed before
+    * the hood append, and a crash mid-append replays into the rid
+    * guard + the pair-key anti-join (a delta rep meeting its own
+    * already-appended sibling re-finds the same normalized pair, which
+    * inserts nothing). */
+  def fuzzyJoinStream(reps: DataFrame, idCol: String, strCol: String,
+                      indexPath: String, pairsPath: String,
+                      checkpoint: String, maxDist: Int = 0,
+                      blockCols: Seq[String] = Nil, maintainEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    reps.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ops.FuzzyJoin
+        val spark = batch.sparkSession
+        val idxP = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(idxP))
+          // day zero: an EMPTY pinned index (schema + sidecar), so the
+          // first batch's probe runs the same code path as every later
+          // one and the pin freezes the stream's parameters
+          FuzzyJoin.writeHoodIndex(batch.limit(0), idCol, strCol, indexPath,
+            if (maxDist > 0) maxDist else 1, blockCols)
+        val pairs = FuzzyJoin
+          .deltaEditDistancePairs(batch, idCol, strCol, indexPath,
+            maxDist, blockCols)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+          .dropDuplicates("id_a", "id_b")
+          .localCheckpoint() // pin the pair set BEFORE the index mutates
+        graft.etl.Sinks.idempotentAppend(pairs, pairsPath, Seq("id_a", "id_b"))
+        FuzzyJoin.appendHoodIndex(batch, idCol, strCol, indexPath,
+          maxDist, blockCols)
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+          graft.etl.BucketCompaction.compactFlatStore(spark, indexPath)
+          graft.etl.BucketCompaction.compactFlatStore(spark, pairsPath): Unit
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** STREAMING snapshot-CDC: each arriving micro-batch is a COMPLETE
     * table snapshot (the daily-full-dump delivery pattern); the batch
     * is diffed against the persisted previous snapshot with

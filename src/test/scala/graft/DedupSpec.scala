@@ -382,4 +382,29 @@ class DedupSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("_graft_meta"))
   }
+
+  test("append faces: signatures land once at the pinned geometry; replay inserts nothing") {
+    // MinHash: a foreign-geometry store's append signs at ITS pin
+    val mh = java.nio.file.Files.createTempDirectory("mh_app").toString
+    Dedup.writeMinHashSignatures(docs.filter($"doc_id" >= 3),
+      "doc_id", "text", mh, numHashes = 16, shingleN = 2)
+    val delta = docs.filter($"doc_id" < 3)
+    val n1 = Dedup.appendMinHashSignatures(delta, "doc_id", "text", mh)
+    assert(n1 === 3)
+    assert(Dedup.appendMinHashSignatures(delta, "doc_id", "text", mh) === 0)
+    // appended rows carry the pinned 16-hash schema (m0..m15, no m16)
+    val cols = spark.read.parquet(mh).columns.toSet
+    assert(cols.contains("m15") && !cols.contains("m16"))
+    // and the appended docs are now prior art for the next probe
+    val rep = docs.filter($"doc_id" < 1)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+    assert(Dedup.incrementalMinHashNearDups(rep, "doc_id", "text", mh)
+      .filter($"id_a" === 0L && $"id_b" === 900000L).count() === 1L)
+    // SimHash: same discipline
+    val sh = java.nio.file.Files.createTempDirectory("sh_app").toString
+    Dedup.writeSimHashSignatures(docs.filter($"doc_id" >= 3),
+      "doc_id", "text", sh)
+    assert(Dedup.appendSimHashSignatures(delta, "doc_id", "text", sh) === 3)
+    assert(Dedup.appendSimHashSignatures(delta, "doc_id", "text", sh) === 0)
+  }
 }

@@ -656,4 +656,83 @@ class StreamingSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("ver_")).toSet
     assert(dirsB === Set("ver_0", "ver_1", "ver_2"))
   }
+
+  test("st24 rehearsal: streamed set-sim pair sink equals the batch j11 result") {
+    // two real micro-batches: batch 2's docs join batch 1's appended
+    // token rows through the store, so cross-batch pairs exercise the
+    // one-sided prefix theorem under mid-stream document frequencies —
+    // the union must still equal the one-shot batch join exactly
+    val st24 = SparkEntry.queries("st24_stream_setsim")(spark, sfDir)
+      .collect().toSeq
+    val j11 = SparkEntry.queries("j11_setsim_join")(spark, sfDir)
+      .collect().toSeq
+    assert(st24 == j11, s"st24 ${st24.size} rows vs j11 ${j11.size}")
+    assert(st24.nonEmpty)
+  }
+
+  test("st25 rehearsal: streamed fuzzy pair sink equals the batch j10 result") {
+    // even/odd key split: near-dup names land on OPPOSITE sides of the
+    // batch boundary (the synthetic dup ids differ by 1), so most pairs
+    // are cross-batch adoptions through the hood index — the normalized
+    // union must equal the quadratic-oracle-verified batch join
+    val st25 = SparkEntry.queries("st25_stream_fuzzy")(spark, sfDir)
+      .collect().toSeq
+    val j10 = SparkEntry.queries("j10_fuzzy_join")(spark, sfDir)
+      .collect().toSeq
+    assert(st25 == j10, s"st25 ${st25.size} rows vs j10 ${j10.size}")
+    assert(st25.nonEmpty)
+  }
+
+  test("setSimJoinStream replay + maintenance: pin survives, folds to one file, nothing re-inserts") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val src = java.nio.file.Files.createTempDirectory("ss24-src").toString
+    docs.filter($"doc_id" < 250).coalesce(1).write.parquet(s"$src/a=1")
+    docs.filter($"doc_id" >= 250).coalesce(1).write.mode("append")
+      .parquet(s"$src/a=2")
+    val schema = spark.read.parquet(s"$src/a=1").schema
+    val store = java.nio.file.Files.createTempDirectory("ss24-st").toString + "/tokens"
+    val pairs = java.nio.file.Files.createTempDirectory("ss24-pr").toString + "/pairs"
+    def run(cp: String): Unit = EventStreams.setSimJoinStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*"),
+      "doc_id", "text", store, pairs, cp,
+      threshold = 0.7, maintainEvery = 1).awaitTermination()
+    run(java.nio.file.Files.createTempDirectory("ss24-cp1").toString)
+    assert(graft.etl.BucketCompaction.dataFileCount(spark, store) === 1)
+    assert(graft.etl.StoreMeta.readParams(spark, store)
+      .exists(_.get("family").contains("setsim_tokens")))
+    val nPairs = spark.read.parquet(pairs).count()
+    val nToks = spark.read.parquet(store).count()
+    assert(nPairs > 0 && nToks > 0)
+    // full replay from a fresh checkpoint: both sinks keyed idempotent
+    run(java.nio.file.Files.createTempDirectory("ss24-cp2").toString)
+    assert(spark.read.parquet(pairs).count() === nPairs)
+    assert(spark.read.parquet(store).count() === nToks)
+  }
+
+  test("fuzzyJoinStream replay + maintenance: pin survives, folds to one file, nothing re-inserts") {
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
+    val src = java.nio.file.Files.createTempDirectory("fz25-src").toString
+    c.filter($"c_custkey" % 2 === 0).coalesce(1).write.parquet(s"$src/a=1")
+    c.filter($"c_custkey" % 2 === 1).coalesce(1).write.mode("append")
+      .parquet(s"$src/a=2")
+    val schema = spark.read.parquet(s"$src/a=1").schema
+    val idx = java.nio.file.Files.createTempDirectory("fz25-ix").toString + "/hoods"
+    val pairs = java.nio.file.Files.createTempDirectory("fz25-pr").toString + "/pairs"
+    def run(cp: String): Unit = EventStreams.fuzzyJoinStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*"),
+      "c_custkey", "c_name", idx, pairs, cp,
+      maxDist = 1, maintainEvery = 1).awaitTermination()
+    run(java.nio.file.Files.createTempDirectory("fz25-cp1").toString)
+    assert(graft.etl.BucketCompaction.dataFileCount(spark, idx) === 1)
+    assert(graft.etl.StoreMeta.readParams(spark, idx)
+      .exists(_.get("family").contains("fuzzy_hoods")))
+    val nPairs = spark.read.parquet(pairs).count()
+    val nHoods = spark.read.parquet(idx).count()
+    assert(nPairs > 0 && nHoods > 0)
+    run(java.nio.file.Files.createTempDirectory("fz25-cp2").toString)
+    assert(spark.read.parquet(pairs).count() === nPairs)
+    assert(spark.read.parquet(idx).count() === nHoods)
+  }
 }
