@@ -131,6 +131,9 @@ object SparkEntry {
     "d7_dedup_survivors"    -> (DedupQueries.dedupSurvivors _),
     "d8_duplicated_grams"   -> (DedupQueries.duplicatedGrams _),
     "d9_incremental_neardup" -> (DedupQueries.incrementalNearDups _),
+    "del1_takedown_sigs"    -> (DedupQueries.takedownSignatures _),
+    "del2_takedown_pairlog" -> (DedupQueries.takedownPairLog _),
+    "del3_takedown_components" -> (DedupQueries.takedownComponents _),
     "d10_span_strip"        -> (DedupQueries.spanStrip _),
     "d11_semantic_dedup"    -> (DedupQueries.semanticDedup _),
     "d5_embedding_neardup"  -> (DedupQueries.embeddingNearDups _),
@@ -183,6 +186,7 @@ object SparkEntry {
     "c1_contamination"      -> (TextQueries.contamination _),
     "c2_corpus_build"       -> (TextQueries.corpusBuild _),
     "c3_training_mix"       -> (TextQueries.trainingMix _),
+    "c3b_incremental_training_mix" -> (TextQueries.incrementalTrainingMix _),
     "t2_quality_score"      -> (TextQueries.quality _),
     "t3_token_count"        -> (TextQueries.tokenCount _),
     "t4_fingerprint"        -> (TextQueries.fingerprint _),
@@ -1026,6 +1030,100 @@ object SparkEntry {
   /** Shared CTE prefix for the component oracles: d2's verified pair
     * set, symmetrized, transitively closed (recursive CTE), min-label
     * per node — the SQL mirror of Dedup.connectedComponents. */
+  /** The del1/del2/del3 oracle transform: the SAME base oracle, with
+    * the deleted docs (doc_id % 10 == 3) filtered out of the shingle
+    * CTE — a full rebuild over corpus-minus-deleted. Anchored on the
+    * shingle length guard so the base oracles can never silently
+    * drift apart from their takedown variants. */
+  private def withoutDeletedDocs(sql: String): String = {
+    val anchor = "WHERE len(ws) >= 3"
+    require(sql.contains(anchor),
+      "takedown oracle: shingle filter anchor not found in base oracle")
+    sql.replace(anchor, anchor + " AND doc_id % 10 <> 3")
+  }
+
+  /** c3 (and c3b verbatim): the four-family training-mix manifest
+    * replayed end to end in SQL — Gopher gate, brute near-dup pairs,
+    * recursive CC, survivorship, 60% budget, temperature
+    * apportionment, PolyHash-ranked selection. */
+  private lazy val c3OracleSql: String = {
+    val selHash = polyHash64Sql("CAST(doc_id AS VARCHAR) || 'c3'")
+    s"""WITH RECURSIVE g AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS wc,
+        |      len(regexp_replace(text, '\\s', '', 'g'))::DOUBLE AS nonspace,
+        |      len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+        |      len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+        |          ['the','of','and','to','in','a','is','that','for','it'])) AS swh
+        |    FROM documents)
+        |  WHERE (wc BETWEEN 30 AND 100000)
+        |    AND (nonspace / nullif(wc::DOUBLE, 0.0) BETWEEN 4.0 AND 5.0)
+        |    AND swh >= 2 AND alpha / nullif(nonspace, 0.0) >= 0.6),
+        |p0 AS MATERIALIZED (SELECT d.* FROM documents d JOIN g USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM p0)
+        |  WHERE len(ws) >= 3),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(a.s || b.s)) >= 0.8),
+        |undirected AS (
+        |  SELECT id_a AS a, id_b AS b FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM undirected)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+        |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+        |mem AS (SELECT p0.doc_id AS node, p0.n_chars, c.component
+        |        FROM p0 JOIN comp c ON p0.doc_id = c.node),
+        |drops AS (SELECT node FROM (
+        |    SELECT node, row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, node) AS rn FROM mem) WHERE rn > 1),
+        |pool AS MATERIALIZED (
+        |  SELECT * FROM p0 WHERE doc_id NOT IN (SELECT node FROM drops)),
+        |nb AS (SELECT count(*) * 6 // 10 AS budget FROM pool),
+        |cts AS (SELECT source, count(*) AS n_docs FROM pool GROUP BY source),
+        |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM cts),
+        |q AS (SELECT source, n_docs,
+        |        floor((pow(n_docs, 0.7) / z * (SELECT budget FROM nb)) * 1000000 + 0.5) / 1000000 AS quota
+        |      FROM cts, z),
+        |f AS (SELECT source, n_docs, quota,
+        |        CAST(floor(quota) AS BIGINT) AS fl, quota - floor(quota) AS fr
+        |      FROM q),
+        |l AS (SELECT (SELECT budget FROM nb) - sum(fl) AS lft FROM f),
+        |aa AS (SELECT f.source, f.n_docs, f.quota, f.fl,
+        |        (SELECT count(*) FROM f gg
+        |         WHERE gg.fr > f.fr OR (gg.fr = f.fr AND gg.source < f.source)) AS ahead,
+        |        (SELECT count(*) FROM f gg
+        |         WHERE gg.fl >= 1 AND (gg.fr < f.fr OR (gg.fr = f.fr AND gg.source < f.source))) AS takr
+        |      FROM f),
+        |al AS (SELECT source, n_docs, quota,
+        |        CASE WHEN (SELECT lft FROM l) >= 0
+        |          THEN fl + CASE WHEN ahead < (SELECT lft FROM l) THEN 1 ELSE 0 END
+        |          ELSE fl - CASE WHEN fl >= 1 AND takr < -(SELECT lft FROM l) THEN 1 ELSE 0 END
+        |        END AS alloc
+        |      FROM aa),
+        |selr AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY $selHash, doc_id) AS rn
+        |      FROM pool),
+        |sel AS (SELECT s.source, count(*) AS n_selected,
+        |        CAST(sum(s.doc_id) AS BIGINT) AS sum_sel_ids
+        |      FROM selr s JOIN al ON s.source = al.source AND s.rn <= al.alloc
+        |      GROUP BY s.source)
+      |SELECT al.source, al.n_docs AS n_pool, al.quota, al.alloc,
+      |  coalesce(sel.n_selected, 0) AS n_selected,
+      |  coalesce(sel.sum_sel_ids, 0) AS sum_sel_ids
+      |FROM al LEFT JOIN sel ON al.source = sel.source
+      |ORDER BY al.source""".stripMargin
+  }
+
   private val componentsCte: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id,
@@ -2553,6 +2651,15 @@ object SparkEntry {
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
     "st19_stream_components_bucketed" ->
       (componentsCte + "\nSELECT node, component FROM comp ORDER BY node"),
+    // del3: the takedown verb on the component store — affected
+    // components recomputed from the surviving pair log must equal
+    // the full recursive-CC rebuild over corpus-minus-deleted
+    // (deleting a doc is a pairwise-local event: it removes exactly
+    // the pairs naming it, so the rebuild's pair set IS the surviving
+    // log and the CC folds agree bit-for-bit).
+    "del3_takedown_components" ->
+      (withoutDeletedDocs(componentsCte) +
+        "\nSELECT node, component FROM comp ORDER BY node"),
     "d7_dedup_survivors" -> survivorsOracleSql,
     // d7b: the SAME oracle — survivorship is a pure readout over the
     // label store (which equals the rebuild bit-for-bit, the d6c
@@ -3206,6 +3313,12 @@ object SparkEntry {
     // batch against an empty signature store) whose pair sink equals
     // the d2 batch result — same brute-force oracle replays it.
     "st5_stream_minhash" -> minhashBruteOracleSql,
+    // del1/del2: the r16 takedown verb — the post-delete signature
+    // store's pairs / pair log must equal the FULL-REBUILD brute-force
+    // oracle over corpus-minus-deleted, verbatim (the d9 restriction
+    // discipline in reverse: the engine deletes, the oracle rebuilds).
+    "del1_takedown_sigs" -> withoutDeletedDocs(minhashBruteOracleSql),
+    "del2_takedown_pairlog" -> withoutDeletedDocs(minhashBruteOracleSql),
     "d3_simhash_neardup" -> simhashOracleSql,
     "d3b_simhash_wide" -> simhashWideOracleSql,
     "d3d_simhash_wide4" -> simhashWide4OracleSql,
@@ -3978,83 +4091,14 @@ object SparkEntry {
     // gated pool, t32's apportionment over the deduped pool (budget =
     // pool·6 DIV 10, exact integers), and the PolyHash selection rank.
     // sum_sel_ids pins exactly WHICH docs ship.
-    "c3_training_mix" -> {
-      val selHash = polyHash64Sql("CAST(doc_id AS VARCHAR) || 'c3'")
-      s"""WITH RECURSIVE g AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS wc,
-        |      len(regexp_replace(text, '\\s', '', 'g'))::DOUBLE AS nonspace,
-        |      len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
-        |      len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
-        |          ['the','of','and','to','in','a','is','that','for','it'])) AS swh
-        |    FROM documents)
-        |  WHERE (wc BETWEEN 30 AND 100000)
-        |    AND (nonspace / nullif(wc::DOUBLE, 0.0) BETWEEN 4.0 AND 5.0)
-        |    AND swh >= 2 AND alpha / nullif(nonspace, 0.0) >= 0.6),
-        |p0 AS MATERIALIZED (SELECT d.* FROM documents d JOIN g USING (doc_id)),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |                   for i in range(1, len(ws) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM p0)
-        |  WHERE len(ws) >= 3),
-        |prs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |        / len(list_distinct(a.s || b.s)) >= 0.8),
-        |undirected AS (
-        |  SELECT id_a AS a, id_b AS b FROM prs
-        |  UNION SELECT id_b, id_a FROM prs),
-        |reach AS (
-        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM undirected)
-        |  UNION
-        |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
-        |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
-        |mem AS (SELECT p0.doc_id AS node, p0.n_chars, c.component
-        |        FROM p0 JOIN comp c ON p0.doc_id = c.node),
-        |drops AS (SELECT node FROM (
-        |    SELECT node, row_number() OVER (PARTITION BY component
-        |      ORDER BY n_chars DESC, node) AS rn FROM mem) WHERE rn > 1),
-        |pool AS MATERIALIZED (
-        |  SELECT * FROM p0 WHERE doc_id NOT IN (SELECT node FROM drops)),
-        |nb AS (SELECT count(*) * 6 // 10 AS budget FROM pool),
-        |cts AS (SELECT source, count(*) AS n_docs FROM pool GROUP BY source),
-        |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM cts),
-        |q AS (SELECT source, n_docs,
-        |        floor((pow(n_docs, 0.7) / z * (SELECT budget FROM nb)) * 1000000 + 0.5) / 1000000 AS quota
-        |      FROM cts, z),
-        |f AS (SELECT source, n_docs, quota,
-        |        CAST(floor(quota) AS BIGINT) AS fl, quota - floor(quota) AS fr
-        |      FROM q),
-        |l AS (SELECT (SELECT budget FROM nb) - sum(fl) AS lft FROM f),
-        |aa AS (SELECT f.source, f.n_docs, f.quota, f.fl,
-        |        (SELECT count(*) FROM f gg
-        |         WHERE gg.fr > f.fr OR (gg.fr = f.fr AND gg.source < f.source)) AS ahead,
-        |        (SELECT count(*) FROM f gg
-        |         WHERE gg.fl >= 1 AND (gg.fr < f.fr OR (gg.fr = f.fr AND gg.source < f.source))) AS takr
-        |      FROM f),
-        |al AS (SELECT source, n_docs, quota,
-        |        CASE WHEN (SELECT lft FROM l) >= 0
-        |          THEN fl + CASE WHEN ahead < (SELECT lft FROM l) THEN 1 ELSE 0 END
-        |          ELSE fl - CASE WHEN fl >= 1 AND takr < -(SELECT lft FROM l) THEN 1 ELSE 0 END
-        |        END AS alloc
-        |      FROM aa),
-        |selr AS (SELECT doc_id, source,
-        |        row_number() OVER (PARTITION BY source
-        |          ORDER BY $selHash, doc_id) AS rn
-        |      FROM pool),
-        |sel AS (SELECT s.source, count(*) AS n_selected,
-        |        CAST(sum(s.doc_id) AS BIGINT) AS sum_sel_ids
-        |      FROM selr s JOIN al ON s.source = al.source AND s.rn <= al.alloc
-        |      GROUP BY s.source)
-        |SELECT al.source, al.n_docs AS n_pool, al.quota, al.alloc,
-        |  coalesce(sel.n_selected, 0) AS n_selected,
-        |  coalesce(sel.sum_sel_ids, 0) AS sum_sel_ids
-        |FROM al LEFT JOIN sel ON al.source = sel.source
-        |ORDER BY al.source""".stripMargin
-    },
+    "c3_training_mix" -> c3OracleSql,
+    // c3b: the SAME oracle VERBATIM — the incremental face's base
+    // (doc_id % 10 <> 3) ∪ delta (== 3) IS the corpus, and the
+    // store-composed refresh (incremental band probe → component-store
+    // merge → survivorship readout → apportionment) is exact at every
+    // stage, so the daily-delta manifest must equal the one-shot
+    // rebuild bit-for-bit.
+    "c3b_incremental_training_mix" -> c3OracleSql,
     // t32: largest-remainder apportionment replayed — floors, 6dp
     // quotas, and the remainder rank as a correlated count (the same
     // windowless formulation the engine plans).

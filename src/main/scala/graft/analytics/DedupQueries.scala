@@ -406,4 +406,84 @@ object DedupQueries {
 
   private val semdedupStoreCache =
     StoreCaches.register("d11b_incremental_semdedup")
+
+  // ===== del1/del2/del3 — the r16 DELETION / RETRACTION verb
+  // (ops.Takedown): every face builds its store over the FULL corpus,
+  // deletes doc_id % 10 == 3, and reads the post-takedown artifact;
+  // the oracle is the corresponding FULL-REBUILD query over
+  // corpus-minus-deleted, verbatim (the d9 restriction discipline in
+  // reverse) — so the takedown is gated as "equals a rebuild", not
+  // just "the rows are gone". =====
+
+  /** del1 — keyed takedown on the MinHash signature store: delete the
+    * ids' signature rows (bucket-pruned rewrite of exactly their
+    * `__kb=` dirs), then serve near-dup pairs purely FROM the store
+    * (signatures + digest sets — corpus text never re-read). Must
+    * equal d2's brute-force oracle restricted to the surviving docs. */
+  def takedownSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val store = takedownSigCache.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_del1").toString
+      Dedup.writeMinHashSignatures(docs, "doc_id", "text", s"$t/sigs")
+      graft.ops.Takedown.deleteKeys(spark, s"$t/sigs", "__id",
+        docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")))
+      s"$t/sigs"
+    })
+    Dedup.minHashNearDupsFromSigs(spark.read.parquet(store), 0.8)
+      .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val takedownSigCache = StoreCaches.register("del1_takedown_sigs")
+
+  /** del2 — pair-log takedown: the full corpus's verified near-dup
+    * pairs land in a bucketed keyed log (the st5/st24 pair-sink
+    * layout), then every pair touching a deleted id is removed — one
+    * column-pruned hit scan, hit-bucket-only rewrite. Must equal the
+    * brute-force pair oracle with both endpoints surviving. */
+  def takedownPairLog(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val log = takedownPairCache.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_del2").toString
+      graft.etl.Sinks.idempotentAppendBucketed(
+        Dedup.minHashNearDups(docs, "doc_id", "text", 0.8),
+        s"$t/pairs", Seq("id_a", "id_b"))
+      graft.ops.Takedown.deletePairsTouching(spark, s"$t/pairs",
+        docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")))
+      s"$t/pairs"
+    })
+    spark.read.parquet(log)
+      .select(col("id_a"), col("id_b"), exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val takedownPairCache = StoreCaches.register("del2_takedown_pairlog")
+
+  /** del3 — component-store takedown, the family's flagship: deleting
+    * docs can SPLIT a near-dup component and move its min-label, so
+    * the affected components are recomputed from the surviving pair
+    * log and only their (old ∪ new) label buckets rewrite. Gates on
+    * d6's recursive-CC oracle over corpus-minus-deleted VERBATIM —
+    * the store after a delete is indistinguishable from a full
+    * rebuild without the docs. */
+  def takedownComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val labels = takedownCcCache.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_del3").toString
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+        .select(col("id_a"), col("id_b"))
+      pairs.write.parquet(s"$t/pairlog")
+      Dedup.writeComponentStore(
+        Dedup.connectedComponents(pairs, "id_a", "id_b"), s"$t/labels")
+      graft.ops.Takedown.deleteFromComponentStore(spark, s"$t/labels",
+        spark.read.parquet(s"$t/pairlog"), "id_a", "id_b",
+        docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")))
+      s"$t/labels"
+    })
+    Dedup.readComponentStore(spark, labels)
+      .select(col("node"), col("component"))
+      .orderBy(col("node"))
+  }
+
+  private val takedownCcCache = StoreCaches.register("del3_takedown_components")
 }

@@ -432,6 +432,99 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** c3b — INCREMENTAL refresh of the c3 training-mix manifest (r15
+    * verdict #3): the composition the eleven separately-proven
+    * incremental faces exist for. Base docs (doc_id % 10 != 3) build
+    * the persisted state ONCE — bucketed MinHash signature store,
+    * bucket-partitioned component store, and a keyed pool table
+    * (doc_id, source, n_chars) — and every call runs the DAILY
+    * REFRESH: gopher-gate the delta alone (a pure per-doc projection,
+    * so delta gating ≡ batch gating restricted), band-probe it against
+    * the signature store (delta-sized — the corpus text is never
+    * re-shingled), fold its pairs into the component store (touched
+    * buckets only), append its signatures + pool rows (bucket-pruned
+    * idempotent — a replayed refresh is a no-op), then read the
+    * manifest from METADATA stores alone: survivorship over the label
+    * store ⋈ pool table, 60% budget, temperature apportionment,
+    * PolyHash-ranked selection. Every stage is exact (band recall ≡
+    * the batch operator's, the store fold is exact min-contraction,
+    * survivorship is a pure readout), so the incremental manifest
+    * equals the one-shot c3 rebuild over base ∪ delta — c3's oracle
+    * VERBATIM. At 100 TB the refresh cost is sign+probe of the delta
+    * plus metadata-sized (id/source/n_chars/hash) manifest passes. */
+  def incrementalTrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val state = c3bStateCache.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_c3b").toString
+      val base = docs.filter(col("doc_id") % 10 =!= 3)
+      val keep = TextAnalysis.gopherRules(base, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val pool0 = base.join(keep, "doc_id").localCheckpoint()
+      graft.ops.Dedup.writeMinHashSignatures(pool0, "doc_id", "text", s"$t/sigs")
+      graft.ops.Dedup.writeComponentStore(
+        graft.ops.Dedup.connectedComponents(
+          graft.ops.Dedup.minHashNearDupsFromSigs(
+            spark.read.parquet(s"$t/sigs"), 0.8),
+          "id_a", "id_b"),
+        s"$t/labels")
+      graft.etl.Sinks.idempotentAppendBucketed(
+        pool0.select(col("doc_id"), col("source"), col("n_chars")),
+        s"$t/pool", Seq("doc_id"))
+      t
+    })
+    // ---- the daily refresh (measured steady-state on repeat calls) ----
+    val delta = docs.filter(col("doc_id") % 10 === 3)
+    val dKeep = TextAnalysis.gopherRules(delta, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val dPool = delta.join(dKeep, "doc_id").localCheckpoint()
+    val dPairs = graft.ops.Dedup.incrementalMinHashNearDups(
+        dPool, "doc_id", "text", s"$state/sigs", 0.8)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    graft.ops.Dedup.mergeComponentStoreDelta(
+      spark, s"$state/labels", dPairs, "id_a", "id_b"): Unit
+    graft.ops.Dedup.appendMinHashSignatures(
+      dPool, "doc_id", "text", s"$state/sigs"): Unit
+    graft.etl.Sinks.idempotentAppendBucketed(
+      dPool.select(col("doc_id"), col("source"), col("n_chars")),
+      s"$state/pool", Seq("doc_id")): Unit
+    // ---- manifest readout: metadata stores only, no corpus text ----
+    val poolTab = spark.read.parquet(s"$state/pool")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val comp = graft.ops.Dedup.readComponentStore(spark, s"$state/labels")
+      .select(col("node"), col("component"))
+    val dropIds = poolTab.select(col("doc_id").as("node"), col("n_chars"))
+      .join(comp, "node")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("n_chars").desc, col("node"))))
+      .filter(col("__rn") > 1)
+      .select(col("node").as("doc_id"))
+    val pool = poolTab.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val budget = pool.count() * 6L / 10L
+    val alloc = graft.ops.Sampling.temperatureAllocation(
+      pool, "source", budget, 0.7)
+    val sel = pool.select(col("doc_id"), col("source"),
+        graft.functions.PolyHash.polyHash(
+          concat(col("doc_id").cast("string"), lit("c3"))).as("__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))))
+      .join(alloc.select(col("source"), col("alloc").as("__a")), "source")
+      .filter(col("__rn") <= col("__a"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("doc_id")).as("sum_sel_ids"))
+    alloc.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs").as("n_pool"), col("quota"),
+        col("alloc"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sum_sel_ids"), lit(0L)).as("sum_sel_ids"))
+      .orderBy(col("source"))
+  }
+
+  private val c3bStateCache =
+    graft.analytics.StoreCaches.register("c3b_incremental_training_mix")
+
   /** t32 — temperature-scaled source mixing
     * (ops.Sampling.temperatureAllocation, alpha = 0.7, budget 100k):
     * the mT5/XLM-R sampling-temperature allocation with largest-

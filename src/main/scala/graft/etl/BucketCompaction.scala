@@ -92,6 +92,21 @@ object BucketCompaction {
     }
   }
 
+  /** [[heal]] for a FLAT store path (a [[compactFlatStore]] target):
+    * heals the store's PARENT dir, where the staged swap parks its
+    * artifacts. Call at the TOP of every maintained foreachBatch body,
+    * BEFORE any `fs.exists` bootstrap check or store read: a crash
+    * between the swap's park and publish renames leaves the live dir
+    * absent, and a body that bootstraps a fresh empty store there
+    * makes the NEXT slot's heal sweep the parked full store — the
+    * entire prior corpus/token/index/log state silently lost. Healing
+    * first republishes the parked store, so the bootstrap check sees
+    * it. Driver-side listing of one dir — per-batch noise. */
+  def healAround(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getParent != null) heal(spark, p.getParent.toString)
+  }
+
   /** Compact the named child dirs of `parent` (each to one file) if
     * they hold more than `maxFiles` data files. Returns the dirs
     * actually rewritten. */
@@ -153,15 +168,70 @@ object BucketCompaction {
   /** Compact every partition dir (`<partPrefix>=<value>`) of a
     * bucket-partitioned store holding more than `maxFiles` data
     * files. The dir listing is one driver-side metadata call bounded
-    * by the store's bucket count (≤ 2¹⁴ by the stores' sizing caps). */
+    * by the store's bucket count (≤ 2¹⁴ by the stores' sizing caps).
+    *
+    * BATCHED (r16, verdict #4): the r15 pricing showed the slot cost
+    * is ~0.1-0.2 s FIXED per folded dir — one Spark job each (st20:
+    * ~35 dirs ≈ 6 s, 3-5× a normal batch). Here ONE job folds every
+    * needing dir: a partition-pruned read of exactly those dirs,
+    * clustered one output task per partition value, written to a
+    * staged `__batchfold_tmp` store (1 file per dir by construction);
+    * the per-dir park→publish→sweep renames are driver-side metadata
+    * ops. Crash windows are the SAME per-dir windows as before — the
+    * staged dir renames into the `<dir>__compact_tmp` position the
+    * swap protocol (and [[heal]]) already owns, and an orphaned
+    * `__batchfold_tmp` is invisible to readers (underscore-prefixed,
+    * no `=`) and swept on the next call. Falls back to the per-dir
+    * path for non-integer partition values (none in this codebase). */
   def compactStore(spark: SparkSession, path: String, partPrefix: String,
                    maxFiles: Int = 1): Seq[String] = {
     val pp = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, pp)
-    if (!fs.exists(pp)) Seq.empty
-    else compactDirs(spark, path,
-      fs.listStatus(pp).map(_.getPath.getName)
-        .filter(n => n.startsWith(s"$partPrefix=") && !n.contains("__compact_"))
-        .toSeq.sorted, maxFiles)
+    if (!fs.exists(pp)) return Seq.empty
+    heal(spark, path)
+    val names = fs.listStatus(pp).map(_.getPath.getName)
+      .filter(n => n.startsWith(s"$partPrefix=") && !n.contains("__compact_"))
+      .toSeq.sorted
+    val need = names.filter(d => dataFileCount(spark, s"$path/$d") > maxFiles)
+    if (need.isEmpty) return Seq.empty
+    val vals = scala.util.Try(
+      need.map(_.stripPrefix(s"$partPrefix=").toInt)).toOption
+    if (vals.isEmpty) return compactDirs(spark, path, need, maxFiles)
+    val tmpRoot = new org.apache.hadoop.fs.Path(pp, "__batchfold_tmp")
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(col(partPrefix).isin(vals.get: _*))
+      .repartition(col(partPrefix)) // one output task per value → 1 file/dir
+      .write.mode("overwrite").partitionBy(partPrefix)
+      .parquet(tmpRoot.toString)
+    need.foreach { d =>
+      val staged = new org.apache.hadoop.fs.Path(tmpRoot, d)
+      if (fs.exists(staged)) {
+        val live = new org.apache.hadoop.fs.Path(pp, d)
+        val tmp = new org.apache.hadoop.fs.Path(pp, s"${d}__compact_tmp")
+        val old = new org.apache.hadoop.fs.Path(pp, s"${d}__compact_old")
+        // move the staged fold into the swap protocol's tmp slot, then
+        // the same park→publish→sweep (and crash windows) as compactDirs
+        require(fs.rename(staged, tmp),
+          s"BucketCompaction: stage $staged -> $tmp failed")
+        fs.listStatus(live).map(_.getPath).filter { q =>
+          val n = q.getName
+          n.startsWith("_graft_meta") || n == "_GRAFT_DONE"
+        }.foreach { q =>
+          val in = fs.open(q)
+          val bytes = try in.readAllBytes() finally in.close()
+          val out = fs.create(new org.apache.hadoop.fs.Path(tmp, q.getName), true)
+          try out.write(bytes) finally out.close()
+        }
+        require(fs.rename(live, old),
+          s"BucketCompaction: park $live -> $old failed")
+        require(fs.rename(tmp, live),
+          s"BucketCompaction: publish $tmp -> $live failed")
+        fs.delete(old, true): Unit
+      }
+    }
+    fs.delete(tmpRoot, true): Unit
+    need
   }
 }

@@ -21,11 +21,12 @@ object Sinks {
     * local filesystem, and a silently-false exists on `hdfs://`/`s3a://`
     * would skip the anti-join dedup entirely, making "idempotent"
     * append duplicate rows on exactly the storage these sinks claim
-    * to serve. */
-  private def storeExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+    * to serve. "Exists" means HAS DATA: a dir holding only a
+    * `_graft_meta` sidecar (the pin-leads-data bootstrap of the
+    * parameter-pinned stores) has no keys to anti-join, and aiming
+    * `spark.read.parquet` at it would fail schema inference. */
+  private def storeExists(spark: SparkSession, path: String): Boolean =
+    StoreMeta.hasData(spark, path)
 
   /** K3/K4 — insert-if-absent append keyed on `keys`. Returns the number
     * of rows actually appended. */
@@ -52,21 +53,140 @@ object Sinks {
     * their partition directories (`partitionBy`), so a bucketed store
     * (e.g. the SemDeDup assignment store, partitioned by cluster
     * bucket) keeps its partition-pruning layout across incremental
-    * upkeep. Same exactly-once discipline as the flat variant. */
+    * upkeep. Same exactly-once discipline as the flat variant.
+    *
+    * The novelty read is PARTITION-PRUNED (r15 verdict's top ask): a
+    * key's partition value is a pure function of the row (the stores'
+    * bucketing contract — same key ⇒ same bucket), so an existing row
+    * with a delta key can only live in a delta-touched partition dir.
+    * The anti-join therefore reads O(delta-touched buckets), not
+    * O(store), however many batches have accumulated. */
   def idempotentAppendPartitioned(df: DataFrame, path: String,
                                   keys: Seq[String],
                                   partitionCol: String): Long = {
     val spark = df.sparkSession
+    // heal leaf-swap crash artifacts FIRST: a parked `<col>=v__compact_old`
+    // dir would poison partition discovery (its name parses as a
+    // partition value of the wrong type) before the pruned read runs
+    BucketCompaction.heal(spark, path)
+    val delta = df.localCheckpoint()
     val novel =
       if (storeExists(spark, path)) {
-        val existing = spark.read.parquet(path).select(keys.map(col): _*).distinct()
-        df.join(existing, keys, "left_anti")
-      } else df
+        // ≤ |partition values| rows — driver-bounded by the store's
+        // bucket count, the sanctioned touched-bucket collect
+        val touched = delta.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0))
+        val existing = spark.read.parquet(path)
+          .filter(col(partitionCol).isin(touched: _*))
+          .select(keys.map(col): _*).distinct()
+        delta.join(existing, keys, "left_anti")
+      } else delta
     val materialized = novel.localCheckpoint()
     val n = materialized.count()
     if (n > 0) materialized.write.mode(SaveMode.Append)
       .partitionBy(partitionCol).parquet(path)
     n
+  }
+
+  /** Default bucket count for the keyed-log layout: coarse enough that
+    * fixture-scale stores don't drown in parquet footers, fine enough
+    * that a small delta's novelty read prunes ~64× of the accumulated
+    * log. A 100 TB deployment sizes it at store creation (the pin
+    * freezes it); with daily deltas at 0.1% of corpus, kb = 1024 keeps
+    * the anti-join read delta-scale. */
+  val DefaultLogBuckets = 64
+
+  /** The self-pinning keyed logs' sidecar family. */
+  private[graft] val KeyedLogFamily = "keyed_log"
+
+  /** The key tuple's bucket column: pure function of the key columns,
+    * so the same key always lands in — and is probed from — the same
+    * `__kb=` directory. Cast to int so the partition-column type Spark
+    * infers back from the dir names matches what we filter with. */
+  private[graft] def keyBucket(keys: Seq[String], kb: Int) =
+    pmod(xxhash64(keys.map(col): _*), lit(kb)).cast("int")
+
+  /** The bucketed anti-join-append CORE — [[idempotentAppend]] with the
+    * novelty read made O(delta), not O(store). The store is parquet
+    * partitioned by `__kb = xxhash64(keys) mod kb`; a replayed or
+    * duplicate key carries the same hash, so scanning ONLY the delta's
+    * own bucket dirs for existing keys is sound (the r13
+    * signature-pruned recipe, `Similarity.appendToIndex`). `kb` is the
+    * caller-resolved pin — the pair logs resolve it from their own
+    * `keyed_log` sidecar ([[idempotentAppendBucketed]]), the
+    * signature/token/hood stores from the `kb` key their families pin
+    * alongside their layout parameters. Returns inserted row count. */
+  /** The existing-key frame of [[bucketedNoveltyAppend]]'s anti-join:
+    * a partition-pruned scan of the delta-touched `__kb=` dirs only
+    * (exposed so PrunedNoveltySpec can assert the scan's file metric
+    * on the exact plan the append runs). */
+  private[graft] def prunedExistingKeys(spark: SparkSession, path: String,
+                                        keys: Seq[String],
+                                        touched: Seq[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("__kb").isin(touched: _*)) // partition-pruned scan
+      .select(keys.map(col): _*).distinct()
+
+  private[graft] def bucketedNoveltyAppend(df: DataFrame, path: String,
+                                           keys: Seq[String], kb: Int): Long = {
+    require(kb > 0, s"bucketedNoveltyAppend: kb must be positive, got $kb")
+    val spark = df.sparkSession
+    // heal before partition discovery can see a crashed leaf swap
+    BucketCompaction.heal(spark, path)
+    val delta = df.withColumn("__kb", keyBucket(keys, kb)).localCheckpoint()
+    val novel =
+      if (storeExists(spark, path)) {
+        val touched = delta.select(col("__kb")).distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ kb rows, driver-bounded
+        delta.join(prunedExistingKeys(spark, path, keys, touched),
+          keys, "left_anti")
+      } else delta
+    // same exactly-once discipline as the flat face: materialize the
+    // anti-join BEFORE the append touches the files it read
+    val materialized = novel.localCheckpoint()
+    val n = materialized.count()
+    if (n > 0) materialized.write.mode(SaveMode.Append)
+      .partitionBy("__kb").parquet(path)
+    n
+  }
+
+  /** [[idempotentAppend]] for an unboundedly-growing keyed LOG (the
+    * streaming pair/op logs): self-pinning `keyed_log` store, bucketed
+    * by key hash so the per-batch novelty anti-join reads only the
+    * delta-touched `__kb=` dirs — the last O(store)-per-batch pattern
+    * (r15 verdict #1) closed. Day zero pins (kb, keys) BEFORE the
+    * first data write (the pin-leads-data crash discipline); a resumed
+    * writer resolves kb from the pin (`buckets` 0 = resolve; an
+    * explicit value that disagrees fail-fasts — the Sketches merge
+    * discipline) and fail-fasts on a key-tuple mismatch (rows bucketed
+    * under different keys would silently miss the anti-join). Readers
+    * are unaffected beyond an extra `__kb` partition column — drains
+    * select their columns explicitly. */
+  def idempotentAppendBucketed(df: DataFrame, path: String, keys: Seq[String],
+                               buckets: Int = 0): Long = {
+    val spark = df.sparkSession
+    val keySpec = keys.mkString(",")
+    val kb = StoreMeta.requireFamily(spark, path, KeyedLogFamily) match {
+      case Some(m) =>
+        require(m.contains("kb"),
+          s"keyed log at $path pins no 'kb' — sidecar: $m")
+        val pinned = m("kb").toInt
+        require(buckets <= 0 || buckets == pinned,
+          s"keyed log at $path is bucketed with kb=$pinned but the caller " +
+            s"passed $buckets — a mismatched modulus silently mis-prunes " +
+            "the novelty read; pass 0 to resolve from the pin")
+        require(m.getOrElse("keys", "") == keySpec,
+          s"keyed log at $path is bucketed on keys=[${m.getOrElse("keys", "")}] " +
+            s"but this append keys on [$keySpec] — the novelty anti-join " +
+            "would silently miss existing rows; use the store's key tuple")
+        pinned
+      case None =>
+        val kb0 = if (buckets > 0) buckets else DefaultLogBuckets
+        StoreMeta.pinFamily(spark, path, KeyedLogFamily,
+          Map("kb" -> kb0.toString, "keys" -> keySpec))
+        kb0
+    }
+    bucketedNoveltyAppend(df, path, keys, kb)
   }
 
   /** K1 — partitioned JSON sink (ingest/main.py:299-310 writes

@@ -105,6 +105,29 @@ object StoreMeta {
     }
   }
 
+  /** Sweep the zero-row data FILES a pre-r16 (or crashed data-then-pin)
+    * bootstrap left at a store root. The bucketed-novelty layout
+    * (`__kb=` partition dirs) cannot coexist with root-level data files
+    * — Spark's partition discovery rejects leaves at mixed depths — so
+    * a day-zero path that is about to pin a bucketed store first clears
+    * the stale flat schema frame. Refuses to touch a store that holds
+    * actual rows: only a frame that reads as ZERO rows (pure schema,
+    * no frozen state) is safe to drop. No-op when the root holds no
+    * data files. */
+  def sweepZeroRowBootstrap(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val dataFiles = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (dataFiles.isEmpty) return
+    require(scala.util.Try(spark.read.parquet(dir).isEmpty).getOrElse(false),
+      s"sweepZeroRowBootstrap: store at $dir holds rows — refusing to sweep")
+    dataFiles.foreach(s => fs.delete(s.getPath, false): Unit)
+  }
+
   /** Pin a family-tagged parameter map on a freshly-written store
     * (call it AFTER the data lands: an overwrite deletes the target
     * dir, so a leading sidecar would be wiped). */
@@ -128,10 +151,23 @@ object StoreMeta {
             "across sketch families")
         Some(m)
       case None =>
-        require(!hasData(spark, dir),
-          s"$family store at $dir has data but no _graft_meta sidecar " +
-            "(pre-pin layout): rebuild through its write-store face, or " +
-            "stamp the sidecar with the parameters it was built with")
+        // A data-bearing dir can still be DAY ZERO: the empty-store
+        // bootstrap (write a limit(0) parquet frame, then pin) is two
+        // non-atomic steps, and a crash between them leaves zero-ROW
+        // parquet files with no sidecar. Rows are the discriminator —
+        // zero rows carry no frozen parameters, so re-pinning is safe
+        // and the stream's own bootstrap crash window self-heals
+        // instead of permanently fail-fasting against its own store.
+        // The probe runs only on this (rare) path, never per call; a
+        // dir whose files don't even read as parquet stays a fail.
+        if (hasData(spark, dir)) {
+          val zeroRows = scala.util.Try(
+            spark.read.parquet(dir).isEmpty).getOrElse(false)
+          require(zeroRows,
+            s"$family store at $dir has data but no _graft_meta sidecar " +
+              "(pre-pin layout): rebuild through its write-store face, or " +
+              "stamp the sidecar with the parameters it was built with")
+        }
         None
     }
 }

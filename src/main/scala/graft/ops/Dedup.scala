@@ -287,12 +287,24 @@ object Dedup {
   /** Pin a freshly-written MinHash signature store (data must already
     * be on disk — an overwrite deletes the target dir first). Also the
     * streaming bootstrap's pin (EventStreams creates the store empty
-    * on first contact and stamps it through this). */
+    * on first contact and stamps it through this). `kb` freezes the
+    * doc-id bucket modulus of the store's `__kb=` layout — the r16
+    * pruned-novelty discipline: appends anti-join only the buckets the
+    * delta's ids hash into. */
   private[graft] def pinMinHashStore(spark: org.apache.spark.sql.SparkSession,
                                      path: String, numHashes: Int,
-                                     shingleN: Int): Unit =
+                                     shingleN: Int,
+                                     kb: Int = graft.etl.Sinks.DefaultLogBuckets): Unit =
     graft.etl.StoreMeta.pinFamily(spark, path, MinHashFamily, Map(
-      "num_hashes" -> numHashes.toString, "shingle_n" -> shingleN.toString))
+      "num_hashes" -> numHashes.toString, "shingle_n" -> shingleN.toString,
+      "kb" -> kb.toString))
+
+  /** A signature/token/hood store's pinned novelty-bucket modulus;
+    * None = a pre-r16 FLAT layout, which appends keep serving through
+    * the unpruned anti-join (correct, just O(store) — rebuild to adopt
+    * the pruned path). */
+  private[graft] def pinnedKb(m: Map[String, String]): Option[Int] =
+    m.get("kb").map(_.toInt)
 
   /** The store's pinned (numHashes, shingleN) — fail-fast on a pre-pin
     * or foreign-family store, or on an explicit caller expectation
@@ -327,10 +339,17 @@ object Dedup {
     * after deduping it. */
   def writeMinHashSignatures(df: DataFrame, idCol: String, textCol: String,
                              path: String, numHashes: Int = DefaultNumHashes,
-                             shingleN: Int = DefaultShingleN): Unit = {
+                             shingleN: Int = DefaultShingleN,
+                             kb: Int = graft.etl.Sinks.DefaultLogBuckets): Unit = {
+    // bucketed by doc-id hash (the r16 keyed-log layout): one build-time
+    // exchange buys every later append a delta-pruned novelty read —
+    // the repartition clusters each bucket into one write task, so the
+    // store lands as kb files, not tasks×kb
     minHashPerDoc(df, idCol, textCol, numHashes, shingleN)
-      .write.mode("overwrite").parquet(path)
-    pinMinHashStore(df.sparkSession, path, numHashes, shingleN)
+      .withColumn("__kb", pmod(xxhash64(col("__id")), lit(kb)).cast("int"))
+      .repartition(col("__kb"))
+      .write.mode("overwrite").partitionBy("__kb").parquet(path)
+    pinMinHashStore(df.sparkSession, path, numHashes, shingleN, kb)
   }
 
   /** Append a delta's signatures to a pinned [[writeMinHashSignatures]]
@@ -342,8 +361,25 @@ object Dedup {
   def appendMinHashSignatures(delta: DataFrame, idCol: String,
                               textCol: String, path: String): Long = {
     val (nh, sn) = minHashStoreParams(delta.sparkSession, path)
-    graft.etl.Sinks.idempotentAppend(
-      minHashPerDoc(delta, idCol, textCol, nh, sn), path, Seq("__id"))
+    appendSignatureRows(minHashPerDoc(delta, idCol, textCol, nh, sn), path)
+  }
+
+  /** Append PRE-COMPUTED signature rows (a `minHashPerDoc` frame at
+    * the store's pinned parameters) idempotent on the doc id — the
+    * entry the streaming faces use so a micro-batch is signed exactly
+    * once. The novelty anti-join is bucket-pruned when the pin carries
+    * `kb` (every store written at r16+ HEAD); a legacy flat store
+    * keeps the unpruned path. */
+  private[graft] def appendSignatureRows(sigs: DataFrame, path: String): Long = {
+    val m = graft.etl.StoreMeta.requireFamily(sigs.sparkSession, path,
+        MinHashFamily)
+      .getOrElse(sys.error(s"no MinHash signature store at $path"))
+    pinnedKb(m) match {
+      case Some(kb) =>
+        graft.etl.Sinks.bucketedNoveltyAppend(sigs, path, Seq("__id"), kb)
+      case None =>
+        graft.etl.Sinks.idempotentAppend(sigs, path, Seq("__id"))
+    }
   }
 
   /** Near-dup pairs of a DELTA batch against a persisted signature
@@ -385,7 +421,14 @@ object Dedup {
     require(pinnedNh == numHashes,
       s"delta signatures were built at numHashes=$numHashes but the store " +
         s"at $storePath is pinned to $pinnedNh — refusing the band join")
-    val store = spark.read.parquet(storePath)
+    // hasData, not a bare read: a just-pinned bootstrap store holds
+    // only the sidecar (pin leads data), and the bucketed layout adds
+    // a `__kb` partition column the signature frames don't carry —
+    // select the delta's columns so both layouts union cleanly
+    val store =
+      if (graft.etl.StoreMeta.hasData(spark, storePath))
+        spark.read.parquet(storePath).select(deltaSig.columns.map(col): _*)
+      else deltaSig.limit(0)
     val all = store.unionByName(deltaSig)
     val l = bandedFromPerDoc(deltaSig, numHashes, bands)
       .select(col("band"), col("band_hash"), col("__id").as("id_a"))
@@ -620,28 +663,40 @@ object Dedup {
     * count: a store from a different-geometry build cannot be probed,
     * only re-signed. */
   def writeSimHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                             path: String): Unit = {
+                             path: String,
+                             kb: Int = graft.etl.Sinks.DefaultLogBuckets): Unit = {
+    // same r16 keyed-log layout as the MinHash store: bucketed by
+    // doc-id hash so appends prune their novelty read
     simHashSignatures(df, idCol, textCol)
-      .write.mode("overwrite").parquet(path)
+      .withColumn("__kb", pmod(xxhash64(col("__id")), lit(kb)).cast("int"))
+      .repartition(col("__kb"))
+      .write.mode("overwrite").partitionBy("__kb").parquet(path)
     graft.etl.StoreMeta.pinFamily(df.sparkSession, path, SimHashFamily, Map(
-      "bits" -> SimHashBits.toString, "hash" -> "poly1"))
+      "bits" -> SimHashBits.toString, "hash" -> "poly1",
+      "kb" -> kb.toString))
   }
 
   /** Append a delta's 8-byte signatures to a pinned
     * [[writeSimHashSignatures]] store, idempotent on the doc id; the
-    * pin guard refuses a foreign-geometry store first. Returns
-    * inserted row count. */
+    * pin guard refuses a foreign-geometry store first. Bucket-pruned
+    * novelty read when the pin carries `kb` (every r16+ store).
+    * Returns inserted row count. */
   def appendSimHashSignatures(delta: DataFrame, idCol: String,
                               textCol: String, path: String): Long = {
-    requireSimHashStore(delta.sparkSession, path)
-    graft.etl.Sinks.idempotentAppend(
-      simHashSignatures(delta, idCol, textCol), path, Seq("__id"))
+    val m = requireSimHashStore(delta.sparkSession, path)
+    val sigs = simHashSignatures(delta, idCol, textCol)
+    pinnedKb(m) match {
+      case Some(kb) =>
+        graft.etl.Sinks.bucketedNoveltyAppend(sigs, path, Seq("__id"), kb)
+      case None =>
+        graft.etl.Sinks.idempotentAppend(sigs, path, Seq("__id"))
+    }
   }
 
   /** Fail-fast resolution of a SimHash store's pin against this
     * build's constants. */
   private def requireSimHashStore(spark: org.apache.spark.sql.SparkSession,
-                                  path: String): Unit = {
+                                  path: String): Map[String, String] = {
     val m = graft.etl.StoreMeta.requireFamily(spark, path, SimHashFamily)
       .getOrElse(sys.error(s"no SimHash signature store at $path"))
     val bits = metaInt(m, path, "bits")
@@ -650,6 +705,7 @@ object Dedup {
         s"hash=${m.getOrElse("hash", "?")} but this build signs at " +
         s"bits=$SimHashBits hash=poly1 — Hamming distances across " +
         "geometries are meaningless; rebuild the store")
+    m
   }
 
   /** INCREMENTAL SimHash near-dups: a delta batch against a persisted
@@ -665,9 +721,13 @@ object Dedup {
                                  storePath: String, maxHamming: Int = 3,
                                  saltBuckets: Int = 1): DataFrame = {
     val spark = delta.sparkSession
-    requireSimHashStore(spark, storePath)
+    requireSimHashStore(spark, storePath): Unit
     val deltaSig = simHashSignatures(delta, idCol, textCol).localCheckpoint()
-    val all = spark.read.parquet(storePath).unionByName(deltaSig)
+    // select the delta's columns: the bucketed layout carries a `__kb`
+    // partition column the signature frame doesn't
+    val all = spark.read.parquet(storePath)
+      .select(deltaSig.columns.map(col): _*)
+      .unionByName(deltaSig)
     def banded(sigs: DataFrame) = sigs
       .withColumn("__b", explode(array((0 until SimHashBands).map { bd =>
         struct(lit(bd).as("band"),

@@ -88,16 +88,23 @@ object FuzzyJoin {
     * blockCols) freeze into a family-tagged `_graft_meta` sidecar. */
   def writeHoodIndex(reps: DataFrame, idCol: String, strCol: String,
                      path: String, maxDist: Int = 1,
-                     blockCols: Seq[String] = Nil): Unit = {
+                     blockCols: Seq[String] = Nil,
+                     kb: Int = graft.etl.Sinks.DefaultLogBuckets): Unit = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2, got $maxDist")
+    // bucketed by rep-id hash (the r16 keyed-log layout): a rep's hood
+    // rows colocate, so the append face's existing-rid anti-join reads
+    // only delta-touched buckets
     keyedHoods(
       reps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
         blockCols.map(col): _*), "__s", maxDist, blockCols)
-      .write.mode("overwrite").parquet(path)
+      .withColumn("__kb", pmod(xxhash64(col("__rid")), lit(kb)).cast("int"))
+      .repartition(col("__kb"))
+      .write.mode("overwrite").partitionBy("__kb").parquet(path)
     graft.etl.StoreMeta.pinFamily(reps.sparkSession, path, HoodFamily, Map(
       "max_dist" -> maxDist.toString,
-      "block_cols" -> blockCols.mkString(",")))
+      "block_cols" -> blockCols.mkString(","),
+      "kb" -> kb.toString))
   }
 
   /** Resolve a hood index's pinned maxDist, fail-fast on a pre-pin or
@@ -105,7 +112,13 @@ object FuzzyJoin {
     * (`expectMaxDist > 0`), or blockCols that differ from the pin. */
   private def hoodIndexMaxDist(spark: org.apache.spark.sql.SparkSession,
                                path: String, expectMaxDist: Int,
-                               blockCols: Seq[String]): Int = {
+                               blockCols: Seq[String]): Int =
+    hoodIndexPin(spark, path, expectMaxDist, blockCols)._1
+
+  /** [[hoodIndexMaxDist]] plus the full pin map (for `kb`). */
+  private def hoodIndexPin(spark: org.apache.spark.sql.SparkSession,
+                           path: String, expectMaxDist: Int,
+                           blockCols: Seq[String]): (Int, Map[String, String]) = {
     val m = graft.etl.StoreMeta.requireFamily(spark, path, HoodFamily)
       .getOrElse(sys.error(s"no hood index at $path"))
     require(m.contains("max_dist"),
@@ -121,7 +134,7 @@ object FuzzyJoin {
         s"the caller probes with [${blockCols.mkString(",")}] — block " +
         "values are hashed into every stored key; the probe would be " +
         "silently empty")
-    md
+    (md, m)
   }
 
   /** Append a delta's hood rows to a pinned [[writeHoodIndex]] index —
@@ -133,12 +146,17 @@ object FuzzyJoin {
   def appendHoodIndex(deltaReps: DataFrame, idCol: String, strCol: String,
                       path: String, maxDist: Int = 0,
                       blockCols: Seq[String] = Nil): Long = {
-    val md = hoodIndexMaxDist(deltaReps.sparkSession, path, maxDist, blockCols)
-    graft.etl.Sinks.idempotentAppend(
-      keyedHoods(
-        deltaReps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
-          blockCols.map(col): _*), "__s", md, blockCols),
-      path, Seq("__rid"))
+    val (md, m) = hoodIndexPin(deltaReps.sparkSession, path, maxDist, blockCols)
+    val hoods = keyedHoods(
+      deltaReps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
+        blockCols.map(col): _*), "__s", md, blockCols)
+    // bucket-pruned novelty read when the pin carries kb (r16+ stores)
+    m.get("kb").map(_.toInt) match {
+      case Some(kb) =>
+        graft.etl.Sinks.bucketedNoveltyAppend(hoods, path, Seq("__rid"), kb)
+      case None =>
+        graft.etl.Sinks.idempotentAppend(hoods, path, Seq("__rid"))
+    }
   }
 
   /** Incremental fuzzy pairs: `deltaReps` against the persisted hood
@@ -161,7 +179,15 @@ object FuzzyJoin {
     val d = keyedHoods(
       deltaReps.select(col(idCol).as("__rid") +: col(strCol).as("__s") +:
         blockCols.map(col): _*), "__s", md, blockCols)
-    val right = spark.read.parquet(indexPath)
+    // hasData + column-select: a just-pinned day-zero index holds only
+    // the sidecar (the zero-row bucketed overwrite writes no files),
+    // and the bucketed layout carries a `__kb` partition column the
+    // delta hood frame doesn't
+    val storeRows =
+      if (graft.etl.StoreMeta.hasData(spark, indexPath))
+        spark.read.parquet(indexPath).select(d.columns.map(col): _*)
+      else d.limit(0)
+    val right = storeRows
       .withColumn("__in_store", lit(true))
       .unionByName(d.withColumn("__in_store", lit(false)))
       .select(col("__rid").as("__rid_b") +: col("__s").as("__s_b") +:

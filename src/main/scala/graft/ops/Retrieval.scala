@@ -145,11 +145,6 @@ object Retrieval {
         !n.startsWith("_") && !n.startsWith(".")
       }
     }
-    def novelAgainst(base: DataFrame, store: String): DataFrame =
-      (if (hasData(store))
-        base.join(spark.read.parquet(store).select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-      else base).localCheckpoint() // materialize before touching the store
     val nb = indexBuckets(spark, path)
     // pin the modulus BEFORE the first append (append never deletes
     // the dir, so the sidecar can lead the data; a crash in between
@@ -161,9 +156,28 @@ object Retrieval {
       split(col(textCol), " ").as("ws"))
       .withColumn("dl", size(col("ws")))
     // postings first: only token-bearing docs ever have posting rows,
-    // so keying this artifact on its own doc ids stays stable
-    val novelP = novelAgainst(base.filter(size(col("ws")) > 0),
-      s"$path/postings")
+    // so keying this artifact on its own doc ids stays stable. The
+    // novelty read is PRUNED to the DELTA'S OWN term buckets (r16):
+    // a previously-appended doc's postings live in its own terms'
+    // buckets, and the delta recomputes the same term set from the
+    // same text (same-id-different-text is an upsert — outside this
+    // store's contract like every immutable artifact here), so
+    // scanning only those dirs finds every stored delta doc — the id
+    // read is delta-term-bucket-sized, not index-sized (the
+    // appendToIndex signature-pruning recipe).
+    val toks = base.filter(size(col("ws")) > 0)
+    val novelP =
+      (if (hasData(s"$path/postings")) {
+        val deltaTbs = toks
+          .select(explode(col("ws")).as("w"))
+          .select(termBucket(col("w"), nb).as("tb")).distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ nb rows, driver-bounded
+        toks.join(
+          spark.read.parquet(s"$path/postings")
+            .filter(col("tb").isin(deltaTbs: _*)) // partition-pruned
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      } else toks).localCheckpoint() // materialize before touching the store
     if (!novelP.isEmpty)
       novelP.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
         .groupBy(col("doc_id"), col("dl"), col("w"))
@@ -171,12 +185,10 @@ object Retrieval {
         .withColumn("tb", termBucket(col("w"), nb))
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-    val novelD = novelAgainst(base, s"$path/docs")
-    val n = novelD.count()
-    if (n > 0)
-      novelD.select(col("doc_id"), col("dl"))
-        .write.mode("append").parquet(s"$path/docs")
-    n
+    // doc-length sidecar: a self-pinning bucketed keyed log — the
+    // existing-id anti-join reads only the delta's own `__kb=` dirs
+    graft.etl.Sinks.idempotentAppendBucketed(
+      base.select(col("doc_id"), col("dl")), s"$path/docs", Seq("doc_id"))
   }
 
   /** Fold the index's append-accumulated small files
@@ -192,7 +204,22 @@ object Retrieval {
                        path: String): Seq[String] =
     graft.etl.BucketCompaction.compactStore(spark, s"$path/postings", "tb")
       .map(d => s"postings/$d") ++
-      graft.etl.BucketCompaction.compactDirs(spark, path, Seq("docs"))
+      graft.etl.BucketCompaction.compactStore(spark, s"$path/docs", "__kb")
+        .map(d => s"docs/$d")
+
+  /** Heal both swap sites a crashed [[compactBm25Index]] can leave —
+    * term-bucket dirs parked inside `postings/` and the `docs` sidecar
+    * parked at the index root. Call at the TOP of a maintained
+    * stream's foreachBatch body, BEFORE the append's novelty reads: a
+    * live dir absent mid-swap would read as "all novel", re-append
+    * stored docs, and hand the next compaction's heal a live dir to
+    * justify sweeping the parked full store. */
+  def healBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
+    graft.etl.BucketCompaction.heal(spark, path)
+    graft.etl.BucketCompaction.heal(spark, s"$path/postings")
+    graft.etl.BucketCompaction.heal(spark, s"$path/docs")
+  }
 
   /** BM25 over the persisted index: the scan prunes to the query
     * terms' bucket dirs (partition filter on tb — asserted in

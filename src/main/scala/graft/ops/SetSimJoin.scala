@@ -107,11 +107,17 @@ object SetSimJoin {
     * the stored corpus is never re-shingled) — with shingleN frozen in
     * a family-tagged `_graft_meta` sidecar. */
   def writeTokenStore(df: DataFrame, idCol: String, textCol: String,
-                      path: String, shingleN: Int = DefaultShingleN): Unit = {
+                      path: String, shingleN: Int = DefaultShingleN,
+                      kb: Int = graft.etl.Sinks.DefaultLogBuckets): Unit = {
+    // bucketed by doc-id hash (the r16 keyed-log layout): a doc's
+    // token rows colocate in one `__kb=` dir, so the append face's
+    // existing-id anti-join reads only delta-touched buckets
     tokenRows(df, idCol, textCol, shingleN)
-      .write.mode("overwrite").parquet(path)
+      .withColumn("__kb", pmod(xxhash64(col("__id")), lit(kb)).cast("int"))
+      .repartition(col("__kb"))
+      .write.mode("overwrite").partitionBy("__kb").parquet(path)
     graft.etl.StoreMeta.pinFamily(df.sparkSession, path, TokenFamily,
-      Map("shingle_n" -> shingleN.toString))
+      Map("shingle_n" -> shingleN.toString, "kb" -> kb.toString))
   }
 
   /** Bucketed token store (catalog table, bucketBy __tok) — the j9
@@ -141,8 +147,24 @@ object SetSimJoin {
   def appendTokenStore(delta: DataFrame, idCol: String, textCol: String,
                        path: String, shingleN: Int = 0): Long = {
     val sn = tokenStoreShingleN(delta.sparkSession, path, shingleN)
-    graft.etl.Sinks.idempotentAppend(
-      tokenRows(delta, idCol, textCol, sn), path, Seq("__id"))
+    appendTokenRows(tokenRows(delta, idCol, textCol, sn), path)
+  }
+
+  /** Append PRE-COMPUTED token rows (a `tokenRows` frame at the
+    * store's pinned shingleN) idempotent on the doc id — the streaming
+    * face's entry, so a micro-batch shingles exactly once. The novelty
+    * anti-join is bucket-pruned when the pin carries `kb` (every
+    * r16+ store); a legacy flat store keeps the unpruned path. */
+  private[graft] def appendTokenRows(dRows: DataFrame, path: String): Long = {
+    val m = graft.etl.StoreMeta.requireFamily(dRows.sparkSession, path,
+        TokenFamily)
+      .getOrElse(sys.error(s"no token store at $path"))
+    m.get("kb").map(_.toInt) match {
+      case Some(kb) =>
+        graft.etl.Sinks.bucketedNoveltyAppend(dRows, path, Seq("__id"), kb)
+      case None =>
+        graft.etl.Sinks.idempotentAppend(dRows, path, Seq("__id"))
+    }
   }
 
   /** Exact verification on per-document digest arrays, shared by
@@ -283,7 +305,14 @@ object SetSimJoin {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val spark = dRows.sparkSession
-    val all = spark.read.parquet(storePath).unionByName(dRows)
+    // hasData + column-select: a just-pinned bootstrap store holds only
+    // the sidecar (pin leads data), and the bucketed layout carries a
+    // `__kb` partition column the token frame doesn't
+    val store =
+      if (graft.etl.StoreMeta.hasData(spark, storePath))
+        spark.read.parquet(storePath).select(dRows.columns.map(col): _*)
+      else dRows.limit(0)
+    val all = store.unionByName(dRows)
     val freq = all.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     val ranked = dRows.join(freq, "__tok")
       .withColumn("__rk", row_number().over(

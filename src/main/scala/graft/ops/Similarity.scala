@@ -1190,10 +1190,15 @@ object Similarity {
       col(vecCol).cast("array<double>").as("__cv"))
     val rows = assignToSeeds(d0, seeds)
       .withColumn("__cb", pmod(col("cluster_id"), lit(cb)))
-    val n = graft.etl.Sinks.idempotentAppendPartitioned(
-      rows, dir, Seq("__vid"), "__cb")
+    // pin BEFORE the first data write (append mode never deletes the
+    // sidecar): the old data-then-pin order left a crash window where
+    // a data-bearing unpinned dir permanently fail-fasted every later
+    // replay against the stream's own store. A crash after the pin
+    // but before the data leaves a sidecar-only dir, which every
+    // reader treats as day-zero-with-known-parameters.
     if (pinned.isEmpty) pinAssignments(spark, dir, cb)
-    n
+    graft.etl.Sinks.idempotentAppendPartitioned(
+      rows, dir, Seq("__vid"), "__cb")
   }
 
   /** INCREMENTAL SemDeDup: dedup a DELTA batch against a persisted
@@ -1230,10 +1235,12 @@ object Similarity {
     // rows, so the default there only shapes the schema
     val cb = assignmentBuckets(spark, s"$storePath/assignments", 0)
       .getOrElse(DefaultAssignmentBuckets)
+    // hasData, not a bare exists: the pin now LEADS the first append,
+    // so a crash inside that window leaves a sidecar-only dir — a
+    // parquet read would fail schema inference on it, but it is just
+    // an empty prior corpus
     val store =
-      if (new org.apache.hadoop.fs.Path(s"$storePath/assignments")
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(new org.apache.hadoop.fs.Path(s"$storePath/assignments")))
+      if (graft.etl.StoreMeta.hasData(spark, s"$storePath/assignments"))
         spark.read.parquet(s"$storePath/assignments")
       else assigned.limit(0).withColumn("__cb", pmod(col("cluster_id"), lit(cb)))
     val x = assigned.select(col("cluster_id"), col("__vid").as("id_x"),

@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DELETION / RETRACTION — the lifecycle verb the append-only store
+  * families gained in round 16 (r15 verdict #2): given document ids, a
+  * takedown removes their rows from the persisted artifacts WITHOUT a
+  * full rebuild — compliance deletes, opt-outs and post-hoc
+  * contamination discoveries are routine in a 100 TB training-data
+  * pipeline (the reference never needed the verb only because Postgres
+  * `DELETE` was free on every table it owned —
+  * /root/reference/database/lambda/schema.sql's unique-keyed tables).
+  *
+  * Scale shape: every store this operates on is bucketed (`__kb=` by
+  * key hash for the keyed logs/signature/token/hood stores; `cb=` by
+  * component for the label store), so a takedown rewrites ONLY the
+  * buckets holding deleted rows:
+  *
+  *  - [[deleteKeys]]: the bucket of a key is a pure function of the
+  *    key under the pinned modulus, so both the hit scan and the
+  *    rewrite read O(deleted ids' buckets) — the store is never
+  *    scanned;
+  *  - [[deletePairsTouching]]: a pair log is bucketed on the PAIR, so
+  *    a member's pairs can live anywhere — ONE column-pruned scan
+  *    finds the hit buckets, and only those rewrite;
+  *  - [[deleteFromComponentStore]]: removing docs can split a
+  *    component and move its min-label, so the affected components —
+  *    and ONLY those — are recomputed from the surviving pair log and
+  *    their buckets rewritten (the mergeComponentStoreDelta touched-
+  *    bucket discipline in reverse).
+  *
+  * Crash safety: rewrites go through the staged-swap protocol
+  * (`<dir>__compact_tmp` / `__compact_old` — the exact windows
+  * [[graft.etl.BucketCompaction.heal]] already owns), and a takedown
+  * is IDEMPOTENT: a replay finds no remaining hits and rewrites
+  * nothing, while a crash mid-swap heals on the next call and the
+  * re-run removes exactly the still-present rows.
+  *
+  * Exactness contract (oracle-gated in del1/del2/del3): after
+  * `delete(ids)`, every artifact equals the one built from
+  * corpus-minus-ids — for the component store because a near-dup pair
+  * is a PAIRWISE predicate (deleting a doc never creates or destroys
+  * other docs' pairs), so full-rebuild components over the survivors
+  * equal CC over the surviving pair log.
+  *
+  * Type contract: `ids` must carry the key column's WRITE-time type
+  * (xxhash64 of an int and of a long differ — a mistyped id set would
+  * silently probe the wrong buckets). The registered faces derive ids
+  * from the same columns the stores were keyed on.
+  */
+object Takedown {
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Rewrite the named hit buckets of a `__kb=`-bucketed store,
+    * keeping only `keepOf`'s rows (the exact complement of `dropOf`'s,
+    * supplied separately so no all-column join is needed). Returns
+    * rows removed. ONE job writes every hit bucket's kept rows to a
+    * staged `__takedown_tmp` store (readers ignore it —
+    * underscore-prefixed, no `=`); the per-bucket swaps are
+    * driver-side renames in the exact crash windows
+    * [[graft.etl.BucketCompaction.heal]] owns; a bucket whose rows are
+    * ALL dropped is deleted outright. */
+  private def rewriteWithout(spark: SparkSession, path: String,
+                             hitBuckets: Seq[Int],
+                             dropOf: DataFrame => DataFrame,
+                             keepOf: DataFrame => DataFrame): Long = {
+    if (hitBuckets.isEmpty) return 0L
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return 0L
+    graft.etl.BucketCompaction.heal(spark, path)
+    if (!graft.etl.StoreMeta.hasData(spark, path)) return 0L
+    val bucketRows = spark.read.parquet(path)
+      .filter(col("__kb").isin(hitBuckets: _*)) // partition-pruned
+    val removed = dropOf(bucketRows).count()
+    if (removed == 0) return 0L
+    val tmpRoot = new org.apache.hadoop.fs.Path(p, "__takedown_tmp")
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
+    keepOf(bucketRows).repartition(col("__kb"))
+      .write.mode("overwrite").partitionBy("__kb").parquet(tmpRoot.toString)
+    hitBuckets.foreach { b =>
+      val staged = new org.apache.hadoop.fs.Path(tmpRoot, s"__kb=$b")
+      val live = new org.apache.hadoop.fs.Path(p, s"__kb=$b")
+      if (fs.exists(live)) {
+        if (fs.exists(staged)) {
+          val tmp = new org.apache.hadoop.fs.Path(p, s"__kb=${b}__compact_tmp")
+          val old = new org.apache.hadoop.fs.Path(p, s"__kb=${b}__compact_old")
+          require(fs.rename(staged, tmp),
+            s"Takedown: stage $staged -> $tmp failed")
+          require(fs.rename(live, old), s"Takedown: park $live -> $old failed")
+          require(fs.rename(tmp, live), s"Takedown: publish $tmp -> $live failed")
+          fs.delete(old, true): Unit
+        } else {
+          // every row of this bucket was dropped
+          fs.delete(live, true): Unit
+        }
+      }
+    }
+    fs.delete(tmpRoot, true): Unit
+    removed
+  }
+
+  /** The pinned `kb` of a bucketed store, whatever family pinned it
+    * (the keyed logs' own `keyed_log`, or the signature/token/hood
+    * families that carry `kb` beside their layout parameters). */
+  private def pinnedKb(spark: SparkSession, path: String): Int = {
+    val m = graft.etl.StoreMeta.readParams(spark, path).getOrElse(
+      sys.error(s"Takedown: no _graft_meta sidecar at $path — " +
+        "takedown needs the bucketed (r16) layout; rebuild the store"))
+    require(m.contains("kb"),
+      s"Takedown: store at $path pins no 'kb' (pre-r16 flat layout) — " +
+        s"rebuild it bucketed to gain the takedown verb; sidecar: $m")
+    m("kb").toInt
+  }
+
+  /** KEYED takedown: remove every row whose `keyCol` appears in `ids`
+    * from a `__kb=`-bucketed keyed store (signature stores keyed
+    * `__id`, token stores `__id`, hood indexes `__rid`, single-key
+    * logs). End-to-end O(deleted ids' buckets): the ids hash to their
+    * buckets under the PINNED kb — the same expression that bucketed
+    * the writes — so the hit scan never touches any other directory.
+    * Returns rows removed. */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+                 ids: DataFrame): Long = {
+    val kb = pinnedKb(spark, path)
+    val keyed = ids.toDF(keyCol).localCheckpoint()
+    val hit = keyed
+      .select(graft.etl.Sinks.keyBucket(Seq(keyCol), kb).as("__kb"))
+      .distinct().collect().map(_.getInt(0)).toSeq // ≤ kb, driver-bounded
+    rewriteWithout(spark, path, hit,
+      rows => rows.join(keyed, Seq(keyCol), "left_semi"),
+      rows => rows.join(keyed, Seq(keyCol), "left_anti"))
+  }
+
+  /** PAIR-LOG takedown: remove every pair with EITHER side in `ids`
+    * from a keyed log bucketed on the pair (id_a, id_b). A member's
+    * pairs are scattered across buckets (the pair hash, not the
+    * member, picks the dir), so ONE column-pruned scan of the two id
+    * columns finds the hit buckets; only those rewrite. Returns rows
+    * removed. */
+  def deletePairsTouching(spark: SparkSession, path: String,
+                          ids: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b"): Long = {
+    pinnedKb(spark, path): Unit // fail-fast on a pre-r16 layout
+    if (!graft.etl.StoreMeta.hasData(spark, path)) return 0L
+    val one = ids.toDF("__del").localCheckpoint()
+    // drop = a ∈ ids OR b ∈ ids; keep = a ∉ ids AND b ∉ ids. Both as
+    // composed semi/anti joins so the id set stays distributed.
+    def dropOf(rows: DataFrame): DataFrame =
+      rows.join(one.select(col("__del").as(aCol)), Seq(aCol), "left_semi")
+        .unionByName(
+          rows.join(one.select(col("__del").as(bCol)), Seq(bCol), "left_semi")
+            .select(rows.columns.map(col): _*))
+        .dropDuplicates(aCol, bCol)
+    def keepOf(rows: DataFrame): DataFrame =
+      rows.join(one.select(col("__del").as(aCol)), Seq(aCol), "left_anti")
+        .join(one.select(col("__del").as(bCol)), Seq(bCol), "left_anti")
+    val hit = dropOf(spark.read.parquet(path))
+      .select(col("__kb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    rewriteWithout(spark, path, hit, dropOf, keepOf)
+  }
+
+  /** COMPONENT-STORE takedown: remove the deleted nodes and recompute
+    * the labels of exactly the components they belonged to, from the
+    * surviving pair log. Unaffected components are provably untouched
+    * (their pairs name no deleted node), and no surviving pair can
+    * cross an affected/unaffected boundary (two paired docs are BY
+    * DEFINITION in the same component), so recomputing CC over the
+    * affected members' surviving pairs — then rewriting only the old
+    * and new label buckets (dynamic partition overwrite over rows read
+    * from BOTH, the mergeComponentStoreDelta closure; emptied dirs
+    * deleted) — equals the full rebuild on corpus-minus-deleted
+    * bit-for-bit (del3 gates on d6's oracle with the deleted docs
+    * filtered out). A member whose pairs ALL died leaves the store:
+    * the rebuild's CC would never see it. Returns the touched bucket
+    * ids (empty = no deleted node was stored). */
+  def deleteFromComponentStore(spark: SparkSession, path: String,
+                               pairs: DataFrame, aCol: String, bCol: String,
+                               ids: DataFrame): Seq[Long] = {
+    val store = Dedup.readComponentStore(spark, path)
+    val n = Dedup.readComponentStoreMeta(spark, path).getOrElse(
+      sys.error(s"Takedown: no component store meta at $path"))
+    val del = ids.toDF("node").localCheckpoint()
+    // the deleted nodes' components: one two-column columnar scan (the
+    // store is bucketed by COMPONENT, so a node lookup cannot prune —
+    // the read side is the layout's documented full-scan face)
+    val affected = store.join(del, Seq("node"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint()
+    if (affected.isEmpty) return Seq.empty
+    val affectedCb = affected
+      .select(pmod(col("component"), lit(n.toLong)).as("cb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    // members of affected components, from the pruned buckets only
+    val members = store.filter(col("cb").isin(affectedCb: _*))
+      .join(affected, Seq("component"), "left_semi")
+      .select(col("node")).localCheckpoint()
+    // surviving internal pairs: both sides members, neither deleted
+    val p0 = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val surviving = p0
+      .join(members.select(col("node").as("__a")), Seq("__a"), "left_semi")
+      .join(members.select(col("node").as("__b")), Seq("__b"), "left_semi")
+      .join(del.select(col("node").as("__a")), Seq("__a"), "left_anti")
+      .join(del.select(col("node").as("__b")), Seq("__b"), "left_anti")
+      .localCheckpoint()
+    // exact CC over the affected subgraph alone (near-dup components
+    // are small; this is affected-sized, never corpus-sized)
+    val relabeled = Dedup.connectedComponents(surviving, "__a", "__b")
+      .localCheckpoint()
+    // fragments' new min-labels can land in buckets the delete never
+    // touched — those strangers must ride through the rewrite or the
+    // dynamic overwrite would wipe them (the mergeComponentStoreDelta
+    // touched = old ∪ new closure)
+    val newCb = relabeled.select(pmod(col("component"), lit(n.toLong)).as("cb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val touched = (affectedCb ++ newCb).distinct.sorted
+    val out = store.filter(col("cb").isin(touched: _*))
+      .join(affected, Seq("component"), "left_anti") // strangers stay
+      .select(col("node"), col("component"))
+      .unionByName(relabeled)
+      .withColumn("cb", pmod(col("component"), lit(n.toLong)))
+      .localCheckpoint() // materialize BEFORE overwriting what it read
+    val present = out.select(col("cb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (present.nonEmpty)
+      graft.etl.Sinks.overwritePartitions(out, path, Seq("cb"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, p)
+    touched.filterNot(present).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cb=$b"), true): Unit
+    }
+    touched
+  }
+}

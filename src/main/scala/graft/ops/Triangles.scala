@@ -323,26 +323,88 @@ object Triangles {
     * unchanged (CompactionSpec) — and the `_graft_meta` sidecar (a
     * root file) is never touched, so the bucket modulus survives.
     * Run between batches, never racing a streaming merge. */
+  /** Heal every crash window a [[compactEdgeStore]] swap can leave —
+    * root-level (pre-(eb,o) `eb=X__compact_*`) AND the per-eb `o=Y`
+    * leaf swaps. Call at the TOP of a maintained stream's foreachBatch
+    * body, BEFORE any store read: a crash between a leaf's park and
+    * publish leaves that `o=` dir absent, the pruned adjacency read
+    * then misses its rows, the batch re-appends them as "novel", and
+    * the next compaction's heal — seeing a live dir again — sweeps
+    * the parked full bucket: silently lost adjacency plus
+    * double-counted increments. Healing first republishes the parked
+    * leaf so the read sees the complete store. Driver-side listing,
+    * bounded by the bucket count. */
+  def healEdgeStore(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    graft.etl.BucketCompaction.heal(spark, path)
+    fs.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.startsWith("eb=") &&
+        !q.getName.contains("__compact_"))
+      .foreach(q => graft.etl.BucketCompaction.heal(spark, q.toString))
+  }
+
   def compactEdgeStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      // heal ROOT-level crash artifacts first: pre-(eb,o) compaction
-      // staged its swaps at root (`eb=X__compact_old/tmp`), and the
-      // per-eb loop below filters those names out of its listing — a
-      // leftover parked dir with no live sibling would otherwise never
-      // republish and its bucket's adjacency would silently vanish
-      // from pruned reads
-      graft.etl.BucketCompaction.heal(spark, path)
-      fs.listStatus(p).map(_.getPath.getName)
-        .filter(n => n.startsWith("eb=") && !n.contains("__compact_"))
-        .sorted.toSeq.flatMap { eb =>
-          graft.etl.BucketCompaction.compactStore(spark, s"$path/$eb", "o")
-            .map(o => s"$eb/$o")
-        }
+    if (!fs.exists(p)) return Seq.empty
+    // heal EVERY crash window first: root-level (pre-(eb,o) layouts
+    // staged swaps at root) and the per-eb leaf swaps — a leftover
+    // parked dir with no live sibling would otherwise never republish
+    // and its bucket's adjacency would silently vanish from pruned
+    // reads
+    healEdgeStore(spark, path)
+    val ebs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("eb=") && !n.contains("__compact_"))
+      .sorted.toSeq
+    // leaves needing a fold, as (eb dir, o dir) names
+    val need = ebs.flatMap { eb =>
+      val ep = new org.apache.hadoop.fs.Path(p, eb)
+      fs.listStatus(ep).map(_.getPath.getName)
+        .filter(n => n.startsWith("o=") && !n.contains("__compact_"))
+        .filter(o => graft.etl.BucketCompaction
+          .dataFileCount(spark, s"$path/$eb/$o") > 1)
+        .sorted.map(o => (eb, o))
     }
+    if (need.isEmpty) return Seq.empty
+    // BATCHED (r16, the compactStore discipline at two levels): ONE
+    // job folds every needing leaf — o is 0/1, so `eb*2 + o` encodes
+    // the (eb, o) pair for an exact partition-pruned filter; the
+    // repartition clusters one output task per leaf, the staged store
+    // lands 1 file per leaf, and the per-leaf park→publish→sweep
+    // renames are driver-side metadata ops in the exact crash windows
+    // [[healEdgeStore]] already owns.
+    import org.apache.spark.sql.functions.{col, lit}
+    val enc = need.map { case (eb, o) =>
+      eb.stripPrefix("eb=").toLong * 2 + o.stripPrefix("o=").toLong }
+    val tmpRoot = new org.apache.hadoop.fs.Path(p, "__batchfold_tmp")
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
+    spark.read.parquet(path)
+      .filter((col("eb") * lit(2L) + col("o")).isin(enc: _*))
+      .repartition(col("eb"), col("o"))
+      .write.mode("overwrite").partitionBy("eb", "o")
+      .parquet(tmpRoot.toString)
+    need.foreach { case (eb, o) =>
+      val staged = new org.apache.hadoop.fs.Path(tmpRoot, s"$eb/$o")
+      if (fs.exists(staged)) {
+        val ebP = new org.apache.hadoop.fs.Path(p, eb)
+        val live = new org.apache.hadoop.fs.Path(ebP, o)
+        val tmp = new org.apache.hadoop.fs.Path(ebP, s"${o}__compact_tmp")
+        val old = new org.apache.hadoop.fs.Path(ebP, s"${o}__compact_old")
+        require(fs.rename(staged, tmp),
+          s"compactEdgeStore: stage $staged -> $tmp failed")
+        require(fs.rename(live, old),
+          s"compactEdgeStore: park $live -> $old failed")
+        require(fs.rename(tmp, live),
+          s"compactEdgeStore: publish $tmp -> $live failed")
+        fs.delete(old, true): Unit
+      }
+    }
+    fs.delete(tmpRoot, true): Unit
+    need.map { case (eb, o) => s"$eb/$o" }
   }
 
   /** The ≥1-novel-edge triangle increment from PRUNED adjacency — the

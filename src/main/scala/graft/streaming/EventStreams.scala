@@ -167,13 +167,26 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // heal BEFORE any bootstrap check or store read: a crash in the
+        // maintenance slot between park and publish leaves the live dir
+        // absent, and bootstrapping a fresh empty store there would make
+        // the next slot's heal sweep the parked full store
+        graft.etl.BucketCompaction.healAround(batch.sparkSession, storePath)
+        graft.etl.BucketCompaction.healAround(batch.sparkSession, pairsPath)
         val (sigs, pairs) = signAndProbeBatch(batch, idCol, textCol,
           storePath, threshold, numHashes, shingleN)
-        graft.etl.Sinks.idempotentAppend(pairs, pairsPath, Seq("id_a", "id_b"))
-        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id"))
+        // both sinks bucket-pruned (r16): the pair log self-pins
+        // `keyed_log`, the signature append resolves kb from the
+        // store's own pin — the novelty anti-joins read only the
+        // delta-touched `__kb=` dirs, never the whole accumulated log
+        graft.etl.Sinks.idempotentAppendBucketed(
+          pairs, pairsPath, Seq("id_a", "id_b"))
+        graft.ops.Dedup.appendSignatureRows(sigs, storePath)
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
-          graft.etl.BucketCompaction.compactFlatStore(batch.sparkSession, storePath)
-          graft.etl.BucketCompaction.compactFlatStore(batch.sparkSession, pairsPath): Unit
+          graft.etl.BucketCompaction.compactStore(
+            batch.sparkSession, storePath, "__kb")
+          graft.etl.BucketCompaction.compactStore(
+            batch.sparkSession, pairsPath, "__kb"): Unit
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -199,15 +212,30 @@ object EventStreams {
     val spark = batch.sparkSession
     val storeP = new org.apache.hadoop.fs.Path(storePath)
     val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (nh, sn) =
+    // pin-aware day-zero resolution: an absent store AND a zero-row
+    // unpinned one (this stream's own data-then-pin bootstrap crashed
+    // in between — requireFamily reads it as day zero) both take the
+    // caller's parameters and re-pin; only a PINNED store resolves
+    val pinned =
       if (fs.exists(storeP))
+        graft.etl.StoreMeta.requireFamily(spark, storePath, Dedup.MinHashFamily)
+      else None
+    val (nh, sn) =
+      if (pinned.isDefined)
         Dedup.minHashStoreParams(spark, storePath, numHashes, shingleN)
       else (if (numHashes > 0) numHashes else Dedup.DefaultNumHashes,
             if (shingleN > 0) shingleN else Dedup.DefaultShingleN)
     val sigs = Dedup.minHashPerDoc(batch, idCol, textCol, nh, sn)
       .localCheckpoint()
-    if (!fs.exists(storeP)) {
-      sigs.limit(0).write.parquet(storePath)
+    if (pinned.isEmpty) {
+      // a crashed pre-r16 data-then-pin bootstrap can leave a zero-row
+      // FLAT schema frame at the root; the bucketed `__kb=` layout
+      // cannot coexist with root data files (partition discovery
+      // rejects mixed depths), so sweep it — rows refuse — before
+      // pinning. Pin FIRST (append never deletes the sidecar): day
+      // zero is a sidecar-only dir every probe treats as an empty
+      // pinned store, so no schema frame is needed.
+      graft.etl.StoreMeta.sweepZeroRowBootstrap(spark, storePath)
       Dedup.pinMinHashStore(spark, storePath, nh, sn)
     }
     val pairs = Dedup.incrementalMinHashNearDupsFromSigs(
@@ -239,6 +267,9 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.Dedup
         val spark = batch.sparkSession
+        // heal the signature store's crash window before the bootstrap
+        // check inside signAndProbeBatch can re-create it empty
+        graft.etl.BucketCompaction.healAround(spark, storePath)
         val (sigs, pairs) = signAndProbeBatch(batch, idCol, textCol,
           storePath, threshold, numHashes, shingleN)
         // previous label version via the LABEL path's own FileSystem
@@ -258,11 +289,11 @@ object EventStreams {
         Dedup.mergeComponentLabels(prev, pairs, "id_a", "id_b")
           .write.mode("overwrite") // replay-idempotent: same ver, same fold
           .parquet(s"$labelsPath/ver_$batchId")
-        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id"))
+        Dedup.appendSignatureRows(sigs, storePath) // bucket-pruned (r16)
         // maintenance slot: the signature store is this face's one
-        // unboundedly-accumulating flat dir (labels are version dirs)
+        // unboundedly-accumulating dir (labels are version dirs)
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
-          graft.etl.BucketCompaction.compactFlatStore(spark, storePath): Unit
+          graft.etl.BucketCompaction.compactStore(spark, storePath, "__kb"): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -299,6 +330,7 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.Dedup
         val spark = batch.sparkSession
+        graft.etl.BucketCompaction.healAround(spark, storePath)
         val (sigs, pairs) = signAndProbeBatch(batch, idCol, textCol,
           storePath, threshold, numHashes, shingleN)
         val markerP = new org.apache.hadoop.fs.Path(s"$labelsPath/_last_batch")
@@ -331,9 +363,9 @@ object EventStreams {
           require(lfs.rename(tmpP, markerP),
             s"componentsStreamBucketed: marker publish failed under $labelsPath")
         }
-        graft.etl.Sinks.idempotentAppend(sigs, storePath, Seq("__id"))
+        Dedup.appendSignatureRows(sigs, storePath) // bucket-pruned (r16)
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
-          graft.etl.BucketCompaction.compactFlatStore(spark, storePath): Unit
+          graft.etl.BucketCompaction.compactStore(spark, storePath, "__kb"): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -415,6 +447,11 @@ object EventStreams {
         val spark = batch.sparkSession
         val edgesP = new org.apache.hadoop.fs.Path(s"$storePath/edges")
         val fs = edgesP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // heal before ANY adjacency read: a leaf swap crashed between
+        // park and publish would otherwise read as missing adjacency,
+        // get re-appended as novel, and the re-created live dir would
+        // make the next slot's heal sweep the parked full bucket
+        Triangles.healEdgeStore(spark, edgesP.toString)
         val d0 = Triangles.normalize(
             batch.select(col(srcCol).cast("long").as("u"),
               col(dstCol).cast("long").as("v")))
@@ -723,6 +760,8 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // heal a crashed slot's swap before the append's novelty reads
+        graft.ops.Retrieval.healBm25Index(batch.sparkSession, indexPath)
         graft.ops.Retrieval.appendBm25Index(
           batch, idCol, textCol, indexPath)
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
@@ -764,6 +803,12 @@ object EventStreams {
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.Similarity
+        // heal a crashed slot's swaps (survivor log parked beside
+        // survivorsPath; __cb= bucket dirs parked inside assignments)
+        // before any bootstrap check or store read
+        graft.etl.BucketCompaction.healAround(batch.sparkSession, survivorsPath)
+        graft.etl.BucketCompaction.heal(
+          batch.sparkSession, s"$storePath/assignments")
         // materialize the micro-batch ONCE: it feeds up to three actions
         // (centroid freeze, dedup, assignment append) which would each
         // recompute the source otherwise — and isEmpty peeks at one
@@ -777,7 +822,9 @@ object EventStreams {
             Similarity.writeSemanticCentroids(b, storePath, idCol, vecCol)
           val survivors = Similarity.incrementalSemanticDedup(
             b, storePath, tau, idCol, vecCol).localCheckpoint()
-          graft.etl.Sinks.idempotentAppend(
+          // bucket-pruned keyed log (r16): the novelty anti-join reads
+          // only the delta's own `__kb=` dirs, never the whole log
+          graft.etl.Sinks.idempotentAppendBucketed(
             survivors, survivorsPath, Seq(idCol))
           Similarity.appendSemanticAssignments(
             b.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
@@ -785,7 +832,7 @@ object EventStreams {
         }
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
           val spark = batch.sparkSession
-          graft.etl.BucketCompaction.compactFlatStore(spark, survivorsPath)
+          graft.etl.BucketCompaction.compactStore(spark, survivorsPath, "__kb")
           graft.etl.BucketCompaction.compactStore(
             spark, s"$storePath/assignments", "__cb"): Unit
         }
@@ -838,27 +885,48 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.SetSimJoin
         val spark = batch.sparkSession
+        // heal BEFORE the bootstrap exists-check: a crash between a
+        // slot's park and publish must republish the parked store, or
+        // this body re-creates it empty and the next slot's heal
+        // sweeps the full parked copy
+        graft.etl.BucketCompaction.healAround(spark, storePath)
+        graft.etl.BucketCompaction.healAround(spark, pairsPath)
         val storeP = new org.apache.hadoop.fs.Path(storePath)
         val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val sn =
+        // pin-aware day-zero (the signAndProbeBatch discipline): absent
+        // and zero-row-unpinned stores both bootstrap at the caller's
+        // shingleN, pin FIRST, then land the zero-row schema frame
+        val pinned =
           if (fs.exists(storeP))
+            graft.etl.StoreMeta.requireFamily(spark, storePath,
+              SetSimJoin.TokenFamily)
+          else None
+        val sn =
+          if (pinned.isDefined)
             SetSimJoin.tokenStoreShingleN(spark, storePath, shingleN)
           else if (shingleN > 0) shingleN
           else SetSimJoin.DefaultShingleN
         val dRows = SetSimJoin
           .tokenRows(batch, idCol, textCol, sn).localCheckpoint()
-        if (!fs.exists(storeP)) {
-          dRows.limit(0).write.parquet(storePath)
+        if (pinned.isEmpty) {
+          // sweep a crashed pre-r16 zero-row flat frame (the bucketed
+          // layout rejects root data files), then pin FIRST — day zero
+          // is a sidecar-only dir every probe treats as empty+pinned
+          graft.etl.StoreMeta.sweepZeroRowBootstrap(spark, storePath)
           graft.etl.StoreMeta.pinFamily(spark, storePath,
-            SetSimJoin.TokenFamily, Map("shingle_n" -> sn.toString))
+            SetSimJoin.TokenFamily, Map("shingle_n" -> sn.toString,
+              "kb" -> graft.etl.Sinks.DefaultLogBuckets.toString))
         }
         val pairs = SetSimJoin.incrementalJaccardJoinFromRows(
           dRows, storePath, threshold)
-        graft.etl.Sinks.idempotentAppend(pairs, pairsPath, Seq("id_a", "id_b"))
-        graft.etl.Sinks.idempotentAppend(dRows, storePath, Seq("__id"))
+        // both sinks bucket-pruned (r16): pair log self-pins keyed_log,
+        // token rows resolve kb from the store's own pin
+        graft.etl.Sinks.idempotentAppendBucketed(
+          pairs, pairsPath, Seq("id_a", "id_b"))
+        SetSimJoin.appendTokenRows(dRows, storePath)
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
-          graft.etl.BucketCompaction.compactFlatStore(spark, storePath)
-          graft.etl.BucketCompaction.compactFlatStore(spark, pairsPath): Unit
+          graft.etl.BucketCompaction.compactStore(spark, storePath, "__kb")
+          graft.etl.BucketCompaction.compactStore(spark, pairsPath, "__kb"): Unit
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -891,6 +959,11 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.FuzzyJoin
         val spark = batch.sparkSession
+        // heal before the day-zero exists-check: re-creating an empty
+        // index over a parked full one hands the next slot's heal a
+        // live dir to justify sweeping the whole prior hood state
+        graft.etl.BucketCompaction.healAround(spark, indexPath)
+        graft.etl.BucketCompaction.healAround(spark, pairsPath)
         val idxP = new org.apache.hadoop.fs.Path(indexPath)
         val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(idxP))
@@ -906,12 +979,15 @@ object EventStreams {
             greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
           .dropDuplicates("id_a", "id_b")
           .localCheckpoint() // pin the pair set BEFORE the index mutates
-        graft.etl.Sinks.idempotentAppend(pairs, pairsPath, Seq("id_a", "id_b"))
+        // bucket-pruned (r16): pair log self-pins keyed_log; the hood
+        // append resolves kb from the index's own pin
+        graft.etl.Sinks.idempotentAppendBucketed(
+          pairs, pairsPath, Seq("id_a", "id_b"))
         FuzzyJoin.appendHoodIndex(batch, idCol, strCol, indexPath,
           maxDist, blockCols)
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
-          graft.etl.BucketCompaction.compactFlatStore(spark, indexPath)
-          graft.etl.BucketCompaction.compactFlatStore(spark, pairsPath): Unit
+          graft.etl.BucketCompaction.compactStore(spark, indexPath, "__kb")
+          graft.etl.BucketCompaction.compactStore(spark, pairsPath, "__kb"): Unit
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -947,17 +1023,24 @@ object EventStreams {
     snapshots.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // heal the op log's crash window before its novelty anti-join
+        // (the snapshot store itself is a full overwrite per batch and
+        // never swap-compacted)
+        graft.etl.BucketCompaction.healAround(spark, opsPath)
         val storeP = new org.apache.hadoop.fs.Path(storePath)
         val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val old =
           if (fs.exists(storeP)) spark.read.parquet(storePath)
           else batch.limit(0)
         val diff = graft.ops.Cdc.snapshotDiff(old, batch, keyCols, valueCols)
-        graft.etl.Sinks.idempotentAppend(diff, opsPath, keyCols :+ "op")
+        // bucket-pruned (r16): the op log self-pins keyed_log, so the
+        // per-batch novelty anti-join reads delta-touched dirs only
+        graft.etl.Sinks.idempotentAppendBucketed(
+          diff, opsPath, keyCols :+ "op")
         // after the ops are durably written, the batch becomes the store
         batch.write.mode("overwrite").parquet(storePath)
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
-          graft.etl.BucketCompaction.compactFlatStore(spark, opsPath): Unit
+          graft.etl.BucketCompaction.compactStore(spark, opsPath, "__kb"): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1039,6 +1122,26 @@ object EventStreams {
           // exactly like the checkpoint; java.io.File only speaks local
           val prev = new org.apache.hadoop.fs.Path(s"$storeDir/ver_${v - 1}")
           val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // gap guard (the componentsStream/triangleCountStream
+          // discipline): versions are contiguous by the staging
+          // contract, so ver dirs present WITHOUT ver_{v-1} mean the
+          // store was lost or rolled back while the checkpoint
+          // survived. Silently bootstrapping from empty was always
+          // wrong (every interval reopens); with the maintenance
+          // prune it would also DELETE the surviving older history —
+          // a recoverable gap turned into permanent loss.
+          val rootP = new org.apache.hadoop.fs.Path(storeDir)
+          if (!fs.exists(prev) && fs.exists(rootP)) {
+            val vers = fs.listStatus(rootP).map(_.getPath.getName)
+              .filter(_.startsWith("ver_")).map(_.stripPrefix("ver_").toInt)
+            // dirs at >= v are this batch's own replay (the from-empty
+            // fold is deterministic and rewrites them); anything BELOW
+            // v-1 is real history a from-empty fold would orphan
+            require(vers.forall(_ >= v),
+              s"scd2Stream: store at $storeDir holds " +
+                vers.sorted.map(n => s"ver_$n").mkString(", ") +
+                s" but not ver_${v - 1} — refusing to fold snapshot $v over a gap")
+          }
           val store =
             if (!fs.exists(prev))
               batch.select(keyC ++ valueCols.map(col): _*).limit(0)

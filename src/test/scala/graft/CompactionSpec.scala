@@ -41,7 +41,8 @@ class CompactionSpec extends SparkSpec {
     assert(posted.exists(d =>
         BucketCompaction.dataFileCount(spark, d.toString) > 1),
       "fixture must accumulate multi-file buckets before compacting")
-    assert(BucketCompaction.dataFileCount(spark, s"$idx/docs") > 1)
+    assert(bucketDirs(s"$idx/docs", "__kb").exists(d =>
+      BucketCompaction.dataFileCount(spark, d.toString) > 1))
 
     val rowsBefore = sortedRows(s"$idx/postings")
     val docsBefore = sortedRows(s"$idx/docs")
@@ -51,16 +52,20 @@ class CompactionSpec extends SparkSpec {
 
     val rewritten = Retrieval.compactBm25Index(spark, idx)
     assert(rewritten.nonEmpty)
-    // labels are index-root-relative: postings buckets carry their
-    // subdir, the sidecar is exactly "docs" (not "docs/docs")
-    assert(rewritten.forall(d => d.startsWith("postings/tb=") || d == "docs"),
+    // labels are index-root-relative: postings buckets and doc-sidecar
+    // buckets each carry their subdir
+    assert(rewritten.forall(d =>
+        d.startsWith("postings/tb=") || d.startsWith("docs/__kb=")),
       s"mislabeled rewritten dirs: $rewritten")
-    assert(rewritten.contains("docs"))
+    assert(rewritten.exists(_.startsWith("docs/__kb=")))
     bucketDirs(s"$idx/postings", "tb").foreach { d =>
       assert(BucketCompaction.dataFileCount(spark, d.toString) == 1,
         s"bucket ${d.getName} not folded to one file")
     }
-    assert(BucketCompaction.dataFileCount(spark, s"$idx/docs") == 1)
+    bucketDirs(s"$idx/docs", "__kb").foreach { d =>
+      assert(BucketCompaction.dataFileCount(spark, d.toString) == 1,
+        s"docs bucket ${d.getName} not folded to one file")
+    }
     assert(sortedRows(s"$idx/postings") == rowsBefore)
     assert(sortedRows(s"$idx/docs") == docsBefore)
     val scoresAfter = Retrieval
@@ -208,7 +213,10 @@ class CompactionSpec extends SparkSpec {
       assert(BucketCompaction.dataFileCount(spark, d.toString) === 1,
         s"postings ${d.getName} not folded by the in-stream slot")
     }
-    assert(BucketCompaction.dataFileCount(spark, s"$root/idx/docs") === 1)
+    bucketDirs(s"$root/idx/docs", "__kb").foreach { d =>
+      assert(BucketCompaction.dataFileCount(spark, d.toString) === 1,
+        s"docs bucket ${d.getName} not folded by the in-stream slot")
+    }
     // the maintained index scores identically to a one-shot build
     val oneShot = tmp("graft_cmp_bm25oneshot")
     Retrieval.appendBm25Index(docs, "doc_id", "text", oneShot)
@@ -234,12 +242,19 @@ class CompactionSpec extends SparkSpec {
     val rootB = tmp("graft_cmp_dedupstream_off")
     run(rootA, 2)
     run(rootB, 0)
-    // batch 7 ran the slot last: both flat stores fully folded
-    assert(BucketCompaction.dataFileCount(spark, s"$rootA/store") === 1,
-      "signature store not folded by the in-stream slot")
-    assert(BucketCompaction.dataFileCount(spark, s"$rootA/pairs") === 1,
-      "pair log not folded by the in-stream slot")
-    assert(BucketCompaction.dataFileCount(spark, s"$rootB/store") > 1,
+    // batch 7 ran the slot last: both bucketed stores fully folded —
+    // one file per touched `__kb=` dir (the r16 keyed-log layout)
+    for ((p, what) <- Seq(s"$rootA/store" -> "signature store",
+                          s"$rootA/pairs" -> "pair log")) {
+      val dirs = bucketDirs(p, "__kb")
+      assert(dirs.nonEmpty, s"$what has no __kb= dirs")
+      dirs.foreach { d =>
+        assert(BucketCompaction.dataFileCount(spark, d.toString) === 1,
+          s"$what ${d.getName} not folded by the in-stream slot")
+      }
+    }
+    assert(bucketDirs(s"$rootB/store", "__kb")
+        .exists(d => BucketCompaction.dataFileCount(spark, d.toString) > 1),
       "the unmaintained fixture must actually accumulate file-sets")
     // row-preserving: the maintained stream's pairs equal the
     // unmaintained one's (set equality — discovery order may differ

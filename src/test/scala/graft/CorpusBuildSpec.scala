@@ -39,4 +39,15 @@ class CorpusBuildSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(5))).toMap
     assert(out.map(r => (r._1, r._6)).toMap === again)
   }
+
+  test("c3b incremental refresh equals the one-shot c3 manifest, and replays steady-state") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = rows("c3_training_mix")
+    val inc = rows("c3b_incremental_training_mix")
+    assert(inc === batch, s"c3b (${inc.size} rows) must equal c3 (${batch.size})")
+    // second call replays the refresh: every store append is a keyed
+    // no-op and the fold finds no moved roots — identical manifest
+    assert(rows("c3b_incremental_training_mix") === batch)
+  }
 }

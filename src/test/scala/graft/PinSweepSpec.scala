@@ -113,6 +113,12 @@ class PinSweepSpec extends SparkSpec {
       val p = tmp("pin_bm25")
       graft.ops.Retrieval.appendBm25Index(docs, "doc_id", "text", p)
       s"$p/postings"
+    },
+    "Sinks.idempotentAppendBucketed (day-zero keyed log)" -> { () =>
+      val p = tmp("pin_klog") + "/log"
+      graft.etl.Sinks.idempotentAppendBucketed(
+        docs.select(col("doc_id")), p, Seq("doc_id"))
+      p
     }
   )
 

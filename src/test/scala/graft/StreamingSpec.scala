@@ -9,6 +9,17 @@ class StreamingSpec extends SparkSpec {
 
   private lazy val batchEvents = Tables.events(spark, sfDir)
 
+  /** Assert a bucketed keyed-log store (`__kb=` layout, r16) is fully
+    * folded: ≥1 bucket dir, ≤1 data file in each. */
+  private def assertFoldedBuckets(path: String, what: String): Unit = {
+    val dirs = new java.io.File(path).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__kb="))
+    assert(dirs.nonEmpty, s"$what has no __kb= bucket dirs under $path")
+    for (d <- dirs)
+      assert(graft.etl.BucketCompaction.dataFileCount(spark, d.toString) <= 1,
+        s"$what bucket ${d.getName} not folded by the in-stream slot")
+  }
+
   test("streaming hourly window equals the batch run of the same transform") {
     // stage the events as a parquet "stream source" with a stable schema
     val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
@@ -494,13 +505,13 @@ class StreamingSpec extends SparkSpec {
         s"$tmp/store", s"$tmp/ops", s"$tmp/cp").awaitTermination()
     run() // batch 1: empty store -> every key inserts
     val ops1 = spark.read.parquet(s"$tmp/ops")
-      .as[(Long, String)].collect().toSet
+      .select($"k", $"op").as[(Long, String)].collect().toSet
     assert(ops1 == Set((1L, "I"), (2L, "I"), (3L, "I")))
     // day 2 arrives as NEW files; the same checkpoint processes only them
     day2.toDF("k", "name", "bal").write.mode("append").parquet(s"$tmp/src")
     run()
     val ops2 = spark.read.parquet(s"$tmp/ops")
-      .as[(Long, String)].collect().toSet
+      .select($"k", $"op").as[(Long, String)].collect().toSet
     assert(ops2 == ops1 ++ Set((2L, "U"), (3L, "D"), (4L, "I")))
     // the store has rolled forward to day 2
     val store = spark.read.parquet(s"$tmp/store")
@@ -530,16 +541,23 @@ class StreamingSpec extends SparkSpec {
         s"$root/cp", tau = 0.95, maintainEvery = every).awaitTermination()
     val a = java.nio.file.Files.createTempDirectory("semmx-a").toString
     val b = java.nio.file.Files.createTempDirectory("semmx-b").toString
+    // pre-pin the survivor logs at kb=2 (the caller-owned day-zero
+    // path): 8 ids over 2 buckets GUARANTEES cross-batch bucket
+    // collisions, so the unmaintained run demonstrably accumulates
+    // multi-file buckets and the maintained run's fold is non-vacuous
+    for (r <- Seq(a, b))
+      graft.etl.StoreMeta.pinFamily(spark, s"$r/survivors",
+        graft.etl.Sinks.KeyedLogFamily, Map("kb" -> "2", "keys" -> "vec_id"))
     run(a, 2)
     run(b, 0)
     def survivors(root: String) = spark.read.parquet(s"$root/survivors")
       .select("vec_id").as[Long].collect().toSet
     assert(survivors(a) === survivors(b))
     assert(survivors(a).nonEmpty)
-    // the maintained run's dirs are folded: ONE data file in the
-    // survivor log and in every assignment bucket dir (the final slot
+    // the maintained run's dirs are folded: ONE data file per survivor
+    // log bucket and in every assignment bucket dir (the final slot
     // fired at batch 3, after that batch's own appends)
-    assert(graft.etl.BucketCompaction.dataFileCount(spark, s"$a/survivors") === 1)
+    assertFoldedBuckets(s"$a/survivors", "survivor log")
     val cbDirs = new java.io.File(s"$a/store/assignments").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("__cb="))
     assert(cbDirs.nonEmpty)
@@ -551,7 +569,10 @@ class StreamingSpec extends SparkSpec {
       .exists(_.get("family").contains("semdedup_assignments")))
     // and the unmaintained run really accumulated more files (the
     // fixture exercises the fold, not a vacuous pass)
-    assert(graft.etl.BucketCompaction.dataFileCount(spark, s"$b/survivors") > 1)
+    assert(new java.io.File(s"$b/survivors").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__kb="))
+      .exists(d =>
+        graft.etl.BucketCompaction.dataFileCount(spark, d.toString) > 1))
   }
 
   test("incrementalDedupStream maintenance preserves the signature store's pin across folds") {
@@ -569,10 +590,11 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", store, pairs,
       java.nio.file.Files.createTempDirectory("dedmx-cp").toString,
       maintainEvery = 1).awaitTermination()
-    // the store folded to one file AND kept its family pin (the
-    // staged-swap sidecar carry): a lost pin would turn the next
-    // batch's probe into a pre-pin fail-fast against the stream itself
-    assert(graft.etl.BucketCompaction.dataFileCount(spark, store) === 1)
+    // the store folded to one file per bucket AND kept its family pin
+    // (the ROOT sidecar is never touched by the per-bucket swaps): a
+    // lost pin would turn the next batch's probe into a pre-pin
+    // fail-fast against the stream itself
+    assertFoldedBuckets(store, "signature store")
     assert(graft.etl.StoreMeta.readParams(spark, store)
       .exists(_.get("family").contains("minhash_signatures")))
     val streamed = spark.read.parquet(pairs)
@@ -597,11 +619,11 @@ class StreamingSpec extends SparkSpec {
     run()
     day2.toDF("k", "name", "bal").write.mode("append").parquet(s"$tmp/src")
     run()
-    val ops = spark.read.parquet(s"$tmp/ops").as[(Long, String)].collect().toSet
+    val ops = spark.read.parquet(s"$tmp/ops")
+      .select($"k", $"op").as[(Long, String)].collect().toSet
     assert(ops === Set((1L, "I"), (2L, "I"), (3L, "I"),
       (2L, "U"), (3L, "D"), (4L, "I")))
-    assert(graft.etl.BucketCompaction.dataFileCount(spark, s"$tmp/ops") === 1,
-      "every batch ran the fold, so the log must be one file")
+    assertFoldedBuckets(s"$tmp/ops", "op log")
   }
 
   test("scd2Stream maintenance: superseded version dirs prune; the live fold is untouched") {
@@ -698,7 +720,7 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", store, pairs, cp,
       threshold = 0.7, maintainEvery = 1).awaitTermination()
     run(java.nio.file.Files.createTempDirectory("ss24-cp1").toString)
-    assert(graft.etl.BucketCompaction.dataFileCount(spark, store) === 1)
+    assertFoldedBuckets(store, "token store")
     assert(graft.etl.StoreMeta.readParams(spark, store)
       .exists(_.get("family").contains("setsim_tokens")))
     val nPairs = spark.read.parquet(pairs).count()
@@ -725,7 +747,7 @@ class StreamingSpec extends SparkSpec {
       "c_custkey", "c_name", idx, pairs, cp,
       maxDist = 1, maintainEvery = 1).awaitTermination()
     run(java.nio.file.Files.createTempDirectory("fz25-cp1").toString)
-    assert(graft.etl.BucketCompaction.dataFileCount(spark, idx) === 1)
+    assertFoldedBuckets(idx, "hood index")
     assert(graft.etl.StoreMeta.readParams(spark, idx)
       .exists(_.get("family").contains("fuzzy_hoods")))
     val nPairs = spark.read.parquet(pairs).count()

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Takedown}
+
+/** The r16 deletion/retraction verb (ops.Takedown): keyed stores,
+  * pair logs and the component store all support "remove these doc
+  * ids" as a bucket-local rewrite — post-delete state equals a full
+  * rebuild over the survivors (the del1/del2/del3 oracles gate the
+  * real corpus; this spec pins the engineered edges: untouched buckets
+  * byte-identical, component split/relabel/stranger cases, replay
+  * idempotency, pre-r16 fail-fast). */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def fileSig(path: String): Map[String, Seq[(String, Long)]] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .map(d => d.getName ->
+        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.length()).toSeq.sortBy(_._1))
+      .toMap
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+    .select($"doc_id", $"text")
+
+  test("deleteKeys: post-delete signature store equals a rebuild; untouched buckets byte-identical") {
+    val p = tmp("td-mh") + "/sigs"
+    Dedup.writeMinHashSignatures(docs, "doc_id", "text", p)
+    val del = docs.filter($"doc_id" % 10 === 3).select($"doc_id")
+    val sigBefore = fileSig(p)
+    val removed = Takedown.deleteKeys(spark, p, "__id", del)
+    assert(removed === del.count())
+    // replay removes nothing
+    assert(Takedown.deleteKeys(spark, p, "__id", del) === 0)
+    // remaining ids = survivors exactly
+    val got = spark.read.parquet(p).select($"__id").as[Long].collect().toSet
+    val want = docs.filter($"doc_id" % 10 =!= 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === want)
+    // buckets holding no deleted id were never rewritten
+    val hit = del
+      .select(graft.etl.Sinks.keyBucket(Seq("doc_id"), 64).as("b"))
+      .distinct().as[Int].collect().map(b => s"__kb=$b").toSet
+    val sigAfter = fileSig(p)
+    sigBefore.keys.filterNot(hit).foreach { d =>
+      assert(sigAfter(d) === sigBefore(d), s"untouched bucket $d rewritten")
+    }
+    assert(hit.exists(sigBefore.contains), "fixture must hit stored buckets")
+    // ids absent from the store: no-op
+    assert(Takedown.deleteKeys(spark, p, "__id",
+      Seq(999999999L).toDF("doc_id")) === 0)
+  }
+
+  test("deletePairsTouching: only hit buckets rewrite; both-side pairs vanish") {
+    val p = tmp("td-pl") + "/pairs"
+    val pairs = (0L until 300L).map(i => (i, i + 1000L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    graft.etl.Sinks.idempotentAppendBucketed(pairs, p, Seq("id_a", "id_b"))
+    val sigBefore = fileSig(p)
+    // delete ids hitting id_a on some rows and id_b on others
+    val del = Seq(5L, 7L, 1009L).toDF("doc_id")
+    val removed = Takedown.deletePairsTouching(spark, p, del)
+    assert(removed === 3) // (5,1005), (7,1007), (9,1009)
+    assert(Takedown.deletePairsTouching(spark, p, del) === 0)
+    val left = spark.read.parquet(p).select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(!left.exists { case (a, b) =>
+      Set(5L, 7L, 1009L).contains(a) || Set(5L, 7L, 1009L).contains(b) })
+    assert(left.size === 297)
+    // the hit set is the DOOMED ROWS' buckets (pair-hash), so compare
+    // after-the-fact: every dir that changed must have held a doomed row
+    val doomedB = pairs.filter($"id_a".isin(5L, 7L) || $"id_b" === 1009L)
+      .select(graft.etl.Sinks.keyBucket(Seq("id_a", "id_b"), 64).as("b"))
+      .distinct().as[Int].collect().map(b => s"__kb=$b").toSet
+    val sigAfter = fileSig(p)
+    sigBefore.foreach { case (d, sig) =>
+      if (!doomedB(d)) assert(sigAfter(d) === sig, s"untouched $d rewritten")
+    }
+  }
+
+  test("component takedown: split, relabel, stranger-in-new-bucket and untouched components") {
+    val p = tmp("td-cc") + "/labels"
+    // components: {1,2,3} (triangle), {10,11}, {20,21} under nBuckets=8
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    Dedup.writeComponentStore(
+      Dedup.connectedComponents(pairs, "id_a", "id_b"), p, nBuckets = 8)
+    val before = fileSig(p)
+    // delete node 1: {2,3} survives via its own pair and relabels to 2
+    // (old bucket cb=1, new bucket cb=2 — which ALREADY holds component
+    // 10: the stranger must ride through the rewrite untouched)
+    val touched = Takedown.deleteFromComponentStore(
+      spark, p, pairs, "id_a", "id_b", Seq(1L).toDF("node"))
+    assert(touched.toSet === Set(1L, 2L))
+    val got = Dedup.readComponentStore(spark, p)
+      .select($"node", $"component").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)))
+    // the emptied old bucket is gone; the fully-untouched component's
+    // bucket (20 mod 8 = 4) is byte-identical
+    assert(!new java.io.File(s"$p/cb=1").exists())
+    assert(fileSig(p)("cb=4") === before("cb=4"))
+    // replay: node 1 is no longer stored — no-op
+    assert(Takedown.deleteFromComponentStore(
+      spark, p, pairs, "id_a", "id_b", Seq(1L).toDF("node")).isEmpty)
+    // now delete 2: 3 has no surviving pair and leaves the store (a
+    // rebuild's CC would never see it)
+    Takedown.deleteFromComponentStore(
+      spark, p, pairs, "id_a", "id_b", Seq(2L).toDF("node")): Unit
+    val got2 = Dedup.readComponentStore(spark, p)
+      .select($"node", $"component").as[(Long, Long)].collect().toSet
+    assert(got2 === Set((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
+  test("component takedown equals the full rebuild on the real corpus") {
+    val p = tmp("td-cc2") + "/labels"
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b").localCheckpoint()
+    Dedup.writeComponentStore(
+      Dedup.connectedComponents(pairs, "id_a", "id_b"), p)
+    val del = docs.filter($"doc_id" % 10 === 3).select($"doc_id")
+    Takedown.deleteFromComponentStore(
+      spark, p, pairs, "id_a", "id_b", del): Unit
+    val got = Dedup.readComponentStore(spark, p)
+      .select($"node", $"component").as[(Long, Long)].collect().toSet
+    val surviving = pairs
+      .filter($"id_a" % 10 =!= 3 && $"id_b" % 10 =!= 3)
+    val want = Dedup.connectedComponents(surviving, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("takedown fail-fasts on a pre-r16 flat store instead of guessing") {
+    val p = tmp("td-flat") + "/store"
+    Seq((1L, "x")).toDF("__id", "v").write.parquet(p)
+    val e = intercept[RuntimeException] {
+      Takedown.deleteKeys(spark, p, "__id", Seq(1L).toDF("__id"))
+    }
+    assert(e.getMessage.contains("sidecar") || e.getMessage.contains("kb"))
+  }
+}
