@@ -66,28 +66,38 @@ object Takedown {
   private def rewriteWithout(spark: SparkSession, path: String,
                              hitBuckets: Seq[Int],
                              dropOf: DataFrame => DataFrame,
-                             keepOf: DataFrame => DataFrame): Long = {
-    if (hitBuckets.isEmpty) return 0L
+                             keepOf: DataFrame => DataFrame): Long =
+    rewritePartitionsWithout(spark, path, "__kb",
+      hitBuckets.map(_.asInstanceOf[Any]), dropOf, keepOf)
+
+  /** The partition-generic core of [[rewriteWithout]]: also serves the
+    * `tb=`-partitioned BM25 postings and the `__sig=`-partitioned ANN
+    * index, whose takedowns rewrite THEIR partition scheme's hit dirs. */
+  private def rewritePartitionsWithout(spark: SparkSession, path: String,
+                                       partCol: String, hitVals: Seq[Any],
+                                       dropOf: DataFrame => DataFrame,
+                                       keepOf: DataFrame => DataFrame): Long = {
+    if (hitVals.isEmpty) return 0L
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return 0L
     graft.etl.BucketCompaction.heal(spark, path)
     if (!graft.etl.StoreMeta.hasData(spark, path)) return 0L
     val bucketRows = spark.read.parquet(path)
-      .filter(col("__kb").isin(hitBuckets: _*)) // partition-pruned
+      .filter(col(partCol).isin(hitVals: _*)) // partition-pruned
     val removed = dropOf(bucketRows).count()
     if (removed == 0) return 0L
     val tmpRoot = new org.apache.hadoop.fs.Path(p, "__takedown_tmp")
     if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
-    keepOf(bucketRows).repartition(col("__kb"))
-      .write.mode("overwrite").partitionBy("__kb").parquet(tmpRoot.toString)
-    hitBuckets.foreach { b =>
-      val staged = new org.apache.hadoop.fs.Path(tmpRoot, s"__kb=$b")
-      val live = new org.apache.hadoop.fs.Path(p, s"__kb=$b")
+    keepOf(bucketRows).repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
+    hitVals.foreach { b =>
+      val staged = new org.apache.hadoop.fs.Path(tmpRoot, s"$partCol=$b")
+      val live = new org.apache.hadoop.fs.Path(p, s"$partCol=$b")
       if (fs.exists(live)) {
         if (fs.exists(staged)) {
-          val tmp = new org.apache.hadoop.fs.Path(p, s"__kb=${b}__compact_tmp")
-          val old = new org.apache.hadoop.fs.Path(p, s"__kb=${b}__compact_old")
+          val tmp = new org.apache.hadoop.fs.Path(p, s"$partCol=${b}__compact_tmp")
+          val old = new org.apache.hadoop.fs.Path(p, s"$partCol=${b}__compact_old")
           require(fs.rename(staged, tmp),
             s"Takedown: stage $staged -> $tmp failed")
           require(fs.rename(live, old), s"Takedown: park $live -> $old failed")
@@ -162,6 +172,55 @@ object Takedown {
       .select(col("__kb")).distinct()
       .collect().map(_.getInt(0)).toSeq
     rewriteWithout(spark, path, hit, dropOf, keepOf)
+  }
+
+  /** BM25-INDEX takedown: remove a set of docs from a persisted
+    * [[Retrieval.appendBm25Index]] index — every posting row AND the
+    * doc-length sidecar row. Postings are partitioned by TERM bucket
+    * (a doc's rows scatter across its terms' dirs), so one
+    * column-pruned (doc_id, tb) scan finds the hit dirs and only those
+    * rewrite; the sidecar is a keyed log ([[deleteKeys]]). Corpus
+    * stats (N, Σdl) DERIVE from the sidecar at query time, so scores
+    * after the takedown equal an index never containing the docs —
+    * including the global-statistics shift a true rebuild would see
+    * (spec-asserted). Returns posting rows removed. */
+  def deleteFromBm25Index(spark: SparkSession, path: String,
+                          ids: DataFrame): Long = {
+    val del = ids.toDF("doc_id").localCheckpoint()
+    val postings = s"$path/postings"
+    val n = if (graft.etl.StoreMeta.hasData(spark, postings)) {
+      val hit = spark.read.parquet(postings)
+        .join(del, Seq("doc_id"), "left_semi")
+        .select(col("tb")).distinct()
+        .collect().map(_.get(0)).toSeq // ≤ term-bucket modulus
+      rewritePartitionsWithout(spark, postings, "tb", hit,
+        rows => rows.join(del, Seq("doc_id"), "left_semi"),
+        rows => rows.join(del, Seq("doc_id"), "left_anti"))
+    } else 0L
+    if (graft.etl.StoreMeta.hasData(spark, s"$path/docs"))
+      deleteKeys(spark, s"$path/docs", "doc_id", del): Unit
+    n
+  }
+
+  /** ANN-INDEX takedown ([[Similarity.SignRandomProjectionLsh]]
+    * `writeIndex` layout, `__sig=` partitioned): the deleted ids'
+    * signatures cannot be recomputed from ids alone, so one
+    * column-pruned (cand_id, __sig) scan finds the hit signature dirs;
+    * only those rewrite. Probes after the takedown serve exactly the
+    * surviving vectors — append ≡ rebuild extends to delete ≡ rebuild
+    * because the partition scheme IS the signature. Returns rows
+    * removed. */
+  def deleteFromAnnIndex(spark: SparkSession, path: String,
+                         ids: DataFrame): Long = {
+    val del = ids.toDF("cand_id").localCheckpoint()
+    if (!graft.etl.StoreMeta.hasData(spark, path)) return 0L
+    val hit = spark.read.parquet(path)
+      .join(del, Seq("cand_id"), "left_semi")
+      .select(col("__sig")).distinct()
+      .collect().map(_.get(0)).toSeq
+    rewritePartitionsWithout(spark, path, "__sig", hit,
+      rows => rows.join(del, Seq("cand_id"), "left_semi"),
+      rows => rows.join(del, Seq("cand_id"), "left_anti"))
   }
 
   /** COMPONENT-STORE takedown: remove the deleted nodes and recompute

@@ -134,6 +134,54 @@ class TakedownSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("bm25 index takedown: scores equal an index never containing the docs") {
+    import graft.ops.Retrieval
+    val p = tmp("td-bm25")
+    Retrieval.appendBm25Index(docs, "doc_id", "text", p)
+    val del = docs.filter($"doc_id" % 10 === 3).select($"doc_id")
+    val removed = Takedown.deleteFromBm25Index(spark, p, del)
+    assert(removed > 0)
+    assert(Takedown.deleteFromBm25Index(spark, p, del) === 0)
+    // a fresh index over the survivors scores IDENTICALLY — including
+    // the N / Σdl statistics shift a true rebuild sees
+    val rebuilt = tmp("td-bm25-rb")
+    Retrieval.appendBm25Index(
+      docs.filter($"doc_id" % 10 =!= 3), "doc_id", "text", rebuilt)
+    def scores(path: String) = Retrieval
+      .bm25FromIndex(spark, path, graft.analytics.TextQueries.BmTerms)
+      .collect().map(_.toString).sorted.toSeq
+    assert(scores(p) === scores(rebuilt))
+    assert(scores(p).nonEmpty)
+  }
+
+  test("ann index takedown: probes serve exactly the surviving vectors") {
+    val lsh = new graft.ops.Similarity.SignRandomProjectionLsh(dim = 8, nBits = 4)
+    def unit(i: Int): Array[Double] = {
+      val a = Array.fill(8)(0.0); a(i % 8) = 1.0; a(1 + i % 4) += 0.3 * (i / 8); a
+    }
+    val vecs = (0L until 48L).map(i => (i, unit(i.toInt))).toDF("vec_id", "embedding")
+    val p = tmp("td-ann") + "/idx"
+    lsh.writeIndex(vecs, p)
+    val del = (0L until 48L by 5L).toDF("vec_id")
+    val removed = Takedown.deleteFromAnnIndex(spark, p, del)
+    assert(removed === 10)
+    assert(Takedown.deleteFromAnnIndex(spark, p, del) === 0)
+    val left = spark.read.parquet(p).select($"cand_id").as[Long].collect().toSet
+    assert(left === (0L until 48L).toSet -- (0L until 48L by 5L))
+    // a probe against the post-takedown index equals one against a
+    // fresh index of the survivors (the partition scheme IS the
+    // signature, so delete ≡ rebuild the way append ≡ rebuild)
+    val rebuilt = tmp("td-ann-rb") + "/idx"
+    lsh.writeIndex(vecs.join(del, Seq("vec_id"), "left_anti"), rebuilt)
+    val queries = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def topk(path: String) = lsh
+      .annTopKFromIndex(spark, path, queries, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(topk(p) === topk(rebuilt))
+    assert(topk(p).nonEmpty)
+  }
+
   test("takedown fail-fasts on a pre-r16 flat store instead of guessing") {
     val p = tmp("td-flat") + "/store"
     Seq((1L, "x")).toDF("__id", "v").write.parquet(p)
