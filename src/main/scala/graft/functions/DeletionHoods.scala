@@ -117,10 +117,65 @@ object DeletionHoods {
     new GenericArrayData(out)
   }
 
+  /** POSITION-TAGGED single-deletion keys (r16, the FastSS position
+    * refinement for maxDist = 1): element a = mix(pack(del_a), a).
+    * Two same-length strings share a tagged key iff their residues
+    * after deleting the SAME position are equal — i.e. they differ at
+    * exactly that position (a substitution, lev = 1) — so a self-join
+    * on these keys emits (modulo 60-bit hash collisions, which the
+    * levenshtein verify removes) ONLY true substitution pairs: the
+    * cross-position meets that made the untagged candidate stream
+    * ~3.6× the true pair count are structurally excluded. Insertion/
+    * deletion pairs are caught by the second lane (identity key vs
+    * untagged deletion keys — see FuzzyJoin.editDistanceJoin). */
+  def taggedHoodHashes(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val n = s.codePointCount(0, s.length)
+    val cps = new Array[Int](n)
+    var i = 0; var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(k) = cp; k += 1
+      i += Character.charCount(cp)
+    }
+    val out = new Array[Long](n)
+    var a = 0
+    while (a < n) {
+      out(a) = pack(cps, a, -1) * 1000003L + a
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column API: array of neighborhood key hashes. */
   def hoods(str: Column, maxDeletes: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(DeletionHoods(
       GraftColumnBridge.expression(str.cast("string")), maxDeletes))
   }
+
+  /** Column API: position-tagged single-deletion keys. */
+  def taggedHoods(str: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(DeletionHoodsTagged(
+      GraftColumnBridge.expression(str.cast("string"))))
+  }
+}
+
+/** Native position-tagged single-deletion keys — see
+  * [[DeletionHoods.taggedHoodHashes]]. */
+case class DeletionHoodsTagged(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    DeletionHoods.taggedHoodHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sVar => {
+      s"${ev.value} = graft.functions.DeletionHoods$$.MODULE$$.taggedHoodHashes($sVar);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

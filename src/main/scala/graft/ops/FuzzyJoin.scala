@@ -234,25 +234,72 @@ object FuzzyJoin {
     val groups = strs.groupBy(col("__s") +: bc: _*)
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint()
-    val keyed = groups
-      .select(col("__s") +: bc :+
-        explode(DeletionHoods.hoods(col("__s"), maxDist)).as("__k0"): _*)
-      .withColumn("__k",
-        if (blockCols.isEmpty) col("__k0")
-        else xxhash64(col("__k0") +: bc: _*))
-      .drop("__k0")
-    val b = keyed.select(col("__s").as("__s_b") +: col("__k").as("__k_b") +:
-      blockCols.map(c => col(c).as(c + "__b")): _*)
-    // exact block equality re-verified here: a combined-hash collision
-    // may let cross-block candidates meet, never pair
-    val blockEq = blockCols
-      .map(c => col(c) === col(c + "__b"))
-      .foldLeft(col("__k") === col("__k_b") && col("__s") < col("__s_b"))(_ && _)
+    def mixBlocks(k0: org.apache.spark.sql.Column) =
+      if (blockCols.isEmpty) k0 else xxhash64(k0 +: bc: _*)
+    // candidate generation. maxDist == 1 runs the POSITION-REFINED
+    // two-lane form (r16 — the FastSS position refinement): two
+    // same-length strings share a position-TAGGED deletion key iff
+    // they differ at exactly that position (a substitution), and
+    // identity(a) == untagged-deletion_j(b) iff a IS b minus one code
+    // point — so both lanes emit, modulo hash collisions the verify
+    // removes, ONLY true lev<=1 pairs. The untagged single join's
+    // cross-position meets (measured 956k candidates for 262k true
+    // pairs on the sf0.1 names — DiagJ10) are structurally excluded,
+    // and verification becomes output-sized. maxDist == 2 keeps the
+    // generic one-join form (two-deletion residues have no such
+    // per-position exactness).
+    val cand =
+      if (maxDist == 1) {
+        val tag = groups
+          .select(col("__s") +: bc :+
+            explode(DeletionHoods.taggedHoods(col("__s"))).as("__k0"): _*)
+          .withColumn("__k", mixBlocks(col("__k0"))).drop("__k0")
+        val tagB = tag.select(col("__s").as("__s_b") +: col("__k").as("__k_b") +:
+          blockCols.map(c => col(c).as(c + "__b")): _*)
+        val cond1 = blockCols.map(c => col(c) === col(c + "__b"))
+          .foldLeft(col("__k") === col("__k_b") && col("__s") < col("__s_b"))(_ && _)
+        val subst = tag.join(tagB, cond1)
+          .select(col("__s") +: col("__s_b") +: bc: _*)
+        // lane 2: the hoods array carries the identity hash FIRST,
+        // deletions after — one native call serves both sides
+        val withHoods = groups.select(col("__s") +: bc :+
+          DeletionHoods.hoods(col("__s"), 1).as("__hs"): _*)
+        val ident = withHoods
+          .select(col("__s") +: bc :+ element_at(col("__hs"), 1).as("__k0"): _*)
+          .withColumn("__k", mixBlocks(col("__k0"))).drop("__k0")
+        val dels = withHoods
+          .select(col("__s").as("__s_b") +:
+            blockCols.map(c => col(c).as(c + "__b")) :+
+            explode(slice(col("__hs"), lit(2), size(col("__hs")))).as("__k0"): _*)
+          .withColumn("__k_b",
+            if (blockCols.isEmpty) col("__k0")
+            else xxhash64(col("__k0") +: blockCols.map(c => col(c + "__b")): _*))
+          .drop("__k0")
+        val cond2 = blockCols.map(c => col(c) === col(c + "__b"))
+          .foldLeft(col("__k") === col("__k_b") && col("__s") =!= col("__s_b"))(_ && _)
+        val insDel = ident.join(dels, cond2)
+          .select(least(col("__s"), col("__s_b")).as("__s") +:
+            greatest(col("__s"), col("__s_b")).as("__s_b") +: bc: _*)
+        subst.unionByName(insDel)
+      } else {
+        val keyed = groups
+          .select(col("__s") +: bc :+
+            explode(DeletionHoods.hoods(col("__s"), maxDist)).as("__k0"): _*)
+          .withColumn("__k", mixBlocks(col("__k0"))).drop("__k0")
+        val b = keyed.select(col("__s").as("__s_b") +: col("__k").as("__k_b") +:
+          blockCols.map(c => col(c).as(c + "__b")): _*)
+        // exact block equality re-verified here: a combined-hash
+        // collision may let cross-block candidates meet, never pair
+        val blockEq = blockCols
+          .map(c => col(c) === col(c + "__b"))
+          .foldLeft(col("__k") === col("__k_b") && col("__s") < col("__s_b"))(_ && _)
+        keyed.join(b, blockEq)
+          .select(col("__s") +: col("__s_b") +: bc: _*)
+      }
     // threshold form short-circuits the DP once maxDist is exceeded
     // (returns -1), so verification cost per candidate is
     // O(maxDist · len), not O(len²)
-    val verified = keyed
-      .join(b, blockEq)
+    val verified = cand
       .select(col("__s") +: col("__s_b") +: bc :+
         levenshtein(col("__s"), col("__s_b"), maxDist).as("dist"): _*)
       .where(col("dist") >= 0)

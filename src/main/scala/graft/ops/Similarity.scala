@@ -695,20 +695,31 @@ object Similarity {
     val spark = delta.sparkSession
     val cents = collectCents(spark.read.parquet(s"$path/seeds"))
     requireKnnParams(spark, path, k, nProbe, cents.size)
+    // assign the WHOLE delta once (a map-only pass against the frozen
+    // broadcast quantizer): the assignment is deterministic, so a
+    // previously-appended delta row sits in exactly its own assigned
+    // list dir — which makes the member novelty read LIST-PRUNED
+    // (r16, the bucketed-novelty recipe on the layout the store
+    // already has): O(delta's lists), never the full member table.
+    val assigned = assignWithLists(
+      delta.select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("__cv")), cents)
+      .localCheckpoint()
+    val deltaLists = assigned.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ nLists, driver-bounded
     // localCheckpoint for the same reason as Sinks.idempotentAppend:
     // the anti-join must materialize BEFORE the append touches the
     // files it reads, or a re-evaluation would see its own output
-    val novel = delta
-      .join(readMembers(spark, path).select(col("cand_id").as(idCol)),
-        Seq(idCol), "left_anti")
+    val novel = assigned
+      .join(readMembers(spark, path)
+          .filter(col("list_id").isin(deltaLists: _*)) // partition-pruned
+          .select(col("cand_id")),
+        Seq("cand_id"), "left_anti")
       .localCheckpoint()
-    if (!novel.isEmpty) {
-      val d0 = novel.select(col(idCol).as("cand_id"),
-        col(vecCol).cast("array<double>").as("__cv"))
-      assignWithLists(d0, cents)
+    if (!novel.isEmpty)
+      novel
         .repartition(col("list_id"))
         .write.mode("append").partitionBy("list_id").parquet(s"$path/members")
-    }
     val missing = delta
       .join(spark.read.parquet(s"$path/edges")
           .select(col("vec_id").as(idCol)).distinct(),

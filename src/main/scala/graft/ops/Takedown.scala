@@ -223,6 +223,131 @@ object Takedown {
       rows => rows.join(del, Seq("cand_id"), "left_anti"))
   }
 
+  /** Staged swap of ONE flat dir to a filtered copy — the compaction
+    * protocol applied to a rewrite: write keep to `<dir>__compact_tmp`,
+    * park, publish, sweep; every crash window is one
+    * [[graft.etl.BucketCompaction.heal]] already owns. */
+  private def rewriteFlatWithout(spark: SparkSession, dir: String,
+                                 keep: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, p)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    keep.write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, old), s"Takedown: park $p -> $old failed")
+    require(fs.rename(tmp, p), s"Takedown: publish $tmp -> $p failed")
+    fs.delete(old, true): Unit
+  }
+
+  /** K-NN GRAPH STORE takedown: remove the ids' member rows (their
+    * list dirs found by one column-pruned (cand_id, list_id) scan —
+    * the vectors needed to re-derive assignments live IN the store),
+    * drop every edge row naming a deleted id on EITHER side, and
+    * re-derive fresh top-k edges for exactly the surviving anchors
+    * that lost a neighbor, probing the post-delete members. The result
+    * provably equals a fresh [[Similarity.writeKnnGraphStore]] over
+    * the survivors: unaffected anchors' stored top-k contains no
+    * deleted id, so a rebuild ranks them identically, and affected
+    * anchors re-rank through the same probe machinery the build uses.
+    * Deleting a QUANTIZER SEED fail-fasts — the frozen quantizer's
+    * vector would survive in `seeds/`; re-seeding is a rebuild, not a
+    * takedown. Returns (member rows removed, anchors re-derived). */
+  def deleteFromKnnGraph(spark: SparkSession, path: String,
+                         ids: DataFrame): (Long, Long) = {
+    val m = graft.etl.StoreMeta.readParams(spark, path).getOrElse(
+      sys.error(s"Takedown: no _graft_meta pin at knn store $path"))
+    val k = m("k").toInt
+    val nProbe = m("n_probe").toInt
+    val del = ids.toDF("cand_id").localCheckpoint()
+    require(spark.read.parquet(s"$path/seeds")
+        .select(col("list_id").as("cand_id"))
+        .join(del, Seq("cand_id"), "left_semi").isEmpty,
+      s"Takedown: a deleted id seeds the frozen quantizer at $path — " +
+        "re-seeding is a rebuild (writeKnnGraphStore), not a takedown")
+    // members: hit lists from a two-column scan, then pruned rewrite
+    val members = s"$path/members"
+    val hitLists = spark.read.parquet(members)
+      .join(del, Seq("cand_id"), "left_semi")
+      .select(col("list_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val removed = rewritePartitionsWithout(spark, members, "list_id", hitLists,
+      rows => rows.join(del, Seq("cand_id"), "left_semi"),
+      rows => rows.join(del, Seq("cand_id"), "left_anti"))
+    // edges: anchors that lost a neighbor re-derive; rows naming a
+    // deleted id on either side drop. The edge table is (n·k)-row
+    // metadata — one staged swap rewrite.
+    val edges = spark.read.parquet(s"$path/edges").localCheckpoint()
+    val affected = edges
+      .join(del.select(col("cand_id").as("nbr_id")), Seq("nbr_id"), "left_semi")
+      .select(col("vec_id")).distinct()
+      .join(del.select(col("cand_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val nAffected = affected.count()
+    val edgeHits = edges
+      .join(del.select(col("cand_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .count() +
+      edges.join(del.select(col("cand_id").as("nbr_id")), Seq("nbr_id"), "left_semi")
+        .count()
+    if (edgeHits == 0 && nAffected == 0) return (removed, 0L) // replay no-op
+    val kept = edges
+      .join(del.select(col("cand_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .join(del.select(col("cand_id").as("nbr_id")), Seq("nbr_id"), "left_anti")
+      .join(affected, Seq("vec_id"), "left_anti") // re-derived below
+    val anchors = spark.read.parquet(members)
+      .join(affected.select(col("vec_id").as("cand_id")), Seq("cand_id"), "left_semi")
+      .select(col("cand_id").as("vec_id"), col("__cv"))
+    val fresh =
+      if (nAffected > 0)
+        Similarity.deltaKnnEdges(anchors, path, k, nProbe, "vec_id", "__cv")
+      else edges.limit(0)
+    rewriteFlatWithout(spark, s"$path/edges",
+      kept.select(edges.columns.map(col): _*)
+        .unionByName(fresh.select(edges.columns.map(col): _*))
+        .localCheckpoint()) // materialize BEFORE the swap touches edges
+    (removed, nAffected)
+  }
+
+  /** SEMANTIC-DEDUP STORE takedown: remove the ids' assignment rows
+    * (an id alone cannot recompute its cluster — that needs the
+    * vector — so one column-pruned (__vid, __cb) scan finds the hit
+    * cluster-bucket dirs; only those rewrite) and, when given, their
+    * survivor-log rows (a keyed log — the key column resolves from the
+    * log's own pin). NON-RETROACTIVE by contract: vectors that were
+    * dropped earlier because a now-deleted survivor dominated them
+    * stay dropped — the store's semantics are arrival-order prior art,
+    * so "rebuild without the doc" is not even well-defined for them.
+    * What the takedown guarantees (spec-asserted) is the forward
+    * direction a compliance delete needs: the deleted ids stop being
+    * prior art — an identical future delta SURVIVES. Returns
+    * assignment rows removed. */
+  def deleteFromSemanticStore(spark: SparkSession, storePath: String,
+                              ids: DataFrame,
+                              survivorsPath: Option[String] = None): Long = {
+    val asg = s"$storePath/assignments"
+    val del = ids.toDF("__vid").localCheckpoint()
+    val removed =
+      if (graft.etl.StoreMeta.hasData(spark, asg)) {
+        val hit = spark.read.parquet(asg)
+          .join(del, Seq("__vid"), "left_semi")
+          .select(col("__cb")).distinct()
+          .collect().map(_.get(0)).toSeq
+        rewritePartitionsWithout(spark, asg, "__cb", hit,
+          rows => rows.join(del, Seq("__vid"), "left_semi"),
+          rows => rows.join(del, Seq("__vid"), "left_anti"))
+      } else 0L
+    survivorsPath.filter(p => graft.etl.StoreMeta.hasData(spark, p))
+      .foreach { p =>
+        val key = graft.etl.StoreMeta.readParams(spark, p)
+          .flatMap(_.get("keys")).getOrElse(sys.error(
+            s"Takedown: survivor log at $p pins no key tuple"))
+        require(!key.contains(","),
+          s"Takedown: survivor log at $p is multi-keyed ($key) — " +
+            "deleteKeys handles single-key logs")
+        deleteKeys(spark, p, key, del): Unit
+      }
+    removed
+  }
+
   /** COMPONENT-STORE takedown: remove the deleted nodes and recompute
     * the labels of exactly the components they belonged to, from the
     * surviving pair log. Unaffected components are provably untouched

@@ -48,11 +48,21 @@ object DiagJ10 {
     def full = graft.ops.FuzzyJoin.editDistanceJoin(
       graft.Tables.customer(spark, sfDir), "c_custkey", "c_name", 1)
 
+    // variant: dedupe candidate PAIRS before the levenshtein, so each
+    // unique (s, s_b) pair is verified once instead of once per shared
+    // hood key — trades one short-row exchange for fewer DP calls
+    def dedupFirst = cand.select(col("__s"), col("__s_b")).distinct()
+      .select(col("__s"), col("__s_b"),
+        levenshtein(col("__s"), col("__s_b"), 1).as("dist"))
+      .where(col("dist") >= 0)
+
     val stages: Seq[(String, () => Long)] = Seq(
       "A_distinct_collapse" -> (() => groups.count()),
       "B_hood_explode"      -> (() => keyed.count()),
       "C_candidate_join"    -> (() => cand.count()),
+      "C2_distinct_cands"   -> (() => cand.select(col("__s"), col("__s_b")).distinct().count()),
       "D_verify_distinct"   -> (() => verified.count()),
+      "D2_dedup_then_verify" -> (() => dedupFirst.count()),
       "E_full_with_expand"  -> (() => full.count()))
 
     val best = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()

@@ -182,6 +182,65 @@ class TakedownSpec extends SparkSpec {
     assert(topk(p).nonEmpty)
   }
 
+  test("knn graph takedown equals a fresh rebuild over the survivors") {
+    import graft.ops.Similarity
+    def vec(i: Int): Array[Double] = {
+      val a = Array.fill(6)(0.0); a(i % 6) = 1.0; a((i + 1) % 6) = 0.2 + 0.01 * i; a
+    }
+    val corpus = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val seeds = Seq(0L, 7L, 14L, 21L)
+    val p = tmp("td-knn") + "/graph"
+    Similarity.writeKnnGraphStore(corpus, p, seeds, k = 3)
+    val del = Seq(5L, 11L, 29L).toDF("vec_id")
+    val (removed, rederived) = graft.ops.Takedown.deleteFromKnnGraph(spark, p, del)
+    assert(removed === 3)
+    assert(rederived > 0, "fixture must force some anchors to re-rank")
+    // replay: nothing left to remove
+    assert(graft.ops.Takedown.deleteFromKnnGraph(spark, p, del) === ((0L, 0L)))
+    // the post-takedown store equals a FRESH build over the survivors
+    val rebuilt = tmp("td-knn-rb") + "/graph"
+    Similarity.writeKnnGraphStore(
+      corpus.join(del, Seq("vec_id"), "left_anti"), rebuilt, seeds, k = 3)
+    def edges(path: String) = spark.read.parquet(s"$path/edges")
+      .select($"vec_id", $"nbr_id", $"rank").collect()
+      .map(_.toString).sorted.toSeq
+    assert(edges(p) === edges(rebuilt))
+    assert(edges(p).nonEmpty)
+    def memberIds(path: String) = spark.read.parquet(s"$path/members")
+      .select($"cand_id").as[Long].collect().toSet
+    assert(memberIds(p) === memberIds(rebuilt))
+    // deleting a quantizer seed fail-fasts with the rebuild recipe
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Takedown.deleteFromKnnGraph(spark, p, Seq(7L).toDF("vec_id"))
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
+  test("semantic store takedown: deleted ids stop being prior art; assignments gone") {
+    import graft.ops.Similarity
+    def unit(i: Int): Seq[Double] = (0 until 8).map(j => if (j == i) 1.0 else 0.0)
+    val base = (0L until 8L).map(i => (i, unit(i.toInt))).toDF("vec_id", "embedding")
+    val store = tmp("td-sem") + "/store"
+    Similarity.writeSemanticDedupStore(base, store)
+    // a delta identical to stored vector 3 is DROPPED: prior art wins
+    val clone = Seq((100L, unit(3))).toDF("vec_id", "embedding")
+    assert(Similarity.incrementalSemanticDedup(
+      clone, store, 0.95, "vec_id", "embedding").count() === 0)
+    // takedown vector 3: its assignment row leaves the store
+    val removed = Takedown.deleteFromSemanticStore(
+      spark, store, Seq(3L).toDF("vec_id"))
+    assert(removed === 1)
+    assert(Takedown.deleteFromSemanticStore(
+      spark, store, Seq(3L).toDF("vec_id")) === 0)
+    assert(spark.read.parquet(s"$store/assignments")
+      .filter($"__vid" === 3L).count() === 0)
+    // the forward guarantee a compliance delete needs: the deleted id
+    // is no longer prior art — the identical delta now SURVIVES
+    val survivors = Similarity.incrementalSemanticDedup(
+      clone, store, 0.95, "vec_id", "embedding")
+    assert(survivors.count() === 1)
+  }
+
   test("takedown fail-fasts on a pre-r16 flat store instead of guessing") {
     val p = tmp("td-flat") + "/store"
     Seq((1L, "x")).toDF("__id", "v").write.parquet(p)
