@@ -160,6 +160,7 @@ object SparkEntry {
     "st23_stream_weighted_sample" -> (StreamQueries.streamWeightedSample _),
     "st24_stream_setsim"    -> (StreamQueries.streamSetSimJoin _),
     "st25_stream_fuzzy"     -> (StreamQueries.streamFuzzyJoin _),
+    "st26_stream_takedown"  -> (StreamQueries.streamDedupTakedown _),
     "t16_weighted_per_src"  -> (TextQueries.weightedSamplePerSource _),
     "t17_chunking"          -> (TextQueries.chunkDocs _),
     "t18_sequence_pack"     -> (TextQueries.sequencePack _),
@@ -3319,6 +3320,12 @@ object SparkEntry {
     // discipline in reverse: the engine deletes, the oracle rebuilds).
     "del1_takedown_sigs" -> withoutDeletedDocs(minhashBruteOracleSql),
     "del2_takedown_pairlog" -> withoutDeletedDocs(minhashBruteOracleSql),
+    // st26: the takedown verb as a STREAM op — ingest batches then a
+    // delete batch, the pair sink drained after both; the SAME
+    // corpus-minus-deleted oracle replays it (pairs that formed before
+    // the delete and name a deleted doc are removed in-stream; pairs
+    // among survivors all present).
+    "st26_stream_takedown" -> withoutDeletedDocs(minhashBruteOracleSql),
     "d3_simhash_neardup" -> simhashOracleSql,
     "d3b_simhash_wide" -> simhashWideOracleSql,
     "d3d_simhash_wide4" -> simhashWide4OracleSql,

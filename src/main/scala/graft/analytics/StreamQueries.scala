@@ -177,6 +177,61 @@ object StreamQueries {
   private val streamedFuzzyPairs =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** st26 — STREAMING dedup WITH TAKEDOWN
+    * (EventStreams.dedupWithTakedownStream): the r16 deletion verb as
+    * a stream-native op. The documents table arrives as two ingest
+    * micro-batches (the st24 split), then a THIRD batch carries
+    * `del` ops for every doc_id % 10 == 3 — the takedown rewrites
+    * exactly the deleted ids' signature buckets and the hit pair-log
+    * buckets from inside the owning foreachBatch. The drained pair
+    * sink must hash-match the brute-force oracle over the SURVIVING
+    * docs verbatim (the same corpus-minus-deleted oracle del1/del2
+    * gate on): cross-batch pairs that formed before the delete and
+    * name a deleted doc are REMOVED, pairs among survivors are all
+    * present. maintainEvery = 1 folds both stores inside the gate, so
+    * the oracle also gates delete-then-fold. Batch order is pinned by
+    * mtime (the scd2 staging discipline) — deletes must arrive last. */
+  def streamDedupTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = streamedTakedownPairs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st26_").toString
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).withColumn("__op", lit("add"))
+        .coalesce(1).write.parquet(s"$tmp/src/a=1")
+      docs.filter(col("doc_id") >= 250).withColumn("__op", lit("add"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/src/a=2")
+      docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), lit("").as("text"), lit("del").as("__op"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/src/a=3")
+      // pin mtimes so file order = stage order under maxFilesPerTrigger
+      val base = System.currentTimeMillis() - 600000L
+      for (n <- 1 to 3) {
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$tmp/src/a=$n"))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(base + n * 60000L)))
+        } finally walk.close()
+      }
+      val schema = spark.read.parquet(s"$tmp/src/a=1").schema
+      EventStreams.dedupWithTakedownStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/src/*"),
+        "doc_id", "text", "__op", s"$tmp/store", s"$tmp/pairs", s"$tmp/cp",
+        threshold = 0.8, maintainEvery = 1).awaitTermination()
+      s"$tmp/pairs"
+    })
+    spark.read.parquet(pairs)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Rounding.exactRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val streamedTakedownPairs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** st6 — STREAMING snapshot-CDC (EventStreams.snapshotCdcStream):
     * yesterday's customer table seeds the store; the derived "today"
     * full dump (cdc1's exact derivation) arrives as one AvailableNow

@@ -193,6 +193,62 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAMING dedup WITH TAKEDOWN — [[incrementalDedupStream]] plus
+    * the r16 deletion verb as a stream-native operation: each
+    * micro-batch row carries `opCol` ('add' or 'del'). Deletes apply
+    * FIRST (`ops.Takedown.deleteKeys` on the signature store,
+    * `deletePairsTouching` on the pair log — bucket-local rewrites in
+    * the same foreachBatch slot that owns the stores, so the swap
+    * never races a reader), then the batch's adds sign/probe/append
+    * exactly like the plain stream.
+    *
+    * Exactness (st26 gates on it): the drained pair log equals the
+    * one-shot batch dedup over exactly the SURVIVING docs — a pair of
+    * survivors (x earlier, y later) is found at y's batch because x,
+    * never deleted, is still prior art; a pair with a deleted side is
+    * either removed by the delete batch (found before it) or never
+    * formed (x gone from the store before y arrived — both orders
+    * end at the same log). Re-adding a previously-deleted id is an
+    * upsert — outside the contract, like every immutable store here.
+    * Deletes are replay-idempotent (a replayed delete finds nothing);
+    * adds keep the keyed-idempotent discipline. */
+  def dedupWithTakedownStream(ops: DataFrame, idCol: String, textCol: String,
+                              opCol: String, storePath: String,
+                              pairsPath: String, checkpoint: String,
+                              threshold: Double = 0.8, numHashes: Int = 0,
+                              shingleN: Int = 0, maintainEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ops.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.etl.BucketCompaction.healAround(spark, storePath)
+        graft.etl.BucketCompaction.healAround(spark, pairsPath)
+        val b = batch.localCheckpoint() // feeds the delete AND the add half
+        val dels = b.filter(col(opCol) === "del").select(col(idCol))
+        // day-zero guards per artifact: a delete arriving before the
+        // store/log exists (or before its pin) is vacuously done
+        if (!dels.isEmpty) {
+          if (graft.etl.StoreMeta.readParams(spark, storePath).isDefined)
+            graft.ops.Takedown.deleteKeys(spark, storePath, "__id",
+              dels.select(col(idCol).as("__id"))): Unit
+          if (graft.etl.StoreMeta.readParams(spark, pairsPath).isDefined)
+            graft.ops.Takedown.deletePairsTouching(spark, pairsPath, dels): Unit
+        }
+        val adds = b.filter(col(opCol) === "add")
+        val (sigs, pairs) = signAndProbeBatch(adds, idCol, textCol,
+          storePath, threshold, numHashes, shingleN)
+        graft.etl.Sinks.idempotentAppendBucketed(
+          pairs, pairsPath, Seq("id_a", "id_b"))
+        graft.ops.Dedup.appendSignatureRows(sigs, storePath)
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+          graft.etl.BucketCompaction.compactStore(spark, storePath, "__kb")
+          graft.etl.BucketCompaction.compactStore(spark, pairsPath, "__kb"): Unit
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** The shared per-batch MinHash discipline of
     * [[incrementalDedupStream]] and [[componentsStream]]: the batch is
     * shingled+signed exactly ONCE (the checkpointed signatures feed

@@ -705,6 +705,24 @@ class StreamingSpec extends SparkSpec {
     assert(st25.nonEmpty)
   }
 
+  test("st26 rehearsal: takedown-stream pair sink equals batch dedup over the survivors") {
+    val st26 = SparkEntry.queries("st26_stream_takedown")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.minHashNearDups(df, "doc_id", "text", 0.8)
+        .select($"id_a", $"id_b",
+          graft.functions.Rounding.exactRound($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b").collect().map(_.toString).toSeq
+    val survivorsOnly = pairsOf(docs.filter($"doc_id" % 10 =!= 3))
+    assert(st26 === survivorsOnly, s"st26 ${st26.size} vs batch ${survivorsOnly.size}")
+    assert(st26.nonEmpty)
+    // fixture sanity: the delete batch actually removed pairs — the
+    // full corpus pairs more than the survivors do
+    assert(pairsOf(docs).size > survivorsOnly.size,
+      "fixture must plant at least one pair touching a deleted doc")
+  }
+
   test("setSimJoinStream replay + maintenance: pin survives, folds to one file, nothing re-inserts") {
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val src = java.nio.file.Files.createTempDirectory("ss24-src").toString
