@@ -67,6 +67,18 @@ def main():
         run_verify(sf_dir, out_dir)
 
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    # --only=a,b,c: compare just those queries (fast per-edit loop when
+    # the Spark dump was refreshed via SPARK_GRAFT_VERIFY_ONLY). The
+    # full run (no flag) stays the gate.
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(x.strip() for x in a[len("--only="):].split(",") if x.strip())
+    if only is not None:
+        missing = only - set(oracle)
+        if missing:
+            sys.exit(f"--only names not in oracle_sql.json: {sorted(missing)}")
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
@@ -117,8 +129,9 @@ def main():
 
     for name, res in sorted(results.items()):
         print(f"{'OK ' if res.startswith('PASS') else 'BAD'} {name}: {res}")
-    # queries without oracle: rows-only check
-    for qdir in sorted(Path(out_dir).iterdir()):
+    # queries without oracle: rows-only check (skipped under --only —
+    # every non-selected dump dir would spam a rows-only line)
+    for qdir in (sorted(Path(out_dir).iterdir()) if only is None else []):
         if qdir.is_dir() and qdir.name not in oracle:
             try:
                 n = con.sql(f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
