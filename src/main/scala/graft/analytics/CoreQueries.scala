@@ -1020,12 +1020,23 @@ object CoreQueries {
     * aggregate and tc1 returned to output-bound scaling. Identical
     * semantics: thr = max v with |{n >= v}| >= ceil(0.2·|pairs|). */
   private[graft] def supplierCoEdges(spark: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.lineitem(spark, dir)
+    // r16: the (k, s)-distinct + self-join-on-k formulation paid three
+    // exchanges and a join ((k,s) distinct; re-exchange on k for both
+    // join sides) before the (u, v) aggregate. Per-order supplier sets
+    // are inherently small (an order's line count is bounded by the
+    // generator law, independent of sf), so collect the order's
+    // DISTINCT suppliers in ONE exchange (collect_set subsumes the
+    // distinct) and explode the sorted pairs map-side: same (u, v)
+    // multiset — sort_array makes u < v per order exactly like the
+    // a.s < b.s join predicate — feeding the same co-count aggregate.
+    // Plan: 2 exchanges, 0 joins (was 3-4 exchanges + SortMergeJoin).
+    val co = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("k"), col("l_suppkey").cast("long").as("s"))
-      .distinct()
-    val co = sp.as("a").join(sp.as("b"),
-        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .groupBy(col("k")).agg(sort_array(collect_set(col("s"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(posexplode(col("ss")).as(Seq("i", "u")), col("ss"))
+      .select(col("u"),
+        explode(slice(col("ss"), col("i") + lit(2), size(col("ss")))).as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
       .localCheckpoint() // reused by the histogram pass and the filter
     val hist = co.groupBy(col("n")).agg(count(lit(1)).as("cnt"))

@@ -1078,10 +1078,17 @@ object Dedup {
     * diameter D converges in ~log2(D) + 2 rounds). */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                                     maxIter: Int = 50): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
     val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct()
+      // hash-partition the edge table on the per-round probe key ONCE
+      // (the PageRank.ranks discipline — r16): localCheckpoint
+      // preserves outputPartitioning, so every round's labels⋈und join
+      // exchanges only the label table (node-sized); the edge table,
+      // the corpus-sized side, never moves again. Before this the
+      // checkpoint held the distinct()'s (src, dst) partitioning and
+      // every round re-exchanged ALL edges.
+      .repartition(col("dst")).localCheckpoint()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
     var converged = false
@@ -1110,17 +1117,31 @@ object Dedup {
         .select(col("node"),
           coalesce(col("__jump"), col("component")).as("component"),
           col("__old"))
-      val changed = spark.sparkContext.longAccumulator("ccLabelsChanged")
-      val compIdx = next.schema.fieldIndex("component")
-      val oldIdx = next.schema.fieldIndex("__old")
-      val counted = next.rdd.map { r =>
-        if (r.get(compIdx) != r.get(oldIdx)) changed.add(1L)
-        r
+      // the round's ONE materialization, kept whole-stage-codegen:
+      // localCheckpoint pins the round (r16 — this replaces a per-round
+      // DataFrame→RDD[Row]→DataFrame round-trip whose row conversion
+      // ran outside codegen on every row of every round), and the
+      // convergence count rides the SAME job as an observed metric —
+      // no second action (ObsProbe verified Observation fires on an
+      // eager localCheckpoint). Watchdog fallback: the listener is
+      // async, so if the metric somehow never lands, a narrow scan of
+      // the checkpointed blocks answers the same question.
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = next
+        .observe(obs, count(when(col("component") =!= col("__old"), 1))
+          .as("changed"))
+        .localCheckpoint()
+      converged = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        try Await.result(Future(obs.get), 60.seconds)("changed")
+          .asInstanceOf[Long] == 0L
+        catch { case _: java.util.concurrent.TimeoutException =>
+          pinned.filter(col("component") =!= col("__old")).isEmpty
+        }
       }
-      counted.localCheckpoint()
-      counted.count() // the round's ONE action: materializes + tallies
-      labels = spark.createDataFrame(counted, next.schema).drop("__old")
-      converged = changed.value == 0L
+      labels = pinned.drop("__old")
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

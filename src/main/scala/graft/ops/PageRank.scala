@@ -67,12 +67,17 @@ object PageRank {
       val counts = labels.join(e, col("node") === col("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("dst"))
-        .orderBy(col("__c").desc, col("label"))
-      labels = counts.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("dst").as("node"), col("label"))
+      // per-dst argmax as a HASH AGGREGATE, not a window (r16): the
+      // window paid a third exchange + full sort per round; max over
+      // the (count, -label) struct is the same (count desc, label asc)
+      // rank-1 pick — lexicographic struct max takes the largest count,
+      // then the largest -label = the SMALLEST label — with map-side
+      // partials and no sort. Labels are node ids from an edge-derived
+      // node set (never MinValue), so the negation is exact.
+      labels = counts
+        .groupBy(col("dst"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("dst").as("node"), (-col("__m.__nl")).as("label"))
         .localCheckpoint()
     }
     labels
