@@ -161,6 +161,15 @@ object Similarity {
       corpus.select(col(idCol).as("cand_id"),
           col(vecCol).cast("array<double>").as("__cv"))
         .withColumn("__sig", signature(col("__cv")))
+        // r16: cluster one write task per signature dir. Without this
+        // the scan's task layout drives the write — a single-file
+        // corpus scan wrote all 2^nBits partition dirs SERIALLY from
+        // one task (measured: the dir-create/footer loop, not the
+        // signature compute, dominated s1b_build). 2^nBits is an index
+        // property (one task per dir), not a machine constant; the
+        // explicit count also keeps AQE from coalescing the tiny
+        // fixture-scale exchange back into one serial writer.
+        .repartition(1 << nBits, col("__sig"))
         .write.mode("overwrite").partitionBy("__sig").parquet(path)
       // data first: the overwrite deletes the target dir, so a meta
       // written before it would be wiped (the writeEdgeStore order);
@@ -225,7 +234,10 @@ object Similarity {
       } else signed)
         .localCheckpoint() // pin novelty BEFORE touching the store
       if (!novel.isEmpty)
-        novel.write.mode("append").partitionBy("__sig").parquet(path)
+        // same one-task-per-touched-dir clustering as [[writeIndex]];
+        // untouched signatures plan empty tasks, which write nothing
+        novel.repartition(1 << nBits, col("__sig"))
+          .write.mode("append").partitionBy("__sig").parquet(path)
       // pin the fingerprint ONLY when this append CREATED the store
       // (append never deletes, so meta-after-data has no wipe hazard).
       // A pre-guard legacy index (data, no sidecar) is NOT auto-pinned:
