@@ -61,6 +61,16 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // Dev-only A/B knob (the driver never sets it): semicolon-separated
+    // k=v pairs applied BEFORE the caller's `extra`, so measurement
+    // tools can flip a conf without a recompile, e.g.
+    //   SPARK_GRAFT_EXTRA_CONF='spark.sql.join.preferSortMergeJoin=false'
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => b.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     extra.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -289,18 +289,25 @@ object SketchQueries {
     * the Jaccard estimate rides a 3σ binomial contract. */
   def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
     val k = Sketches.KmvK
+    // r16: ONE year-tagged corpus aggregate builds BOTH sketches (the
+    // q26c discipline), checkpointed at ≤ 2k rows — the per-side form
+    // re-ran its corpus aggregate for every kmvIntersect consumer of
+    // the lazy sketch frame (union + two membership joins). The exact
+    // replay likewise folds its union-distinct + recount into one
+    // grouped scan with per-year flags: same union/intersection
+    // counts, one corpus pass instead of two.
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), year(col("l_shipdate")).as("yr"))
-    def side(y: Int) = li.filter(col("yr") === y).withColumn("__s", lit(y))
-    val skA = Sketches.kmvSketch(side(1994), "__s", "l_partkey").drop("__s")
-    val skB = Sketches.kmvSketch(side(1995), "__s", "l_partkey").drop("__s")
+      .filter(col("yr").isin(1994, 1995))
+    val sk = Sketches.kmvSketch(li, "yr", "l_partkey").localCheckpoint()
+    val skA = sk.filter(col("yr") === 1994).drop("yr")
+    val skB = sk.filter(col("yr") === 1995).drop("yr")
     val est = Sketches.kmvIntersect(skA, skB, k)
-    val exact = side(1994).select(col("l_partkey"), col("__s"))
-      .unionByName(side(1995).select(col("l_partkey"), col("__s")))
-      .distinct()
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("__n"))
+    val exact = li.groupBy(col("l_partkey"))
+      .agg(max(when(col("yr") === 1994, 1).otherwise(0)).as("__a"),
+        max(when(col("yr") === 1995, 1).otherwise(0)).as("__b"))
       .agg(count(lit(1)).as("exact_union"),
-        count(when(col("__n") === 2, 1)).as("exact_inter"))
+        count(when(col("__a") === 1 && col("__b") === 1, 1)).as("exact_inter"))
     val sigma = 3.0 * math.sqrt(0.25 / k)
     est.crossJoin(exact)
       .select(col("n_l"), col("max_h_l"), col("n_inter"),
@@ -318,17 +325,17 @@ object SketchQueries {
     * distinct-key replay. */
   def kmvDelta(spark: SparkSession, dir: String): DataFrame = {
     val k = Sketches.KmvK
+    // r16: same one-pass sketch + one-pass exact restructure as q26.
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), year(col("l_shipdate")).as("yr"))
-    def side(y: Int) = li.filter(col("yr") === y).withColumn("__s", lit(y))
-    val skA = Sketches.kmvSketch(side(1994), "__s", "l_partkey").drop("__s")
-    val skB = Sketches.kmvSketch(side(1995), "__s", "l_partkey").drop("__s")
+      .filter(col("yr").isin(1994, 1995))
+    val sk = Sketches.kmvSketch(li, "yr", "l_partkey").localCheckpoint()
+    val skA = sk.filter(col("yr") === 1994).drop("yr")
+    val skB = sk.filter(col("yr") === 1995).drop("yr")
     val est = Sketches.kmvDifference(skA, skB, k)
-    val exact = side(1994).select(col("l_partkey"), col("__s"))
-      .unionByName(side(1995).select(col("l_partkey"), col("__s")))
-      .groupBy(col("l_partkey"))
-      .agg(max(when(col("__s") === 1994, 1).otherwise(0)).as("__a"),
-        max(when(col("__s") === 1995, 1).otherwise(0)).as("__b"))
+    val exact = li.groupBy(col("l_partkey"))
+      .agg(max(when(col("yr") === 1994, 1).otherwise(0)).as("__a"),
+        max(when(col("yr") === 1995, 1).otherwise(0)).as("__b"))
       .agg(count(lit(1)).as("exact_union"),
         count(when(col("__a") === 1 && col("__b") === 0, 1)).as("exact_a_only"),
         count(when(col("__b") === 1 && col("__a") === 0, 1)).as("exact_b_only"))
@@ -504,7 +511,13 @@ object SketchQueries {
   private def matrixReadoutFrom(est: org.apache.spark.sql.DataFrame,
       sh: org.apache.spark.sql.DataFrame): DataFrame = {
     val k = Sketches.KmvK
-    val d = sh.select(col("source"), col("sh").as("__d")).distinct()
+    // r16: the exact sides are set-SIZE counts, which 64-bit digest
+    // sets preserve exactly up to a within-source collision (the d2
+    // verify-set argument, ~|set|²/2^65 — never at any real size), so
+    // the distinct exchange and the pairwise intersection join move
+    // 8-byte longs instead of shingle strings. The oracle keeps
+    // counting strings: equal set sizes ⇒ equal integers.
+    val d = sh.select(col("source"), xxhash64(col("sh")).as("__d")).distinct()
     val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
     val inter = d.select(col("source").as("__ga"), col("__d"))
       .join(d.select(col("source").as("__gb"), col("__d")), Seq("__d"))

@@ -49,6 +49,13 @@ object VectorQueries {
     val a = e.select(col("vec_id"), col("v").as("va"), col("__n").as("na"))
     val b = e.select(col("vec_id").as("neg_id"), col("v").as("vb"),
       col("__n").as("nb"))
+    // r16 note (measured, REJECTED): mirroring each unordered pair via
+    // explode — halving the 64-dim dots — benched 5.0-6.3 s against
+    // this shape's 3.6 s at sf0.1: the Generate's per-row struct-array
+    // materialization cost more than the saved dots, and a cosine
+    // filter placed before the explode gets pushed into the BNLJ
+    // condition where the dot re-evaluates per enumerated pair. The
+    // straight formulation stays.
     val pairs = a.crossJoin(b).filter(col("vec_id") =!= col("neg_id"))
       .withColumn("cosine",
         VF.dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
