@@ -1080,14 +1080,17 @@ object Dedup {
                                     maxIter: Int = 50): (DataFrame, Int) = {
     val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       // hash-partition the edge table on the per-round probe key ONCE
       // (the PageRank.ranks discipline — r16): localCheckpoint
       // preserves outputPartitioning, so every round's labels⋈und join
-      // exchanges only the label table (node-sized); the edge table,
-      // the corpus-sized side, never moves again. Before this the
-      // checkpoint held the distinct()'s (src, dst) partitioning and
-      // every round re-exchanged ALL edges.
+      // exchanges only the node-sized label table; the edge table, the
+      // corpus-sized side, never moves again. The old edge distinct()
+      // is GONE with its corpus-sized exchange: min-label propagation
+      // is multiplicity-insensitive (min over a multiset), so
+      // duplicate edge rows change nothing but the per-round join
+      // volume — callers pass deduped pair sets (LSH verify output,
+      // store logs), where the worst case is the 2× of a both-
+      // directions input, cheaper than a dedup exchange every call.
       .repartition(col("dst")).localCheckpoint()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
