@@ -948,7 +948,7 @@ object CoreQueries {
     })
     graft.ops.Triangles.mergeTriangleCountsBucketed(
         spark.read.parquet(s"$p/tri"), s"$p/edges",
-        edges.filter(isDelta), "u", "v")
+        edges.filter(isDelta), "u", "v", assumeNormalized = true)
       .orderBy(col("n_tri").desc, col("node"))
       .limit(20)
   }
@@ -979,7 +979,8 @@ object CoreQueries {
       t
     })
     graft.ops.Triangles.mergeTriangleCountsBucketed(
-        spark.read.parquet(s"$p/tri"), s"$p/edges", delta, "u", "v")
+        spark.read.parquet(s"$p/tri"), s"$p/edges", delta, "u", "v",
+        assumeNormalized = true)
       .orderBy(col("n_tri").desc, col("node"))
       .limit(20)
   }

@@ -481,10 +481,16 @@ object Triangles {
     * ([[appendEdgeStore]]). */
   def mergeTriangleCountsBucketed(storedCounts: DataFrame,
                                   edgeStorePath: String, deltaEdges: DataFrame,
-                                  srcCol: String, dstCol: String): DataFrame = {
+                                  srcCol: String, dstCol: String,
+                                  assumeNormalized: Boolean = false): DataFrame = {
     val spark = deltaEdges.sparkSession
-    val d0 = normalize(deltaEdges.select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v")))
+    // assumeNormalized: callers whose delta is ALREADY loop-free,
+    // id-ordered and distinct (e.g. a slice of a normalized edge set)
+    // skip the defensive normalize — one delta-sized distinct exchange
+    // saved per merge (r16; the PageRank assumeDistinct discipline).
+    val dRaw = deltaEdges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val d0 = (if (assumeNormalized) dRaw else normalize(dRaw))
       .localCheckpoint() // feeds the bucket-list collect AND the probes
     // already materialized inside (regime-adaptive: pruned 2fE rows
     // sparse, a<b half = E rows dense) — no second checkpoint
