@@ -1114,12 +1114,18 @@ object Dedup {
       // labels(L) ≤ L is a min over that same component — so the
       // shortcut only ever accelerates, never crosses components. This
       // is what turns O(diameter) propagation into O(log diameter).
-      val next = propagated
-        .join(labels.select(col("node").as("component"),
-          col("component").as("__jump")), Seq("component"), "left")
-        .select(col("node"),
-          coalesce(col("__jump"), col("component")).as("component"),
-          col("__old"))
+      // Round 1 SKIPS it (r16): the initial label table is the
+      // identity map (node = component), so the jump join would
+      // rewrite every label to itself — one node-sized join + exchange
+      // per CC call for nothing.
+      val next =
+        if (it == 0) propagated
+        else propagated
+          .join(labels.select(col("node").as("component"),
+            col("component").as("__jump")), Seq("component"), "left")
+          .select(col("node"),
+            coalesce(col("__jump"), col("component")).as("component"),
+            col("__old"))
       // the round's ONE materialization, kept whole-stage-codegen:
       // localCheckpoint pins the round (r16 — this replaces a per-round
       // DataFrame→RDD[Row]→DataFrame round-trip whose row conversion
